@@ -1,0 +1,313 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{DefaultRegistry, MetricQueryRequest}
+import graft.functions.GraftFunctions._
+import graft.planner.MetricPlanner
+import graft.sources.Tables
+
+/** The operator-inventory query catalog (SURVEY.md §2 coverage).
+  *
+  * Each entry: name → (runner, optional DuckDB oracle SQL). Runners
+  * compose declarative DataFrame chains (Catalyst optimizes; shuffles
+  * only at declared aggregation/join keys); oracle SQL is the DuckDB
+  * dialect equivalent the driver hash-compares against at sf0.01.
+  *
+  * Determinism rules used throughout (100 TB-safe AND oracle-safe):
+  *  - double SUM/AVG via exact-decimal accumulation ([[graft.functions
+  *    .GraftFunctions.dsum]]) — associative, so AQE/shuffle reorderings
+  *    can't drift the result;
+  *  - every output totally ordered (explicit tie-breakers) so the
+  *    row-hash is stable;
+  *  - hashes that must match the oracle use md5 (identical everywhere),
+  *    never engine-local hash functions.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private val planner = new MetricPlanner(DefaultRegistry.registry)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // =====================================================================
+  // §2.2 MetricFlow surface: M1–M7 (agg, group-by, join, where, time,
+  // order, limit)
+  // =====================================================================
+
+  /** TPC-H Q1-shaped pricing summary: M1 partial+final hash agg, M2
+    * group-by, S18 rounding-stable measures. */
+  private val q1 = Q("q1_pricing_summary",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity", 2)} AS sum_qty,
+        ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+        ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        ${davgSql("l_quantity", 2)} AS avg_qty,
+        ${davgSql("l_extendedprice", 2)} AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** The flagship minimum slice (SURVEY.md §7.2 slice 0) through the
+    * semantic-layer planner: metric revenue by order month, where
+    * priority filter, time-bounded, ordered desc, limit 10 — M1–M8 in
+    * one chain; oracle is the planner's own rendered SQL (M9). */
+  private val savedReq = MetricQueryRequest(metrics = Seq("revenue"),
+    savedQuery = Some("revenue_by_month"))
+  private val q2 = Q("q2_revenue_by_month",
+    (s, dir) => planner.compile(s, dir, savedReq).df,
+    Some(planner.renderSql(savedReq, withDescriptions = false)))
+
+  /** Star-schema rollup to region/nation via the planner: M3 dimension
+    * joins (broadcast small dims). */
+  private val q3Req = MetricQueryRequest(
+    metrics = Seq("revenue", "order_count"),
+    groupBy = Seq("r_name", "n_name"),
+    orderBy = Seq("-revenue"))
+  private val q3 = Q("q3_region_revenue",
+    (s, dir) => planner.compile(s, dir, q3Req).df,
+    Some(planner.renderSql(q3Req, withDescriptions = false)))
+
+  /** TPC-H Q6-shaped flat filter + global agg: M4 where constraint,
+    * S7 predicate filter — Catalyst pushes all three predicates into the
+    * parquet scan. */
+  private val q4 = Q("q4_promo_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(expr(
+        """l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("promo_revenue"),
+        count(lit(1)).as("n_rows")),
+    Some(s"""
+      SELECT ${dsumSql("l_extendedprice * l_discount")} AS promo_revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
+
+  /** Time-range constraint (M5) + count by priority. */
+  private val q5 = Q("q5_orders_by_priority",
+    (s, dir) => t(s, dir, "orders")
+      .filter(expr(
+        """o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'"""))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority"),
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice", 2)} AS sum_price
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Top-N after sort (M6 order-by + M7 limit → TakeOrderedAndProject,
+    * a distributed top-k with no global sort). */
+  private val q6 = Q("q6_top_customers",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice"), 2).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("o_custkey").asc)
+      .limit(10),
+    Some(s"""
+      SELECT o_custkey, ${dsumSql("o_totalprice", 2)} AS total_spent,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+      ORDER BY total_spent DESC, o_custkey ASC LIMIT 10"""))
+
+  /** Exact COUNT DISTINCT (M1 distinct aggregation — expand+two-phase in
+    * Spark; at 100 TB prefer approx_count_distinct, kept as a separate
+    * non-oracle query since HLL sketches differ across engines). */
+  private val q7 = Q("q7_distinct_counts",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Sketch-based distinct at scale (no oracle: HLL implementations are
+    * engine-specific; driver records a rows-only check). */
+  private val q7a = Q("q7a_approx_distinct",
+    (s, dir) => t(s, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+    None)
+
+  /** ROLLUP + GROUPING (M2/M11 grouping sets family). Sort keys include
+    * the grouping level so no null-vs-value comparison ever decides
+    * order (Spark sorts NULLS FIRST, DuckDB NULLS LAST — avoided). */
+  private val q8 = Q("q8_rollup_nation",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, expr("c_nationkey = n_nationkey"))
+        .join(r, expr("n_regionkey = r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal"), 2).as("sum_bal"),
+          (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("r_name"), col("n_name"))
+    },
+    Some(s"""
+      SELECT r_name, n_name, COUNT(*) AS n_cust,
+             ${dsumSql("c_acctbal", 2)} AS sum_bal,
+             CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS lvl
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY lvl, r_name, n_name"""))
+
+  // =====================================================================
+  // §2.1 reference-implemented operators (S-series)
+  // =====================================================================
+
+  /** S10 MAX-watermark read with null→0 coalesce
+    * (transactions_dag.py:22-25). */
+  private val q13 = Q("q13_watermark_max",
+    (s, dir) => t(s, dir, "events")
+      .agg(coalesce(max(col("event_id")), lit(0L)).as("last_block")),
+    Some("SELECT COALESCE(MAX(event_id), 0) AS last_block FROM events"))
+
+  /** S9 epoch→ISO derivation round-trip (omni_rpc_client.py:106-110):
+    * timestamp → epoch seconds → ISO-8601 string. */
+  private val q12 = Q("q12_epoch_iso",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        epochToIso(unix_timestamp(col("ts"))).as("blockdate"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000),
+                      '%Y-%m-%dT%H:%M:%S') AS blockdate
+      FROM events ORDER BY event_id"""))
+
+  /** S8 hex→UTF-8 decode round-trip on real text (strict-null semantics
+    * for invalid input are property-tested in ScalaTest; the oracle path
+    * uses valid hex only since DuckDB's decode throws on invalid). */
+  private val q11 = Q("q11_hex_decode",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        lower(hex(substring(col("text"), 1, 32).cast("binary"))).as("hex32"),
+        hexDecodeUtf8(lower(hex(substring(col("text"), 1, 32).cast("binary"))))
+          .as("decoded"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             lower(hex(substring(text, 1, 32))) AS hex32,
+             decode(unhex(lower(hex(substring(text, 1, 32))))) AS decoded
+      FROM documents ORDER BY doc_id"""))
+
+  /** S13 projection + S14 fixed-size chunking + S18 rounding
+    * (slack_utils.py:16-19,83-87; dbt_query.py:149). */
+  private val q15 = Q("q15_chunked_report",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" | ", col("doc_id"), col("source"), col("lang")).as("line"),
+        chunk(col("text"), 100, 1).as("chunk_1"),
+        chunk(col("text"), 100, 2).as("chunk_2"),
+        numChunks(col("text"), 100).as("n_chunks"),
+        roundTo(col("n_chars") / lit(7.0), 2).as("est_tokens"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             concat_ws(' | ', doc_id, source, lang) AS line,
+             substring(text, 1, 100) AS chunk_1,
+             substring(text, 101, 100) AS chunk_2,
+             CAST(ceil(length(text) / 100.0) AS BIGINT) AS n_chunks,
+             round(n_chars / 7.0, 2) AS est_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** S11 incremental delta detection: rows strictly above a watermark
+    * computed from the sink side (transactions_dag.py:30-34). The
+    * watermark scalar stays distributed via a broadcast cross-join —
+    * no driver-side collect in the plan. */
+  private val q14 = Q("q14_incremental_delta",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val wm = ev.filter(expr("ts < TIMESTAMP '2024-01-10 00:00:00'"))
+        .agg(coalesce(max(col("event_id")), lit(0L)).as("wm"))
+      ev.crossJoin(broadcast(wm))
+        .filter(col("event_id") > col("wm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_new"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n_new,
+             ${dsumSql("value", 2)} AS sum_value
+      FROM events
+      WHERE event_id > (SELECT COALESCE(MAX(event_id), 0) FROM events
+                        WHERE ts < TIMESTAMP '2024-01-10 00:00:00')
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** M11 per-dimension fan-out, materialized as one tagged union (the
+    * reference writes one `<metric>_by_<dim>.sql` per dimension,
+    * dbt_query2.py:46-80; we run them in one pass). */
+  private val q16 = Q("q16_dim_fanout",
+    (s, dir) => {
+      val dims = planner.registry.dimensionsForMetric("revenue").filterNot(_.isTime)
+      dims.map { d =>
+        planner.compile(s, dir,
+          MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq(d.name))).df
+          .select(lit(d.name).as("dim_name"),
+            col(d.name).cast("string").as("dim_value"),
+            col("revenue"))
+      }.reduce(_.unionAll(_)).orderBy("dim_name", "dim_value")
+    },
+    Some {
+      val dims = DefaultRegistry.registry.dimensionsForMetric("revenue").filterNot(_.isTime)
+      dims.map { d =>
+        val inner = planner.renderSql(
+          MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq(d.name)),
+          withDescriptions = false)
+        s"SELECT '${d.name}' AS dim_name, CAST(${d.name} AS VARCHAR) AS dim_value, revenue FROM ($inner)"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY dim_name, dim_value")
+    })
+
+  // =====================================================================
+
+  val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+}

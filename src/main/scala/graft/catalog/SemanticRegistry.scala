@@ -1,0 +1,190 @@
+package graft.catalog
+
+/** Semantic layer: models, dimensions, entities, metrics, saved queries.
+  *
+  * Mirrors the reference's MetricFlow surface — metrics × dimensions ×
+  * time-range × where × order × limit (dbt_query.py:55-96) resolved
+  * against semantic models exposing dimensions
+  * (dbt_query2.py:36-57, `semantic_manifest.semantic_models`) — as a
+  * plain Scala registry; compilation to DataFrames lives in
+  * [[graft.planner.MetricPlanner]]. This is deliberately NOT a Catalyst
+  * extension: the semantic layer is an API above SQL, so a plain planner
+  * emitting declarative DataFrame ops lets Catalyst do all optimization.
+  */
+
+/** A dimension exposed by a semantic model.
+  * `expr` is a SQL expression in the portable Spark∩DuckDB subset
+  * (plain column references for almost all dims). Time dimensions
+  * support granularity suffixes `name__day|week|month|year`
+  * (reference: `granularity_free_qualified_name`, dbt_query.py:167). */
+final case class Dimension(name: String, expr: String, isTime: Boolean = false)
+
+/** A semantic model over a physical table.
+  * @param key      primary entity key column
+  * @param small    dimension table known to be broadcast-safe at scale
+  *                 (region/nation stay tiny at 100 TB; orders does not)
+  */
+final case class SemanticModel(
+    name: String,
+    table: String,
+    key: String,
+    dimensions: Seq[Dimension] = Nil,
+    small: Boolean = false)
+
+/** Foreign-key link: `fromModel.fromCol == toModel.key`. */
+final case class JoinLink(fromModel: String, fromCol: String, toModel: String)
+
+/** A named measure over a fact model. `aggSql` is in the portable SQL
+  * subset so the same text compiles via Spark `expr()` and runs on the
+  * DuckDB oracle. Distributed double sums go through the exact-decimal
+  * pattern (see [[graft.functions.GraftFunctions.dsum]]). */
+final case class Metric(
+    name: String,
+    model: String,
+    aggSql: String,
+    timeDim: Option[String] = None,
+    description: String = "")
+
+/** Declarative metric query request — field-for-field mirror of the
+  * reference's MetricFlowQueryRequest (dbt_query.py:77-86).
+  * `orderBy` uses the MetricFlow `-name` = descending convention
+  * (dbt_query.py:62). */
+final case class MetricQueryRequest(
+    metrics: Seq[String],
+    groupBy: Seq[String] = Nil,
+    where: Option[String] = None,
+    startTime: Option[String] = None,
+    endTime: Option[String] = None,
+    orderBy: Seq[String] = Nil,
+    limit: Option[Int] = None,
+    savedQuery: Option[String] = None)
+
+final class SemanticRegistry(
+    val models: Seq[SemanticModel],
+    val links: Seq[JoinLink],
+    val metrics: Seq[Metric],
+    val savedQueries: Map[String, MetricQueryRequest] = Map.empty) {
+
+  val modelByName: Map[String, SemanticModel] = models.map(m => m.name -> m).toMap
+  val metricByName: Map[String, Metric] = metrics.map(m => m.name -> m).toMap
+
+  /** dimension name -> owning model. The reference assumes dimension
+    * names are unique across semantic models (comment at
+    * dbt_query2.py:58); we make that assumption explicit and fail fast
+    * at construction instead of silently mis-resolving. */
+  val dimensionOwner: Map[String, String] = {
+    val pairs = for (m <- models; d <- m.dimensions) yield d.name -> m.name
+    val dups = pairs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"dimension names must be unique across models: ${dups.mkString(",")}")
+    pairs.toMap
+  }
+
+  val dimensionByName: Map[String, Dimension] =
+    (for (m <- models; d <- m.dimensions) yield d.name -> d).toMap
+
+  def metric(name: String): Metric =
+    metricByName.getOrElse(name, sys.error(s"unknown metric: $name"))
+
+  /** Accompanying dimensions for a metric = all dimensions of its fact
+    * model plus every model reachable over join links
+    * (parity with dbt_query2.py:52-58's same-model gathering, widened
+    * to the star). */
+  def dimensionsForMetric(metricName: String): Seq[Dimension] = {
+    val reach = reachableModels(metric(metricName).model)
+    for (mn <- reach; d <- modelByName(mn).dimensions) yield d
+  }
+
+  /** Models reachable from `start` over join links (BFS, stable order). */
+  def reachableModels(start: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet(start)
+    var frontier = Seq(start)
+    while (frontier.nonEmpty) {
+      frontier = for {
+        f <- frontier
+        l <- links if l.fromModel == f && !out.contains(l.toModel)
+      } yield { out += l.toModel; l.toModel }
+    }
+    out.toSeq
+  }
+
+  /** Join path (sequence of links) from fact model to target model. */
+  def joinPath(from: String, to: String): Seq[JoinLink] = {
+    if (from == to) return Nil
+    // BFS keeping parent pointers
+    val parent = scala.collection.mutable.Map[String, JoinLink]()
+    val seen = scala.collection.mutable.Set(from)
+    var frontier = Seq(from)
+    while (frontier.nonEmpty && !seen.contains(to)) {
+      frontier = for {
+        f <- frontier
+        l <- links if l.fromModel == f && !seen.contains(l.toModel)
+      } yield { parent(l.toModel) = l; seen += l.toModel; l.toModel }
+    }
+    require(seen.contains(to), s"no join path $from -> $to")
+    // walk back
+    val path = scala.collection.mutable.ListBuffer[JoinLink]()
+    var cur = to
+    while (cur != from) { val l = parent(cur); path.prepend(l); cur = l.fromModel }
+    path.toSeq
+  }
+}
+
+/** Default registry over the driver-provided star schema
+  * (/root/repo/FIXTURES.md §B). */
+object DefaultRegistry {
+  import graft.functions.GraftFunctions.dsumSql
+
+  val registry: SemanticRegistry = new SemanticRegistry(
+    models = Seq(
+      SemanticModel("lineitem", "lineitem", "l_orderkey", Seq(
+        Dimension("l_returnflag", "l_returnflag"),
+        Dimension("l_linestatus", "l_linestatus"),
+        Dimension("l_shipdate", "l_shipdate", isTime = true))),
+      SemanticModel("orders", "orders", "o_orderkey", Seq(
+        Dimension("o_orderdate", "o_orderdate", isTime = true),
+        Dimension("o_orderpriority", "o_orderpriority"),
+        Dimension("o_orderstatus", "o_orderstatus"))),
+      SemanticModel("customer", "customer", "c_custkey", Seq(
+        Dimension("c_mktsegment", "c_mktsegment")), small = true),
+      SemanticModel("nation", "nation", "n_nationkey", Seq(
+        Dimension("n_name", "n_name")), small = true),
+      SemanticModel("region", "region", "r_regionkey", Seq(
+        Dimension("r_name", "r_name")), small = true),
+      SemanticModel("part", "part", "p_partkey", Seq(
+        Dimension("p_brand", "p_brand"),
+        Dimension("p_type", "p_type")), small = true),
+      SemanticModel("supplier", "supplier", "s_suppkey", Seq(
+        Dimension("s_name", "s_name")), small = true),
+      SemanticModel("events", "events", "event_id", Seq(
+        Dimension("event_type", "event_type"),
+        Dimension("ts", "ts", isTime = true)))),
+    links = Seq(
+      JoinLink("lineitem", "l_orderkey", "orders"),
+      JoinLink("lineitem", "l_partkey", "part"),
+      JoinLink("lineitem", "l_suppkey", "supplier"),
+      JoinLink("orders", "o_custkey", "customer"),
+      JoinLink("customer", "c_nationkey", "nation"),
+      JoinLink("nation", "n_regionkey", "region")),
+    metrics = Seq(
+      Metric("revenue", "lineitem",
+        dsumSql("l_extendedprice * (1 - l_discount)"),
+        timeDim = Some("l_shipdate"),
+        description = "sum of discounted extended price"),
+      Metric("total_qty", "lineitem", dsumSql("l_quantity", 2),
+        timeDim = Some("l_shipdate"),
+        description = "total quantity shipped"),
+      Metric("order_count", "lineitem", "COUNT(DISTINCT l_orderkey)",
+        timeDim = Some("l_shipdate"),
+        description = "distinct orders touched"),
+      Metric("event_value", "events", dsumSql("value", 2),
+        timeDim = Some("ts"),
+        description = "sum of event values")),
+    savedQueries = Map(
+      // The flagship minimum slice (SURVEY.md §7.2 slice 0).
+      "revenue_by_month" -> MetricQueryRequest(
+        metrics = Seq("revenue"),
+        groupBy = Seq("o_orderdate__month"),
+        where = Some("o_orderpriority IN ('1-URGENT','2-HIGH')"),
+        startTime = Some("1995-01-01"), endTime = Some("1996-12-31"),
+        orderBy = Seq("-revenue"), limit = Some(10))))
+}

@@ -1,0 +1,230 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, expr}
+
+import graft.catalog._
+import graft.sources.Tables
+
+/** Compiled form of a metric query: the lazily-composed DataFrame (IR #2,
+  * the Catalyst logical plan — parity with the reference's dataflow plan,
+  * dbt_query.py:117) and rendered SQL text (IR #3, parity with
+  * `rendered_sql`, dbt_query.py:100-104). The SQL is in the portable
+  * Spark∩DuckDB subset, so it doubles as the correctness oracle. */
+final case class CompiledMetricQuery(df: DataFrame, sql: String, sqlWithDescriptions: String)
+
+final case class ExplainResult(
+    sql: String,
+    sqlWithDescriptions: String,
+    planText: String,
+    dot: String)
+
+/** Request → DataFrame planner (SURVEY.md §2.2 M1–M11).
+  *
+  * Deliberately a *plain Scala* planner emitting declarative DataFrame
+  * ops: Catalyst then does predicate pushdown, column pruning, join
+  * selection and AQE re-planning with zero custom rules. Dimension
+  * tables flagged `small` get an explicit `broadcast()` hint — at 100 TB
+  * the fact side never moves for those joins; non-small joins shuffle on
+  * their entity keys, which is the correct distributed plan.
+  */
+final class MetricPlanner(val registry: SemanticRegistry) {
+
+  /** Parse `dim` or `dim__granularity`. */
+  private def parseGroupBy(g: String): (Dimension, Option[String]) = {
+    val (base, gran) = g.split("__") match {
+      case Array(b, gr) => (b, Some(gr.toLowerCase))
+      case Array(b)     => (b, None)
+      case _            => sys.error(s"bad group-by: $g")
+    }
+    val dim = registry.dimensionByName.getOrElse(base, sys.error(s"unknown dimension: $base"))
+    gran.foreach { gr =>
+      require(dim.isTime, s"granularity on non-time dimension: $g")
+      require(Set("day", "week", "month", "quarter", "year")(gr), s"bad granularity: $gr")
+    }
+    (dim, gran)
+  }
+
+  /** Portable SQL expression for a (dimension, granularity) pair.
+    * `date_trunc` + `CAST AS DATE` parse identically in Spark and DuckDB. */
+  private def dimExpr(dim: Dimension, gran: Option[String]): String = gran match {
+    case Some(g) => s"CAST(date_trunc('$g', ${dim.expr}) AS DATE)"
+    case None    => dim.expr
+  }
+
+  private def outName(dim: Dimension, gran: Option[String]): String =
+    gran.map(g => s"${dim.name}__$g").getOrElse(dim.name)
+
+  /** Models whose dimensions appear (as whole words) in a predicate. */
+  private def modelsReferenced(text: String): Seq[String] = {
+    val owners = for {
+      (dimName, owner) <- registry.dimensionOwner.toSeq
+      if ("\\b" + java.util.regex.Pattern.quote(dimName) + "\\b").r
+        .findFirstIn(text).isDefined
+    } yield owner
+    owners.distinct
+  }
+
+  def resolve(req: MetricQueryRequest): MetricQueryRequest =
+    req.savedQuery match {
+      case Some(name) =>
+        registry.savedQueries.getOrElse(name, sys.error(s"unknown saved query: $name"))
+      case None => req
+    }
+
+  def compile(spark: SparkSession, dir: String, req0: MetricQueryRequest): CompiledMetricQuery = {
+    val req = resolve(req0)
+    require(req.metrics.nonEmpty, "at least one metric required")
+    val ms = req.metrics.map(registry.metric)
+    val factModel = ms.head.model
+    require(ms.forall(_.model == factModel), "all metrics must share a fact model")
+
+    val groupBys = req.groupBy.map(parseGroupBy)
+
+    // -- which models must be joined in --------------------------------
+    val needed: Seq[String] =
+      (Seq(factModel) ++
+        groupBys.map { case (d, _) => registry.dimensionOwner(d.name) } ++
+        req.where.toSeq.flatMap(modelsReferenced)).distinct
+
+    val linksInOrder: Seq[JoinLink] = needed
+      .flatMap(m => registry.joinPath(factModel, m))
+      .distinct
+
+    // -- DataFrame composition (IR #2: Catalyst logical plan) ----------
+    var df = Tables.load(spark, dir, registry.modelByName(factModel).table)
+    for (l <- linksInOrder) {
+      val m = registry.modelByName(l.toModel)
+      val dimDf0 = Tables.load(spark, dir, m.table)
+      val dimDf = if (m.small) broadcast(dimDf0) else dimDf0
+      df = df.join(dimDf, expr(s"${l.fromCol} = ${m.key}"))
+    }
+
+    val timeDim = ms.head.timeDim.map(registry.dimensionByName)
+    val timeFilterSql: Option[String] =
+      if (req.startTime.isEmpty && req.endTime.isEmpty) None
+      else {
+        val td = timeDim.getOrElse(sys.error("time constraint but metric has no time dimension"))
+        val parts =
+          req.startTime.map(s => s"${td.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
+          req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'")
+        Some(parts.mkString(" AND "))
+      }
+
+    val allFilters = req.where.toSeq ++ timeFilterSql
+    for (f <- allFilters) df = df.filter(expr(f))
+
+    val groupCols: Seq[Column] =
+      groupBys.map { case (d, g) => expr(dimExpr(d, g)).as(outName(d, g)) }
+    val aggCols: Seq[Column] = ms.map(m => expr(m.aggSql).as(m.name))
+
+    df =
+      if (groupCols.nonEmpty) df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      else df.agg(aggCols.head, aggCols.tail: _*)
+
+    // deterministic order: requested keys first, then all group keys as
+    // tie-breakers so the output order is total (oracle-hash stable)
+    val orderCols: Seq[Column] = (req.orderBy.map { o =>
+      if (o.startsWith("-")) df.col(o.drop(1)).desc else df.col(o).asc
+    } ++ groupBys.map { case (d, g) => df.col(outName(d, g)).asc })
+    if (orderCols.nonEmpty) df = df.orderBy(orderCols: _*)
+    req.limit.foreach(n => df = df.limit(n))
+
+    CompiledMetricQuery(df, renderSql(req, withDescriptions = false),
+      renderSql(req, withDescriptions = true))
+  }
+
+  /** Render the request as SQL (IR #3). With `withDescriptions`, inline
+    * `-- comments` annotate each clause (parity with the reference's
+    * rendered_sql vs rendered_sql_without_descriptions,
+    * dbt_query.py:36-40,100-104). */
+  def renderSql(req0: MetricQueryRequest, withDescriptions: Boolean): String = {
+    val req = resolve(req0)
+    val ms = req.metrics.map(registry.metric)
+    val factModel = ms.head.model
+    val groupBys = req.groupBy.map(parseGroupBy)
+    val needed: Seq[String] =
+      (Seq(factModel) ++
+        groupBys.map { case (d, _) => registry.dimensionOwner(d.name) } ++
+        req.where.toSeq.flatMap(modelsReferenced)).distinct
+    val linksInOrder = needed.flatMap(m => registry.joinPath(factModel, m)).distinct
+
+    def desc(s: String): String = if (withDescriptions) s"  -- $s" else ""
+
+    val selectItems =
+      groupBys.map { case (d, g) => s"${dimExpr(d, g)} AS ${outName(d, g)}" } ++
+      ms.map(m => s"${m.aggSql} AS ${m.name}" +
+        (if (withDescriptions && m.description.nonEmpty) s"  -- ${m.description}" else ""))
+
+    val timeDim = ms.head.timeDim.map(registry.dimensionByName)
+    val timeFilter =
+      (req.startTime.map(s => s"${timeDim.get.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
+       req.endTime.map(e => s"${timeDim.get.expr} <= TIMESTAMP '$e 00:00:00'")).toList
+
+    val whereParts = req.where.toSeq ++ timeFilter
+    val groupExprs = groupBys.map { case (d, g) => dimExpr(d, g) }
+    val orderExprs = (req.orderBy.map { o =>
+      if (o.startsWith("-")) s"${o.drop(1)} DESC" else s"$o ASC"
+    } ++ groupBys.map { case (d, g) => s"${outName(d, g)} ASC" })
+
+    val sb = new StringBuilder
+    sb ++= "SELECT" + desc("metric projection (dbt_query.py:77-86 surface)") + "\n  "
+    sb ++= selectItems.mkString(",\n  ")
+    sb ++= s"\nFROM ${registry.modelByName(factModel).table}" + desc("fact model")
+    for (l <- linksInOrder) {
+      val m = registry.modelByName(l.toModel)
+      sb ++= s"\nJOIN ${m.table} ON ${l.fromCol} = ${m.key}" +
+        desc(s"dimension join (M3)${if (m.small) ", broadcast" else ""}")
+    }
+    if (whereParts.nonEmpty)
+      sb ++= s"\nWHERE ${whereParts.mkString(" AND ")}" + desc("where + time constraints (M4/M5)")
+    if (groupExprs.nonEmpty)
+      sb ++= s"\nGROUP BY ${groupExprs.mkString(", ")}" + desc("dimensions (M2)")
+    if (orderExprs.nonEmpty)
+      sb ++= s"\nORDER BY ${orderExprs.mkString(", ")}" + desc("order (M6)")
+    req.limit.foreach(n => sb ++= s"\nLIMIT $n" + desc("limit (M7)"))
+    sb.result()
+  }
+
+  /** M9/M10 explain surface: SQL, optimizer plan text, DOT graph —
+    * without executing (parity with dbt_query.py:91-133). */
+  def explain(spark: SparkSession, dir: String, req: MetricQueryRequest): ExplainResult = {
+    val c = compile(spark, dir, req)
+    ExplainResult(c.sql, c.sqlWithDescriptions,
+      c.df.queryExecution.optimizedPlan.treeString,
+      PlanDot.toDot(c.df))
+  }
+
+  /** M11: per-dimension query fan-out for one metric — one grouped query
+    * per accompanying dimension (parity with dbt_query.py:156-183 /
+    * dbt_query2.py:46-80, which write one `<metric>_by_<dim>.sql` each). */
+  def dumpQueries(metricName: String): Seq[(String, MetricQueryRequest, String)] =
+    for (d <- registry.dimensionsForMetric(metricName) if !d.isTime) yield {
+      val req = MetricQueryRequest(metrics = Seq(metricName), groupBy = Seq(d.name))
+      (s"${metricName}_by_${d.name}", req, renderSql(req, withDescriptions = false))
+    }
+}
+
+/** Tiny DOT emitter over the optimized logical plan (M10 parity with
+  * display_dag_as_svg, dbt_query.py:127-132 — we emit DOT text; SVG
+  * rendering is a presentation concern). */
+object PlanDot {
+  def toDot(df: DataFrame): String = {
+    val plan = df.queryExecution.optimizedPlan
+    val sb = new StringBuilder("digraph plan {\n  node [shape=box];\n")
+    var id = 0
+    def walk(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      val me = id; id += 1
+      val label = node.nodeName
+      sb ++= s"""  n$me [label="$label"];\n"""
+      node.children.foreach { ch =>
+        val c = walk(ch)
+        sb ++= s"  n$c -> n$me;\n"
+      }
+      me
+    }
+    walk(plan)
+    sb ++= "}\n"
+    sb.result()
+  }
+}

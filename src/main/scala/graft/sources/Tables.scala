@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Parquet-backed table loader over a scale-factor directory.
+  *
+  * The reference reads named warehouse tables (e.g.
+  * `omni.self_testnet_transactions`, helix-flow/dags/omni/transactions_dag.py:22-25)
+  * and materializes SQL results as frames
+  * (helix-flow/utils/postgres_client.py:50-52). Here every table is a
+  * columnar Parquet scan so Catalyst gets predicate pushdown, column
+  * pruning and partition pruning for free — at 100 TB these tables would
+  * be date/key-partitioned directories; the loader contract is unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read it as epoch-nanos LONG and convert to a
+    // micros timestamp (exact integer division — no precision surprise).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` works on the
+    * same names the DuckDB oracle uses. Idempotent per session+dir. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
