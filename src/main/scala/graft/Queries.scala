@@ -303,7 +303,9 @@ object Queries {
 
   // =====================================================================
 
-  val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16)
+  val all: Seq[Q] =
+    Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16) ++
+      QueriesLlm.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

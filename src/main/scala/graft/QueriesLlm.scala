@@ -1,0 +1,320 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Queries.Q
+import graft.functions.GraftFunctions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Inventory batch 2: window functions, set ops, JSON, and the
+  * north-star LLM-pipeline operators (text analysis, dedup families,
+  * similarity search). Shared determinism rules in [[Queries]]. */
+object QueriesLlm {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------- windows
+  /** Window functions over the event stream: row_number, lag, running
+    * decimal-sum (all computed in one shuffle on user_id). */
+  private val q9 = Q("q9_window_events",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast(DecimalType(30, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             row_number() OVER w AS rn,
+             lag(value) OVER w AS prev_value,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------- set ops
+  private def segA(s: SparkSession, dir: String) =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+  private def segB(s: SparkSession, dir: String) =
+    t(s, dir, "customer").filter(col("c_acctbal") > 7000)
+      .select(col("c_custkey"))
+
+  private val setopSqlA = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+  private val setopSqlB = "SELECT c_custkey FROM customer WHERE c_acctbal > 7000"
+
+  /** UNION / INTERSECT / EXCEPT in one tagged pass. */
+  private val q10 = Q("q10_setops",
+    (s, dir) => {
+      val a = segA(s, dir); val b = segB(s, dir)
+      a.union(b).distinct().select(lit("union").as("op"), col("c_custkey"))
+        .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("c_custkey")))
+        .unionAll(a.except(b).select(lit("except").as("op"), col("c_custkey")))
+        .orderBy("op", "c_custkey")
+    },
+    Some(s"""
+      SELECT 'union' AS op, c_custkey FROM ($setopSqlA UNION $setopSqlB)
+      UNION ALL
+      SELECT 'intersect' AS op, c_custkey FROM ($setopSqlA INTERSECT $setopSqlB)
+      UNION ALL
+      SELECT 'except' AS op, c_custkey FROM ($setopSqlA EXCEPT $setopSqlB)
+      ORDER BY op, c_custkey"""))
+
+  // ----------------------------------------------------- time buckets
+  /** Hourly event-time windowed aggregation (batch shape of the
+    * Structured Streaming windowed agg in graft.streaming). */
+  private val q29 = Q("q29_hourly_events",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour"),
+    Some(s"""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n_events,
+             ${dsumSql("value", 2)} AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY hour"""))
+
+  // -------------------------------------------------------------- json
+  /** Semi-structured JSON property extraction (reference ingests sparse
+    * JSON-RPC dicts, omni_rpc_client.py:100-114). */
+  private val q30 = Q("q30_json_props",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket"),
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k
+      FROM events GROUP BY 1 ORDER BY k_bucket"""))
+
+  // ------------------------------------------------------ text analysis
+  private val enStop = Seq("the", "a", "of", "and", "is")
+
+  private val q17 = Q("q17_text_stats",
+    (s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        TextAnalysis.meanTokenLen(txt).as("mean_token_len"),
+        TextAnalysis.punctCount(txt).as("n_punct"),
+        TextAnalysis.stopwordRatio(txt, enStop).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS mean_token_len,
+             length(text) - length(regexp_replace(text, '[.,!?;:''"-]', '', 'g'))
+               AS n_punct,
+             CAST(len(list_filter(toks, t ->
+               t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks)
+               AS stopword_ratio
+      FROM (SELECT doc_id, text,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  private val q18 = Q("q18_lang_id",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .orderBy("doc_id"),
+    Some {
+      val markers = TextAnalysis.langMarkers
+      val scoreDefs = markers.map { case (l, ms) =>
+        s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$l"
+      }.mkString(",\n               ")
+      val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+      val cases = markers.map { case (l, _) =>
+        s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+      }.mkString("\n               ")
+      s"""
+      SELECT doc_id, lang,
+             CASE $cases
+               ELSE 'und' END AS predicted_lang
+      FROM (SELECT doc_id, lang, $scoreDefs
+            FROM (SELECT doc_id, lang,
+                    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                  FROM documents))
+      ORDER BY doc_id"""
+    })
+
+  private val q19 = Q("q19_token_regex",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_bpe_tokens"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+               AS n_ws_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val q20 = Q("q20_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------- dedup
+  private val q21 = Q("q21_dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("fp"),
+    Some("""
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             MIN(doc_id) AS keeper_id, COUNT(*) AS n_members
+      FROM documents GROUP BY 1 ORDER BY fp"""))
+
+  /** Shared DuckDB CTEs for the minhash pipeline. */
+  private val duckMinhashCtes = """
+      WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(text) - 4, 1)),
+                 i -> substring(text, i, 5))) AS sh
+        FROM documents),
+      s AS (
+        SELECT doc_id, sh,
+               list_transform(generate_series(0, 7), s ->
+                 list_min(list_transform(sh, x -> md5(s::VARCHAR || ':' || x))))
+                 AS sig
+        FROM d)"""
+
+  private val q22 = Q("q22_minhash_sig",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(",",
+          Dedup.minhashSignature(Dedup.shingles(col("text")), 8)).as("sig"))
+      .orderBy("doc_id"),
+    Some(s"""$duckMinhashCtes
+      SELECT doc_id, array_to_string(sig, ',') AS sig FROM s ORDER BY doc_id"""))
+
+  private val q23 = Q("q23_lsh_pairs",
+    (s, dir) => Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text", 0.3)
+      .orderBy("id_a", "id_b"),
+    Some(s"""$duckMinhashCtes,
+      b AS (
+        SELECT doc_id, gs.b AS band_idx,
+               md5(sig[2 * gs.b + 1] || '|' || sig[2 * gs.b + 2]) AS band_hash
+        FROM s, generate_series(0, 3) gs(b)),
+      p AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM b x JOIN b y USING (band_idx, band_hash)
+        WHERE x.doc_id < y.doc_id)
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               len(list_intersect(da.sh, db.sh)) * 1.0
+                 / len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
+        FROM p JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)
+      WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""))
+
+  private val q24 = Q("q24_lsh_survivors",
+    (s, dir) => Dedup.lshSurvivors(t(s, dir, "documents"), "doc_id", "text", 0.3)
+      .orderBy("doc_id"),
+    Some(s"""$duckMinhashCtes,
+      b AS (
+        SELECT doc_id, gs.b AS band_idx,
+               md5(sig[2 * gs.b + 1] || '|' || sig[2 * gs.b + 2]) AS band_hash
+        FROM s, generate_series(0, 3) gs(b)),
+      p AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM b x JOIN b y USING (band_idx, band_hash)
+        WHERE x.doc_id < y.doc_id),
+      dead AS (
+        SELECT DISTINCT id_b AS drop_id FROM (
+          SELECT id_a, id_b,
+                 len(list_intersect(da.sh, db.sh)) * 1.0
+                   / len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
+          FROM p JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)
+        WHERE jaccard >= 0.3)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT drop_id FROM dead)
+      ORDER BY doc_id"""))
+
+  private val q25 = Q("q25_simhash",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 15), j ->
+               CASE WHEN 2 * len(list_filter(toks, t ->
+                      strpos('89abcdef', substring(md5(t), j + 1, 1)) > 0))
+                    >= len(toks)
+                    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+               AS simhash
+      FROM (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  // -------------------------------------------------------- similarity
+  private val q26 = Q("q26_embed_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+      s AS (
+        SELECT query_id, vec_id,
+               list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                    CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+               AS cos
+        FROM embeddings JOIN q ON vec_id <> query_id)
+      SELECT query_id, rank, vec_id, cos FROM (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM s)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** ANN via sign-random-projection buckets — scale path, recall < 1 by
+    * design; no SQL oracle (rows-only check), validated against the
+    * brute-force baseline in ScalaTest. */
+  private val q27 = Q("q27_ann_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 5, bits = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27, q29, q30)
+}

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, O(Q·N) — the correctness
+  *    baseline. All math in double via codegen'd higher-order functions
+  *    (`zip_with` + `aggregate`); fixed left-to-right summation order so
+  *    results are bit-reproducible.
+  *  - [[lshTopK]]: sign-random-projection (SimHash-for-vectors) bucketed
+  *    ANN — the 100 TB scale path. Hyperplanes are derived
+  *    deterministically from md5, so no RNG state ships to executors;
+  *    the candidate join shuffles on the bucket key only, cutting the
+  *    candidate set by ~2^bits before exact rescoring.
+  */
+object Similarity {
+
+  /** Element-wise double dot product with deterministic fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Queries are broadcast (small side);
+    * ranking is a per-query window top-k (TakeOrdered shape, no global
+    * sort). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val scored = c.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): ±1 from one md5 nibble — reproducible on any engine or
+    * cluster size, no RNG broadcast needed. */
+  private def planeComponent(p: Int, d: Column): Column =
+    when(contains(lit("89abcdef"),
+      md5(concat(lit(s"plane$p:"), d.cast("string"))).substr(1, 1)), lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Sign-random-projection bucket id: `bits` sign bits of the vector
+    * against deterministic ±1 hyperplanes. */
+  def srpBucket(emb: Column, bits: Int = 8): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, dims, (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, pow(lit(2), p).cast("long")).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN top-k: candidates restricted to the query's SRP bucket, then
+    * exact cosine rescoring within the bucket. Recall < 1 by design;
+    * pair with multi-probe (flip one bit) if recall matters more than
+    * throughput. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), srpBucket(col("embedding"), bits).as("bucket")))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+}

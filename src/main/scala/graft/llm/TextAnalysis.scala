@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (BASELINE.json north_star): tokenization, quality scoring,
+  * language-ID heuristic, fingerprinting.
+  *
+  * All pure `Column` compositions over built-ins (whole-stage codegen;
+  * no UDFs, no driver round-trips) — each operator is a narrow map over
+  * one row, so at 100 TB they scale embarrassingly with the scan and
+  * add nothing to shuffle volume.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish regex token count: word runs + single non-space symbols
+    * (the standard pre-tokenizer shape). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** Punctuation character count / ratio (quality-scoring feature). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:'\"-]", ""))).cast("long")
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / length(text)
+
+  /** Ratio of tokens found in a stopword list (quality-scoring
+    * feature; high ratio ≈ natural prose, near-zero ≈ boilerplate). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val toks = tokens(text)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+  }
+
+  /** Mean token length (quality-scoring feature). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  /** Deterministic language-ID heuristic: score = count of tokens in
+    * each language's marker list; argmax with a fixed preference order
+    * on ties. (A real n-gram model plugs in the same shape; the scoring
+    * rule is the operator, and the oracle reimplements the identical
+    * rule in SQL.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(m, t)))
+  }
+
+  /** Predicted language, 'und' (undetermined) when no marker hits. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text
+    * (md5 so any engine reproduces it — never engine-local hashes). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

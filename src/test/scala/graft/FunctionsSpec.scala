@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Property-style tests (seeded random corpus) for the S8/S9 scalar ops
+  * (SURVEY.md §7.4: decode parity with Python codecs.decode + strict
+  * UTF-8 truth table). */
+class FunctionsSpec extends AnyFunSuite {
+  import GraftFunctions.hexDecodeUtf8Strict
+
+  private def toHex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private val rnd = new scala.util.Random(42)
+
+  test("decode(hex(s)) round-trips strings") {
+    for (_ <- 1 to 200) {
+      val s = rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      assert(hexDecodeUtf8Strict(toHex(s.getBytes("UTF-8"))) == s)
+    }
+    assert(hexDecodeUtf8Strict(toHex("héllo wörld ✓".getBytes("UTF-8"))) == "héllo wörld ✓")
+  }
+
+  test("odd-length hex -> null") {
+    assert(hexDecodeUtf8Strict("abc") == null)
+    assert(hexDecodeUtf8Strict("f") == null)
+  }
+
+  test("non-hex characters -> null") {
+    assert(hexDecodeUtf8Strict("zz") == null)
+    assert(hexDecodeUtf8Strict("68g9") == null)
+  }
+
+  test("invalid UTF-8 byte sequences -> null (not U+FFFD)") {
+    assert(hexDecodeUtf8Strict("ff") == null)   // never valid in UTF-8
+    assert(hexDecodeUtf8Strict("80") == null)   // lone continuation byte
+    assert(hexDecodeUtf8Strict("c328") == null) // truncated 2-byte seq
+  }
+
+  test("null/empty input") {
+    assert(hexDecodeUtf8Strict(null) == null)
+    assert(hexDecodeUtf8Strict("") == "")
+  }
+
+  test("random bytes: decode matches strict JVM charset semantics") {
+    for (_ <- 1 to 500) {
+      val arr = Array.fill(rnd.nextInt(24))(rnd.nextInt(256).toByte)
+      val got = hexDecodeUtf8Strict(toHex(arr))
+      val strict =
+        try {
+          val d = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          d.decode(java.nio.ByteBuffer.wrap(arr)).toString
+        } catch { case _: Exception => null }
+      assert(got == strict, s"hex=${toHex(arr)}")
+    }
+  }
+
+  test("uppercase hex accepted") {
+    assert(hexDecodeUtf8Strict("48454C4C4F") == "HELLO")
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  private def docs = Tables.load(spark, dir, "documents")
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  test("exact dedup groups identical texts under one keeper") {
+    import spark.implicits._
+    val d = Seq((1L, "hello world"), (2L, "hello  world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    // whitespace-normalized: rows 1 and 2 collapse
+    val grp = out.find(_.getAs[Long]("n_members") == 2L)
+    assert(grp.isDefined && grp.get.getAs[Long]("keeper_id") == 1L)
+    assert(out.length == 2)
+  }
+
+  test("lsh pairs find planted near-duplicates, survivors exclude them") {
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text", 0.3).collect()
+    assert(pairs.nonEmpty, "expected planted near-dups at sf0.001")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.3))
+    val survivors = Dedup.lshSurvivors(docs, "doc_id", "text", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = pairs.map(_.getAs[Long]("id_b")).toSet
+    assert(dropped.forall(d => !survivors.contains(d)))
+    assert(survivors.size == docs.count() - dropped.size)
+  }
+
+  test("minhash signature is stable and identical for identical text") {
+    import spark.implicits._
+    val d = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        concat_ws(",", Dedup.minhashSignature(Dedup.shingles(col("text")))).as("sig"))
+    val sigs = d.collect().map(_.getString(1))
+    assert(sigs(0) == sigs(1) && sigs(0).split(",").length == 8)
+  }
+
+  test("simhash: identical texts same hash; disjoint vocab differs") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zq xw vv uu tt ss rr qq pp oo nn mm"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
+    val hs = d.collect().map(r => r.getLong(1))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+    assert(hs.forall(h => h >= 0 && h < 65536))
+  }
+
+  test("brute-force topk: k rows per query, descending cosine, no self") {
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3).collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q))
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("ann lsh results are a subset of same-bucket exact rescoring") {
+    val ann = Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 3, bits = 2)
+    val rows = ann.collect()
+    // every returned neighbor must carry a valid cosine and rank ordering
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    for ((_, rs) <- byQ) {
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+
+  test("langId picks the marked language deterministically") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "xyz qrs tuv")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+    val got = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "de"); assert(got(3L) == "und")
+  }
+
+  test("text stats: token count and ratios on a known string") {
+    import spark.implicits._
+    val d = Seq((1L, "The quick, brown fox!")).toDF("doc_id", "text")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.punctCount(col("text")).as("p"),
+        TextAnalysis.regexTokenCount(col("text")).as("b"))
+    val r = d.collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("p") == 2L)  // ',' and '!'
+    assert(r.getAs[Long]("b") == 6L)  // 4 words + 2 symbols
+  }
+}

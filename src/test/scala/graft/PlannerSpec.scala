@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.catalog._
+import graft.planner.MetricPlanner
+import graft.sources.Tables
+
+class PlannerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  private val planner = new MetricPlanner(DefaultRegistry.registry)
+
+  test("registry rejects duplicate dimension names across models") {
+    val ex = intercept[IllegalArgumentException] {
+      new SemanticRegistry(
+        models = Seq(
+          SemanticModel("a", "ta", "k", Seq(Dimension("dup", "dup"))),
+          SemanticModel("b", "tb", "k", Seq(Dimension("dup", "dup")))),
+        links = Nil, metrics = Nil)
+    }
+    assert(ex.getMessage.contains("dup"))
+  }
+
+  test("saved query resolves and runs (flagship slice)") {
+    val df = planner.compile(spark, dir,
+      MetricQueryRequest(metrics = Seq("revenue"), savedQuery = Some("revenue_by_month"))).df
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(df.columns.toSeq == Seq("o_orderdate__month", "revenue"))
+    // descending revenue order
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rendered SQL executes in Spark and matches the DataFrame result") {
+    Tables.registerAll(spark, dir)
+    for (req <- Seq(
+      MetricQueryRequest(metrics = Seq("revenue"), savedQuery = Some("revenue_by_month")),
+      MetricQueryRequest(metrics = Seq("revenue", "order_count"),
+        groupBy = Seq("r_name", "n_name"), orderBy = Seq("-revenue")),
+      MetricQueryRequest(metrics = Seq("total_qty"), groupBy = Seq("p_brand"),
+        where = Some("p_type LIKE '%BRASS%'")))) {
+      val c = planner.compile(spark, dir, req)
+      val viaSql = spark.sql(c.sql).collect().map(_.toString)
+      val viaDf = c.df.collect().map(_.toString)
+      assert(viaSql.sameElements(viaDf), s"sql/df mismatch for $req")
+    }
+  }
+
+  test("explain produces SQL, plan text and DOT without executing") {
+    val e = planner.explain(spark, dir,
+      MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("n_name")))
+    assert(e.sql.contains("GROUP BY"))
+    assert(e.sqlWithDescriptions.contains("--"))
+    assert(!e.sql.contains("--"))
+    assert(e.planText.nonEmpty)
+    assert(e.dot.startsWith("digraph") && e.dot.contains("->"))
+  }
+
+  test("per-dimension fan-out covers all reachable non-time dimensions") {
+    val dumps = planner.dumpQueries("revenue")
+    val names = dumps.map(_._1)
+    assert(names.contains("revenue_by_o_orderpriority"))
+    assert(names.contains("revenue_by_r_name"))
+    assert(names.contains("revenue_by_p_brand"))
+    assert(dumps.forall(_._3.contains("GROUP BY")))
+  }
+
+  test("unknown metric / dimension fail fast") {
+    intercept[RuntimeException] {
+      planner.compile(spark, dir, MetricQueryRequest(metrics = Seq("nope")))
+    }
+    intercept[RuntimeException] {
+      planner.compile(spark, dir,
+        MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("nope")))
+    }
+  }
+
+  test("time granularity only on time dimensions") {
+    intercept[IllegalArgumentException] {
+      planner.compile(spark, dir,
+        MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("n_name__month")))
+    }
+  }
+
+  test("small dims are planned as broadcast joins") {
+    val c = planner.compile(spark, dir,
+      MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("r_name")))
+    val physical = c.df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical.take(2000))
+  }
+}
