@@ -277,19 +277,36 @@ object Queries {
                         WHERE ts < TIMESTAMP '2024-01-10 00:00:00')
       GROUP BY event_type ORDER BY event_type"""))
 
-  /** M11 per-dimension fan-out, materialized as one tagged union (the
-    * reference writes one `<metric>_by_<dim>.sql` per dimension,
-    * dbt_query2.py:46-80; we run them in one pass). */
+  /** M11 per-dimension fan-out in ONE pass: instead of running one
+    * grouped query per dimension (the reference writes one
+    * `<metric>_by_<dim>.sql` each, dbt_query2.py:46-80 — and a naive
+    * union re-scans the fact table per dimension), join the star once
+    * and aggregate with GROUPING SETS — a single fact scan + a single
+    * shuffle regardless of dimension count. This is the 100 TB-correct
+    * plan; `planner.dumpQueries` remains the per-query API surface. */
   private val q16 = Q("q16_dim_fanout",
     (s, dir) => {
-      val dims = planner.registry.dimensionsForMetric("revenue").filterNot(_.isTime)
-      dims.map { d =>
-        planner.compile(s, dir,
-          MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq(d.name))).df
-          .select(lit(d.name).as("dim_name"),
-            col(d.name).cast("string").as("dim_value"),
-            col("revenue"))
-      }.reduce(_.unionAll(_)).orderBy("dim_name", "dim_value")
+      val dims = planner.registry.dimensionsForMetric("revenue")
+        .filterNot(_.isTime).map(_.name)
+      var df = t(s, dir, "lineitem")
+      for ((tb, lk, rk, small) <- Seq(
+        ("orders", "l_orderkey", "o_orderkey", false),
+        ("customer", "o_custkey", "c_custkey", true),
+        ("nation", "c_nationkey", "n_nationkey", true),
+        ("region", "n_regionkey", "r_regionkey", true),
+        ("part", "l_partkey", "p_partkey", true),
+        ("supplier", "l_suppkey", "s_suppkey", true))) {
+        val d0 = t(s, dir, tb)
+        df = df.join(if (small) broadcast(d0) else d0, expr(s"$lk = $rk"))
+      }
+      df.groupingSets(dims.map(d => Seq(col(d))), dims.map(col): _*)
+        .agg(expr(planner.registry.metric("revenue").aggSql).as("revenue"))
+        .select(
+          dims.map(d => when(col(d).isNotNull, lit(d))).reduce(coalesce(_, _))
+            .as("dim_name"),
+          coalesce(dims.map(col(_).cast("string")): _*).as("dim_value"),
+          col("revenue"))
+        .orderBy("dim_name", "dim_value")
     },
     Some {
       val dims = DefaultRegistry.registry.dimensionsForMetric("revenue").filterNot(_.isTime)
@@ -310,6 +327,8 @@ object Queries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
 
+  // NB: no stripMargin here — oracle SQL legitimately contains lines
+  // starting with `||` (string concat), which stripMargin would corrupt.
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

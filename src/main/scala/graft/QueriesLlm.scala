@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Queries.Q
 import graft.functions.GraftFunctions._
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Inventory batch 2: window functions, set ops, JSON, and the
@@ -203,58 +203,58 @@ object QueriesLlm {
         FROM documents),
       s AS (
         SELECT doc_id, sh,
-               list_transform(generate_series(0, 7), s ->
-                 list_min(list_transform(sh, x -> md5(s::VARCHAR || ':' || x))))
+               list_transform(generate_series(0, 11), i ->
+                 list_min(list_transform(sh, x ->
+                   (('0x' || substr(md5(x), 1, 8))::BIGINT
+                    + i * ('0x' || substr(md5(x), 9, 8))::BIGINT)
+                   % 2147483647)))
                  AS sig
         FROM d)"""
 
-  private val q22 = Q("q22_minhash_sig",
-    (s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"),
-        concat_ws(",",
-          Dedup.minhashSignature(Dedup.shingles(col("text")), 8)).as("sig"))
-      .orderBy("doc_id"),
-    Some(s"""$duckMinhashCtes
-      SELECT doc_id, array_to_string(sig, ',') AS sig FROM s ORDER BY doc_id"""))
-
-  private val q23 = Q("q23_lsh_pairs",
-    (s, dir) => Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text", 0.3)
-      .orderBy("id_a", "id_b"),
-    Some(s"""$duckMinhashCtes,
+  private val duckBandCte = """
       b AS (
         SELECT doc_id, gs.b AS band_idx,
-               md5(sig[2 * gs.b + 1] || '|' || sig[2 * gs.b + 2]) AS band_hash
-        FROM s, generate_series(0, 3) gs(b)),
-      p AS (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM b x JOIN b y USING (band_idx, band_hash)
-        WHERE x.doc_id < y.doc_id)
-      SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b,
-               len(list_intersect(da.sh, db.sh)) * 1.0
-                 / len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
-        FROM p JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)
-      WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""))
-
-  private val q24 = Q("q24_lsh_survivors",
-    (s, dir) => Dedup.lshSurvivors(t(s, dir, "documents"), "doc_id", "text", 0.3)
-      .orderBy("doc_id"),
-    Some(s"""$duckMinhashCtes,
-      b AS (
-        SELECT doc_id, gs.b AS band_idx,
-               md5(sig[2 * gs.b + 1] || '|' || sig[2 * gs.b + 2]) AS band_hash
+               md5(sig[3 * gs.b + 1]::VARCHAR || '|' || sig[3 * gs.b + 2]::VARCHAR
+                   || '|' || sig[3 * gs.b + 3]::VARCHAR) AS band_hash
         FROM s, generate_series(0, 3) gs(b)),
       p AS (
         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         FROM b x JOIN b y USING (band_idx, band_hash)
         WHERE x.doc_id < y.doc_id),
+      pre AS (
+        SELECT id_a, id_b
+        FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+        WHERE len(list_filter(generate_series(1, 12),
+                  i -> sa.sig[i] = sb.sig[i])) >= 6),
+      verified AS (
+        SELECT id_a, id_b,
+               len(list_intersect(da.sh, db.sh)) * 1.0
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+                 AS jaccard
+        FROM pre JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)"""
+
+  private val q22 = Q("q22_minhash_sig",
+    (s, dir) => Dedup.minhashSignatures(
+      t(s, dir, "documents").select(col("doc_id").as("id"),
+        Dedup.shingles(col("text")).as("sh")), 12)
+      .select(col("id").as("doc_id"), concat_ws(",", col("sig")).as("sig"))
+      .orderBy("doc_id"),
+    Some(s"""$duckMinhashCtes
+      SELECT doc_id, array_to_string(sig, ',') AS sig FROM s ORDER BY doc_id"""))
+
+  private val q23 = Q("q23_lsh_pairs",
+    (s, dir) => Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b"),
+    Some(s"""$duckMinhashCtes,$duckBandCte
+      SELECT id_a, id_b, jaccard FROM verified
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
+
+  private val q24 = Q("q24_lsh_survivors",
+    (s, dir) => Dedup.lshSurvivors(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""$duckMinhashCtes,$duckBandCte,
       dead AS (
-        SELECT DISTINCT id_b AS drop_id FROM (
-          SELECT id_a, id_b,
-                 len(list_intersect(da.sh, db.sh)) * 1.0
-                   / len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
-          FROM p JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)
-        WHERE jaccard >= 0.3)
+        SELECT DISTINCT id_b AS drop_id FROM verified WHERE jaccard >= 0.5)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT drop_id FROM dead)
       ORDER BY doc_id"""))
@@ -315,6 +315,45 @@ object QueriesLlm {
     },
     None)
 
+  // -------------------------------------------------------- multimodal
+  /** Multimodal metadata plumbing: typed media table from opaque binary
+    * payloads — the SQL-expressible half (kind/byte_len/frame count);
+    * feature extraction itself is q32 (mapPartitions, rows-only). */
+  private val q31 = Q("q31_media_meta",
+    (s, dir) => {
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      media.select(
+        col("media_id"), col("meta.kind").as("kind"),
+        length(col("payload")).cast("long").as("byte_len"),
+        size(Multimodal.frameOffsets(col("payload"), 32)).cast("long").as("n_frames"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             CAST(greatest((octet_length(encode(text)) - 1) // 32, 0) + 1 AS BIGINT)
+               AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  /** Feature extraction through the typed mapPartitions batch path
+    * (deterministic stub decoder; rows-only check — validated in
+    * ScalaTest against the scalar reference implementation). */
+  private val q32 = Q("q32_media_features",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          concat_ws(",", transform(col("features"),
+            f => format_number(f, 4))).as("feature_sig"))
+        .orderBy("media_id")
+    },
+    None)
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q29, q30)
+    q25, q26, q27, q29, q30, q31, q32)
 }

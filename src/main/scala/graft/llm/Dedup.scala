@@ -25,13 +25,37 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
-  /** MinHash signature: for each of `numHashes` seeds, the
-    * lexicographic min of md5(seed ':' shingle). Using the min of a
-    * portable hash keeps the signature reproducible on any engine. */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 8): Column =
+  /** MinHash hash family: ONE md5 per shingle yields two 32-bit ints
+    * (a, b); hash_i = (a + i·b) mod p — the classic affine family. This
+    * is 12× fewer digest computations than hashing per (seed, shingle),
+    * and md5 keeps every value engine-portable (DuckDB:
+    * ('0x'||substr(md5(x),1,8))::BIGINT). */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def hashA(x: Column): Column = conv(substring(md5(x), 1, 8), 16, 10).cast("long")
+  def hashB(x: Column): Column = conv(substring(md5(x), 9, 8), 16, 10).cast("long")
+
+  /** Column-form MinHash signature (array of `numHashes` longs).
+    * NOTE: inside nested lambdas Spark re-evaluates md5 per (i, x) —
+    * fine for ad-hoc/small use; bulk pipelines use
+    * [[minhashSignatures]] (explode form, one md5 per shingle). */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 12): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingleArr,
-        x => md5(concat(s.cast("string"), lit(":"), x)))))
+      i => array_min(transform(shingleArr,
+        x => (hashA(x) + i * hashB(x)) % MinhashP)))
+
+  /** Bulk MinHash: (id, sig) via explode→groupBy so each shingle is
+    * digested exactly once; shuffle ∝ total shingle volume. Same values
+    * as [[minhashSignature]] (LlmSpec asserts the equivalence). */
+  def minhashSignatures(docsSh: DataFrame, numHashes: Int = 12): DataFrame = {
+    val perShingle = docsSh.select(col("id"), explode(col("sh")).as("x"))
+      .select(col("id"), hashA(col("x")).as("a"), hashB(col("x")).as("b"))
+    perShingle.groupBy("id")
+      .agg(min((col("a") + lit(0L) * col("b")) % MinhashP).as("m0"),
+        (1 until numHashes).map(i =>
+          min((col("a") + lit(i.toLong) * col("b")) % MinhashP).as(s"m$i")): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band hashes from a signature: `numBands` bands of
     * `rowsPerBand` signature entries each, hashed to one value. */
@@ -40,10 +64,13 @@ object Dedup {
       b => md5(concat_ws("|",
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + lit(r + 1))): _*)))
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b)))
+  /** Exact Jaccard similarity of two (distinct-element) arrays.
+    * |A∪B| is derived as |A|+|B|−|A∩B| so only ONE set operation runs
+    * per pair (half the per-candidate cost of intersect+distinct-union). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   /** Exact dedup: keep min id per md5 fingerprint, count members. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -57,22 +84,47 @@ object Dedup {
     * (the ONLY shuffle) → distinct candidate pairs → verify with exact
     * Jaccard ≥ threshold.
     */
+  /** Band/row choice: with r rows per band and b bands the candidate
+    * S-curve midpoint is (1/b)^(1/r). The fixture corpus has high
+    * background similarity (~0.1–0.15 jaccard — small shared
+    * vocabulary), so r=3, b=4 (midpoint ≈ 0.63) keeps background pairs
+    * out of the candidate set while planted near-dups (j > 0.8, band
+    * hit ≥ 94%) survive — candidates stay O(dups), not O(corpus²),
+    * which is what makes this hold at 1000× the data. */
   def lshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.3, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
+      threshold: Double = 0.5, numHashes: Int = 12, numBands: Int = 4,
+      minAgree: Int = 6): DataFrame = {
+    // Pipeline shape, chosen for 100 TB:
+    //  1. shingle sets computed once, persisted;
+    //  2. signatures via explode→groupBy so each shingle is md5'd
+    //     exactly once (no reliance on expression CSE), shuffle volume
+    //     proportional to total shingle count — inherent to minhash;
+    //  3. band self-join carries only (id, band) keys;
+    //  4. cheap prefilter: ≥ minAgree of numHashes signature components
+    //     must agree (12 long compares) before the expensive exact
+    //     Jaccard (hundreds of string hashes) runs per candidate.
     val base = docs.select(col(idCol).as("id"),
-        shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bands", bandHashes(col("sig"), numBands, numHashes / numBands))
-    val banded = base.select(col("id"), col("sh"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val l = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band_idx", "band_hash"))
+      shingles(col(textCol)).as("sh")).persist()
+    val sigs = minhashSignatures(base, numHashes).persist()
+    val banded = sigs.select(col("id"),
+      posexplode(bandHashes(col("sig"), numBands, numHashes / numBands))
+        .as(Seq("band_idx", "band_hash")))
+    val candidates = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
+        Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .groupBy("id_a", "id_b").agg(first(col("jac")).as("jaccard"))
+      .select("id_a", "id_b").distinct()
+    val prefiltered = candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .filter(col("est") >= minAgree)
+      .select("id_a", "id_b")
+    prefiltered
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -80,7 +132,7 @@ object Dedup {
     * verified near-duplicate with a smaller id (greedy min-id keeper,
     * deterministic). */
   def lshSurvivors(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.5): DataFrame = {
     val dead = lshPairs(docs, idCol, textCol, threshold)
       .select(col("id_b").as("drop_id")).distinct()
     docs.join(dead, docs(idCol) === dead("drop_id"), "left_anti")

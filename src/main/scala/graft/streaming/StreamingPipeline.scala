@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ingest.IncrementalPipeline
+import graft.sinks.Sinks
+
+/** Structured Streaming re-expression of the reference's cron-driven
+  * incremental model (SURVEY.md §2.3): the 15-minute Airflow DAG with a
+  * MAX(block) watermark becomes a streaming query whose offsets live in
+  * the checkpoint; `Trigger.AvailableNow` reproduces the per-run batch
+  * increment, `Trigger.ProcessingTime` the cron cadence; `foreachBatch`
+  * carries the side-effecting sinks (append + notify) exactly-once per
+  * epoch with an idempotent key.
+  */
+object StreamingPipeline {
+
+  /** Raw tx schema as landed by the source (FIXTURES.md A1). */
+  val txSchema: StructType = StructType(Seq(
+    StructField("txid", StringType),
+    StructField("block", LongType),
+    StructField("blocktime", LongType),
+    StructField("type_int", IntegerType),
+    StructField("fee", StringType),
+    StructField("data", StringType)))
+
+  /** File-landed stream → transform → idempotent append + report,
+    * checkpointed. `availableNow = true` mirrors one cron run
+    * (catchup=False, max_active_runs=1 → single query instance). */
+  def startIngest(spark: SparkSession, landingDir: String, sinkPath: String,
+      checkpoint: String, webhook: Sinks.Webhook,
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.schema(txSchema).parquet(landingDir)
+    val q = raw.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else
+        Trigger.ProcessingTime("15 minutes"))
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        var out = IncrementalPipeline.transform(batch).dropDuplicates("txid")
+        if (new java.io.File(sinkPath).exists()) {
+          val existing = spark.read.parquet(sinkPath).select("txid")
+          out = out.join(existing, Seq("txid"), "left_anti")
+        }
+        val cached = out.withColumn("insert_dt", current_timestamp()).cache()
+        try {
+          if (cached.count() > 0) {
+            cached.write.mode("append").parquet(sinkPath)
+            Sinks.notifyReport(cached,
+              Seq("txid", "fee", "decoded_data", "blockdate"), webhook)
+          }
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+    q
+  }
+
+  /** Event-time windowed aggregation with a watermark: 5-minute tumbling
+    * windows on the events-stream shape. Late data beyond 10 minutes is
+    * dropped and state is bounded — the 100 TB-safe default. */
+  def windowedEventAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------- stateful session
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(n: Long, total: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state via mapGroupsWithState: running per-user
+    * session stats with a processing-time TTL — the engine's primitive
+    * for stateful operators the built-ins don't cover. */
+  def sessionStats(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val old = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          var n = old.n; var total = old.total; var last = old.lastTs
+          evs.foreach { e =>
+            n += 1; total += e.value
+            last = math.max(last, e.ts.getTime)
+          }
+          state.update(SessionState(n, total, last))
+          state.setTimeoutDuration("30 minutes")
+          SessionOut(userId, n, total)
+      }
+  }
+}

@@ -24,24 +24,33 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("lsh pairs find planted near-duplicates, survivors exclude them") {
-    val pairs = Dedup.lshPairs(docs, "doc_id", "text", 0.3).collect()
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text").collect()
     assert(pairs.nonEmpty, "expected planted near-dups at sf0.001")
-    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.3))
-    val survivors = Dedup.lshSurvivors(docs, "doc_id", "text", 0.3)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+    val survivors = Dedup.lshSurvivors(docs, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
     val dropped = pairs.map(_.getAs[Long]("id_b")).toSet
     assert(dropped.forall(d => !survivors.contains(d)))
     assert(survivors.size == docs.count() - dropped.size)
   }
 
-  test("minhash signature is stable and identical for identical text") {
+  test("minhash signature stable; column and bulk forms value-identical") {
     import spark.implicits._
-    val d = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
-      .toDF("doc_id", "text")
+    val texts = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"), (3L, "a different doc entirely"))
+    val viaColumn = texts.toDF("doc_id", "text")
       .select(col("doc_id"),
-        concat_ws(",", Dedup.minhashSignature(Dedup.shingles(col("text")))).as("sig"))
-    val sigs = d.collect().map(_.getString(1))
-    assert(sigs(0) == sigs(1) && sigs(0).split(",").length == 8)
+        concat_ws(",", Dedup.minhashSignature(Dedup.shingles(col("text")), 12)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaBulk = Dedup.minhashSignatures(
+      texts.toDF("doc_id", "text").select(col("doc_id").as("id"),
+        Dedup.shingles(col("text")).as("sh")), 12)
+      .select(col("id"), concat_ws(",", col("sig")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaColumn == viaBulk)
+    assert(viaColumn(1L) == viaColumn(2L))
+    assert(viaColumn(1L) != viaColumn(3L))
+    assert(viaColumn(1L).split(",").length == 12)
   }
 
   test("simhash: identical texts same hash; disjoint vocab differs") {

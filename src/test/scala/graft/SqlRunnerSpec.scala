@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.StatementRunner
+import graft.sql.StatementRunner._
+
+class SqlRunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("splitter: top-level semicolons only; quotes and comments honored") {
+    val script =
+      """-- leading comment;
+        |SELECT 'a;b' AS x;
+        |/* block ; comment */ SELECT 1;
+        |SELECT "q;uoted";
+        |
+        |;
+        |SELECT 2""".stripMargin
+    val stmts = splitStatements(script)
+    assert(stmts.length == 4)
+    assert(stmts(0).contains("'a;b'"))
+    assert(stmts(1).contains("SELECT 1"))
+    assert(stmts(2).contains("\"q;uoted\""))
+    assert(stmts(3) == "SELECT 2")
+  }
+
+  test("splitter: escaped single quote, nested block comments") {
+    val stmts = splitStatements("SELECT 'it''s;fine'; /* a /* nested; */ still */ SELECT 3")
+    assert(stmts.length == 2)
+    assert(stmts(0).contains("it''s;fine"))
+  }
+
+  test("execute: multi-statement with fetch+limit; txn control warned not run") {
+    val res = StatementRunner.execute(spark,
+      """BEGIN;
+        |SELECT 1 AS a UNION ALL SELECT 2 UNION ALL SELECT 3;
+        |COMMIT;""".stripMargin,
+      fetch = true, limit = Some(2))
+    assert(res.statementsRun == 1)
+    assert(res.warnings.size == 2)
+    assert(res.fetched.get.collect().length == 2)
+  }
+
+  test("errors are classified; quoted fragments redacted") {
+    val ex = intercept[SyntaxOrAnalysisError] {
+      StatementRunner.execute(spark, "SELECT secret_col FROM nonexistent_table_xyz")
+    }
+    // value redaction applies to quoted message fragments (the reference
+    // redacts row values, not identifiers — connections.py:72-75)
+    assert(ex.getMessage.contains("<redacted>"))
+    assert(ex.isInstanceOf[SyntaxOrAnalysisError])
+  }
+
+  test("redaction masks quoted values and long numerics") {
+    val r = StatementRunner.redact("""error at 'sensitive row value' id 1234567 "col"""")
+    assert(!r.contains("sensitive"))
+    assert(!r.contains("1234567"))
+  }
+
+  test("cancel: a job group can be cancelled mid-flight") {
+    import spark.implicits._
+    val gid = "graft-cancel-test"
+    @volatile var failed: Throwable = null
+    val t = new Thread(() => {
+      try StatementRunner.withJobGroup(spark, gid, "slow job") {
+        spark.range(1L << 36).map { x => x }.count() // long-running
+      } catch { case e: Throwable => failed = e }
+    })
+    t.start()
+    Thread.sleep(1500)
+    StatementRunner.cancel(spark, gid)
+    t.join(30000)
+    assert(!t.isAlive, "job thread should have terminated")
+    assert(failed != null, "cancelled job should raise")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sinks.Sinks
+import graft.streaming.StreamingPipeline
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def hex(s: String): String =
+    s.getBytes("UTF-8").map("%02x".format(_)).mkString
+
+  test("streaming ingest: AvailableNow run lands transformed, deduped rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream").toString
+    val landing = s"$base/landing"; val sink = s"$base/sink"; val cp = s"$base/cp"
+
+    Seq(
+      ("s1", 1L, 1700000000L, 200, "0.1", hex("one")),
+      ("s2", 2L, 1700000060L, 100, "0.2", hex("skip")),
+      ("s3", 3L, 1700000120L, 200, "0.3", hex("three")))
+      .toDF("txid", "block", "blocktime", "type_int", "fee", "data")
+      .write.parquet(landing)
+
+    val wh = new Sinks.CollectingWebhook
+    val q = StreamingPipeline.startIngest(spark, landing, sink, cp, wh)
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 2)
+    assert(out.filter(col("txid") === "s1").select("decoded_data")
+      .first().getString(0) == "one")
+    assert(wh.posted.nonEmpty, "report webhook fired")
+    assert(wh.posted.head.contains("s1") || wh.posted.head.contains("s3"))
+
+    // second micro-batch: one duplicate + one new row; checkpoint + anti-join
+    Seq(
+      ("s3", 3L, 1700000120L, 200, "0.3", hex("three")),
+      ("s4", 4L, 1700000180L, 200, "0.4", hex("four")))
+      .toDF("txid", "block", "blocktime", "type_int", "fee", "data")
+      .write.mode("append").parquet(landing)
+    val q2 = StreamingPipeline.startIngest(spark, landing, sink, cp, wh)
+    q2.awaitTermination(120000)
+    val out2 = spark.read.parquet(sink)
+    assert(out2.count() == 3, "idempotent: s3 not re-inserted")
+    assert(out2.filter(col("txid") === "s4").count() == 1)
+  }
+
+  test("windowed agg with watermark over a streamed events sample") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream2").toString
+    // stream the real events table shape through a memory sink
+    val ev = graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
+    ev.limit(500).write.parquet(s"$base/events")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$base/events").schema)
+      .parquet(s"$base/events")
+    val agg = StreamingPipeline.windowedEventAgg(streamed)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append-mode watermark holds back open windows; the plan must be a
+    // valid streaming agg (exactly the structure matters here)
+    assert(spark.table("win_out").columns.toSeq ==
+      Seq("window_start", "event_type", "n_events", "sum_value"))
+  }
+
+  test("mapGroupsWithState session stats accumulate per user") {
+    import spark.implicits._
+    val evs = Seq(
+      StreamingPipeline.Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      StreamingPipeline.Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0),
+      StreamingPipeline.Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 5.0))
+      .toDS()
+    val out = StreamingPipeline.sessionStats(evs).collect()
+      .map(o => o.user_id -> o).toMap
+    assert(out(1L).n_events == 2 && math.abs(out(1L).total_value - 3.0) < 1e-9)
+    assert(out(2L).n_events == 1)
+  }
+}
