@@ -218,14 +218,17 @@ object Queries {
                       '%Y-%m-%dT%H:%M:%S') AS blockdate
       FROM events ORDER BY event_id"""))
 
-  /** S8 hex→UTF-8 decode round-trip on real text (strict-null semantics
-    * for invalid input are property-tested in ScalaTest; the oracle path
-    * uses valid hex only since DuckDB's decode throws on invalid). */
+  /** S8 hex→UTF-8 decode round-trip on real text, through the native
+    * codegen'd Catalyst expression (graft.functions.HexDecodeUtf8 —
+    * UDF-free hot path; strict-null semantics for invalid input are
+    * property-tested in ScalaTest; the oracle path uses valid hex only
+    * since DuckDB's decode throws on invalid). */
   private val q11 = Q("q11_hex_decode",
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         lower(hex(substring(col("text"), 1, 32).cast("binary"))).as("hex32"),
-        hexDecodeUtf8(lower(hex(substring(col("text"), 1, 32).cast("binary"))))
+        graft.functions.HexDecodeUtf8.column(s,
+          lower(hex(substring(col("text"), 1, 32).cast("binary"))))
           .as("decoded"))
       .orderBy("doc_id"),
     Some("""
@@ -322,7 +325,7 @@ object Queries {
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16) ++
-      QueriesLlm.all
+      QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

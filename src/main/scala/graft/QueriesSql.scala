@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Queries.Q
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+import graft.sql.StatementRunner
+
+/** Inventory batch 3: the remaining SQL-surface families the t2 gate
+  * checks — scalar string/date/conditional functions, sessionization,
+  * top-n per group, exact-decimal statistics, multi-statement scripts,
+  * key-range scans. Determinism rules as in [[Queries]]. */
+object QueriesSql {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** S2/S3: multi-statement script through the statement-runner shell;
+    * transaction control is a warned no-op; the final SELECT is the
+    * result (oracle = the equivalent flattened query). */
+  private val q33 = Q("q33_sql_script",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      StatementRunner.execute(s,
+        """BEGIN;
+          |-- staged view over; the splitter must not break on this comment
+          |CREATE OR REPLACE TEMP VIEW rich_cust AS
+          |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+          |  WHERE c_acctbal > 1000;
+          |SELECT c_mktsegment, COUNT(*) AS n_cust,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+          |FROM rich_cust GROUP BY c_mktsegment ORDER BY c_mktsegment;
+          |COMMIT;""".stripMargin,
+        fetch = true).fetched.get
+    },
+    Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+             ${dsumSql("c_acctbal", 2)} AS sum_bal
+      FROM customer WHERE c_acctbal > 1000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** S5: key-interval range scan (omni_rpc_client.py:64-69) — the
+    * predicate reaches the parquet scan (partition pruning on a
+    * block-partitioned layout at scale). */
+  private val q34 = Q("q34_range_scan",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("event_id").between(1000, 2000))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id BETWEEN 1000 AND 2000 ORDER BY event_id"""))
+
+  /** Scalar string family: upper/lower/trim/lpad/replace/locate/
+    * concat/substr/length — all codegen'd built-ins. */
+  private val q35 = Q("q35_scalar_strings",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("shortname"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        substring(col("c_name"), 10, 9).as("id_digits"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"))
+      .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             upper(c_name) AS uname,
+             CAST(length(c_name) AS BIGINT) AS name_len,
+             lpad(c_custkey::VARCHAR, 10, '0') AS padded,
+             replace(c_name, 'Customer', 'Cust') AS shortname,
+             CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+             substring(c_name, 10, 9) AS id_digits,
+             concat_ws('-', c_mktsegment, c_custkey) AS seg_key
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Scalar date/time family: year/month/day, ISO weekday, date
+    * arithmetic, datediff, quarter-trunc. */
+  private val q36 = Q("q36_scalar_dates",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        weekday(col("o_orderdate")).cast("long").as("dow_mon0"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("1998-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("age_days"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("quarter_start"))
+      .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(day(o_orderdate) AS BIGINT) AS d,
+             CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow_mon0,
+             CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+             CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                  AS BIGINT) AS age_days,
+             strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+               AS quarter_start
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Conditional family: CASE / COALESCE / NULLIF / IF / greatest /
+    * least, with arithmetic. */
+  private val q37 = Q("q37_conditionals",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") >= 30, "bulk")
+          .when(col("l_quantity") >= 10, "mid")
+          .otherwise("small").as("size_class"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+          .as("flag_or_none"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        (col("l_extendedprice") * when(col("l_discount") > 0.05, lit(1) - col("l_discount"))
+          .otherwise(lit(1.0))).as("eff_price"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity >= 30 THEN 'bulk'
+                  WHEN l_quantity >= 10 THEN 'mid'
+                  ELSE 'small' END AS size_class,
+             COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+             greatest(l_tax, l_discount) AS max_rate,
+             least(l_tax, l_discount) AS min_rate,
+             l_extendedprice * (CASE WHEN l_discount > 0.05
+               THEN 1 - l_discount ELSE 1.0 END) AS eff_price
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Sessionization via gap detection: a new session starts after a
+    * > 30-minute silence per user; session id = running count of
+    * session starts (two windows, one shuffle on user_id). */
+  private val q38 = Q("q38_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_start",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_start")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 2).as("session_value"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some(s"""
+      WITH marked AS (
+        SELECT user_id, value, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessioned AS (
+        SELECT user_id, value,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             COUNT(*) AS n_events, ${dsumSql("value", 2)} AS session_value
+      FROM sessioned GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
+  /** Top-N per group (rank window + filter — the distributed top-k per
+    * key shape). */
+  private val q40 = Q("q40_topn_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "rnk")
+    },
+    Some("""
+      SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        FROM customer)
+      WHERE rnk <= 3 ORDER BY c_mktsegment, rnk"""))
+
+  /** Statistics family with deterministic formulations: variance and
+    * stddev from exact decimal power sums (Welford/merge-based built-ins
+    * are shuffle-order-dependent in their last ulps; at 1000 executors
+    * that's run-to-run drift — these are not). */
+  private val q41 = Q("q41_stats",
+    (s, dir) => {
+      val x = col("l_quantity")
+      val sx = sum(x.cast(DecimalType(30, 2))).cast("double")
+      val sxx = sum((x * x).cast(DecimalType(30, 4))).cast("double")
+      val n = count(lit(1)).cast("double")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sx / n).as("mean_qty"),
+          ((sxx - sx * sx / n) / (n - 1)).as("var_qty"),
+          sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS mean_qty,
+             ((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+               - CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))
+              / (CAST(COUNT(*) AS DOUBLE) - 1)) AS var_qty,
+             sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+               - CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))
+              / (CAST(COUNT(*) AS DOUBLE) - 1)) AS stddev_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Anti/semi join family (EXISTS / NOT EXISTS): customers with and
+    * without urgent orders. */
+  private val q42 = Q("q42_semi_anti",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val withU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(lit("has_urgent").as("bucket"), col("c_custkey"))
+      val withoutU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(lit("no_urgent").as("bucket"), col("c_custkey"))
+      withU.unionAll(withoutU).orderBy("bucket", "c_custkey")
+    },
+    Some("""
+      SELECT 'has_urgent' AS bucket, c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'no_urgent' AS bucket, c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY bucket, c_custkey"""))
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42)
+}

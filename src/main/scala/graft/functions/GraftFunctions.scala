@@ -24,7 +24,7 @@ object GraftFunctions {
     * omni_rpc_client.py:105,111-113). */
   def hexDecodeUtf8Strict(hexStr: String): String = {
     if (hexStr == null) return null
-    val s = hexStr.trim
+    val s = hexStr // no trim: binascii.unhexlify rejects whitespace too
     if (s.length % 2 != 0) return null
     val bytes = new Array[Byte](s.length / 2)
     var i = 0
