@@ -249,5 +249,31 @@ object QueriesSql {
                         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       ORDER BY bucket, c_custkey"""))
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42)
+  /** As-of (point-in-time) join — an operator Spark lacks; composed in
+    * graft.operators.AsOfJoin as one key-shuffle + one window pass.
+    * Each non-error event picks up the latest error marker at-or-before
+    * its timestamp for the same user; oracle uses DuckDB's native
+    * ASOF JOIN. */
+  private val q43 = Q("q43_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val markers = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("m_user"), col("ts").as("m_ts"))
+        .agg(max(col("event_id")).as("marker_id"))
+      val left = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(left, "user_id", "ts",
+        markers, "m_user", "m_ts", Seq("marker_id"))
+        .select(col("event_id"), col("user_id"), col("marker_id"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH m AS (SELECT user_id AS m_user, ts AS m_ts, max(event_id) AS marker_id
+                 FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error')
+      SELECT l.event_id, l.user_id, m.marker_id
+      FROM l ASOF JOIN m ON l.user_id = m.m_user AND l.ts >= m.m_ts
+      ORDER BY l.event_id"""))
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43)
 }
