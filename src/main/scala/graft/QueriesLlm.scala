@@ -304,6 +304,54 @@ object QueriesLlm {
         FROM s)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> " +
+        s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** IVF-bucketed ANN (the scale path next to q26's exact baseline):
+    * nlist=16 seed centroids, corpus assigned to nearest list, queries
+    * probe 2 lists, exact rescoring within. Fully deterministic →
+    * oracle-checked. */
+  private val q44 = Q("q44_ivf_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nlist = 16, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCos("e.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings e CROSS JOIN c)
+        WHERE r = 1),
+      probed AS (
+        SELECT query_id, q_emb, cid FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10)
+        WHERE r <= 2),
+      scored AS (
+        SELECT query_id, vec_id, ${duckCos("q_emb", "embedding")} AS cos
+        FROM assigned JOIN probed USING (cid)
+        WHERE vec_id <> query_id)
+      SELECT query_id, rank, vec_id, cos FROM (
+        SELECT query_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** ANN via sign-random-projection buckets — scale path, recall < 1 by
     * design; no SQL oracle (rows-only check), validated against the
     * brute-force baseline in ScalaTest. */
@@ -355,5 +403,5 @@ object QueriesLlm {
     None)
 
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q29, q30, q31, q32)
+    q25, q26, q27, q29, q30, q31, q32, q44)
 }

@@ -275,5 +275,33 @@ object QueriesSql {
       FROM l ASOF JOIN m ON l.user_id = m.m_user AND l.ts >= m.m_ts
       ORDER BY l.event_id"""))
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43)
+  /** Math scalar family — restricted to operations with IEEE-defined
+    * exact results (sqrt, abs, ceil/floor, sign, modulo, multiply).
+    * Deliberately excluded from oracle checking: exp/ln/pow (libm
+    * last-ulp divergence) and round(double, d) (Spark rounds the
+    * shortest decimal rendering HALF_UP, DuckDB rounds numerically —
+    * they disagree on boundary values). */
+  private val q45 = Q("q45_scalar_math",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        ceil(col("l_quantity") / 7.0).cast("long").as("ceil7"),
+        floor(col("l_quantity") / 7.0).cast("long").as("floor7"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        signum(col("l_discount") - 0.05).cast("int").as("disc_sign"),
+        (col("l_orderkey") % 7).as("okey_mod7"),
+        (col("l_tax") * col("l_tax")).as("tax_sq"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             abs(l_discount - 0.05) AS disc_dev,
+             CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+             CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+             sqrt(l_extendedprice) AS sqrt_price,
+             CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+             l_orderkey % 7 AS okey_mod7,
+             l_tax * l_tax AS tax_sq
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43, q45)
 }

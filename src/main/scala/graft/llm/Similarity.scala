@@ -67,6 +67,50 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest
+    * "centroid" (training-free variant: the first `nlist` corpus
+    * vectors serve as seeds — a real build swaps in k-means centroids
+    * without touching the plan); a query probes its `nprobe` nearest
+    * lists and rescans only those lists exactly.
+    *
+    * Scale shape: assignment is a broadcast (nlist tiny) + narrow map;
+    * the probe join shuffles on the list id — candidate volume is
+    * corpus/nlist × nprobe per query instead of the whole corpus.
+    * Determinism: distances tie-break on centroid id; all math is
+    * fixed-order double folds, so the DuckDB oracle matches exactly. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+
+    // corpus → nearest list (rank 1), queries → nprobe nearest lists
+    def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__d").desc, col("cid").asc)
+      df.crossJoin(cents)
+        .withColumn("__d", cosine(col(embCol), col("c_emb")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .drop("c_emb", "__d", "__r")
+    }
+
+    val assigned = assign(
+      corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val probed = assign(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", nprobe)
+
+    val scored = assigned.join(probed, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** ANN top-k: candidates restricted to the query's SRP bucket, then
     * exact cosine rescoring within the bucket. Recall < 1 by design;
     * pair with multi-probe (flip one bit) if recall matters more than

@@ -71,6 +71,30 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming dedup with BOUNDED state: duplicates arriving within the
+    * watermark horizon are dropped and state older than the watermark is
+    * evicted — the 100 TB answer to "dedup forever" (exact state within
+    * the horizon; pair with the sketch-based offline dedup for history).
+    */
+  def dedupWithinWatermark(tx: DataFrame, horizon: String = "1 hour"): DataFrame =
+    tx.withColumn("event_time", timestamp_seconds(col("blocktime")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("txid")
+
+  /** §2.3 failure/report callbacks as a StreamingQueryListener: posts a
+    * webhook on query termination with error (parity with the Airflow
+    * on_failure_callback → slack_alert, transactions_dag.py:76-77). */
+  final class AlertListener(webhook: graft.sinks.Sinks.Webhook)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      e.exception.foreach { err =>
+        graft.sinks.Sinks.notifyAlert(s"query=${e.id}", err, webhook)
+      }
+  }
+
   // ------------------------------------------------- stateful session
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)

@@ -72,6 +72,51 @@ class StreamingSpec extends AnyFunSuite {
       Seq("window_start", "event_type", "n_events", "sum_value"))
   }
 
+  test("streaming dedup within watermark drops in-horizon duplicates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream3").toString
+    Seq(
+      ("d1", 1L, 1700000000L, 200, "0.1", hex("a")),
+      ("d1", 1L, 1700000000L, 200, "0.1", hex("a")), // dup within horizon
+      ("d2", 2L, 1700000100L, 200, "0.2", hex("b")))
+      .toDF("txid", "block", "blocktime", "type_int", "fee", "data")
+      .write.parquet(s"$base/in")
+    val streamed = spark.readStream.schema(StreamingPipeline.txSchema)
+      .parquet(s"$base/in")
+    val q = StreamingPipeline.dedupWithinWatermark(streamed)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").select("txid").collect().map(_.getString(0))
+    assert(got.sorted.toSeq == Seq("d1", "d2"))
+  }
+
+  test("alert listener posts a webhook when a query dies") {
+    import spark.implicits._
+    val wh = new Sinks.CollectingWebhook
+    val listener = new StreamingPipeline.AlertListener(wh)
+    spark.streams.addListener(listener)
+    try {
+      val base = Files.createTempDirectory("graft-stream4").toString
+      Seq(("x", 1L)).toDF("txid", "block").write.parquet(s"$base/in")
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+      // foreachBatch that always throws -> query terminates with error
+      val q = streamed.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("boom-sink")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      intercept[Exception] { q.awaitTermination(120000) }
+      // listener events are async
+      var waited = 0
+      while (wh.posted.isEmpty && waited < 10000) { Thread.sleep(200); waited += 200 }
+      assert(wh.posted.exists(_.contains("ALERT")))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("mapGroupsWithState session stats accumulate per user") {
     import spark.implicits._
     val evs = Seq(
