@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftClient
+import graft.catalog.{DefaultRegistry, MetricQueryRequest}
+import graft.operators.SkewJoin
+import graft.sources.Tables
+import graft.functions.GraftFunctions.dsum
+
+class ScaleToolsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  // ------------------------------------------------------------ client
+  test("client lifecycle: query -> rounded text table") {
+    val client = new GraftClient(DefaultRegistry.registry)
+    val res = client.query(spark, dir,
+      MetricQueryRequest(metrics = Seq("revenue"), savedQuery = Some("revenue_by_month")))
+    assert(res.rowCount > 0 && res.rowCount <= 10)
+    assert(res.columnNames == Seq("o_orderdate__month", "revenue"))
+    assert(res.textTable.contains("revenue"))
+    // two-decimal rounding applied to double metric values
+    val cell = res.textTable.split("\n")(1).split(" \\| ")(1)
+    assert(cell.matches("-?\\d+\\.\\d{1,2}"), cell)
+  }
+
+  test("client: empty result presents the empty-set message") {
+    val client = new GraftClient(DefaultRegistry.registry)
+    val res = client.query(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue"), groupBy = Seq("o_orderpriority"),
+      where = Some("o_orderpriority = 'NOPE'")))
+    assert(res.rowCount == 0 && res.textTable.contains("no results"))
+  }
+
+  test("client: csv + sql-dump presentation paths") {
+    val client = new GraftClient(DefaultRegistry.registry)
+    val base = Files.createTempDirectory("graft-client").toString
+    client.queryToCsv(spark, dir,
+      MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("n_name")),
+      s"$base/csv")
+    assert(new java.io.File(s"$base/csv").listFiles().exists(_.getName.endsWith(".csv")))
+    val written = client.dumpQueries("revenue", s"$base/sql")
+    assert(written.size >= 8 && written.forall(new java.io.File(_).exists()))
+  }
+
+  // --------------------------------------------------------- bucketing
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    Tables.load(s2, dir, "lineitem").write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
+    Tables.load(s2, dir, "orders").write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("o_b")
+    val joined = s2.table("li_b").join(s2.table("o_b"),
+      col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(dsum(col("l_extendedprice"), 2).as("s"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no Exchange below the join
+    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"), plan.take(3000))
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"), plan.take(3000))
+  }
+
+  // ------------------------------------------------------------- skew
+  test("salted join equals plain join result") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("value"))
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(dim, Seq("user_id"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(ev, dim, "user_id", col("value"), 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("salted sum equals plain sum") {
+    val ev = Tables.load(spark, dir, "events")
+    val plain = ev.groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+    val salted = SkewJoin.saltedSum(ev, "event_type", "value", col("event_id"), 8)
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+    assert(plain == salted)
+  }
+}
