@@ -291,14 +291,17 @@ object Queries {
     (s, dir) => {
       val dims = planner.registry.dimensionsForMetric("revenue")
         .filterNot(_.isTime).map(_.name)
+      // explicit broadcast only for fixed-cardinality dims; the
+      // SF-scaled ones (customer/part/supplier) broadcast via Spark's
+      // size-based planning when they actually fit
       var df = t(s, dir, "lineitem")
       for ((tb, lk, rk, small) <- Seq(
         ("orders", "l_orderkey", "o_orderkey", false),
-        ("customer", "o_custkey", "c_custkey", true),
+        ("customer", "o_custkey", "c_custkey", false),
         ("nation", "c_nationkey", "n_nationkey", true),
         ("region", "n_regionkey", "r_regionkey", true),
-        ("part", "l_partkey", "p_partkey", true),
-        ("supplier", "l_suppkey", "s_suppkey", true))) {
+        ("part", "l_partkey", "p_partkey", false),
+        ("supplier", "l_suppkey", "s_suppkey", false))) {
         val d0 = t(s, dir, tb)
         df = df.join(if (small) broadcast(d0) else d0, expr(s"$lk = $rk"))
       }

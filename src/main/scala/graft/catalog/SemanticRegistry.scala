@@ -144,17 +144,23 @@ object DefaultRegistry {
         Dimension("o_orderdate", "o_orderdate", isTime = true),
         Dimension("o_orderpriority", "o_orderpriority"),
         Dimension("o_orderstatus", "o_orderstatus"))),
+      // `small = true` ONLY for fixed-cardinality dims: nation/region
+      // stay 25/5 rows at any scale factor, so an unconditional
+      // broadcast hint is always right. customer/part/supplier GROW
+      // with the data — at 100 TB they are not broadcastable, so they
+      // carry no hint and Spark's size-based auto-broadcast / AQE
+      // decides per deployment (they still broadcast at test SFs).
       SemanticModel("customer", "customer", "c_custkey", Seq(
-        Dimension("c_mktsegment", "c_mktsegment")), small = true),
+        Dimension("c_mktsegment", "c_mktsegment"))),
       SemanticModel("nation", "nation", "n_nationkey", Seq(
         Dimension("n_name", "n_name")), small = true),
       SemanticModel("region", "region", "r_regionkey", Seq(
         Dimension("r_name", "r_name")), small = true),
       SemanticModel("part", "part", "p_partkey", Seq(
         Dimension("p_brand", "p_brand"),
-        Dimension("p_type", "p_type")), small = true),
+        Dimension("p_type", "p_type"))),
       SemanticModel("supplier", "supplier", "s_suppkey", Seq(
-        Dimension("s_name", "s_name")), small = true),
+        Dimension("s_name", "s_name"))),
       SemanticModel("events", "events", "event_id", Seq(
         Dimension("event_type", "event_type"),
         Dimension("ts", "ts", isTime = true)))),
