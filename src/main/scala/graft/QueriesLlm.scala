@@ -402,6 +402,48 @@ object QueriesLlm {
     },
     None)
 
+  /** Engine-portable HLL distinct sketch (graft.llm.HllSketch): unlike
+    * approx_count_distinct (q7a, engine-private sketch → rows-only),
+    * this one is md5-derived and exact-arithmetic, so the DuckDB oracle
+    * implements the identical sketch and the ESTIMATES hash-match. */
+  private val q46 = Q("q46_hll_distinct",
+    (s, dir) => {
+      import graft.llm.HllSketch._
+      val regs = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          bucket(col("l_partkey")).as("b"), rank(col("l_partkey")).as("r"))
+        .groupBy("l_returnflag", "b").agg(max(col("r")).as("mr"))
+      val est = regs.groupBy("l_returnflag")
+        .agg((lit(Alpha * M * M) /
+          (sum(expr("1.0 / shiftleft(1L, mr)")) + (lit(M) - count(lit(1)))))
+          .as("hll_distinct"))
+      val exact = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      est.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag,
+               ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 2))::INT AS b,
+               CASE WHEN ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 3, 6))::BIGINT = 0
+                    THEN 25
+                    ELSE 25 - length(bin(
+                      ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 3, 6))::BIGINT))
+               END AS r
+        FROM lineitem),
+      regs AS (SELECT l_returnflag, b, max(r) AS mr FROM h GROUP BY 1, 2),
+      est AS (
+        SELECT l_returnflag,
+               0.7213 / (1 + 1.079 / 256) * 256 * 256
+                 / (SUM(1.0 / (1::BIGINT << mr)) + (256 - COUNT(*)))
+                 AS hll_distinct
+        FROM regs GROUP BY 1)
+      SELECT e.l_returnflag, e.hll_distinct, d.n_exact
+      FROM est e JOIN (SELECT l_returnflag,
+                              COUNT(DISTINCT l_partkey) AS n_exact
+                       FROM lineitem GROUP BY 1) d USING (l_returnflag)
+      ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q29, q30, q31, q32, q44)
+    q25, q26, q27, q29, q30, q31, q32, q44, q46)
 }
