@@ -303,5 +303,69 @@ object QueriesSql {
              l_tax * l_tax AS tax_sq
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43, q45)
+  /** Array aggregation: collect_list is accumulation-order-dependent,
+    * so portable results REQUIRE sorting the collected array — the same
+    * discipline a 1000-executor run needs for reproducibility. */
+  private val q47 = Q("q47_collect_sorted",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type"))))
+        .as("types_seen"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id"),
+    Some("""
+      SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS types_seen,
+             COUNT(*) AS n_events
+      FROM events WHERE user_id < 10
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** Pivot (conditional aggregation): Spark's .pivot API; oracle uses
+    * the equivalent portable CASE formulation. */
+  private val q48 = Q("q48_pivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity"), 2))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag"),
+    Some(s"""
+      SELECT l_returnflag,
+             ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)}
+               AS qty_f,
+             ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)}
+               AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Weekly time granularity through the semantic planner (ISO-Monday
+    * truncation agrees across engines). */
+  private val q49Req = graft.catalog.MetricQueryRequest(
+    metrics = Seq("total_qty"), groupBy = Seq("l_shipdate__week"),
+    startTime = Some("1996-01-01"), endTime = Some("1996-03-31"))
+  private val q49 = Q("q49_weekly_granularity",
+    (s, dir) => new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
+      .compile(s, dir, q49Req).df,
+    Some(new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
+      .renderSql(q49Req, withDescriptions = false)))
+
+  /** Exact interpolated quantiles (percentile ≡ quantile_cont — both
+    * engines use linear interpolation on the sorted values). */
+  private val q50 = Q("q50_quantiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             quantile_cont(l_extendedprice, 0.25) AS price_p25,
+             quantile_cont(l_extendedprice, 0.75) AS price_p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
+    q45, q47, q48, q49, q50)
 }
