@@ -444,6 +444,65 @@ object QueriesLlm {
                        FROM lineitem GROUP BY 1) d USING (l_returnflag)
       ORDER BY l_returnflag"""))
 
+  /** Training-chunk explosion: split each document into fixed-size
+    * character chunks (the pre-tokenization sharding step of an LLM
+    * data pipeline) — one output row per chunk, computed with
+    * posexplode over a generated index (no UDF, rides the scan). */
+  private val q51 = Q("q51_chunk_explode",
+    (s, dir) => {
+      val chunkLen = 120
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0),
+            greatest(floor((length(col("text")) - 1) / chunkLen).cast("int"), lit(0))))
+            .as(Seq("chunk_idx", "off")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          expr(s"substring(text, chunk_idx * $chunkLen + 1, $chunkLen)").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             substring(text, CAST(i * 120 + 1 AS INT), 120) AS chunk
+      FROM (SELECT doc_id, text,
+              unnest(generate_series(0,
+                CAST(greatest((length(text) - 1) // 120, 0) AS BIGINT))) AS i
+            FROM documents)
+      ORDER BY doc_id, chunk_idx"""))
+
+  /** Quality-flag family: repetition ratio, distinct-token ratio,
+    * PII-ish pattern counts (emails/URLs/digit runs) — standard
+    * training-data filters, all portable regex/array math. */
+  private val q52 = Q("q52_quality_flags",
+    (s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("distinct_ratio"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit("https?://[^\\s]+"), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit("[0-9]{4,}"), lit(0)))
+          .cast("long").as("n_long_digit_runs"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS distinct_ratio,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+               AS n_urls,
+             CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT)
+               AS n_long_digit_runs
+      FROM (SELECT doc_id, text,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q29, q30, q31, q32, q44, q46)
+    q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52)
 }

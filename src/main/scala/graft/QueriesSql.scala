@@ -366,6 +366,21 @@ object QueriesSql {
              quantile_cont(l_extendedprice, 0.75) AS price_p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into a join
+    * (the classic rewrite the reference's warehouse supplied). The SAME
+    * portable SQL text runs on Spark (via registered views) and DuckDB. */
+  private val q53Sql = """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 3 * (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM lineitem WHERE l_orderkey = o_orderkey)
+      ORDER BY o_orderkey"""
+  private val q53 = Q("q53_correlated_subquery",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q53Sql) },
+    Some(q53Sql))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
-    q45, q47, q48, q49, q50)
+    q45, q47, q48, q49, q50, q53)
 }
