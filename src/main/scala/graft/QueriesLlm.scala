@@ -234,10 +234,10 @@ object QueriesLlm {
         FROM pre JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)"""
 
   private val q22 = Q("q22_minhash_sig",
-    (s, dir) => Dedup.minhashSignatures(
-      t(s, dir, "documents").select(col("doc_id").as("id"),
-        Dedup.shingles(col("text")).as("sh")), 12)
-      .select(col("id").as("doc_id"), concat_ws(",", col("sig")).as("sig"))
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(",",
+          graft.functions.MinHashSig.column(s, col("text"), 12)).as("sig"))
       .orderBy("doc_id"),
     Some(s"""$duckMinhashCtes
       SELECT doc_id, array_to_string(sig, ',') AS sig FROM s ORDER BY doc_id"""))

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen entry point for [[MinHashSig]]. One MD5 per shingle, all
+  * `k` affine hashes derived from it — value-identical to the
+  * HOF/explode formulations in graft.llm.Dedup (LlmSpec asserts it),
+  * but computed in a single narrow pass with NO shuffle and no
+  * per-seed re-hashing. */
+object MinHashSigHelper {
+  val P = 2147483647L // 2^31 - 1, matches Dedup.MinhashP
+
+  def sig(input: UTF8String, k: Int, shingleLen: Int): ArrayData = {
+    val nChars = input.numChars()
+    val nShingles = math.max(nChars - shingleLen + 1, 1)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nShingles) {
+      // substringSQL is code-point based — identical to Spark SQL's
+      // substring(text, i+1, len) used by the HOF form
+      val sh = input.substringSQL(i + 1, shingleLen)
+      md.reset()
+      val d = md.digest(sh.getBytes)
+      // first/second 4 digest bytes as unsigned big-endian ints ==
+      // parseInt(hex(digest)[0:8]/[8:16], 16) == conv(substr(md5,..),16,10)
+      val a = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val b = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+      var j = 0
+      while (j < k) {
+        val h = (a + j * b) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Native MinHash signature expression: `minhash_sig(text)` →
+  * Array[Long] of `numHashes` components. The 100 TB shape for bulk
+  * signatures — a narrow map fused into the scan stage (whole-stage
+  * codegen), versus the explode→groupBy form's full shuffle of every
+  * (doc, shingle) pair. */
+case class MinHashSig(child: Expression, numHashes: Int = 12, shingleLen: Int = 5)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSigHelper.sig(v.asInstanceOf[UTF8String], numHashes, shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = MinHashSigHelper.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $helper.sig($c, $numHashes, $shingleLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+
+  def column(spark: SparkSession, c: Column, numHashes: Int = 12): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"minhash_sig_$numHashes",
+      exprs => MinHashSig(exprs.head, numHashes), "scala_udf")
+    org.apache.spark.sql.functions.call_function(s"minhash_sig_$numHashes", c)
+  }
+}

@@ -103,9 +103,14 @@ object Dedup {
     //  4. cheap prefilter: ≥ minAgree of numHashes signature components
     //     must agree (12 long compares) before the expensive exact
     //     Jaccard (hundreds of string hashes) runs per candidate.
+    // signatures via the native expression — a narrow map in the scan
+    // stage (see graft.functions.MinHashSig); shingle sets are only
+    // materialized for the final exact verification
     val base = docs.select(col(idCol).as("id"),
-      shingles(col(textCol)).as("sh")).persist()
-    val sigs = minhashSignatures(base, numHashes).persist()
+      shingles(col(textCol)).as("sh"),
+      graft.functions.MinHashSig.column(docs.sparkSession, col(textCol), numHashes)
+        .as("sig")).persist()
+    val sigs = base.select(col("id"), col("sig"))
     val banded = sigs.select(col("id"),
       posexplode(bandHashes(col("sig"), numBands, numHashes / numBands))
         .as(Seq("band_idx", "band_hash")))

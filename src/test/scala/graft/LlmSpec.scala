@@ -34,20 +34,26 @@ class LlmSpec extends AnyFunSuite {
     assert(survivors.size == docs.count() - dropped.size)
   }
 
-  test("minhash signature stable; column and bulk forms value-identical") {
+  test("minhash signature: HOF, explode/groupBy, and native expression forms value-identical") {
     import spark.implicits._
     val texts = Seq((1L, "the quick brown fox jumps"),
-      (2L, "the quick brown fox jumps"), (3L, "a different doc entirely"))
-    val viaColumn = texts.toDF("doc_id", "text")
+      (2L, "the quick brown fox jumps"), (3L, "a different doc entirely"),
+      (4L, "héllo wörld unicode ✓ text"), (5L, "tiny"))
+    val df = texts.toDF("doc_id", "text")
+    val viaColumn = df
       .select(col("doc_id"),
         concat_ws(",", Dedup.minhashSignature(Dedup.shingles(col("text")), 12)).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val viaBulk = Dedup.minhashSignatures(
-      texts.toDF("doc_id", "text").select(col("doc_id").as("id"),
-        Dedup.shingles(col("text")).as("sh")), 12)
+      df.select(col("doc_id").as("id"), Dedup.shingles(col("text")).as("sh")), 12)
       .select(col("id"), concat_ws(",", col("sig")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaExpr = df
+      .select(col("doc_id"),
+        concat_ws(",", graft.functions.MinHashSig.column(spark, col("text"), 12)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaColumn == viaBulk)
+    assert(viaColumn == viaExpr)
     assert(viaColumn(1L) == viaColumn(2L))
     assert(viaColumn(1L) != viaColumn(3L))
     assert(viaColumn(1L).split(",").length == 12)
