@@ -72,6 +72,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("hex_decode_utf8"), plan.take(2000))
   }
 
+  test("q22: native minhash signatures plan with NO shuffle at all") {
+    val plan = physical("q22_minhash_sig")
+    // the only acceptable exchange is the output ordering's range
+    // partitioning; signature computation itself must be a narrow map
+    val beforeSort = plan.split("rangepartitioning")(0)
+    assert(!beforeSort.contains("Exchange hashpartitioning"), plan.take(2500))
+    assert(plan.contains("minhash_sig"), plan.take(2000))
+  }
+
+  test("q43: as-of operator adds exactly one key shuffle") {
+    val plan = physical("q43_asof_join")
+    // two hash exchanges total: one belongs to the query's marker
+    // pre-dedup groupBy(user_id, ts); the as-of operator itself is the
+    // single __k shuffle feeding the window
+    val n = plan.split("Exchange hashpartitioning").length - 1
+    assert(n == 2, s"saw $n hash shuffles\n${plan.take(3000)}")
+    assert(plan.contains("Exchange hashpartitioning(__k"), plan.take(3000))
+    assert(plan.split("Exchange hashpartitioning\\(__k").length - 1 == 1)
+  }
+
   test("q23 lsh: band join shuffles keys only (no shingle arrays in join)") {
     val df = Queries.all.find(_.name == "q23_lsh_pairs").get.run(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString
