@@ -104,8 +104,11 @@ object Dedup {
     //     must agree (12 long compares) before the expensive exact
     //     Jaccard (hundreds of string hashes) runs per candidate.
     // signatures via the native expression — a narrow map in the scan
-    // stage (see graft.functions.MinHashSig); shingle sets are only
-    // materialized for the final exact verification
+    // stage (see graft.functions.MinHashSig). Shingle sets are computed
+    // once per doc (not per pair): with a high-collision corpus the
+    // prefilter can still pass tens of thousands of pairs, and per-pair
+    // re-shingling (graft.functions.JaccardShingles — the right tool
+    // when candidates ≈ dups) measured 3× slower here.
     val base = docs.select(col(idCol).as("id"),
       shingles(col(textCol)).as("sh"),
       graft.functions.MinHashSig.column(docs.sparkSession, col(textCol), numHashes)
@@ -126,11 +129,15 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
       .filter(col("est") >= minAgree)
       .select("id_a", "id_b")
-    prefiltered
+    // persist() barrier: without it Catalyst collapses the projection
+    // into the filter and evaluates the jaccard expression twice per
+    // pair (once for the predicate, once for the output column)
+    val scored = prefiltered
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .persist()
+    scored.filter(col("jaccard") >= threshold)
   }
 
   /** Surviving ids after near-dup removal: drop any doc that has a

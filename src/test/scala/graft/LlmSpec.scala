@@ -71,6 +71,26 @@ class LlmSpec extends AnyFunSuite {
     assert(hs.forall(h => h >= 0 && h < 65536))
   }
 
+  test("native jaccard_shingles equals the array formulation") {
+    import spark.implicits._
+    val texts = Seq(
+      ("the quick brown fox", "the quick brown dog"),
+      ("identical text here", "identical text here"),
+      ("completely different", "nothing in common!!"),
+      ("héllo wörld ✓", "héllo wörld ✗"),
+      ("tiny", "tin"))
+    val df = texts.toDF("a", "b")
+    val viaArrays = df.select(
+      Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b"))).as("j"))
+      .collect().map(_.getDouble(0))
+    val viaExpr = df.select(
+      graft.functions.JaccardShingles.column(spark, col("a"), col("b")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(viaArrays.sameElements(viaExpr),
+      s"${viaArrays.toSeq} != ${viaExpr.toSeq}")
+    assert(viaExpr(1) == 1.0)
+  }
+
   test("brute-force topk: k rows per query, descending cosine, no self") {
     val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3).collect()
     assert(out.length == 15)
