@@ -381,6 +381,39 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q53Sql) },
     Some(q53Sql))
 
+  /** IN / NOT IN subqueries — a different Catalyst rewrite than
+    * EXISTS (q42): null-aware anti join. Identical SQL text on both
+    * engines (NOT IN guarded non-null by construction). */
+  private val q54Sql = """
+      SELECT 'in_building' AS bucket, o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      UNION ALL
+      SELECT 'not_in_building' AS bucket, o_orderkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+      ORDER BY bucket, o_orderkey"""
+  private val q54 = Q("q54_in_subquery",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q54Sql) },
+    Some(q54Sql))
+
+  /** RANGE-frame window: event-value sum over a sliding 1-hour
+    * time-range frame per user (value-based frame, not row-based). */
+  private val q55 = Q("q55_range_frame",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(q55Sql)
+    },
+    Some(q55Sql))
+  private lazy val q55Sql = s"""
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS hour_value
+      FROM events
+      ORDER BY event_id"""
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
-    q45, q47, q48, q49, q50, q53)
+    q45, q47, q48, q49, q50, q53, q54, q55)
 }
