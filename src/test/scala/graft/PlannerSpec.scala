@@ -85,6 +85,28 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("where clause referencing a foreign dimension pulls in its join") {
+    // no groupBy on nation, but the predicate references n_name — the
+    // planner must include the lineitem→…→nation join path
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue"), where = Some("n_name = 'NATION_7'")))
+    assert(c.sql.contains("JOIN nation"))
+    assert(c.df.collect().length == 1) // global agg, one row
+  }
+
+  test("second fact model (events) compiles and aggregates") {
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("event_value"), groupBy = Seq("event_type"),
+      orderBy = Seq("-event_value")))
+    val rows = c.df.collect()
+    assert(rows.nonEmpty)
+    assert(c.df.columns.toSeq == Seq("event_type", "event_value"))
+    val vals = rows.map(_.getDouble(1))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+    // events is its own island in the join graph — no star joins rendered
+    assert(!c.sql.contains("JOIN"))
+  }
+
   test("small dims are planned as broadcast joins") {
     val c = planner.compile(spark, dir,
       MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("r_name")))
