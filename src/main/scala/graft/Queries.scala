@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.{DefaultRegistry, MetricQueryRequest}
@@ -280,38 +280,78 @@ object Queries {
                         WHERE ts < TIMESTAMP '2024-01-10 00:00:00')
       GROUP BY event_type ORDER BY event_type"""))
 
-  /** M11 per-dimension fan-out in ONE pass: instead of running one
-    * grouped query per dimension (the reference writes one
-    * `<metric>_by_<dim>.sql` each, dbt_query2.py:46-80 — and a naive
-    * union re-scans the fact table per dimension), join the star once
-    * and aggregate with GROUPING SETS — a single fact scan + a single
-    * shuffle regardless of dimension count. This is the 100 TB-correct
-    * plan; `planner.dumpQueries` remains the per-query API surface. */
+  /** M11 per-dimension fan-out via EAGER AGGREGATION: the fact table
+    * is partially aggregated by each join KEY first (exact decimal
+    * partial sums), and only those key-cardinality aggregates travel —
+    * broadcast INTO the dimension scans, rolled up once per dimension.
+    *
+    * Why not the single-pass GROUPING SETS star join (round-1 plan):
+    * that plan broadcasts every dim table into a full-width fact probe
+    * and then Expands the joined rows ×ndims before aggregating — at
+    * 100 TB that is ndims × fact-rows through the partial aggregate
+    * and a multi-GB broadcast of `orders`. Here the fact is reduced to
+    * |orderkey|+|partkey|+|suppkey| partial rows (orders of magnitude
+    * smaller, and the three aggregates SHARE one scan via exchange
+    * reuse); every later join carries key-cardinality rows only, and
+    * the chain o_custkey → nation → region rolls up progressively
+    * (15k → 25 → 5 rows). Same exact-decimal result, no Expand, no
+    * wide-table broadcast. `planner.dumpQueries` remains the
+    * per-query API surface. */
   private val q16 = Q("q16_dim_fanout",
     (s, dir) => {
-      val dims = planner.registry.dimensionsForMetric("revenue")
-        .filterNot(_.isTime).map(_.name)
-      // explicit broadcast only for fixed-cardinality dims; the
-      // SF-scaled ones (customer/part/supplier) broadcast via Spark's
-      // size-based planning when they actually fit
-      var df = t(s, dir, "lineitem")
-      for ((tb, lk, rk, small) <- Seq(
-        ("orders", "l_orderkey", "o_orderkey", false),
-        ("customer", "o_custkey", "c_custkey", false),
-        ("nation", "c_nationkey", "n_nationkey", true),
-        ("region", "n_regionkey", "r_regionkey", true),
-        ("part", "l_partkey", "p_partkey", false),
-        ("supplier", "l_suppkey", "s_suppkey", false))) {
-        val d0 = t(s, dir, tb)
-        df = df.join(if (small) broadcast(d0) else d0, expr(s"$lk = $rk"))
-      }
-      df.groupingSets(dims.map(d => Seq(col(d))), dims.map(col): _*)
-        .agg(expr(planner.registry.metric("revenue").aggSql).as("revenue"))
-        .select(
-          dims.map(d => when(col(d).isNotNull, lit(d))).reduce(coalesce(_, _))
-            .as("dim_name"),
-          coalesce(dims.map(col(_).cast("string")): _*).as("dim_value"),
-          col("revenue"))
+      val pRev = sum(expr("CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))"))
+      val li = t(s, dir, "lineitem")
+      // one GROUPING SETS pass per frame: all of a frame's dims in a
+      // single Expand+aggregate (the frames are key-cardinality-sized
+      // by then, so the Expand is cheap) — 4 aggregate stages total
+      // instead of 10, which matters because fan-out latency is
+      // stage-count-bound once shuffle volume is small
+      def gsFanout(df: DataFrame, dims: Seq[String], rev: Column): DataFrame =
+        df.groupingSets(dims.map(d => Seq(col(d))), dims.map(col): _*)
+          .agg(rev.as("revenue"))
+          .select(
+            dims.map(d => when(col(d).isNotNull, lit(d))).reduce(coalesce(_, _))
+              .as("dim_name"),
+            coalesce(dims.map(col(_).cast("string")): _*).as("dim_value"),
+            col("revenue"))
+
+      // by-key partial aggregates: no broadcast hints — at gate scale
+      // AQE converts these joins to broadcast after seeing the actual
+      // (tiny) partial sizes; at 100 TB the same plan stays a
+      // co-partitioned shuffle join on the key, which is exactly what
+      // you want when |orderkey| partials no longer fit an executor.
+      val byOrder = li.groupBy(col("l_orderkey")).agg(pRev.as("p"))
+      val byPart = li.groupBy(col("l_partkey")).agg(pRev.as("p"))
+      val bySupp = li.groupBy(col("l_suppkey")).agg(pRev.as("p"))
+      // customer enriched with nation/region names builds in PARALLEL
+      // with the fact partials (flat dependency chain, not a
+      // progressive rollup ladder — stage-latency matters as much as
+      // shuffle volume)
+      val custDim = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("n_name"), col("r_name"))
+      // loadP: this probe side carries the 5-dim grouping-sets Expand —
+      // keep it full-width
+      val ordJ = t(s, dir, "orders")
+        .join(byOrder, col("o_orderkey") === col("l_orderkey"))
+        .join(custDim, col("o_custkey") === col("c_custkey"))
+      val partJ = t(s, dir, "part")
+        .join(byPart, col("p_partkey") === col("l_partkey"))
+      val suppJ = t(s, dir, "supplier")
+        .join(bySupp, col("s_suppkey") === col("l_suppkey"))
+
+      val pSum = sum(col("p")).cast("double")
+      Seq(
+        gsFanout(li, Seq("l_returnflag", "l_linestatus"),
+          expr(planner.registry.metric("revenue").aggSql)),
+        gsFanout(ordJ, Seq("o_orderpriority", "o_orderstatus",
+          "c_mktsegment", "n_name", "r_name"), pSum),
+        gsFanout(partJ, Seq("p_brand", "p_type"), pSum),
+        gsFanout(suppJ, Seq("s_name"), pSum))
+        .reduce(_ unionAll _)
         .orderBy("dim_name", "dim_value")
     },
     Some {

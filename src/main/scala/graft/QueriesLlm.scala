@@ -193,23 +193,33 @@ object QueriesLlm {
              MIN(doc_id) AS keeper_id, COUNT(*) AS n_members
       FROM documents GROUP BY 1 ORDER BY fp"""))
 
-  /** Shared DuckDB CTEs for the minhash pipeline. */
+  /** Shared DuckDB CTEs for the minhash pipeline. `dstr` = distinct
+    * string shingles (drives the signature, identical to the native
+    * MinHashSig expression); `d` = the 60-bit HASHED shingle sets the
+    * exact-Jaccard verify runs on (mirrors Dedup.hashedShingles —
+    * list_distinct AFTER the transform, so hash collisions collapse
+    * identically on both engines). */
   private val duckMinhashCtes = """
-      WITH d AS (
+      WITH dstr AS (
         SELECT doc_id,
                list_distinct(list_transform(
                  generate_series(1, greatest(length(text) - 4, 1)),
-                 i -> substring(text, i, 5))) AS sh
+                 i -> substring(text, i, 5))) AS shs
         FROM documents),
+      d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shs, x ->
+                 ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+        FROM dstr),
       s AS (
-        SELECT doc_id, sh,
+        SELECT doc_id,
                list_transform(generate_series(0, 11), i ->
-                 list_min(list_transform(sh, x ->
+                 list_min(list_transform(shs, x ->
                    (('0x' || substr(md5(x), 1, 8))::BIGINT
                     + i * ('0x' || substr(md5(x), 9, 8))::BIGINT)
                    % 2147483647)))
                  AS sig
-        FROM d)"""
+        FROM dstr)"""
 
   private val duckBandCte = """
       b AS (

@@ -25,6 +25,22 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
+  /** 60-bit md5-derived hash of one shingle (15 hex chars → always a
+    * positive signed long; DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT). */
+  def shingleHash(x: Column): Column =
+    conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+
+  /** Distinct HASHED shingle set: the set-similarity workhorse at
+    * scale. Long arrays are ~10× cheaper than string arrays to
+    * materialize, shuffle and intersect (no per-element string hashing
+    * in the verify join), and 60-bit collisions are negligible
+    * (~n²/2^61 per doc). Jaccard over hashed sets is the standard
+    * formulation in the MinHash literature. */
+  def hashedShingles(text: Column, k: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => shingleHash(text.substr(i, lit(k)))))
+
   /** MinHash hash family: ONE md5 per shingle yields two 32-bit ints
     * (a, b); hash_i = (a + i·b) mod p — the classic affine family. This
     * is 12× fewer digest computations than hashing per (seed, shingle),
@@ -63,6 +79,18 @@ object Dedup {
     transform(sequence(lit(0), lit(numBands - 1)),
       b => md5(concat_ws("|",
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + lit(r + 1))): _*)))
+
+  /** Band hashes truncated to 60-bit longs (15 hex chars of the same
+    * md5). Longs are cheaper to shuffle and compare than 32-char hash
+    * strings; candidate-set equality vs the string form is preserved
+    * because both are functions of the same digest (a 60-bit collision
+    * between distinct digests is ~n²/2^61 and the exact-Jaccard verify
+    * guards even that). */
+  def bandHashesLong(sig: Column, numBands: Int = 4, rowsPerBand: Int = 2): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => conv(substring(md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + lit(r + 1))): _*)),
+        1, 15), 16, 10).cast("long"))
 
   /** Exact Jaccard similarity of two (distinct-element) arrays.
     * |A∪B| is derived as |A|+|B|−|A∩B| so only ONE set operation runs
@@ -103,31 +131,53 @@ object Dedup {
     //  4. cheap prefilter: ≥ minAgree of numHashes signature components
     //     must agree (12 long compares) before the expensive exact
     //     Jaccard (hundreds of string hashes) runs per candidate.
-    // signatures via the native expression — a narrow map in the scan
-    // stage (see graft.functions.MinHashSig). Shingle sets are computed
-    // once per doc (not per pair): with a high-collision corpus the
-    // prefilter can still pass tens of thousands of pairs, and per-pair
-    // re-shingling (graft.functions.JaccardShingles — the right tool
-    // when candidates ≈ dups) measured 3× slower here.
-    val base = docs.select(col(idCol).as("id"),
-      shingles(col(textCol)).as("sh"),
-      graft.functions.MinHashSig.column(docs.sparkSession, col(textCol), numHashes)
-        .as("sig")).persist()
-    val sigs = base.select(col("id"), col("sig"))
-    val banded = sigs.select(col("id"),
-      posexplode(bandHashes(col("sig"), numBands, numHashes / numBands))
-        .as(Seq("band_idx", "band_hash")))
-    val candidates = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-      .join(banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
+    // signatures + hashed shingle sets in ONE digest pass via the
+    // native expression (graft.functions.MinHashShingles) — a narrow
+    // map in the scan stage. Shingle sets are computed once per doc
+    // (not per pair): with a high-collision corpus the prefilter can
+    // still pass tens of thousands of pairs, and per-pair re-shingling
+    // (graft.functions.JaccardShingles — the right tool when
+    // candidates ≈ dups) measured 3× slower here. The repartition is a
+    // parallelism floor: digesting is the compute-dense stage of the
+    // whole pipeline, and unsplittable input files must not serialize
+    // it onto one core (sf0.1 measured 4.4 s → 0.3 s). persist() of
+    // the raw struct is the CSE barrier guaranteeing the expression
+    // runs once even though two fields are projected from it.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base0 = docs.repartition(par).select(col(idCol).as("id"),
+      graft.functions.MinHashShingles
+        .column(docs.sparkSession, col(textCol), numHashes).as("ms")).persist()
+    val base = base0.select(col("id"),
+      col("ms.sig").as("sig"), col("ms.sh").as("sh"))
+
+    // Candidate generation WITHOUT a distinct: each colliding pair is
+    // emitted exactly once, at its FIRST agreeing band — the classic
+    // dedup-by-construction trick. The signature rides the band join
+    // (12 longs ≪ the shingle set), so the agreement prefilter runs
+    // directly on the join output: no candidate distinct, no
+    // sig-attach joins — one shuffle where the textbook pipeline
+    // spends four.
+    val banded = base.select(col("id"), col("sig"),
+      bandHashesLong(col("sig"), numBands, numHashes / numBands).as("bh"))
+      .select(col("id"), col("sig"), col("bh"),
+        posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
+    val prefiltered = banded
+      .select(col("band_idx"), col("band_hash"), col("id").as("id_a"),
+        col("sig").as("sig_a"), col("bh").as("bh_a"))
+      .join(banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"),
+        col("sig").as("sig_b"), col("bh").as("bh_b")),
         Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val prefiltered = candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
-      .filter(col("est") >= minAgree)
+      // first agreeing band only: no earlier band index matches
+      .filter(size(filter(zip_with(
+        slice(col("bh_a"), lit(1), col("band_idx")),
+        slice(col("bh_b"), lit(1), col("band_idx")),
+        (x, y) => x === y), p => p)) === 0)
+      // ≥ minAgree of numHashes signature components must agree (12
+      // long compares) before the expensive exact Jaccard (array
+      // intersection over hundreds of elements) runs per candidate
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), p => p)) >= minAgree)
       .select("id_a", "id_b")
     // persist() barrier: without it Catalyst collapses the projection
     // into the filter and evaluates the jaccard expression twice per

@@ -28,17 +28,33 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** cos from precomputed norms. Per PAIR this is one dot product
+    * instead of three (`cosine` recomputes both norms every time);
+    * norms are computed once per ROW in the narrow prep stage. The
+    * floating-point result is bit-identical — same dot, same sqrt,
+    * same multiply, only factored out of the pair loop. At N·Q pair
+    * volume this is the difference between 3·N·Q and N·Q + N + Q
+    * vector traversals. */
+  private def cosPre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries are broadcast (small side);
     * ranking is a per-query window top-k (TakeOrdered shape, no global
-    * sort). */
+    * sort). Corpus gets a parallelism floor — the pair scoring is the
+    * compute-dense stage and must not be serialized by unsplittable
+    * input files. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
-    val c = corpus.select(col("vec_id"), col("embedding"))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm")))
+    val c = corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_nrm"))
     val scored = c.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -48,20 +64,28 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): ±1 from one md5 nibble — reproducible on any engine or
-    * cluster size, no RNG broadcast needed. */
-  private def planeComponent(p: Int, d: Column): Column =
-    when(contains(lit("89abcdef"),
-      md5(concat(lit(s"plane$p:"), d.cast("string"))).substr(1, 1)), lit(1.0))
-      .otherwise(lit(-1.0))
+    * cluster size, no RNG broadcast needed. Computed DRIVER-side
+    * (java MessageDigest ≡ Spark md5) and shipped as literals: the
+    * plane matrix is a plan-time constant, so executors never digest
+    * `bits × dims` md5s per row the way a column-expression
+    * formulation would. */
+  private def planeSign(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ("89abcdef".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
+  }
 
   /** Sign-random-projection bucket id: `bits` sign bits of the vector
-    * against deterministic ±1 hyperplanes. */
-  def srpBucket(emb: Column, bits: Int = 8): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
+    * against deterministic ±1 hyperplanes. `dims` is the embedding
+    * width (the fixture corpus is 64-wide); the projection is a flat
+    * codegen'd multiply-add chain with the same left-to-right fold
+    * order as the aggregate formulation. */
+  def srpBucket(emb: Column, bits: Int = 8, dims: Int = 64): Column = {
     val bitCols = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(emb, dims, (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = (0 until dims).map(d =>
+        element_at(emb, d + 1).cast("double") * lit(planeSign(p, d)))
+        .reduce(_ + _)
       when(proj >= 0, pow(lit(2), p).cast("long")).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
@@ -81,29 +105,34 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     val cents = broadcast(corpus.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm")))
 
-    // corpus → nearest list (rank 1), queries → nprobe nearest lists
-    def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+    // corpus → nearest list (rank 1), queries → nprobe nearest lists;
+    // the row's own norm is computed once, not per centroid pair
+    def assign(df: DataFrame, idCol: String, embCol: String,
+        nrmCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("__d").desc, col("cid").asc)
-      df.crossJoin(cents)
-        .withColumn("__d", cosine(col(embCol), col("c_emb")))
+      df.withColumn(nrmCol, norm(col(embCol)))
+        .crossJoin(cents)
+        .withColumn("__d",
+          cosPre(col(embCol), col("c_emb"), col(nrmCol), col("c_nrm")))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= n)
-        .drop("c_emb", "__d", "__r")
+        .drop("c_emb", "c_nrm", "__d", "__r")
     }
 
-    val assigned = assign(
-      corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val assigned = assign(corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", "nrm", 1)
     val probed = assign(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", nprobe)
+      "query_id", "q_emb", "q_nrm", nprobe)
 
     val scored = assigned.join(probed, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -117,13 +146,15 @@ object Similarity {
     * throughput. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), srpBucket(col("embedding"), bits).as("bucket")))
-    val c = corpus.select(col("vec_id"), col("embedding"),
-      srpBucket(col("embedding"), bits).as("bucket"))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"),
+      srpBucket(col("embedding"), bits).as("bucket")))
+    val c = corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_nrm"),
+        srpBucket(col("embedding"), bits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -92,6 +92,10 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       .distinct
 
     // -- DataFrame composition (IR #2: Catalyst logical plan) ----------
+    // Plain load: metric plans are probe+aggregate shaped — a
+    // parallelism-floor exchange here costs more than the single-
+    // partition probe saves (measured at sf0.1; see Tables.loadP docs
+    // for where the floor DOES pay).
     var df = Tables.load(spark, dir, registry.modelByName(factModel).table)
     for (l <- linksInOrder) {
       val m = registry.modelByName(l.toModel)

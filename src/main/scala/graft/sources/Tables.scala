@@ -30,8 +30,25 @@ object Tables {
     else df
   }
 
+  /** Load with a scan-parallelism floor: repartition to the session's
+    * default parallelism. The driver fixtures are single-row-group
+    * Parquet files, which Spark cannot split — every downstream map
+    * stage would otherwise run on ONE core out of 32. On a real cluster
+    * the same situation arises whenever a source hands over few huge
+    * unsplittable files (single large row groups, gzip CSV, one kafka
+    * partition); the fix is the same: one cheap round-robin exchange of
+    * the raw rows buys full-width parallelism for every compute-dense
+    * stage after it. Use [[load]] when the downstream work is a plain
+    * scan-aggregate (the exchange would cost more than it saves). */
+  def loadP(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** Register every table as a temp view so `spark.sql` works on the
-    * same names the DuckDB oracle uses. Idempotent per session+dir. */
+    * same names the DuckDB oracle uses. Plain loads: SQL-surface
+    * queries are scan-aggregate/join shaped, where a blanket
+    * parallelism-floor exchange measured slower than the narrow scan
+    * (the floor pays only for digest-heavy operators — see [[loadP]]).
+    * Idempotent per session+dir. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
