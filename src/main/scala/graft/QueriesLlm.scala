@@ -513,6 +513,108 @@ object QueriesLlm {
             FROM documents)
       ORDER BY doc_id"""))
 
+  // ------------------------------------------- corpus management ops
+  /** Embedding-cosine near-duplicate pairs (the vector-space member of
+    * the dedup family, next to exact/MinHash/SimHash): SRP buckets →
+    * in-bucket self-join → exact cosine ≥ τ. Oracle replicates the
+    * deterministic md5-derived plane matrix as ±1 literals (generated
+    * by the SAME Scala function the engine uses). */
+  private def duckSrp(embCol: String, bits: Int = 8, dims: Int = 64): String =
+    (0 until bits).map { p =>
+      val terms = (0 until dims).map(d =>
+        s"CAST($embCol[${d + 1}] AS DOUBLE) * (${Similarity.planeSign(p, d)})")
+        .mkString(" + ")
+      s"CASE WHEN ($terms) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", "\n + ", ")")
+
+  private val q56 = Q("q56_embed_neardup",
+    (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.3, bits = 8)
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               ${duckSrp("embedding")} AS bucket,
+               sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                 AS nrm
+        FROM embeddings)
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.3 ORDER BY id_a, id_b"""))
+
+  /** Near-dup PAIRS resolved into duplicate CLUSTERS (connected
+    * components, min-id label) — the step between pair detection and
+    * keeper selection in a real dedup pipeline. Oracle: recursive-CTE
+    * transitive closure over the same verified pair list. */
+  private val q57 = Q("q57_dup_clusters",
+    (s, dir) => graft.llm.Corpus.dupClusters(
+      Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+                UNION ALL SELECT id_b, id_a FROM p2),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+      SELECT id AS doc_id, MIN(r) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  /** Deterministic leakage-safe train/val/test split: membership is a
+    * pure function of the document key (md5 bucket), invariant under
+    * re-runs, resharding and cluster size. */
+  private val q58 = Q("q58_hash_split",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.llm.Corpus.split(col("doc_id")).as("split"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** Deterministic stratified sample: smallest-md5 10% per language —
+    * reproducible sampling with no RNG state shipped to executors. */
+  private val q59 = Q("q59_stratified_sample",
+    (s, dir) => graft.llm.Corpus.stratifiedSample(
+      t(s, dir, "documents"), "lang", "doc_id", 0.1)
+      .select(col("doc_id"), col("lang")).orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      WHERE rk <= ceil(n * 0.1) ORDER BY doc_id"""))
+
+  /** PII scrub: emails/URLs/long digit runs → typed placeholders
+    * (applied in a fixed order so both engines rewrite identically). */
+  private val q60 = Q("q60_pii_redact",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.llm.Corpus.redactPii(col("text")).as("redacted"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[0-9]{4,}', '<NUM>', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52)
+    q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
+    q56, q57, q58, q59, q60)
 }

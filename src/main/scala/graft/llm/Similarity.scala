@@ -69,7 +69,7 @@ object Similarity {
     * plane matrix is a plan-time constant, so executors never digest
     * `bits × dims` md5s per row the way a column-expression
     * formulation would. */
-  private def planeSign(p: Int, d: Int): Double = {
+  def planeSign(p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane$p:$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -138,6 +138,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucket the corpus
+    * (`bits` sign bits → 2^bits buckets), self-join within buckets
+    * only, verify with exact cosine ≥ `threshold`. The bucket join is
+    * the ONLY shuffle and carries (id, embedding, norm) — candidate
+    * volume is Σ bucket² instead of corpus², which is what makes a
+    * cosine-threshold dedup feasible at 100 TB (recall follows the SRP
+    * collision curve: P[same bucket] = (1 − θ/π)^bits for angle θ —
+    * raise recall with fewer bits or multi-probe, tighten candidates
+    * with more bits). Fully deterministic (md5-derived planes, fixed
+    * fold order) → DuckDB-oracle-checkable. */
+  def nearDupPairs(vectors: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val c = vectors.repartition(par(vectors))
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        norm(col(embCol)).as("nrm"), srpBucket(col(embCol), bits).as("bucket"))
+    c.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"))
+      .join(c.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Survivors after embedding-cosine dedup: greedy min-id keeper over
+    * [[nearDupPairs]] (same contract as Dedup.lshSurvivors). */
+  def nearDupSurvivors(vectors: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val dead = nearDupPairs(vectors, idCol, embCol, threshold, bits)
+      .select(col("id_b").as("drop_id")).distinct()
+    vectors.join(dead, vectors(idCol) === dead("drop_id"), "left_anti")
+      .select(col(idCol))
   }
 
   /** ANN top-k: candidates restricted to the query's SRP bucket, then

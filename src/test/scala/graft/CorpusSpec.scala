@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Corpus, Dedup, Similarity}
+import graft.sources.Tables
+
+/** Corpus-management operators: deterministic split, stratified
+  * sampling, PII redaction, duplicate clustering, embedding near-dup. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  test("hash split: deterministic, total, and roughly 80/10/10") {
+    val docs = Tables.load(spark, dir, "documents")
+    val splits = docs.select(col("doc_id"), Corpus.split(col("doc_id")).as("s"))
+    val counts = splits.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > n * 6 / 10, counts.toString) // loose at small n
+    // determinism: second evaluation assigns identically
+    val again = docs.select(col("doc_id"), Corpus.split(col("doc_id")).as("s"))
+    assert(splits.except(again).isEmpty && again.except(splits).isEmpty)
+  }
+
+  test("stratified sample: ~frac per stratum, deterministic, subset") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sampled = Corpus.stratifiedSample(docs, "lang", "doc_id", 0.2)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- perLang)
+      assert(sampLang(lang) == math.ceil(n * 0.2).toLong, s"$lang: $sampLang vs $n")
+    assert(sampled.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+  }
+
+  test("pii redaction replaces emails, urls and digit runs") {
+    val out = Seq(
+      "mail me at a.b@example.com or see https://x.io/path?q=1 ref 123456")
+      .toDF("text").select(Corpus.redactPii(col("text")).as("r"))
+      .head().getString(0)
+    assert(out == "mail me at <EMAIL> or see <URL> ref <NUM>", out)
+  }
+
+  test("dupClusters: connected components with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Corpus.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dupClusters over lshPairs covers exactly the paired doc ids") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text").select("id_a", "id_b")
+    val clustered = Corpus.dupClusters(pairs)
+    val pairIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    assert(clustered.count() == pairIds.count())
+    // every cluster label is a member of its own cluster
+    val labels = clustered.select(col("cluster_id")).distinct()
+    assert(labels.join(clustered.select(col("id").as("cluster_id")).distinct(),
+      Seq("cluster_id"), "left_anti").isEmpty)
+  }
+
+  test("embedding near-dup pairs: symmetric-free, above threshold, deterministic") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.2, bits = 4)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.2))
+  }
+}
