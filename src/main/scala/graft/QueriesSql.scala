@@ -275,6 +275,32 @@ object QueriesSql {
       FROM l ASOF JOIN m ON l.user_id = m.m_user AND l.ts >= m.m_ts
       ORDER BY l.event_id"""))
 
+  /** The SAME point-in-time semantics through the native operator tier
+    * (graft.plans.AsOfJoinNative: custom LogicalPlan + SparkStrategy +
+    * merge SparkPlan) — one key shuffle per side, single forward merge
+    * pass, O(1) buffered state per partition. Oracle identical in
+    * shape to q43's (DuckDB native ASOF JOIN). */
+  private val q61 = Q("q61_asof_native",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val markers = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("m_user"), col("ts").as("m_ts"))
+        .agg(max(col("event_id")).as("marker_id"))
+      val left = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinNative.asOf(left, "user_id", "ts",
+        markers, "m_user", "m_ts", Seq("marker_id"))
+        .select(col("event_id"), col("user_id"), col("marker_id"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH m AS (SELECT user_id AS m_user, ts AS m_ts, max(event_id) AS marker_id
+                 FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error')
+      SELECT l.event_id, l.user_id, m.marker_id
+      FROM l ASOF JOIN m ON l.user_id = m.m_user AND l.ts >= m.m_ts
+      ORDER BY l.event_id"""))
+
   /** Math scalar family — restricted to operations with IEEE-defined
     * exact results (sqrt, abs, ceil/floor, sign, modulo, multiply).
     * Deliberately excluded from oracle checking: exp/ln/pow (libm
@@ -415,5 +441,5 @@ object QueriesSql {
       ORDER BY event_id"""
 
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
-    q45, q47, q48, q49, q50, q53, q54, q55)
+    q45, q47, q48, q49, q50, q53, q54, q55, q61)
 }
