@@ -440,6 +440,143 @@ object QueriesSql {
       FROM events
       ORDER BY event_id"""
 
+  /** Rank-family window functions (complements q9's
+    * row_number/lag/running-sum): rank, dense_rank, ntile,
+    * percent_rank, cume_dist, first_value — all on one unique-ordered
+    * window (event_id tie-break → every rank deterministic), one
+    * shuffle. Value-function frame pinned explicitly (full partition)
+    * so both engines agree. */
+  private val q62Sql = """
+      SELECT event_id, user_id,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS prank,
+             cume_dist() OVER w AS cdist,
+             first_value(event_id) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""
+  private val q62 = Q("q62_window_ranks",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(q62Sql)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .withColumn("drnk", col("drnk").cast("long"))
+        .withColumn("quartile", col("quartile").cast("long"))
+        .orderBy("event_id")
+    },
+    Some(q62Sql))
+
+  /** Full CUBE over two dimensions with GROUPING level labels (the
+    * remaining member of the grouping-sets family next to q8's ROLLUP
+    * and q16's per-dim sets). Level-first ordering keeps NULL
+    * grouping placeholders out of the sort comparison (Spark NULLS
+    * FIRST vs DuckDB NULLS LAST). */
+  private val q63 = Q("q63_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("lvl"))
+      .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+             ${dsumSql("l_quantity", 2)} AS sum_qty,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                  AS INTEGER) AS lvl
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY lvl, l_returnflag, l_linestatus"""))
+
+  /** Array scalar family over tokenized text: size, sorted slice,
+    * distinct count, membership — the list-manipulation surface a
+    * document pipeline leans on (Spark arrays ≡ DuckDB lists; 1-based
+    * slicing on both). */
+  private val q64 = Q("q64_array_ops",
+    (s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        array_join(slice(sort_array(toks), 1, 5), ",").as("first5_sorted"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        array_contains(toks, "the").as("has_the"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             array_to_string(list_sort(toks)[1:5], ',') AS first5_sorted,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             list_contains(toks, 'the') AS has_the,
+             toks[1] AS first_tok,
+             toks[-1] AS last_tok
+      FROM (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Arg-min/arg-max aggregation (min_by/max_by ≡ DuckDB
+    * arg_min/arg_max): latest/earliest attribute per group in ONE hash
+    * aggregate — the scalable replacement for the self-join-on-max or
+    * window-filter formulations. Ordering key (event_id) unique →
+    * deterministic. */
+  private val q65 = Q("q65_arg_minmax",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max(col("event_id")).as("last_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id"),
+    Some("""
+      SELECT user_id,
+             arg_max(event_type, event_id) AS last_type,
+             arg_min(event_type, event_id) AS first_type,
+             MAX(event_id) AS last_id,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Interval (range) join via the bucketized operator
+    * (graft.operators.RangeJoin): each error event opens a 1-hour
+    * window; non-error events of the same user inside the window
+    * attach to it. The oracle is the plain BETWEEN join — the
+    * bucketization must be semantically invisible. */
+  private val q66 = Q("q66_range_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          unix_timestamp(col("ts")).as("w_start"))
+        .withColumn("w_end", col("w_start") + 3600)
+      val nonerr = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("tsec"))
+      graft.operators.RangeJoin.intervalJoin(
+        nonerr, "user_id", "tsec",
+        errors, "err_user", "w_start", "w_end",
+        Seq("err_id"), bucketWidthSec = 3600)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("last_event"))
+        .orderBy("err_id")
+    },
+    Some("""
+      WITH err AS (SELECT event_id AS err_id, user_id,
+                          epoch(ts)::BIGINT AS st
+                   FROM events WHERE event_type = 'error'),
+      ne AS (SELECT event_id, user_id, epoch(ts)::BIGINT AS t
+             FROM events WHERE event_type <> 'error')
+      SELECT err_id, COUNT(*) AS n_events, MAX(event_id) AS last_event
+      FROM err JOIN ne ON ne.user_id = err.user_id
+                      AND ne.t >= err.st AND ne.t <= err.st + 3600
+      GROUP BY err_id ORDER BY err_id"""))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
-    q45, q47, q48, q49, q50, q53, q54, q55, q61)
+    q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66)
 }
