@@ -65,7 +65,37 @@ object Corpus {
     * primitives). Input: (id_a, id_b) pairs; output: (id, cluster_id)
     * where cluster_id = min id of the component — deterministic, so a
     * DuckDB recursive-CTE oracle checks it exactly. */
-  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      localThreshold: Long = 1L << 20): DataFrame = {
+    // Small-graph fast path: below the threshold the edge list is
+    // collected and solved with union-find on the driver — the same
+    // size-gated driver materialization Spark itself performs for
+    // broadcast joins, and it collapses an O(diameter)-round job loop
+    // into one job. Near-dup edge lists are pair-verified output, so
+    // at 100 TB they are orders of magnitude smaller than the corpus;
+    // graphs beyond the threshold take the distributed loop below.
+    val pairRows = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+    if (pairRows.count() <= localThreshold) {
+      val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins → deterministic labels
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
+    }
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist()

@@ -54,6 +54,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("dupClusters distributed path agrees with the union-find fast path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 9L), (4L, 9L))
+      .toDF("id_a", "id_b")
+    val local = Corpus.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Corpus.dupClusters(pairs, localThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"$local vs $dist")
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
   test("dupClusters over lshPairs covers exactly the paired doc ids") {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = Dedup.lshPairs(docs, "doc_id", "text").select("id_a", "id_b")
