@@ -577,6 +577,54 @@ object QueriesSql {
                       AND ne.t >= err.st AND ne.t <= err.st + 3600
       GROUP BY err_id ORDER BY err_id"""))
 
+  /** Bag-semantics set operations (ALL variants — the multiset
+    * complement of q10's DISTINCT trio): INTERSECT ALL / EXCEPT ALL
+    * plan as Catalyst's count-based rewrites; exercised on order
+    * priorities so duplicates actually matter. */
+  private val q67 = Q("q67_setops_all",
+    (s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_orderpriority"))
+      val ur = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority"))
+      hi.intersectAll(ur).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).select(lit("intersect_all").as("op"),
+          col("o_orderpriority"), col("n"))
+        .unionAll(hi.exceptAll(ur).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n")).select(lit("except_all").as("op"),
+            col("o_orderpriority"), col("n")))
+        .orderBy("op", "o_orderpriority")
+    },
+    Some("""
+      WITH hi AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000),
+      ur AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+      SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n
+      FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM ur) GROUP BY 2
+      UNION ALL
+      SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n
+      FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM ur) GROUP BY 2
+      ORDER BY op, o_orderpriority"""))
+
+  /** Regex group extraction + match counting (the structured-scrape
+    * member of the text family): pull the customer number and segment
+    * prefix out with capture groups. */
+  private val q68 = Q("q68_regexp_extract",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("cust_digits"),
+        regexp_extract(col("c_mktsegment"), "^([A-Z]{3})", 1).as("seg3"),
+        size(regexp_extract_all(lower(col("c_mktsegment")), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("n_vowel_runs"))
+      .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             regexp_extract(c_name, 'Customer#(\d+)', 1) AS cust_digits,
+             regexp_extract(c_mktsegment, '^([A-Z]{3})', 1) AS seg3,
+             CAST(len(regexp_extract_all(lower(c_mktsegment), '[aeiou]+')) AS BIGINT)
+               AS n_vowel_runs
+      FROM customer ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
-    q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66)
+    q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
+    q67, q68)
 }

@@ -71,6 +71,29 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Event-time SESSION windows (gap-based, the streaming twin of the
+    * batch sessionization in q38): a session closes after `gap` of
+    * user inactivity; the watermark bounds open-session state. Spark's
+    * session_window merges adjacent windows inside the state store —
+    * no per-event shuffle amplification. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Stream-static enrichment: the streaming fact joined to a static
+    * dimension snapshot. The static side is planned per micro-batch
+    * (broadcast when small), so dimension updates between batches are
+    * picked up — the standard shape for slowly-changing dims at
+    * streaming time; no state is kept for the join. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming dedup with BOUNDED state: duplicates arriving within the
     * watermark horizon are dropped and state older than the watermark is
     * evicted — the 100 TB answer to "dedup forever" (exact state within

@@ -72,6 +72,55 @@ class StreamingSpec extends AnyFunSuite {
       Seq("window_start", "event_type", "n_events", "sum_value"))
   }
 
+  test("session windows: gap-separated activity closes into sessions") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-sess").toString
+    // one user, two bursts separated by > 30 min, plus a second user;
+    // a far-future row advances the watermark so sessions emit in
+    // append mode
+    val t0 = 1700000000L
+    (Seq((1L, t0, 1.0), (1L, t0 + 60, 2.0),        // session A (2 events)
+      (1L, t0 + 7200, 4.0),                        // session B (1 event)
+      (2L, t0 + 30, 8.0),                          // user 2    (1 event)
+      (99L, t0 + 999999, 0.0))                     // watermark pusher
+      .map { case (u, ts, v) => (u, new java.sql.Timestamp(ts * 1000), v) })
+      .toDF("user_id", "ts", "value")
+      .write.parquet(s"$base/ev")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$base/ev").schema).parquet(s"$base/ev")
+    val q = StreamingPipeline.sessionWindowAgg(streamed)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out")
+      .filter(col("user_id") < 99)
+      .select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)), got.toString)
+  }
+
+  test("stream-static enrichment joins each micro-batch to the dim snapshot") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-enrich").toString
+    graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
+      .limit(200).write.parquet(s"$base/ev")
+    val dim = Seq(("click", "ui"), ("error", "ops"), ("purchase", "rev"))
+      .toDF("event_type", "team")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$base/ev").schema).parquet(s"$base/ev")
+    val q = StreamingPipeline.enrichWithDim(streamed, dim, "event_type")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("enrich_out")
+    assert(out.count() == 200)
+    // left semantics: every streamed row survives; known types get a team
+    assert(out.filter(col("event_type") === "error")
+      .select("team").distinct().collect().map(_.getString(0)).toSeq == Seq("ops"))
+  }
+
   test("streaming dedup within watermark drops in-horizon duplicates") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream3").toString
