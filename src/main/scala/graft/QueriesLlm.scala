@@ -614,7 +614,53 @@ object QueriesLlm {
                '[0-9]{4,}', '<NUM>', 'g') AS redacted
       FROM documents ORDER BY doc_id"""))
 
+  /** TF-IDF top terms per document: tf and df stay integers in the
+    * output (ln() is not bit-portable across libm builds), ranking by
+    * (tf desc, df asc, term) — "frequent here, rare everywhere" —
+    * which is order-equivalent to tf·idf for fixed tf and strictly
+    * portable. df comes from the FULL corpus; output restricted to
+    * the first 50 docs to keep the gate result bounded. */
+  private val q69 = Q("q69_tfidf",
+    (s, dir) => {
+      val scored = TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      scored.filter(col("doc_id") < 50)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS term
+                    FROM documents),
+      tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tc GROUP BY 1)
+      SELECT doc_id, rank, term, tf, df FROM (
+        SELECT tc.doc_id, tc.term, tf, df,
+               row_number() OVER (PARTITION BY tc.doc_id
+                 ORDER BY tf DESC, df ASC, tc.term ASC) AS rank
+        FROM tc JOIN dfq USING (term)
+        WHERE tc.doc_id < 50)
+      WHERE rank <= 5 ORDER BY doc_id, rank"""))
+
+  /** Corpus bigram top-k (language-model data-prep staple): index-zip
+    * of consecutive tokens, one count aggregate, distributed top-k. */
+  private val q70 = Q("q70_bigrams",
+    (s, dir) => TextAnalysis.bigramCounts(t(s, dir, "documents"), "text")
+      .orderBy(col("n").desc, col("bigram").asc).limit(20),
+    Some("""
+      WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+      bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+             FROM toks)
+      SELECT bigram, COUNT(*) AS n FROM bg
+      GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60)
+    q56, q57, q58, q59, q60, q69, q70)
 }

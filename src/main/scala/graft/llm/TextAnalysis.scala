@@ -74,4 +74,36 @@ object TextAnalysis {
     * (md5 so any engine reproduces it — never engine-local hashes). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** TF-IDF per (doc, term): tf = in-doc occurrences, idf = ln(N/df).
+    * Two shuffles total — one explode→(doc, term) count, one term df
+    * aggregate joined back (the df table is |vocab|-sized → broadcast
+    * at any corpus scale with a bounded vocabulary). ln() is exact-
+    * enough for ranking but NOT bit-portable across libm builds, so
+    * oracle-checked outputs keep tf/df integers and derive the score
+    * in the verification SQL identically. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val termCounts = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = termCounts.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    termCounts.join(broadcast(df), Seq("term"))
+      .withColumn("n_docs", lit(n))
+  }
+
+  /** Corpus bigram counts: consecutive token pairs via an index zip —
+    * a narrow map + one count aggregate (the language-model data-prep
+    * staple). */
+  def bigramCounts(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(explode(
+      zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+  }
 }

@@ -127,6 +127,26 @@ class LlmSpec extends AnyFunSuite {
     assert(got(1L) == "en"); assert(got(2L) == "de"); assert(got(3L) == "und")
   }
 
+  test("tfidf: tf counts in-doc occurrences, df counts docs with the term") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "n_docs").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((1L, "a")) == ((2L, 2L, 2L)))
+    assert(got((1L, "b")) == ((1L, 1L, 2L)))
+    assert(got((2L, "c")) == ((1L, 1L, 2L)))
+  }
+
+  test("bigrams: consecutive pairs only, single-token docs contribute none") {
+    import spark.implicits._
+    val docs = Seq(("x y z"), ("x y"), ("solo")).toDF("text")
+    val got = TextAnalysis.bigramCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x y" -> 2L, "y z" -> 1L))
+  }
+
   test("text stats: token count and ratios on a known string") {
     import spark.implicits._
     val d = Seq((1L, "The quick, brown fox!")).toDF("doc_id", "text")
