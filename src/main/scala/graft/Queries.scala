@@ -364,10 +364,22 @@ object Queries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY dim_name, dim_value")
     })
 
+  /** Derived (ratio) metric through the planner: `avg_order_value =
+    * revenue / order_count`, inputs aggregated once, the ratio derived
+    * on the aggregated frame (MetricFlow derived-metric surface). The
+    * oracle is the planner's own rendered single-SELECT SQL with the
+    * inputs substituted inline. */
+  private val q71Req = MetricQueryRequest(
+    metrics = Seq("avg_order_value", "revenue"),
+    groupBy = Seq("o_orderpriority"))
+  private val q71 = Q("q71_derived_metric",
+    (s, dir) => planner.compile(s, dir, q71Req).df,
+    Some(planner.renderSql(q71Req, withDescriptions = false)))
+
   // =====================================================================
 
   val all: Seq[Q] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16) ++
+    Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16, q71) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

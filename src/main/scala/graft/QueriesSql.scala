@@ -624,7 +624,59 @@ object QueriesSql {
                AS n_vowel_runs
       FROM customer ORDER BY c_custkey"""))
 
+  /** Hot-key-safe salted aggregation (operators.SkewJoin): the
+    * two-phase decimal sum must be bit-identical to the single-phase
+    * oracle aggregate regardless of salt scatter — the skew toolkit's
+    * correctness contract, oracle-enforced. */
+  private val q72 = Q("q72_salted_agg",
+    (s, dir) => graft.operators.SkewJoin.saltedDecimalSum(
+      t(s, dir, "events"), "user_id", "value", col("event_id"), factor = 8)
+      .orderBy("user_id"),
+    Some(s"""
+      SELECT user_id, ${dsumSql("value", 2)} AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** TPC-H Q3 shape (shipping priority): three-way fact join with
+    * per-side date filters, revenue top-10 — the canonical multi-join
+    * analytics query, identical SQL text on both engines. */
+  private val q73Sql = s"""
+      SELECT l_orderkey,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             CAST(o_orderdate AS DATE) AS order_date
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+  private val q73 = Q("q73_tpch_q3_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q73Sql) },
+    Some(q73Sql))
+
+  /** TPC-H Q5 shape (local supplier volume): six-way star with the
+    * local-supplier correlation (customer and supplier in the SAME
+    * nation), grouped by nation. */
+  private val q74Sql = s"""
+      SELECT n_name,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""
+  private val q74 = Q("q74_tpch_q5_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q74Sql) },
+    Some(q74Sql))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
-    q67, q68)
+    q67, q68, q72, q73, q74)
 }

@@ -45,6 +45,17 @@ final case class Metric(
     timeDim: Option[String] = None,
     description: String = "")
 
+/** A metric defined over OTHER metrics (MetricFlow's derived/ratio
+  * metrics): `exprSql` references the input metric names as columns
+  * (e.g. `revenue / order_count`). Inputs must share a fact model; the
+  * planner aggregates the inputs once and derives this column on the
+  * aggregated frame — never a second pass over the fact. */
+final case class DerivedMetric(
+    name: String,
+    inputs: Seq[String],
+    exprSql: String,
+    description: String = "")
+
 /** Declarative metric query request — field-for-field mirror of the
   * reference's MetricFlowQueryRequest (dbt_query.py:77-86).
   * `orderBy` uses the MetricFlow `-name` = descending convention
@@ -63,10 +74,22 @@ final class SemanticRegistry(
     val models: Seq[SemanticModel],
     val links: Seq[JoinLink],
     val metrics: Seq[Metric],
-    val savedQueries: Map[String, MetricQueryRequest] = Map.empty) {
+    val savedQueries: Map[String, MetricQueryRequest] = Map.empty,
+    val derivedMetrics: Seq[DerivedMetric] = Nil) {
 
   val modelByName: Map[String, SemanticModel] = models.map(m => m.name -> m).toMap
   val metricByName: Map[String, Metric] = metrics.map(m => m.name -> m).toMap
+  val derivedByName: Map[String, DerivedMetric] =
+    derivedMetrics.map(m => m.name -> m).toMap
+
+  def isDerived(name: String): Boolean = derivedByName.contains(name)
+
+  /** Requested metric names → the base metrics that must be aggregated
+    * (inputs of derived metrics expanded, order-stable, distinct). */
+  def baseMetricsFor(requested: Seq[String]): Seq[String] =
+    requested.flatMap { n =>
+      derivedByName.get(n).map(_.inputs).getOrElse(Seq(n))
+    }.distinct
 
   /** dimension name -> owning model. The reference assumes dimension
     * names are unique across semantic models (comment at
@@ -192,5 +215,11 @@ object DefaultRegistry {
         groupBy = Seq("o_orderdate__month"),
         where = Some("o_orderpriority IN ('1-URGENT','2-HIGH')"),
         startTime = Some("1995-01-01"), endTime = Some("1996-12-31"),
-        orderBy = Seq("-revenue"), limit = Some(10))))
+        orderBy = Seq("-revenue"), limit = Some(10))),
+    derivedMetrics = Seq(
+      // ratio metric: both inputs exact by construction (decimal sum /
+      // exact distinct count), one IEEE division at the end — portable
+      DerivedMetric("avg_order_value", Seq("revenue", "order_count"),
+        "revenue / order_count",
+        description = "revenue per distinct order (ratio metric)")))
 }

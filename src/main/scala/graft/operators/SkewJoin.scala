@@ -41,4 +41,17 @@ object SkewJoin {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  /** Salted two-phase sum in the EXACT-decimal pattern: partials and
+    * final accumulate in decimal, so the result is bit-identical to
+    * the single-phase aggregate no matter how the salt scatters rows —
+    * the hot-key-safe shape that still hash-matches an oracle. */
+  def saltedDecimalSum(df: DataFrame, key: String, valueCol: String,
+      saltFrom: Column, factor: Int, scale: Int = 2): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltFrom), lit(factor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol).cast(
+        org.apache.spark.sql.types.DecimalType(30, scale))).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).cast("double").as(s"sum_$valueCol"))
 }

@@ -75,7 +75,11 @@ final class MetricPlanner(val registry: SemanticRegistry) {
   def compile(spark: SparkSession, dir: String, req0: MetricQueryRequest): CompiledMetricQuery = {
     val req = resolve(req0)
     require(req.metrics.nonEmpty, "at least one metric required")
-    val ms = req.metrics.map(registry.metric)
+    // derived (ratio) metrics expand to their base inputs for the
+    // aggregate; the derived columns are computed ON the aggregated
+    // frame — one pass over the fact regardless
+    val baseNames = registry.baseMetricsFor(req.metrics)
+    val ms = baseNames.map(registry.metric)
     val factModel = ms.head.model
     require(ms.forall(_.model == factModel), "all metrics must share a fact model")
 
@@ -126,6 +130,14 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       if (groupCols.nonEmpty) df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
 
+    // derive ratio metrics on the aggregated frame, then keep only the
+    // requested metric columns (inputs pulled in solely for a derived
+    // metric don't leak into the output)
+    for (name <- req.metrics if registry.isDerived(name))
+      df = df.withColumn(name, expr(registry.derivedByName(name).exprSql))
+    df = df.select((groupBys.map { case (d, g) => outName(d, g) } ++
+      req.metrics).map(df.col): _*)
+
     // deterministic order: requested keys first, then all group keys as
     // tie-breakers so the output order is total (oracle-hash stable)
     val orderCols: Seq[Column] = (req.orderBy.map { o =>
@@ -144,7 +156,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     * dbt_query.py:36-40,100-104). */
   def renderSql(req0: MetricQueryRequest, withDescriptions: Boolean): String = {
     val req = resolve(req0)
-    val ms = req.metrics.map(registry.metric)
+    val ms = registry.baseMetricsFor(req.metrics).map(registry.metric)
     val factModel = ms.head.model
     val groupBys = req.groupBy.map(parseGroupBy)
     val needed: Seq[String] =
@@ -155,10 +167,25 @@ final class MetricPlanner(val registry: SemanticRegistry) {
 
     def desc(s: String): String = if (withDescriptions) s"  -- $s" else ""
 
+    // a derived metric renders as its expression with each input name
+    // substituted by that input's aggregate SQL — the query stays a
+    // single SELECT, portable to both engines
+    def metricSql(name: String): String = registry.derivedByName.get(name) match {
+      case Some(dm) =>
+        dm.inputs.foldLeft(dm.exprSql) { (e, in) =>
+          e.replaceAll("\\b" + java.util.regex.Pattern.quote(in) + "\\b",
+            s"(${registry.metric(in).aggSql})")
+        }
+      case None => registry.metric(name).aggSql
+    }
+    def metricDesc(name: String): String = {
+      val d = registry.derivedByName.get(name).map(_.description)
+        .getOrElse(registry.metric(name).description)
+      if (withDescriptions && d.nonEmpty) s"  -- $d" else ""
+    }
     val selectItems =
       groupBys.map { case (d, g) => s"${dimExpr(d, g)} AS ${outName(d, g)}" } ++
-      ms.map(m => s"${m.aggSql} AS ${m.name}" +
-        (if (withDescriptions && m.description.nonEmpty) s"  -- ${m.description}" else ""))
+      req.metrics.map(n => s"${metricSql(n)} AS $n" + metricDesc(n))
 
     val timeDim = ms.head.timeDim.map(registry.dimensionByName)
     val timeFilter =

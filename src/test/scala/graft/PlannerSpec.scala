@@ -41,7 +41,12 @@ class PlannerSpec extends AnyFunSuite {
       MetricQueryRequest(metrics = Seq("revenue", "order_count"),
         groupBy = Seq("r_name", "n_name"), orderBy = Seq("-revenue")),
       MetricQueryRequest(metrics = Seq("total_qty"), groupBy = Seq("p_brand"),
-        where = Some("p_type LIKE '%BRASS%'")))) {
+        where = Some("p_type LIKE '%BRASS%'")),
+      // derived ratio metric, alone and next to a base input
+      MetricQueryRequest(metrics = Seq("avg_order_value"),
+        groupBy = Seq("o_orderpriority")),
+      MetricQueryRequest(metrics = Seq("avg_order_value", "revenue"),
+        groupBy = Seq("l_returnflag")))) {
       val c = planner.compile(spark, dir, req)
       val viaSql = spark.sql(c.sql).collect().map(_.toString)
       val viaDf = c.df.collect().map(_.toString)
@@ -105,6 +110,18 @@ class PlannerSpec extends AnyFunSuite {
     assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
     // events is its own island in the join graph — no star joins rendered
     assert(!c.sql.contains("JOIN"))
+  }
+
+  test("derived metric: ratio equals inputs' quotient, inputs don't leak") {
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("avg_order_value"), groupBy = Seq("o_orderpriority")))
+    assert(c.df.columns.toSeq == Seq("o_orderpriority", "avg_order_value"))
+    val full = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue", "order_count", "avg_order_value"),
+      groupBy = Seq("o_orderpriority"))).df.collect()
+    full.foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(1) / r.getLong(2), r.toString)
+    }
   }
 
   test("small dims are planned as broadcast joins") {
