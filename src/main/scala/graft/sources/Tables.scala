@@ -43,6 +43,32 @@ object Tables {
   def loadP(spark: SparkSession, dir: String, name: String): DataFrame =
     load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
+  /** CSV source with an explicit schema (header row, RFC quoting).
+    * Schema is REQUIRED, not inferred: inference reads the data twice
+    * and guesses — a 100 TB ingest declares its contract up front.
+    * PERMISSIVE mode + a corrupt-record column quarantines bad lines
+    * instead of failing the batch. */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** JSON-lines source with an explicit schema — the reference's
+    * ingestion shape (sparse JSON-RPC dicts, omni_rpc_client.py:100-114):
+    * absent keys become nulls, unknown keys are ignored, corrupt lines
+    * are quarantined. */
+  def loadJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Register every table as a temp view so `spark.sql` works on the
     * same names the DuckDB oracle uses. Plain loads: SQL-surface
     * queries are scan-aggregate/join shaped, where a blanket
