@@ -103,6 +103,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.split("Exchange hashpartitioning\\(__k").length - 1 == 1)
   }
 
+  test("q66 range join: bucketized equi-join, no nested-loop or cartesian") {
+    val plan = physical("q66_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("q56 embedding near-dup: the two self-join sides reuse one exchange") {
+    val df = Queries.all.find(_.name == "q56_embed_neardup").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange") || plan.contains("ShuffleQueryStage"),
+      plan.take(3000))
+  }
+
   test("q23 lsh: band join shuffles keys only (no shingle arrays in join)") {
     val df = Queries.all.find(_.name == "q23_lsh_pairs").get.run(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString
