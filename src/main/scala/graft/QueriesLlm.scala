@@ -362,6 +362,22 @@ object QueriesLlm {
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** IVF with a TRAINED index: deterministic Lloyd's k-means centroids
+    * (2 iterations) instead of q44's seed vectors — the same probe
+    * plan over a better space partition. Rows-only (k-means means are
+    * shuffle-order-dependent doubles); recall vs the exact baseline is
+    * asserted in ScalaTest. */
+  private val q75 = Q("q75_ivf_kmeans",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        nlist = 16, nprobe = 2, centroids = Some(cents))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** ANN via sign-random-projection buckets — scale path, recall < 1 by
     * design; no SQL oracle (rows-only check), validated against the
     * brute-force baseline in ScalaTest. */
@@ -662,5 +678,5 @@ object QueriesLlm {
 
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60, q69, q70)
+    q56, q57, q58, q59, q60, q69, q70, q75)
 }

@@ -102,11 +102,47 @@ object Similarity {
     * corpus/nlist × nprobe per query instead of the whole corpus.
     * Determinism: distances tie-break on centroid id; all math is
     * fixed-order double folds, so the DuckDB oracle matches exactly. */
+  /** Deterministic Lloyd's k-means over the embedding column: seeds =
+    * first `k` corpus vectors (stable), each iteration assigns every
+    * vector to its nearest centroid (cosine, centroid-id tie-break)
+    * and recomputes centroids as element-wise means. One broadcast +
+    * one narrow assignment map + one k-sized aggregate per iteration —
+    * the classic scalable shape (never an n×n distance matrix). Lists
+    * that lose all members drop out (k shrinks rather than producing
+    * empty lists). Returns (cid, c_emb double-array). */
+  def kmeansCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 2,
+      dims: Int = 64): DataFrame = {
+    var cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+    for (_ <- 1 to iters) {
+      val c = broadcast(cents.select(col("cid"), col("c_emb"),
+        norm(col("c_emb")).as("c_nrm")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__d").desc, col("cid").asc)
+      val assigned = corpus.repartition(par(corpus))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        .crossJoin(c)
+        .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+      cents = assigned.groupBy(col("cid"))
+        .agg(array((0 until dims).map(i =>
+          avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c_emb"))
+    }
+    cents
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-        norm(col("embedding")).as("c_nrm")))
+      nlist: Int = 16, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // training-free default: the first `nlist` corpus vectors seed the
+    // lists; pass kmeansCentroids(...) output for a trained index —
+    // the query plan below is identical either way
+    val cents = broadcast(centroids.getOrElse(
+      corpus.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
 
     // corpus → nearest list (rank 1), queries → nprobe nearest lists;
     // the row's own norm is computed once, not per centroid pair

@@ -116,6 +116,19 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans-trained IVF: k rows per query and nonzero recall vs exact") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nlist = 8, nprobe = 3,
+      centroids = Some(cents)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("langId picks the marked language deterministically") {
     import spark.implicits._
     val d = Seq(
