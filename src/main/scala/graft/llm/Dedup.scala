@@ -190,6 +190,72 @@ object Dedup {
     scored.filter(col("jaccard") >= threshold)
   }
 
+  /** Signature table for INCREMENTAL dedup: (id, sig, sh, bh) per doc —
+    * the artifact a production pipeline persists (bucketed by band
+    * hash) so each ingest batch joins against it instead of
+    * re-dedupling the whole corpus. */
+  def signatureTable(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 12, numBands: Int = 4): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par).select(col(idCol).as("id"),
+      graft.functions.MinHashShingles
+        .column(docs.sparkSession, col(textCol), numHashes).as("ms"))
+      .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("sh"))
+      .withColumn("bh", bandHashesLong(col("sig"), numBands, numHashes / numBands))
+  }
+
+  /** Incremental near-dup pairs: verified pairs that involve at least
+    * one NEW document — new×existing and new×new, never
+    * existing×existing (that work was done when those docs arrived).
+    * Per batch the band join probes only the new docs' band keys, so
+    * cost scales with BATCH size against corpus index size, not
+    * corpus². Pair orientation follows the min-id keeper convention
+    * (id_a < id_b), so survivors compose across batches. */
+  def incrementalLshPairs(newSigs: DataFrame, existingSigs: DataFrame,
+      threshold: Double = 0.5, numBands: Int = 4, minAgree: Int = 6): DataFrame = {
+    def banded(sigs: DataFrame) = sigs.select(col("id"), col("sig"), col("bh"),
+      posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
+    val newB = banded(newSigs)
+    val allB = banded(existingSigs.unionAll(newSigs))
+    val newIds = newSigs.select(col("id").as("__new_id"))
+    val prefiltered = newB
+      .select(col("band_idx"), col("band_hash"), col("id").as("id_x"),
+        col("sig").as("sig_x"), col("bh").as("bh_x"))
+      .join(allB.select(col("band_idx"), col("band_hash"), col("id").as("id_y"),
+        col("sig").as("sig_y"), col("bh").as("bh_y")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_x") =!= col("id_y"))
+      // canonicalize orientation, then dedupe the new×new double-emit
+      // (both sides probe) by keeping only the id_a-probed row
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("band_idx"),
+        when(col("id_x") < col("id_y"), col("bh_x")).otherwise(col("bh_y")).as("bh_a"),
+        when(col("id_x") < col("id_y"), col("bh_y")).otherwise(col("bh_x")).as("bh_b"),
+        when(col("id_x") < col("id_y"), col("sig_x")).otherwise(col("sig_y")).as("sig_a"),
+        when(col("id_x") < col("id_y"), col("sig_y")).otherwise(col("sig_x")).as("sig_b"),
+        (col("id_x") < col("id_y")).as("__probed_by_a"))
+      .filter(size(filter(zip_with(
+        slice(col("bh_a"), lit(1), col("band_idx")),
+        slice(col("bh_b"), lit(1), col("band_idx")),
+        (x, y) => x === y), p => p)) === 0)
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), p => p)) >= minAgree)
+      // new×new pairs collide from BOTH probes — keep one; new×old
+      // pairs appear once (only the new side probes)
+      .join(newIds, col("id_a") === col("__new_id"), "left")
+      .filter(col("__new_id").isNull || col("__probed_by_a"))
+      .select("id_a", "id_b")
+    val all = existingSigs.unionAll(newSigs)
+    val scored = prefiltered
+      .join(all.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(all.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .persist()
+    scored.filter(col("jaccard") >= threshold)
+  }
+
   /** Surviving ids after near-dup removal: drop any doc that has a
     * verified near-duplicate with a smaller id (greedy min-id keeper,
     * deterministic). */

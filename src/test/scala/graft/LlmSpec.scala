@@ -116,6 +116,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental LSH: batch-vs-index pairs equal the full-corpus pairs touching the batch") {
+    val docsAll = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val cut = 400L
+    val existing = Dedup.signatureTable(docsAll.filter(col("doc_id") < cut), "doc_id", "text")
+    val fresh = Dedup.signatureTable(docsAll.filter(col("doc_id") >= cut), "doc_id", "text")
+    val incremental = Dedup.incrementalLshPairs(fresh, existing)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.lshPairs(docsAll, "doc_id", "text")
+      .filter(col("id_a") >= cut || col("id_b") >= cut)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental == full,
+      s"only-incremental=${incremental -- full}, only-full=${full -- incremental}")
+    assert(full.nonEmpty) // the fixture plants near-dups across the cut
+  }
+
   test("kmeans-trained IVF: k rows per query and nonzero recall vs exact") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(queries, emb, 5).collect()
