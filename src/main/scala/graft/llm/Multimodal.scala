@@ -71,4 +71,29 @@ object Multimodal {
       sequence(lit(0),
         greatest(floor((length(payload) - 1) / stride).cast("int"), lit(0))),
       i => i * stride)
+
+  /** ??? real resampler goes here — STUB: nearest-neighbor byte
+    * selection to exactly targetW·targetH bytes (deterministic), shaped
+    * like an image resize (payload in → fixed-size payload out, meta
+    * dimensions rewritten). The Spark plumbing is the real part:
+    * partition-wise typed batches, one codec init per partition, output
+    * schema identical to the input table so resize composes with every
+    * other media op. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val n = targetW * targetH
+    media.mapPartitions { rows =>
+      // per-partition init would configure the real resampler once here
+      rows.map { r =>
+        val src = if (r.payload == null) Array.emptyByteArray else r.payload
+        val out = new Array[Byte](n)
+        if (src.nonEmpty) {
+          var i = 0
+          while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
+        }
+        MediaRow(r.media_id, out,
+          r.meta.copy(width = targetW, height = targetH))
+      }
+    }
+  }
 }

@@ -35,6 +35,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: fixed output size, meta rewritten, composes with extract") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(
+      graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").limit(20))
+      .as[Multimodal.MediaRow]
+    val resized = Multimodal.resize(media, 8, 4)
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.payload.length == 32))
+    assert(rows.forall(r => r.meta.width == 8 && r.meta.height == 4))
+    // schema-compatible output: feature extraction runs on the resized set
+    val feats = Multimodal.extractFeatures(resized).collect()
+    assert(feats.forall(_.byte_len == 32L))
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, 8, 4).collect()
+    assert(rows.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
   test("frame offsets stride the payload deterministically") {
     import spark.implicits._
     val df = Seq(("x" * 100)).toDF("payload")
