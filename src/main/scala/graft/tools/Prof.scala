@@ -79,6 +79,18 @@ object Prof {
       time(s"$name.warm") { graft.Queries.queries(name)(spark, sfDir).count() }
     }
 
+    if (what == "plan") {
+      // print the executed plan skeleton of a named query (arg 3)
+      val name = if (args.length > 2) args(2) else "q74_tpch_q5_shape"
+      val df = graft.Queries.queries(name)(spark, sfDir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+        .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange")
+          || l.contains("Scan") || l.contains("Aggregate"))
+        .mkString("\n"))
+    }
+
     if (what == "noaqe") {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       Seq("q23_lsh_pairs", "q16_dim_fanout", "q53_correlated_subquery",
