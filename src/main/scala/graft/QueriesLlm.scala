@@ -678,7 +678,44 @@ object QueriesLlm {
       SELECT bigram, COUNT(*) AS n FROM bg
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""))
 
+  /** Count-min heavy hitters next to exact truth: the sketch is
+    * md5-derived so the DuckDB oracle builds the IDENTICAL counters —
+    * estimates hash-match exactly, and est ≥ exact by construction
+    * (CMS only over-counts). Fixed depth×width state at any corpus
+    * size; the distinct-count twin is q46 (HLL). */
+  private val q76 = Q("q76_cms_heavyhitters",
+    (s, dir) => {
+      import graft.llm.CountMin
+      val ev = t(s, dir, "events")
+      val sketch = CountMin.build(ev, col("event_type"))
+      val items = ev.select(col("event_type")).distinct()
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+      CountMin.estimate(sketch, items, "event_type")
+        .join(exact, Seq("event_type"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type, g.j,
+               ('0x' || substr(md5('cms' || g.j || ':' || event_type), 1, 8))::BIGINT
+                 % 256 AS bucket
+        FROM events, generate_series(0, 3) g(j)),
+      sk AS (SELECT j, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+      items AS (
+        SELECT DISTINCT event_type,
+               g.j,
+               ('0x' || substr(md5('cms' || g.j || ':' || event_type), 1, 8))::BIGINT
+                 % 256 AS bucket
+        FROM events, generate_series(0, 3) g(j)),
+      est AS (
+        SELECT event_type, MIN(COALESCE(c, 0)) AS cms_count
+        FROM items LEFT JOIN sk USING (j, bucket) GROUP BY 1)
+      SELECT e.event_type, e.cms_count, x.n_exact
+      FROM est e JOIN (SELECT event_type, COUNT(*) AS n_exact
+                       FROM events GROUP BY 1) x USING (event_type)
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60, q69, q70, q75)
+    q56, q57, q58, q59, q60, q69, q70, q75, q76)
 }

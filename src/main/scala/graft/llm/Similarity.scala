@@ -215,6 +215,34 @@ object Similarity {
     * exact cosine rescoring within the bucket. Recall < 1 by design;
     * pair with multi-probe (flip one bit) if recall matters more than
     * throughput. */
+  /** Multi-probe SRP ANN: each query probes its own bucket PLUS every
+    * one-bit-flipped neighbor bucket (the bits most likely to be on
+    * the wrong side of a hyperplane for near-boundary vectors) —
+    * recall rises toward brute force at (bits+1)× candidate volume,
+    * with zero extra index state. Buckets are disjoint, so a corpus
+    * vector meets a query at most once — no dedup join needed. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8): DataFrame = {
+    val qb = srpBucket(col("embedding"), bits)
+    val probes = array(qb +: (0 until bits).map(p =>
+      qb.bitwiseXOR(lit(1L << p))): _*)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"),
+      explode(probes).as("bucket")))
+    val c = corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("c_nrm"),
+        srpBucket(col("embedding"), bits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"),

@@ -146,6 +146,32 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("count-min: est >= exact, and exact when width >> distinct keys") {
+    import spark.implicits._
+    val df = Seq.fill(10)("a").toDF("k")
+      .unionAll(Seq.fill(3)("b").toDF("k"))
+      .unionAll(Seq("c").toDF("k"))
+    val sketch = llm.CountMin.build(df, col("k"), depth = 4, width = 64)
+    val est = llm.CountMin.estimate(sketch, df.select(col("k")).distinct(), "k",
+      depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 keys in 64 buckets x 4 rows: collisions essentially impossible
+    assert(est == Map("a" -> 10L, "b" -> 3L, "c" -> 1L), est.toString)
+  }
+
+  test("multi-probe SRP: recall at least matches single-probe") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        intersect exact).size.toDouble / exact.size
+    val single = recall(Similarity.lshTopK(queries, emb, 3, bits = 4))
+    val multi = recall(Similarity.lshTopKMultiProbe(queries, emb, 3, bits = 4))
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.0)
+  }
+
   test("langId picks the marked language deterministically") {
     import spark.implicits._
     val d = Seq(
