@@ -676,7 +676,55 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q74Sql) },
     Some(q74Sql))
 
+  /** Time-spine gap filling (the MetricFlow join-to-time-spine
+    * semantics): month buckets with NO fact rows still appear, with
+    * zero revenue — a generated month spine LEFT-joined to the
+    * aggregate. The spine bounds are fixed by the query's time range,
+    * so the generate/join is deterministic and engine-portable. */
+  private val q77Sql = s"""
+      WITH spine AS (
+        SELECT CAST(m AS DATE) AS month
+        FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                     TIMESTAMP '1995-12-01', INTERVAL 1 MONTH)) AS m)),
+      agg AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ${dsumSql("o_totalprice", 2)} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1)
+      SELECT s.month, COALESCE(a.revenue, 0.0) AS revenue,
+             COALESCE(a.n_orders, 0) AS n_orders
+      FROM spine s LEFT JOIN agg a ON s.month = a.month
+      ORDER BY s.month"""
+  private val q77 = Q("q77_time_spine",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      // the ONLY dialect split in the suite: spine explosion is
+      // `unnest(generate_series(...))` in DuckDB, `explode(sequence(...))`
+      // in Spark — same arity, same values
+      s.sql(q77Sql.replace("unnest(generate_series(", "explode(sequence("))
+    },
+    Some(q77Sql))
+
+  /** Percent-of-total metric (window over the aggregate — the metric
+    * layer's share-of-whole pattern): revenue share per priority from
+    * ONE aggregation pass + one windowed division. */
+  private val q78Sql = s"""
+      SELECT o_orderpriority,
+             revenue,
+             revenue / SUM(revenue) OVER () AS revenue_share
+      FROM (SELECT o_orderpriority,
+                   ${dsumSql("o_totalprice", 2)} AS revenue
+            FROM orders GROUP BY 1)
+      ORDER BY o_orderpriority"""
+  private val q78 = Q("q78_pct_of_total",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q78Sql) },
+    Some(q78Sql))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
-    q67, q68, q72, q73, q74)
+    q67, q68, q72, q73, q74, q77, q78)
 }
