@@ -724,7 +724,33 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q78Sql) },
     Some(q78Sql))
 
+  /** Cumulative metric (MetricFlow's running-total metric type):
+    * month-grain revenue plus its running cumulative sum and a
+    * 3-month trailing window — both from one aggregation pass and
+    * ordered windows over the 10-row monthly frame. The cumulative
+    * sums stay in DECIMAL through the window and cast to double at
+    * the edge (window order is total, so this is deterministic). */
+  private val q79Sql = s"""
+      SELECT month,
+             CAST(rev AS DOUBLE) AS revenue,
+             CAST(SUM(rev) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS revenue_cumulative,
+             CAST(SUM(rev) OVER (ORDER BY month
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS revenue_trailing_3m
+      FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1995-11-01 00:00:00'
+            GROUP BY 1)
+      ORDER BY month"""
+  private val q79 = Q("q79_cumulative_metric",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q79Sql) },
+    Some(q79Sql))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
-    q67, q68, q72, q73, q74, q77, q78)
+    q67, q68, q72, q73, q74, q77, q78, q79)
 }
