@@ -33,15 +33,28 @@ object Bench {
       }
     }
 
+    // Median-of-N timing: single-shot numbers on a shared machine are
+    // noise-dominated (round-2 recorded 20.5s for a query that reruns
+    // at 1.5s under load). Each query runs N times back-to-back; the
+    // headline per-query number is the MEDIAN, with min/max kept for
+    // dispersion. Total = sum of medians (the steady-state suite cost).
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def med(ts: Seq[Double]): Double = ts(ts.length / 2)
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + med(ts) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, ts) =>
+      s"\"" + k + s"""\":{"median":${med(ts)},"min":${ts.head},"max":${ts.last},"n":$nRuns}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(r => med(r._2)).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

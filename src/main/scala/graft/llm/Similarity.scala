@@ -19,8 +19,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Element-wise double dot product with deterministic fold order. */
+  /** Element-wise double dot product with deterministic fold order.
+    * Backed by the native codegen expression
+    * [[graft.functions.DotProduct]] — a primitive double loop fused
+    * into whole-stage codegen. The HOF formulation it replaced
+    * (`aggregate(zip_with(...))`) is CodegenFallback in Spark and was
+    * the interpreted inner loop of every pair-scoring stage; results
+    * are bit-identical (same left fold, same double widening). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.column(a, b)
+
+  /** The pre-round-3 higher-order-function formulation, kept as the
+    * reference implementation LlmSpec checks the native expression
+    * against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

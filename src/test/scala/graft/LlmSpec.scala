@@ -104,6 +104,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("native vec_dot is bit-identical to the HOF formulation (float, double, mixed)") {
+    import spark.implicits._
+    // real float embeddings vs themselves and vs a double-widened copy
+    val base = emb.select(col("vec_id"), col("embedding").as("f"),
+      transform(col("embedding"), x => x.cast("double")).as("d"))
+    val rows = base.select(
+      Similarity.dot(col("f"), col("f")).as("nat_ff"),
+      Similarity.dotHof(col("f"), col("f")).as("hof_ff"),
+      Similarity.dot(col("f"), col("d")).as("nat_fd"),
+      Similarity.dotHof(col("f"), col("d")).as("hof_fd"),
+      Similarity.dot(col("d"), col("d")).as("nat_dd"),
+      Similarity.dotHof(col("d"), col("d")).as("hof_dd")).collect()
+    for (r <- rows; i <- Seq(0, 2, 4)) {
+      // bit-exact, not approximate: same fold order, same widening
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(i)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(i + 1)), r.toString)
+    }
+    // null / length-mismatch semantics match zip_with padding
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f), Array(2.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("nat"),
+        Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(edge(0).isNullAt(0) && edge(0).isNullAt(1))
+    assert(edge(1).getDouble(0) == 2.0 && edge(1).getDouble(1) == 2.0)
+  }
+
   test("ann lsh results are a subset of same-bucket exact rescoring") {
     val ann = Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 3, bits = 2)
     val rows = ann.collect()

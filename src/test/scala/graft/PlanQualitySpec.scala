@@ -118,6 +118,22 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("q26 pair scoring runs the native vec_dot inside whole-stage codegen") {
+    val df = Queries.all.find(_.name == "q26_embed_topk").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the interpreted HOF form is gone from the hot path entirely
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+      plan.take(3000))
+    assert(plan.contains("vec_dot"), plan.take(3000))
+    // every node evaluating vec_dot is inside a codegen stage ("*(n) Op")
+    val dotLines = plan.linesIterator.filter(_.contains("vec_dot")).toSeq
+    assert(dotLines.nonEmpty)
+    assert(dotLines.forall(_.contains("*(")),
+      dotLines.filterNot(_.contains("*(")).mkString("\n"))
+  }
+
   test("q23 lsh: band join shuffles keys only (no shingle arrays in join)") {
     val df = Queries.all.find(_.name == "q23_lsh_pairs").get.run(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString
