@@ -376,10 +376,33 @@ object Queries {
     (s, dir) => planner.compile(s, dir, q71Req).df,
     Some(planner.renderSql(q71Req, withDescriptions = false)))
 
+  /** The semantic layer compiled from the DECLARATIVE manifest file
+    * (manifests/semantic_manifest.yml) instead of compiled-in Scala —
+    * parity with the reference building its manifest from the dbt
+    * project root (dbt_query2.py:36). The request exercises the whole
+    * file-defined surface in one query: a file-defined derived metric
+    * (ratio), its file-defined inputs, and a file-defined 4-hop join
+    * path to the region dimension. Oracle = the planner's own rendered
+    * SQL from the same file-loaded registry. */
+  private lazy val filePlanner = {
+    val p = Seq("manifests/semantic_manifest.yml",
+      "/root/repo/manifests/semantic_manifest.yml")
+      .find(f => new java.io.File(f).exists())
+      .getOrElse(sys.error("semantic_manifest.yml not found"))
+    new MetricPlanner(graft.catalog.SemanticRegistry.fromFile(p))
+  }
+  private lazy val q80Req = MetricQueryRequest(
+    metrics = Seq("avg_order_value", "revenue", "order_count"),
+    groupBy = Seq("r_name"),
+    orderBy = Seq("-revenue", "r_name"))
+  private lazy val q80 = Q("q80_manifest_metrics",
+    (s, dir) => filePlanner.compile(s, dir, q80Req).df,
+    Some(filePlanner.renderSql(q80Req, withDescriptions = false)))
+
   // =====================================================================
 
   val all: Seq[Q] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16, q71) ++
+    Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16, q71, q80) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

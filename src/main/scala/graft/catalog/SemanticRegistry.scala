@@ -152,6 +152,12 @@ final class SemanticRegistry(
   }
 }
 
+object SemanticRegistry {
+  /** Load a registry from a declarative YAML/JSON manifest file — see
+    * [[ManifestLoader]] and manifests/semantic_manifest.yml. */
+  def fromFile(path: String): SemanticRegistry = ManifestLoader.load(path)
+}
+
 /** Default registry over the driver-provided star schema
   * (/root/repo/FIXTURES.md §B). */
 object DefaultRegistry {

@@ -124,6 +124,34 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest file reproduces the compiled-in registry exactly") {
+    val loaded = SemanticRegistry.fromFile("manifests/semantic_manifest.yml")
+    val ref = DefaultRegistry.registry
+    assert(loaded.models == ref.models)
+    assert(loaded.links == ref.links)
+    assert(loaded.metrics == ref.metrics)
+    assert(loaded.derivedMetrics == ref.derivedMetrics)
+    assert(loaded.savedQueries == ref.savedQueries)
+  }
+
+  test("planner over the file-loaded registry matches the compiled-in planner") {
+    val filePlanner = new MetricPlanner(
+      SemanticRegistry.fromFile("manifests/semantic_manifest.yml"))
+    val reqs = Seq(
+      MetricQueryRequest(metrics = Seq("revenue"),
+        savedQuery = Some("revenue_by_month")),
+      MetricQueryRequest(metrics = Seq("revenue", "order_count"),
+        groupBy = Seq("r_name", "n_name"), orderBy = Seq("-revenue")),
+      MetricQueryRequest(metrics = Seq("avg_order_value"),
+        groupBy = Seq("o_orderpriority")))
+    for (req <- reqs) {
+      val a = planner.compile(spark, dir, req)
+      val b = filePlanner.compile(spark, dir, req)
+      assert(a.sql == b.sql)
+      assert(a.df.collect().toSeq == b.df.collect().toSeq)
+    }
+  }
+
   test("small dims are planned as broadcast joins") {
     val c = planner.compile(spark, dir,
       MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("r_name")))
