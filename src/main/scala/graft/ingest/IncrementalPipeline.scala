@@ -43,12 +43,217 @@ object IncrementalPipeline {
       df.filter(col("block") > fromExclusive && col("block") <= toInclusive)
   }
 
+  /** Raw transaction row as fetched from the RPC endpoint — the sparse
+    * JSON-RPC dict shape (absent keys → null). */
+  final case class RawTx(txid: String, block: Long, blocktime: Option[Long],
+      type_int: Int, fee: String, data: String)
+
+  /** HTTP/JSON-RPC block source (S4+S6): the reference's RPC client
+    * re-expressed for executors (omni_rpc_client.py:36-51 request shape,
+    * :71-98 bounded fan-out with retry).
+    *
+    * Scale shape: the block-height range is a `spark.range` split into
+    * `numPartitions` slices; each PARTITION runs its own HTTP client
+    * with a bounded pool of `maxConcurrency` workers, so total cluster
+    * fan-out = partitions × maxConcurrency — an explicit, tunable cap
+    * instead of the reference's single-process thread pool. Results
+    * complete in ANY order (completion order never affects output:
+    * downstream is declarative). Each height is fetched with
+    * `maxRetries` attempts and linear backoff; a height that exhausts
+    * retries fails the task (Spark then retries the task — at-least-
+    * once, made exactly-once by the sink's idempotent anti-join).
+    *
+    * `currentBlock` is ONE driver-side call (head probe); the range
+    * fetch is the only executor-side network work.
+    */
+  final class RpcBlockSource(spark: SparkSession, endpoint: String,
+      maxConcurrency: Int = 8, maxRetries: Int = 3,
+      numPartitions: Int = 0, backoffMs: Long = 50) extends BlockSource {
+
+    override def currentBlock(): Long =
+      RpcBlockSource.rpcCall(endpoint, "getblockcount", "", maxRetries,
+        backoffMs).trim.toLong
+
+    override def fetchRange(fromExclusive: Long, toInclusive: Long): DataFrame = {
+      import spark.implicits._
+      val parts = if (numPartitions > 0) numPartitions
+        else spark.sparkContext.defaultParallelism
+      val (ep, conc, retries, backoff) = (endpoint, maxConcurrency, maxRetries, backoffMs)
+      spark.range(fromExclusive + 1, toInclusive + 1)
+        .repartition(parts).as[Long]
+        .mapPartitions(hs => RpcBlockSource.fetchPartition(hs, ep, conc, retries, backoff))
+        .toDF()
+    }
+  }
+
+  object RpcBlockSource {
+    import scala.jdk.CollectionConverters._
+
+    /** One synchronous JSON-RPC call with retry + linear backoff.
+      * Retries on IOException and any non-200 status. */
+    private[ingest] def rpcCall(endpoint: String, method: String,
+        params: String, maxRetries: Int, backoffMs: Long): String = {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"jsonrpc":"2.0","id":1,"method":"$method","params":[$params]}"""))
+        .build()
+      var attempt = 0
+      while (true) {
+        try {
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() == 200) return resp.body()
+          if (attempt >= maxRetries)
+            sys.error(s"$method($params): HTTP ${resp.statusCode()} after $attempt retries")
+        } catch {
+          case e: java.io.IOException =>
+            if (attempt >= maxRetries) throw e
+        }
+        attempt += 1
+        Thread.sleep(backoffMs * attempt)
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Partition body: a bounded worker pool drains the height slice;
+      * rows are emitted in COMPLETION order (unordered by design). */
+    private[ingest] def fetchPartition(heights: Iterator[Long], endpoint: String,
+        maxConcurrency: Int, maxRetries: Int, backoffMs: Long): Iterator[RawTx] = {
+      val hs = heights.toVector
+      if (hs.isEmpty) return Iterator.empty
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrency, hs.size))
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val out = new java.util.concurrent.ConcurrentLinkedQueue[RawTx]()
+        val tasks = hs.map { h =>
+          (() => {
+            val body = rpcCall(endpoint, "getblocktxs", h.toString,
+              maxRetries, backoffMs)
+            val root = mapper.readTree(body)
+            val txs = root.get("result")
+            val it = txs.elements()
+            while (it.hasNext) {
+              val t = it.next()
+              def s(f: String): String = {
+                val n = t.get(f)
+                if (n == null || n.isNull) null else n.asText()
+              }
+              out.add(RawTx(
+                txid = s("txid"),
+                block = t.get("block").asLong(),
+                blocktime = Option(t.get("blocktime")).filter(!_.isNull).map(_.asLong()),
+                type_int = t.get("type_int").asInt(),
+                fee = s("fee"),
+                data = s("data")))
+            }
+          }): java.util.concurrent.Callable[Unit]
+        }
+        // invokeAll = run all under the bounded pool; .get() rethrows
+        // the first exhausted-retry failure and fails the task
+        pool.invokeAll(tasks.asJava).forEach(_.get())
+        out.iterator().asScala.toVector.iterator
+      } finally pool.shutdown()
+    }
+  }
+
   /** S10: watermark = MAX(block) over the sink, null→0. */
   def readWatermark(spark: SparkSession, sinkPath: String): Long = {
     val exists = new java.io.File(sinkPath).exists()
     if (!exists) 0L
     else spark.read.parquet(sinkPath)
       .agg(coalesce(max(col("block")), lit(0L))).first().getLong(0)
+  }
+
+  /** Sink abstraction for the incremental append target. The pruning
+    * contract is the point: `existingTxids(from)` must return only
+    * txids with `block > from`, and implementations must make that a
+    * PRUNED read — partition/row-group pruning on parquet, a WHERE
+    * pushed into the database on JDBC — never a full-history scan.
+    * (Round-2 shipped a full sink scan per batch; at 100 TB the
+    * idempotency check would have cost more than the ingest.) */
+  trait TxSink {
+    def watermark(): Long
+    /** txids already in the sink with block > fromExclusive, or None if
+      * the sink doesn't exist yet. */
+    def existingTxids(fromExclusive: Long): Option[DataFrame]
+    def append(df: DataFrame): Unit
+  }
+
+  /** Parquet sink. With `bucketBlocks = Some(n)` the sink is laid out
+    * as `block_bucket=<block/n>/` partition directories — the
+    * idempotency read then prunes at the DIRECTORY level (only the
+    * buckets overlapping the refetch horizon are listed), and rows are
+    * sorted by block within files so row-group stats prune the rest.
+    * The flat layout (None) keeps the original single-directory shape
+    * and still gets row-group pruning from the sort. */
+  final class ParquetTxSink(spark: SparkSession, path: String,
+      bucketBlocks: Option[Long] = None) extends TxSink {
+    private def exists = new java.io.File(path).exists()
+
+    override def watermark(): Long =
+      if (!exists) 0L
+      else spark.read.parquet(path)
+        .agg(coalesce(max(col("block")), lit(0L))).first().getLong(0)
+
+    override def existingTxids(fromExclusive: Long): Option[DataFrame] =
+      if (!exists) None
+      else {
+        var df = spark.read.parquet(path)
+        bucketBlocks.foreach { n =>
+          df = df.filter(col("block_bucket") >= lit(fromExclusive / n))
+        }
+        Some(df.filter(col("block") > fromExclusive).select("txid"))
+      }
+
+    override def append(df: DataFrame): Unit = {
+      val w = bucketBlocks match {
+        case Some(n) =>
+          df.withColumn("block_bucket", floor(col("block") / n))
+            .sortWithinPartitions("block")
+            .write.partitionBy("block_bucket")
+        case None => df.sortWithinPartitions("block").write
+      }
+      w.mode(SaveMode.Append).parquet(path)
+    }
+  }
+
+  /** JDBC sink (S12's production target — the reference appends to
+    * Postgres, postgres_client.py:34-52). Watermark and idempotency
+    * queries run IN the database (`option("query", ...)`), so the
+    * engine ships no history over the wire; the append is a plain
+    * batched INSERT. Works against any DriverManager-visible driver —
+    * IngestSpec drives it with in-process Apache Derby. */
+  final class JdbcTxSink(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty) extends TxSink {
+
+    private def reader(query: String) =
+      spark.read.format("jdbc").options(options)
+        .option("url", url).option("query", query)
+
+    private def tableExists: Boolean =
+      try { reader(s"SELECT 1 AS one FROM $table WHERE 1=0").load(); true }
+      catch { case _: Exception => false }
+
+    // ANSI-quoted identifiers: Spark's JDBC writer CREATEs the table
+    // with quoted (case-exact) column names, so unquoted references
+    // would fold to uppercase and miss (Derby/Postgres semantics).
+    override def watermark(): Long =
+      if (!tableExists) 0L
+      else reader(s"""SELECT COALESCE(MAX("block"), 0) AS wm FROM $table""")
+        .load().first().getLong(0)
+
+    override def existingTxids(fromExclusive: Long): Option[DataFrame] =
+      if (!tableExists) None
+      else Some(reader(
+        s"""SELECT "txid" FROM $table WHERE "block" > $fromExclusive""").load())
+
+    override def append(df: DataFrame): Unit =
+      df.write.format("jdbc").options(options)
+        .option("url", url).option("dbtable", table)
+        .mode(SaveMode.Append).save()
   }
 
   /** S7+S8+S9: the row transform — filter, strict hex decode, blockdate
@@ -62,27 +267,40 @@ object IncrementalPipeline {
 
   /** One incremental run (the body of check_and_append_transactions,
     * transactions_dag.py:14-46). Returns what was appended; a no-delta
-    * run is an early exit with zero work shipped to executors. */
-  def runOnce(spark: SparkSession, source: BlockSource, sinkPath: String): RunResult = {
-    val last = readWatermark(spark, sinkPath)
+    * run is an early exit with zero work shipped to executors.
+    *
+    * `overlap` is the refetch horizon in blocks: the delta is fetched
+    * from `watermark - overlap` and the idempotency anti-join reads
+    * only sink txids above that point. This closes the partial-append
+    * hole (a crashed append can leave the BOUNDARY block half-written;
+    * refetching it and anti-joining the horizon makes the retry exact)
+    * while keeping both the source fetch and the sink scan pruned to a
+    * bounded window — duplicates are structurally impossible outside
+    * it, so scanning history beyond the horizon buys nothing. */
+  def runOnce(spark: SparkSession, source: BlockSource, sink: TxSink,
+      overlap: Long = 1L): RunResult = {
+    val last = sink.watermark()
     val current = source.currentBlock()
     if (current <= last) return RunResult(last, current, 0L) // S11 early exit
 
-    var delta = transform(source.fetchRange(last, current))
+    val from = math.max(last - overlap, 0L)
+    var delta = transform(source.fetchRange(from, current))
       .dropDuplicates("txid") // §2.3 upgrade: in-batch dedup
 
-    // idempotent append: never re-insert txids already in the sink
-    if (new java.io.File(sinkPath).exists()) {
-      val existing = spark.read.parquet(sinkPath).select("txid")
+    // idempotent append: never re-insert txids already in the sink —
+    // the read is horizon-bounded, so it prunes to the recent buckets
+    sink.existingTxids(from).foreach { existing =>
       delta = delta.join(existing, Seq("txid"), "left_anti")
     }
     val toWrite = delta
       .withColumn("insert_dt", current_timestamp()) // S12 audit column
       .cache()
     val n = toWrite.count()
-    if (n > 0)
-      toWrite.write.mode(SaveMode.Append).parquet(sinkPath)
+    if (n > 0) sink.append(toWrite)
     toWrite.unpersist()
     RunResult(last, current, n)
   }
+
+  def runOnce(spark: SparkSession, source: BlockSource, sinkPath: String): RunResult =
+    runOnce(spark, source, new ParquetTxSink(spark, sinkPath))
 }

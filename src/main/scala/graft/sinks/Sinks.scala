@@ -14,6 +14,18 @@ object Sinks {
     df.withColumn("insert_dt", current_timestamp())
       .write.mode(SaveMode.Append).parquet(path)
 
+  /** S12 production target: JDBC append with the audit column
+    * (postgres_client.py:34-52 appends a pandas frame to Postgres with
+    * insert_dt). Executor-parallel batched INSERTs; pair with
+    * [[graft.ingest.IncrementalPipeline.JdbcTxSink]] for the
+    * watermark + idempotent cycle. */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.withColumn("insert_dt", current_timestamp())
+      .write.format("jdbc").options(options)
+      .option("url", url).option("dbtable", table)
+      .mode(SaveMode.Append).save()
+
   /** S19: single-file CSV with header (dbt_query.py:141-147). */
   def csv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)

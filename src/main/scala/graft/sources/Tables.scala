@@ -69,6 +69,28 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** JDBC table source (S1's warehouse shape — the reference reads
+    * named warehouse tables over a DB connection). Single-partition
+    * read; prefer [[loadJdbcPartitioned]] for anything big. */
+  def loadJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc").options(options)
+      .option("url", url).option("dbtable", table).load()
+
+  /** Range-partitioned JDBC read — the 100 TB shape: `numPartitions`
+    * executors each issue `WHERE col BETWEEN ...` slices concurrently
+    * instead of one connection streaming the whole table through the
+    * driver-side of the scan. Bounds are min/max of the partition
+    * column (fetch them with a cheap aggregate first if unknown). */
+  def loadJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc").options(options)
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound).option("upperBound", upperBound)
+      .option("numPartitions", numPartitions).load()
+
   /** Register every table as a temp view so `spark.sql` works on the
     * same names the DuckDB oracle uses. Plain loads: SQL-surface
     * queries are scan-aggregate/join shaped, where a blanket

@@ -63,6 +63,135 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 2L)
   }
 
+  test("jdbc sink: watermark + idempotent append cycle against in-process Derby") {
+    // Derby ships in /opt/spark/jars (Spark's Hive-metastore dep) — an
+    // embedded JDBC database with zero extra dependencies.
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("derby-log").toString + "/derby.log")
+    val dbDir = Files.createTempDirectory("graft-derby").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new IncrementalPipeline.JdbcTxSink(spark, url, "txs", opts)
+    assert(sink.watermark() == 0L, "missing table reads as watermark 0")
+
+    val src = mkSource(Seq(
+      ("j1", 5L, 1700000000L, 200, "0.1", hex("x")),
+      ("j2", 6L, 1700000300L, 200, "0.2", hex("y"))))
+    val source = new FileBlockSource(spark, src)
+    val r1 = IncrementalPipeline.runOnce(spark, source, sink)
+    assert(r1.appended == 2L)
+    assert(sink.watermark() == 6L)
+
+    // retry with no new blocks: early exit, nothing double-inserted
+    val r2 = IncrementalPipeline.runOnce(spark, source, sink)
+    assert(r2.appended == 0L && r2.lastBlock == 6L)
+
+    // source advances but overlaps the horizon: anti-join runs IN the
+    // database and drops the already-present txid
+    val src2 = mkSource(Seq(
+      ("j2", 6L, 1700000300L, 200, "0.2", hex("y")),
+      ("j3", 7L, 1700000600L, 200, "0.3", hex("z"))))
+    val r3 = IncrementalPipeline.runOnce(spark, new FileBlockSource(spark, src2), sink)
+    assert(r3.appended == 1L)
+
+    val rows = graft.sources.Tables.loadJdbc(spark, url, "txs", opts)
+      .orderBy("block").collect()
+    assert(rows.map(_.getAs[String]("txid")).toSeq == Seq("j1", "j2", "j3"))
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("insert_dt") != null))
+
+    // partitioned JDBC read returns the same rows across range slices
+    val sliced = graft.sources.Tables.loadJdbcPartitioned(
+      spark, url, "txs", "block", 0L, 9L, 3, opts)
+    assert(sliced.rdd.getNumPartitions == 3)
+    assert(sliced.count() == 3L)
+  }
+
+  test("bucketed parquet sink: idempotency scan prunes partitions to the horizon") {
+    import spark.implicits._
+    val sinkDir = Files.createTempDirectory("graft-sinkb").toString + "/txs"
+    val sink = new IncrementalPipeline.ParquetTxSink(spark, sinkDir,
+      bucketBlocks = Some(10L))
+    // seed three buckets: blocks 1..25 → block_bucket 0,1,2
+    sink.append((1L to 25L).map(b => (s"t$b", b)).toDF("txid", "block"))
+
+    val scan = sink.existingTxids(fromExclusive = 24L).get
+    assert(scan.collect().map(_.getString(0)).toSeq == Seq("t25"))
+    val plan = scan.queryExecution.executedPlan.toString
+    // directory-level pruning: only bucket >= 2 is read ...
+    assert(plan.contains("PartitionFilters") && plan.contains("block_bucket"),
+      plan.take(2000))
+    // ... and the block predicate reaches the parquet row groups
+    val pushed = plan.split("PushedFilters: ")(1).split("]")(0)
+    assert(pushed.contains("GreaterThan(block"), plan.take(2000))
+  }
+
+  test("rpc source: bounded fan-out fetch with retry against an in-JVM HTTP stub") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.util.concurrent.atomic.AtomicInteger
+
+    val inFlight = new AtomicInteger(0)
+    val peakInFlight = new AtomicInteger(0)
+    val retried = new AtomicInteger(0)
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    // local-loopback stub, ephemeral port — no external network
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val cur = inFlight.incrementAndGet()
+        peakInFlight.accumulateAndGet(cur, math.max)
+        try {
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          def respond(code: Int, s: String): Unit = {
+            val b = s.getBytes("UTF-8")
+            ex.sendResponseHeaders(code, b.length)
+            ex.getResponseBody.write(b); ex.close()
+          }
+          if (body.contains("getblockcount")) respond(200, "6")
+          else {
+            val h = body.split("\"params\":\\[")(1).split("]")(0).toLong
+            // every height fails its FIRST request: the client must retry
+            if (failedOnce.add(h)) { retried.incrementAndGet(); respond(500, "transient") }
+            else {
+              Thread.sleep((h % 3) * 20) // out-of-order completion
+              val time = if (h == 3) "null" else (1700000000L + h * 60).toString
+              respond(200,
+                s"""{"jsonrpc":"2.0","id":1,"result":[
+                    {"txid":"h${h}a","block":$h,"blocktime":$time,"type_int":200,"fee":"0.1","data":"${hex(s"tx$h")}"},
+                    {"txid":"h${h}b","block":$h,"blocktime":$time,"type_int":100,"fee":"0.2","data":null}]}""")
+            }
+          }
+        } finally inFlight.decrementAndGet()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val source = new IncrementalPipeline.RpcBlockSource(spark, endpoint,
+        maxConcurrency = 2, maxRetries = 3, numPartitions = 2, backoffMs = 5)
+      assert(source.currentBlock() == 6L)
+
+      val sink = Files.createTempDirectory("graft-sinkr").toString + "/txs"
+      val r = IncrementalPipeline.runOnce(spark, source, sink)
+      assert(r.currentBlock == 6L)
+      // heights 1..6, one type-200 tx each survives the transform
+      assert(r.appended == 6L)
+      val rows = spark.read.parquet(sink).orderBy("block").collect()
+      assert(rows.map(_.getAs[String]("txid")).toSeq ==
+        (1 to 6).map(h => s"h${h}a"))
+      assert(rows.forall(_.getAs[Int]("type_int") == 200))
+      assert(rows.find(_.getAs[Long]("block") == 3L).get
+        .getAs[java.lang.Long]("blocktime") == null)
+      assert(rows.find(_.getAs[Long]("block") == 2L).get
+        .getAs[String]("decoded_data") == "tx2")
+
+      assert(retried.get() >= 6, "every height's first request got a 500")
+      // 2 partitions x 2 workers: the stub never saw more than 4 in flight
+      assert(peakInFlight.get() <= 4, s"peak=${peakInFlight.get()}")
+    } finally server.stop(0)
+  }
+
   test("delta run picks up only blocks above the watermark") {
     val sink = Files.createTempDirectory("graft-sink3").toString + "/txs"
     val src1 = mkSource(Seq(("b1", 1L, 1700000000L, 200, "0", hex("a"))))
