@@ -430,6 +430,52 @@ object QueriesLlm {
     },
     None)
 
+  /** REAL image decode, oracle-proven: the corpus is deterministic
+    * grayscale PNGs (encoded by the JDK's actual PNG writer), the
+    * Spark side decodes the BYTES with javax.imageio and reports
+    * width/height/8-bin luminance histogram, and the DuckDB oracle
+    * recomputes the same numbers from the pixel FORMULA alone — the
+    * hash-compare passes only if a real codec round-trip is exact.
+    * (PNG is lossless, so it is.) Audio/video stay stubbed; this
+    * retires the stub for the image kind. */
+  private val q81 = Q("q81_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.decodeImageFeatures(
+        Multimodal.pngImageTable(t(s, dir, "documents")))
+      feats.toDF().select(
+        Seq(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")) ++
+        (0 until 8).map(i => element_at(col("hist"), i + 1).as(s"b$i")): _*)
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id AS media_id,
+               CAST(8 + doc_id % 9 AS BIGINT) AS width,
+               CAST(8 + doc_id % 7 AS BIGINT) AS height
+        FROM documents),
+      xs AS (
+        SELECT media_id, width, height, unnest(range(0, width)) AS x
+        FROM imgs),
+      px AS (
+        SELECT media_id, width, height,
+               ((media_id * 31 + x * 7 + unnest(range(0, height)) * 13) % 256) // 32
+                 AS bin
+        FROM xs)
+      SELECT media_id, width, height,
+             CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+             CAST(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+             CAST(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+             CAST(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+             CAST(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+      FROM px
+      GROUP BY media_id, width, height
+      ORDER BY media_id"""))
+
   /** Engine-portable HLL distinct sketch (graft.llm.HllSketch): unlike
     * approx_count_distinct (q7a, engine-private sketch → rows-only),
     * this one is md5-derived and exact-arithmetic, so the DuckDB oracle
@@ -717,5 +763,5 @@ object QueriesLlm {
 
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60, q69, q70, q75, q76)
+    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81)
 }

@@ -41,9 +41,12 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height"),
         lit(16000).as("sampleRate")).as("meta"))
 
-  /** ??? real decoder goes here — STUB: a deterministic 8-bin byte
-    * histogram normalized to [0,1], shaped exactly like an image/audio
-    * feature extractor (batch in → fixed-width Array[Float] out). */
+  /** ??? real decoder goes here for AUDIO/VIDEO — STUB: a
+    * deterministic 8-bin byte histogram normalized to [0,1], shaped
+    * exactly like a feature extractor (batch in → fixed-width
+    * Array[Float] out). IMAGES are no longer stubbed: PNG/JPEG payloads
+    * take the real [[decodePixels]] path (JDK javax.imageio — no
+    * external codec libs needed). */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](8)
     if (payload == null || payload.isEmpty) return bins
@@ -51,15 +54,108 @@ object Multimodal {
     bins.map(_ / payload.length)
   }
 
-  /** Partition-wise decode/feature-extract over typed batches. */
+  // ------------------------------------------------------- real images
+
+  /** PNG magic (8 bytes) / JPEG SOI — payload sniffing so mixed media
+    * tables route image rows to the real decoder. */
+  def looksLikeImage(payload: Array[Byte]): Boolean =
+    payload != null && payload.length > 8 &&
+      ((payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N'
+        && payload(3) == 'G') ||
+       (payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte))
+
+  /** REAL image decode: payload bytes → (width, height, 8-bin luminance
+    * histogram counts). Runs per-partition inside the scan stage; only
+    * these few dozen bytes of features flow downstream, never pixels. */
+  def decodePixels(payload: Array[Byte]): (Int, Int, Array[Long]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        // low byte of the packed pixel; for the grayscale fixtures this
+        // IS the luminance. 256/8 = 32 values per bin.
+        hist((img.getRGB(x, y) & 0xFF) / 32) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, hist)
+  }
+
+  /** Image feature vector off the real decode: normalized luminance
+    * histogram (same 8-float shape as the audio/video stub, so mixed
+    * tables keep one schema). */
+  def imageFeatures(payload: Array[Byte]): Array[Float] = {
+    val (w, h, hist) = decodePixels(payload)
+    val n = (w.toLong * h).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Partition-wise decode/feature-extract over typed batches. Image
+    * payloads (sniffed by magic bytes) take the REAL javax.imageio
+    * decode; audio/video fall back to the documented stub. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init would open the real codec once here
+      // per-partition init would open the real audio/video codecs once here
       rows.map { r =>
+        val feats =
+          if (looksLikeImage(r.payload)) imageFeatures(r.payload)
+          else fakeDecodeFeatures(r.payload)
         MediaFeatures(r.media_id, r.meta.kind,
-          if (r.payload == null) 0L else r.payload.length.toLong,
-          fakeDecodeFeatures(r.payload))
+          if (r.payload == null) 0L else r.payload.length.toLong, feats)
+      }
+    }
+  }
+
+  final case class ImageRow(media_id: Long, payload: Array[Byte])
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      hist: Array[Long])
+
+  /** Deterministic PNG corpus: one grayscale image per document, pixel
+    * gray(id, x, y) = (id·31 + x·7 + y·13) mod 256, size 8+id%9 ×
+    * 8+id%7. Encoded with the JDK's real PNG writer — so decoding it
+    * back is a REAL codec round-trip, while every pixel is pure integer
+    * arithmetic a SQL oracle can recompute without any image library
+    * (PNG is lossless; the equality is exact). */
+  def pngImageTable(docs: DataFrame): Dataset[ImageRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImageRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Real decode over the image table: width/height/histogram come
+    * from ImageIO reading the PNG bytes, NOT from the generator
+    * formula — the oracle recomputes the formula in SQL and the
+    * hash-compare proves the decode. */
+  def decodeImageFeatures(imgs: Dataset[ImageRow]): Dataset[ImageFeatures] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, hist) = decodePixels(r.payload)
+        ImageFeatures(r.media_id, w, h, hist)
       }
     }
   }

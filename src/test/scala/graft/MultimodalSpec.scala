@@ -53,6 +53,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
   }
 
+  test("real PNG decode: ImageIO round-trip recovers the exact pixel formula") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").limit(30)
+    val imgs = Multimodal.pngImageTable(docs)
+    val rows = imgs.collect()
+    // payloads are genuine PNG files (magic bytes), not fakes
+    assert(rows.forall(r => Multimodal.looksLikeImage(r.payload)))
+    val feats = Multimodal.decodeImageFeatures(imgs).collect()
+      .map(f => f.media_id -> f).toMap
+    for (r <- rows) {
+      val id = r.media_id
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      val expect = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w)
+        expect(((id * 31 + x * 7 + y * 13) % 256).toInt / 32) += 1
+      val f = feats(id)
+      assert(f.width == w && f.height == h)
+      assert(f.hist.toSeq == expect.toSeq, s"id=$id")
+    }
+    // mixed-table routing: PNG payloads take the real path in
+    // extractFeatures (features = normalized histogram of PIXELS,
+    // not of payload BYTES)
+    val media = imgs.map(r => Multimodal.MediaRow(r.media_id, r.payload,
+      Multimodal.MediaMeta("image", 0, 0, 0)))
+    val viaExtract = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features).toMap
+    for (r <- rows) {
+      val f = feats(r.media_id)
+      val n = (f.width.toLong * f.height).toFloat
+      assert(viaExtract(r.media_id).toSeq == f.hist.map(_ / n).toSeq)
+    }
+  }
+
   test("frame offsets stride the payload deterministically") {
     import spark.implicits._
     val df = Seq(("x" * 100)).toDF("payload")
