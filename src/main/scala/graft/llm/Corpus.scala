@@ -57,25 +57,26 @@ object Corpus {
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
-    * components by iterative min-label propagation. Each iteration is
-    * one join + one aggregate over the edge list; labels converge in
-    * O(component diameter) rounds (near-dup clusters are shallow — a
-    * handful of rounds in practice; for adversarial chain-shaped
-    * graphs switch to the large-star/small-star variant, same
-    * primitives). Input: (id_a, id_b) pairs; output: (id, cluster_id)
-    * where cluster_id = min id of the component — deterministic, so a
-    * DuckDB recursive-CTE oracle checks it exactly. */
+    * components with min-id labels. Input: (id_a, id_b) pairs; output:
+    * (id, cluster_id) where cluster_id = min id of the component —
+    * deterministic, so a DuckDB recursive-CTE oracle checks it exactly.
+    *
+    * Two paths, gated on estimated edge-list BYTES (like Spark's
+    * broadcast threshold — a row count says nothing about driver
+    * memory): below `localMaxBytes` (16 bytes/edge) the edge list is
+    * collected and solved with union-find on the driver, collapsing the
+    * round loop into one job; above it, the large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") runs fully distributed and converges in O(log n) rounds
+    * even on adversarial chain-shaped graphs — where plain min-label
+    * propagation needs O(diameter) rounds. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      localThreshold: Long = 1L << 20): DataFrame = {
-    // Small-graph fast path: below the threshold the edge list is
-    // collected and solved with union-find on the driver — the same
-    // size-gated driver materialization Spark itself performs for
-    // broadcast joins, and it collapses an O(diameter)-round job loop
-    // into one job. Near-dup edge lists are pair-verified output, so
-    // at 100 TB they are orders of magnitude smaller than the corpus;
-    // graphs beyond the threshold take the distributed loop below.
+      localMaxBytes: Long = 16L << 20): DataFrame = {
+    // Small-graph fast path: near-dup edge lists are pair-verified
+    // output, so at 100 TB they are orders of magnitude smaller than
+    // the corpus; most fit the driver comfortably.
     val pairRows = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
-    if (pairRows.count() <= localThreshold) {
+    if (pairRows.count() * 16L <= localMaxBytes) {
       val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -96,27 +97,66 @@ object Corpus {
       import spark.implicits._
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
     }
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr"))
-      val updated = labels
-        .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("newl"))
-        .persist()
-      changed = updated.filter(col("newl") < col("label")).count()
-      val old = labels
-      labels = updated.select(col("id"), col("newl").as("label")).persist()
-      old.unpersist()
+    bigStarClusters(pairRows.toDF("id_a", "id_b"))._1
+  }
+
+  /** Distributed connected components: alternating large-star /
+    * small-star rounds (Kiveris et al.). Each phase is ONE shuffle
+    * (groupBy the edge head + a partitioning-reusing join); the edge
+    * set contracts toward stars rooted at component minima in O(log n)
+    * rounds regardless of graph shape. Returns (labels, rounds run).
+    *
+    *  - large-star: every neighbor LARGER than u re-points to
+    *    m = min(N(u) ∪ {u}) — long chains fold in half;
+    *  - small-star: every neighbor ≤ u re-points to the min — stars
+    *    flatten to depth 1.
+    * Convergence = the canonical edge set stops changing (exact
+    * set-difference check, not a checksum: a false early stop would
+    * silently merge/split clusters). */
+  def bigStarClusters(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      both.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
     }
-    edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges directed large→small; m = min neighbor (all < u)
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+    }
+
+    // localCheckpoint per round: iterative algorithms must TRUNCATE
+    // lineage, not just cache — persist() keeps the logical plan, which
+    // doubles every round and OOMs the driver after ~15 rounds long
+    // before the data is large. (On a cluster with a checkpoint dir
+    // configured, reliable checkpoint() adds executor-loss tolerance;
+    // the round structure is identical.)
+    var edges = canon(
+      pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))).localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(true)
+      rounds += 1
+      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    // converged edges are stars (u → component min): label members by
+    // their root, roots by themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("label")))
+      .groupBy("id").agg(min(col("label")).as("cluster_id"))
+    (labels, rounds)
   }
 }

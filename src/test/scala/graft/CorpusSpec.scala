@@ -59,11 +59,25 @@ class CorpusSpec extends AnyFunSuite {
       .toDF("id_a", "id_b")
     val local = Corpus.dupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dist = Corpus.dupClusters(pairs, localThreshold = 0).collect()
+    val dist = Corpus.dupClusters(pairs, localMaxBytes = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local == dist, s"$local vs $dist")
     assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 4L -> 1L,
       7L -> 7L, 8L -> 7L))
+  }
+
+  test("large-star/small-star: 10k-node chain converges in O(log n) rounds") {
+    // the adversarial shape for min-label propagation: a chain has
+    // diameter n, so label propagation needs ~n rounds; star
+    // contraction must fold it in O(log n)
+    val n = 10000
+    val pairs = spark.range(0, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (labels, rounds) = Corpus.bigStarClusters(pairs)
+    assert(rounds <= 20, s"expected O(log n) rounds, took $rounds")
+    val got = labels.collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L), "single component rooted at 0")
   }
 
   test("dupClusters over lshPairs covers exactly the paired doc ids") {
