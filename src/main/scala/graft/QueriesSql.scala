@@ -676,6 +676,85 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q74Sql) },
     Some(q74Sql))
 
+  /** TPC-H Q7 shape (volume shipping): the double-aliased dimension —
+    * nation joined TWICE (supplier side and customer side) with a
+    * symmetric pair predicate, yearly revenue per direction. Exercises
+    * self-aliased dimension joins, which the planner's single-owner
+    * dimension model can't express — this is the raw-SQL tier. */
+  private val q82Sql = s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year"""
+  private val q82 = Q("q82_tpch_q7_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q82Sql) },
+    Some(q82Sql))
+
+  /** TPC-H Q10 shape (returned items): customer-grain revenue ranking
+    * over a returnflag slice, top 20 — fact→dim aggregation with a
+    * post-agg ordered limit (TakeOrdered at scale). */
+  private val q83Sql = s"""
+      SELECT c_custkey, c_name,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""
+  private val q83 = Q("q83_tpch_q10_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q83Sql) },
+    Some(q83Sql))
+
+  /** TPC-H Q14 shape (promo revenue share): conditional aggregation
+    * ratio — two exact decimal sums over the same scan, one IEEE
+    * division at the end (order-independent, engine-portable). */
+  private val q84Sql = s"""
+      SELECT 100.0 * ${dsumSql(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / ${dsumSql("l_extendedprice * (1 - l_discount)")} AS promo_share,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"""
+  private val q84 = Q("q84_tpch_q14_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q84Sql) },
+    Some(q84Sql))
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * brand × quantity-band OR-of-ANDs — the scan-level predicate mix
+    * that proves pushdown of disjunctions into one parquet pass. */
+  private val q85Sql = s"""
+      SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+             AND p_size BETWEEN 1 AND 5)
+         OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+             AND p_size BETWEEN 1 AND 10)
+         OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+             AND p_size BETWEEN 1 AND 15)"""
+  private val q85 = Q("q85_tpch_q19_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q85Sql) },
+    Some(q85Sql))
+
   /** Time-spine gap filling (the MetricFlow join-to-time-spine
     * semantics): month buckets with NO fact rows still appear, with
     * zero revenue — a generated month spine LEFT-joined to the
@@ -752,5 +831,5 @@ object QueriesSql {
 
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
-    q67, q68, q72, q73, q74, q77, q78, q79)
+    q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85)
 }

@@ -258,4 +258,55 @@ object PlanDot {
     sb ++= "}\n"
     sb.result()
   }
+
+  /** Self-contained SVG rendering of the plan DAG (full parity with
+    * the reference's display_dag_as_svg, dbt_query.py:127-132, which
+    * shells out to graphviz; here a pure-Scala layered tree layout —
+    * no external renderer). Leaves on top, root at the bottom; each
+    * node a labeled box, each edge a line. Driver-side presentation
+    * over the LOGICAL plan: O(plan nodes), never touches data. */
+  def toSvg(df: DataFrame): String = {
+    final case class N(id: Int, label: String, x: Double, y: Int)
+    val nodes = scala.collection.mutable.ArrayBuffer[N]()
+    val edges = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var id = 0
+    var leafX = 0
+    var maxDepth = 0
+    def walk(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        depth: Int): N = {
+      val me = id; id += 1
+      maxDepth = math.max(maxDepth, depth)
+      val kids = node.children.map(walk(_, depth + 1))
+      val x = if (kids.isEmpty) { leafX += 1; leafX - 1.0 }
+        else kids.map(_.x).sum / kids.size
+      val n = N(me, node.nodeName, x, depth)
+      nodes += n
+      kids.foreach(k => edges += ((k.id, me)))
+      n
+    }
+    walk(df.queryExecution.optimizedPlan, 0)
+    val (bw, bh, gx, gy, pad) = (150, 28, 30, 50, 20)
+    def px(n: N): Double = pad + n.x * (bw + gx)
+    def py(n: N): Int = pad + (maxDepth - n.y) * (bh + gy)
+    val byId = nodes.map(n => n.id -> n).toMap
+    val w = pad * 2 + math.max(leafX, 1) * (bw + gx) - gx
+    val h = pad * 2 + (maxDepth + 1) * (bh + gy) - gy
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    val sb = new StringBuilder(
+      s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h">\n""")
+    for ((c, p) <- edges) {
+      val (a, b) = (byId(c), byId(p))
+      sb ++= s"""  <line x1="${px(a) + bw / 2}" y1="${py(a) + bh}" """ +
+        s"""x2="${px(b) + bw / 2}" y2="${py(b)}" stroke="black"/>\n"""
+    }
+    for (n <- nodes) {
+      sb ++= s"""  <rect x="${px(n)}" y="${py(n)}" width="$bw" height="$bh" """ +
+        "fill=\"white\" stroke=\"black\"/>\n"
+      sb ++= s"""  <text x="${px(n) + bw / 2}" y="${py(n) + bh / 2 + 4}" """ +
+        s"""text-anchor="middle" font-size="11">${esc(n.label)}</text>\n"""
+    }
+    sb ++= "</svg>\n"
+    sb.result()
+  }
 }

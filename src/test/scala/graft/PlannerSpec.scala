@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
 
 import graft.catalog._
-import graft.planner.MetricPlanner
+import graft.planner.{MetricPlanner, PlanDot}
 import graft.sources.Tables
 
 class PlannerSpec extends AnyFunSuite {
@@ -150,6 +150,22 @@ class PlannerSpec extends AnyFunSuite {
       assert(a.sql == b.sql)
       assert(a.df.collect().toSeq == b.df.collect().toSeq)
     }
+  }
+
+  test("plan DAG renders as well-formed SVG with plan nodes and edges") {
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue"), groupBy = Seq("r_name")))
+    val svg = PlanDot.toSvg(c.df)
+    assert(svg.startsWith("<svg "))
+    // well-formed XML: the JDK parser accepts it whole
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+    val rects = doc.getElementsByTagName("rect").getLength
+    val lines = doc.getElementsByTagName("line").getLength
+    assert(rects >= 3, s"expected a multi-node plan, got $rects boxes")
+    assert(lines == rects - 1, "tree: one edge per non-root node")
+    assert(svg.contains("Aggregate") && svg.contains("Join"), svg.take(500))
   }
 
   test("small dims are planned as broadcast joins") {
