@@ -476,6 +476,82 @@ object QueriesLlm {
       GROUP BY media_id, width, height
       ORDER BY media_id"""))
 
+  /** REAL audio decode, oracle-proven (the q81 pattern for sound): the
+    * corpus is deterministic 16-bit PCM WAV clips written by the JDK's
+    * real WAV encoder; Spark decodes the BYTES with javax.sound.sampled
+    * and reports rate/frames/8-bin amplitude histogram; the oracle
+    * recomputes the sample formula arithmetically. PCM is lossless, so
+    * the hash-compare proves the codec round-trip. Video remains the
+    * one documented stub (no JDK video codec exists). */
+  private val q86 = Q("q86_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.decodeAudioFeatures(
+        Multimodal.wavAudioTable(t(s, dir, "documents")))
+      feats.toDF().select(
+        Seq(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames")) ++
+        (0 until 8).map(i => element_at(col("hist"), i + 1).as(s"b$i")): _*)
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH clips AS (
+        SELECT doc_id AS media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(400 + doc_id % 100 AS BIGINT) AS n_frames
+        FROM documents),
+      px AS (
+        SELECT media_id, sample_rate, n_frames,
+               ((media_id * 31 + unnest(range(0, n_frames)) * 7) % 65536) // 8192
+                 AS bin
+        FROM clips)
+      SELECT media_id, sample_rate, n_frames,
+             CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+             CAST(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+             CAST(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+             CAST(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+             CAST(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+      FROM px
+      GROUP BY media_id, sample_rate, n_frames
+      ORDER BY media_id"""))
+
+  /** Fuzzy string matching for dedup candidates: levenshtein distance
+    * and a normalized similarity ratio over planted near-duplicate
+    * pairs — the classic record-linkage verify step (both engines
+    * implement the identical DP edit distance; integer output, so the
+    * ratio divides exactly the same doubles). Candidates come from the
+    * LSH band join, so at 100 TB this scores candidate pairs only,
+    * never the cross product. */
+  private val q88 = Q("q88_edit_distance",
+    (s, dir) => {
+      val pairs = Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      pairs
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+          (lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double") /
+            greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+            .as("sim_ratio"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""$duckMinhashCtes,$duckBandCte,
+      pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5)
+      SELECT p.id_a, p.id_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+               CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+               AS sim_ratio
+      FROM pairs p
+      JOIN documents a ON a.doc_id = p.id_a
+      JOIN documents b ON b.doc_id = p.id_b
+      ORDER BY p.id_a, p.id_b"""))
+
   /** Engine-portable HLL distinct sketch (graft.llm.HllSketch): unlike
     * approx_count_distinct (q7a, engine-private sketch → rows-only),
     * this one is md5-derived and exact-arithmetic, so the DuckDB oracle
@@ -763,5 +839,5 @@ object QueriesLlm {
 
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81)
+    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88)
 }

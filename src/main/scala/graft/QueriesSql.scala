@@ -755,6 +755,31 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q85Sql) },
     Some(q85Sql))
 
+  /** Window-function breadth: lead/lag/ntile/first_value/last_value
+    * over per-user event sequences — one shuffle on the partition key,
+    * identical SQL text on both engines. (Ranks are q62; this covers
+    * the offset/navigation family.) */
+  private val q87Sql = """
+      SELECT user_id, event_id,
+             CAST(unix_timestamp(ts) AS BIGINT) AS ts_epoch,
+             CAST(LAG(event_id) OVER w AS BIGINT) AS prev_event,
+             CAST(LEAD(event_id) OVER w AS BIGINT) AS next_event,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             CAST(FIRST_VALUE(event_id) OVER w AS BIGINT) AS first_event,
+             CAST(LAST_VALUE(event_id) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS last_event
+      FROM events
+      WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts_epoch, event_id"""
+  private val q87 = Q("q87_window_offsets",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q87Sql) },
+    // DuckDB epoch() keeps sub-second fraction and CAST rounds, while
+    // Spark unix_timestamp truncates — floor() aligns them exactly
+    Some(q87Sql.replace("unix_timestamp(ts)", "floor(epoch(ts))")))
+
   /** Time-spine gap filling (the MetricFlow join-to-time-spine
     * semantics): month buckets with NO fact rows still appear, with
     * zero revenue — a generated month spine LEFT-joined to the
@@ -831,5 +856,5 @@ object QueriesSql {
 
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
-    q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85)
+    q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87)
 }

@@ -104,9 +104,88 @@ object Multimodal {
       rows.map { r =>
         val feats =
           if (looksLikeImage(r.payload)) imageFeatures(r.payload)
+          else if (looksLikeWav(r.payload)) audioFeatures(r.payload)
           else fakeDecodeFeatures(r.payload)
         MediaFeatures(r.media_id, r.meta.kind,
           if (r.payload == null) 0L else r.payload.length.toLong, feats)
+      }
+    }
+  }
+
+  /** RIFF/WAVE magic — route audio rows to the real PCM decoder. */
+  def looksLikeWav(payload: Array[Byte]): Boolean =
+    payload != null && payload.length > 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A'
+
+  /** REAL audio decode (JDK javax.sound.sampled — WAV/PCM needs no
+    * external codec): payload bytes → (sampleRate, frames, 8-bin
+    * amplitude histogram over signed 16-bit samples). */
+  def decodeSamples(payload: Array[Byte]): (Int, Long, Array[Long]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16, "expect 16-bit PCM")
+    val bytes = in.readAllBytes()
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i + 1 < bytes.length) {
+      // little-endian signed 16-bit; bin width 65536/8 = 8192
+      val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toInt
+      hist((s + 32768) / 8192) += 1
+      i += 2
+    }
+    (fmt.getSampleRate.toInt, in.getFrameLength, hist)
+  }
+
+  /** Audio feature vector off the real decode: normalized amplitude
+    * histogram (same 8-float shape as the other extractors). */
+  def audioFeatures(payload: Array[Byte]): Array[Float] = {
+    val (_, frames, hist) = decodeSamples(payload)
+    hist.map(_ / math.max(frames, 1L).toFloat)
+  }
+
+  final case class AudioRow(media_id: Long, payload: Array[Byte])
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+      n_frames: Long, hist: Array[Long])
+
+  /** Deterministic WAV corpus: one mono 16-bit PCM clip per document,
+    * sample s(id, t) = ((id·31 + t·7) mod 65536) − 32768, length
+    * 400 + id mod 100 frames at 8 kHz — encoded with the JDK's real
+    * WAV writer, so decoding is a true codec round-trip while every
+    * sample is SQL-recomputable arithmetic (PCM is lossless). */
+  def wavAudioTable(docs: DataFrame): Dataset[AudioRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = 400 + (id % 100).toInt
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val s = (((id * 31 + t * 7) % 65536) - 32768).toInt
+          pcm(2 * t) = (s & 0xFF).toByte
+          pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+          t += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Real decode over the audio table — sampleRate/frames/histogram
+    * come from AudioSystem reading the WAV BYTES, not the formula. */
+  def decodeAudioFeatures(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, frames, hist) = decodeSamples(r.payload)
+        AudioFeatures(r.media_id, rate, frames, hist)
       }
     }
   }

@@ -86,6 +86,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV decode: AudioSystem round-trip recovers the sample formula") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").limit(25)
+    val clips = Multimodal.wavAudioTable(docs)
+    val rows = clips.collect()
+    assert(rows.forall(r => Multimodal.looksLikeWav(r.payload)))
+    val feats = Multimodal.decodeAudioFeatures(clips).collect()
+      .map(f => f.media_id -> f).toMap
+    for (r <- rows) {
+      val id = r.media_id
+      val n = 400 + (id % 100).toInt
+      val expect = new Array[Long](8)
+      for (t <- 0 until n)
+        expect(((id * 31 + t * 7) % 65536).toInt / 8192) += 1
+      val f = feats(id)
+      assert(f.sample_rate == 8000 && f.n_frames == n.toLong, s"id=$id")
+      assert(f.hist.toSeq == expect.toSeq, s"id=$id")
+    }
+  }
+
   test("frame offsets stride the payload deterministically") {
     import spark.implicits._
     val df = Seq(("x" * 100)).toDF("payload")
