@@ -399,10 +399,26 @@ object Queries {
     (s, dir) => filePlanner.compile(s, dir, q80Req).df,
     Some(filePlanner.renderSql(q80Req, withDescriptions = false)))
 
+  /** Cross-model metric query (MetricFlow metric_time semantics):
+    * revenue (lineitem fact, l_shipdate) and event_value (events fact,
+    * ts) in ONE request, each aggregated to month grain over its own
+    * time dimension, full-outer-joined on metric_time__month. Months
+    * present in only one fact carry NULL for the other metric. The
+    * facts never join at row grain — the outer join runs at grain
+    * cardinality. Oracle = the planner's rendered CTE SQL. */
+  private val q89Req = MetricQueryRequest(
+    metrics = Seq("revenue", "event_value"),
+    groupBy = Seq("metric_time__month"),
+    startTime = Some("1997-06-01"))
+  private val q89 = Q("q89_cross_model_metrics",
+    (s, dir) => planner.compile(s, dir, q89Req).df,
+    Some(planner.renderSql(q89Req, withDescriptions = false)))
+
   // =====================================================================
 
   val all: Seq[Q] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16, q71, q80) ++
+    Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
+      q71, q80, q89) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -80,8 +80,9 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     // frame — one pass over the fact regardless
     val baseNames = registry.baseMetricsFor(req.metrics)
     val ms = baseNames.map(registry.metric)
+    if (ms.map(_.model).distinct.size > 1)
+      return compileCrossModel(spark, dir, req, ms)
     val factModel = ms.head.model
-    require(ms.forall(_.model == factModel), "all metrics must share a fact model")
 
     val groupBys = req.groupBy.map(parseGroupBy)
 
@@ -150,6 +151,118 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       renderSql(req, withDescriptions = true))
   }
 
+  /** Cross-model metric queries — MetricFlow's `metric_time` join:
+    * metrics from DIFFERENT fact models are each aggregated to the
+    * shared time grain over their OWN time dimension, then the per-fact
+    * aggregates are FULL OUTER JOINed on the grain key (a month where
+    * only one fact has rows keeps the other metric NULL, exactly
+    * MetricFlow's semantics).
+    *
+    * Scale shape: each fact aggregates independently with partial aggs
+    * (no fact-to-fact shuffle — the facts never join at row grain);
+    * the outer join runs at GRAIN cardinality (dozens of rows), which
+    * is why cross-model metrics stay cheap at 100 TB. Group-bys must
+    * be `metric_time__<gran>`; `where` is rejected here because a raw
+    * predicate cannot name a single owning fact. */
+  private def crossModelGrans(req: MetricQueryRequest): Seq[String] = {
+    require(req.where.isEmpty,
+      "cross-model metric queries support metric_time group-bys and time constraints only")
+    val grans = req.groupBy.map { g =>
+      g.split("__") match {
+        case Array("metric_time", gr)
+          if Set("day", "week", "month", "quarter", "year")(gr.toLowerCase) =>
+          gr.toLowerCase
+        case _ => sys.error(
+          s"cross-model queries group by metric_time__<granularity>, got: $g")
+      }
+    }
+    require(grans.nonEmpty, "cross-model queries need a metric_time group-by")
+    grans
+  }
+
+  /** Metrics per fact model, in first-appearance order; each group's
+    * shared time dimension. */
+  private def crossModelGroups(ms: Seq[Metric]): Seq[(String, Seq[Metric], Dimension)] =
+    ms.map(_.model).distinct.map { model =>
+      val group = ms.filter(_.model == model)
+      val tds = group.map(m => m.timeDim.getOrElse(
+        sys.error(s"metric ${m.name} has no time dimension"))).distinct
+      require(tds.size == 1,
+        s"metrics on $model disagree on time dimension: ${tds.mkString(",")}")
+      (model, group, registry.dimensionByName(tds.head))
+    }
+
+  private def compileCrossModel(spark: SparkSession, dir: String,
+      req: MetricQueryRequest, ms: Seq[Metric]): CompiledMetricQuery = {
+    val grans = crossModelGrans(req)
+    val keyNames = grans.map(gr => s"metric_time__$gr")
+
+    val frames = crossModelGroups(ms).map { case (model, group, td) =>
+      var df = Tables.load(spark, dir, registry.modelByName(model).table)
+      val timeParts =
+        req.startTime.map(s => s"${td.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
+        req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'")
+      for (f <- timeParts) df = df.filter(expr(f))
+      val keys = grans.map(gr =>
+        expr(s"CAST(date_trunc('$gr', ${td.expr}) AS DATE)").as(s"metric_time__$gr"))
+      val aggs = group.map(m => expr(m.aggSql).as(m.name))
+      df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    // full outer on the grain key: using-column joins coalesce the key
+    var df = frames.reduce((a, b) => a.join(b, keyNames, "full_outer"))
+
+    for (name <- req.metrics if registry.isDerived(name))
+      df = df.withColumn(name, expr(registry.derivedByName(name).exprSql))
+    df = df.select((keyNames ++ req.metrics).map(df.col): _*)
+
+    // NULL metric cells are expected here (a grain row one fact lacks);
+    // ordering stays on the never-null grain keys unless the caller
+    // orders explicitly
+    val orderCols = (req.orderBy.map { o =>
+      if (o.startsWith("-")) df.col(o.drop(1)).desc else df.col(o).asc
+    } ++ keyNames.map(df.col(_).asc))
+    df = df.orderBy(orderCols: _*)
+    req.limit.foreach(n => df = df.limit(n))
+
+    CompiledMetricQuery(df, renderSql(req, withDescriptions = false),
+      renderSql(req, withDescriptions = true))
+  }
+
+  private def renderCrossModelSql(req: MetricQueryRequest, ms: Seq[Metric],
+      withDescriptions: Boolean): String = {
+    val grans = crossModelGrans(req)
+    val keyNames = grans.map(gr => s"metric_time__$gr")
+    def desc(s: String): String = if (withDescriptions) s"  -- $s" else ""
+
+    val groups = crossModelGroups(ms)
+    val ctes = groups.zipWithIndex.map { case ((model, group, td), i) =>
+      val timeParts =
+        req.startTime.map(s => s"${td.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
+        req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'")
+      val keyItems = grans.map(gr =>
+        s"CAST(date_trunc('$gr', ${td.expr}) AS DATE) AS metric_time__$gr")
+      val aggItems = group.map(m => s"${m.aggSql} AS ${m.name}")
+      val where = if (timeParts.nonEmpty) s"\n  WHERE ${timeParts.mkString(" AND ")}" else ""
+      s"m$i AS (\n  SELECT ${(keyItems ++ aggItems).mkString(",\n         ")}" +
+        s"\n  FROM ${registry.modelByName(model).table}$where" +
+        s"\n  GROUP BY ${grans.indices.map(_ + 1).mkString(", ")})"
+    }
+    def metricExpr(name: String): String = registry.derivedByName.get(name)
+      .map(_.exprSql).getOrElse(name)
+    val selectItems = keyNames ++ req.metrics.map(n =>
+      if (registry.isDerived(n)) s"${metricExpr(n)} AS $n" else n)
+    val joins = groups.indices.tail.map(i =>
+      s"FULL OUTER JOIN m$i USING (${keyNames.mkString(", ")})").mkString("\n")
+    val orderExprs = (req.orderBy.map { o =>
+      if (o.startsWith("-")) s"${o.drop(1)} DESC" else s"$o ASC"
+    } ++ keyNames.map(k => s"$k ASC")).mkString(", ")
+    val limit = req.limit.map(n => s"\nLIMIT $n").getOrElse("")
+    s"WITH ${ctes.mkString(",\n")}" + desc("one aggregate per fact model") +
+      s"\nSELECT ${selectItems.mkString(", ")}" +
+      s"\nFROM m0\n$joins" + desc("metric_time join at grain cardinality") +
+      s"\nORDER BY $orderExprs$limit"
+  }
+
   /** Render the request as SQL (IR #3). With `withDescriptions`, inline
     * `-- comments` annotate each clause (parity with the reference's
     * rendered_sql vs rendered_sql_without_descriptions,
@@ -157,6 +270,8 @@ final class MetricPlanner(val registry: SemanticRegistry) {
   def renderSql(req0: MetricQueryRequest, withDescriptions: Boolean): String = {
     val req = resolve(req0)
     val ms = registry.baseMetricsFor(req.metrics).map(registry.metric)
+    if (ms.map(_.model).distinct.size > 1)
+      return renderCrossModelSql(req, ms, withDescriptions)
     val factModel = ms.head.model
     val groupBys = req.groupBy.map(parseGroupBy)
     val needed: Seq[String] =

@@ -168,6 +168,34 @@ class PlannerSpec extends AnyFunSuite {
     assert(svg.contains("Aggregate") && svg.contains("Join"), svg.take(500))
   }
 
+  test("cross-model metrics: per-fact aggregation joined at metric_time grain") {
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue", "event_value"),
+      groupBy = Seq("metric_time__month")))
+    assert(c.df.columns.toSeq ==
+      Seq("metric_time__month", "revenue", "event_value"))
+    val rows = c.df.collect()
+    assert(rows.nonEmpty)
+    // fixture facts live in disjoint eras: every grain row carries
+    // exactly one non-null metric — the outer-join semantics visible
+    assert(rows.forall(r => r.isNullAt(1) ^ r.isNullAt(2)))
+    // rendered SQL is the CTE + FULL OUTER JOIN shape
+    assert(c.sql.contains("FULL OUTER JOIN"))
+    assert(c.sql.contains("metric_time__month"))
+    // per-fact totals survive the join unchanged
+    val viaSingle = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue"), groupBy = Seq("l_shipdate__month"))).df.collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    val viaCross = rows.filter(!_.isNullAt(1))
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(viaCross == viaSingle)
+    // errors are explicit, not silent mis-plans
+    intercept[RuntimeException] {
+      planner.compile(spark, dir, MetricQueryRequest(
+        metrics = Seq("revenue", "event_value"), groupBy = Seq("r_name")))
+    }
+  }
+
   test("small dims are planned as broadcast joins") {
     val c = planner.compile(spark, dir,
       MetricQueryRequest(metrics = Seq("revenue"), groupBy = Seq("r_name")))
