@@ -552,6 +552,36 @@ object QueriesLlm {
       JOIN documents b ON b.doc_id = p.id_b
       ORDER BY p.id_a, p.id_b"""))
 
+  /** Histogram quantile sketch (fixed-size mergeable state — the scale
+    * path for percentiles; exact quantiles are q50): 64-bucket
+    * equal-width sketch over l_extendedprice per returnflag, p50/p90/
+    * p99 read out as bucket left edges. The DuckDB oracle implements
+    * the identical sketch arithmetic, so ESTIMATES hash-match. */
+  private val q90 = Q("q90_hist_quantiles",
+    (s, dir) => graft.llm.HistogramSketch.estimate(
+      t(s, dir, "lineitem"), "l_extendedprice", "l_returnflag",
+      lo = 0.0, hi = 110000.0, bins = 64,
+      ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy("grp"),
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS grp,
+               least(greatest(CAST(FLOOR(
+                 (CAST(l_extendedprice AS DOUBLE) - 0.0) * 64 / (110000.0 - 0.0))
+                 AS BIGINT), 0), 63) AS bucket,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT grp, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY grp) AS n
+        FROM b)
+      SELECT grp,
+             0.0 + (110000.0 - 0.0) / 64 * MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS p50,
+             0.0 + (110000.0 - 0.0) / 64 * MIN(CASE WHEN cum >= ceil(0.9 * n) THEN bucket END) AS p90,
+             0.0 + (110000.0 - 0.0) / 64 * MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS p99
+      FROM c GROUP BY grp ORDER BY grp"""))
+
   /** Engine-portable HLL distinct sketch (graft.llm.HllSketch): unlike
     * approx_count_distinct (q7a, engine-private sketch → rows-only),
     * this one is md5-derived and exact-arithmetic, so the DuckDB oracle
@@ -839,5 +869,5 @@ object QueriesLlm {
 
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88)
+    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90)
 }

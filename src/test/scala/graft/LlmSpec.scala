@@ -199,6 +199,34 @@ class LlmSpec extends AnyFunSuite {
     assert(multi > 0.0)
   }
 
+  test("histogram sketch: estimates within one bucket width of exact; state merges") {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val (lo, hi, bins) = (0.0, 110000.0, 64)
+    val est = llm.HistogramSketch.estimate(li, "l_extendedprice", "l_returnflag",
+      lo, hi, bins, Seq("p50" -> 0.5, "p90" -> 0.9)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val width = (hi - lo) / bins
+    for (flag <- est.keys) {
+      val exact = li.filter(col("l_returnflag") === flag)
+        .stat.approxQuantile("l_extendedprice", Array(0.5, 0.9), 0.0)
+      assert(math.abs(est(flag)._1 - exact(0)) <= width, s"$flag p50")
+      assert(math.abs(est(flag)._2 - exact(1)) <= width, s"$flag p90")
+    }
+    // mergeable state: building on two halves and adding counters
+    // equals building once
+    val whole = llm.HistogramSketch.build(li, "l_extendedprice", "l_returnflag",
+      lo, hi, bins)
+    val halves = llm.HistogramSketch.build(li.filter(col("l_orderkey") % 2 === 0),
+        "l_extendedprice", "l_returnflag", lo, hi, bins)
+      .unionAll(llm.HistogramSketch.build(li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice", "l_returnflag", lo, hi, bins))
+      .groupBy("grp", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val a = whole.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = halves.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("langId picks the marked language deterministically") {
     import spark.implicits._
     val d = Seq(
