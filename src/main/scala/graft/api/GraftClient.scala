@@ -62,4 +62,20 @@ final class GraftClient(val registry: SemanticRegistry) {
     * (§3.2, dbt_query2.py:46-80). Returns written paths. */
   def dumpQueries(metricName: String, outDir: String): Seq[String] =
     Sinks.sqlDump(outDir, planner.dumpQueries(metricName).map(d => (d._1, d._3)))
+
+  /** Render the plan DAG as an SVG file (full display_dag_as_svg
+    * parity, dbt_query.py:127-132 — graphviz-free). Returns the path. */
+  def explainSvg(spark: SparkSession, dir: String, req: MetricQueryRequest,
+      outPath: String): String = {
+    val svg = graft.planner.PlanDot.toSvg(planner.compile(spark, dir, req).df)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), svg)
+    outPath
+  }
+}
+
+object GraftClient {
+  /** Client over a declarative manifest file — the reference's
+    * project-root flow: definitions live in data, not code. */
+  def fromManifest(path: String): GraftClient =
+    new GraftClient(SemanticRegistry.fromFile(path))
 }

@@ -24,7 +24,11 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val client = new GraftClient(DefaultRegistry.registry)
+    // --manifest <file.yml|json>: load the semantic layer from a
+    // declarative manifest instead of the compiled-in default
+    val client = opts.get("manifest")
+      .map(GraftClient.fromManifest)
+      .getOrElse(new GraftClient(DefaultRegistry.registry))
 
     val req = MetricQueryRequest(
       metrics = opts.getOrElse("metrics", "revenue").split(",").toSeq,
@@ -44,6 +48,10 @@ object Cli {
           val e = client.explain(spark, sfDir, req)
           println("[cli] rendered SQL:\n" + e.sqlWithDescriptions)
           println("\n[cli] dataflow plan:\n" + e.planText)
+          opts.get("svg").foreach { out =>
+            client.explainSvg(spark, sfDir, req, out)
+            println(s"[cli] plan SVG written to $out")
+          }
         } else {
           val res = client.query(spark, sfDir, req,
             decimals = opts.getOrElse("decimals", "2").toInt)
