@@ -134,6 +134,40 @@ class PlanQualitySpec extends AnyFunSuite {
       dotLines.filterNot(_.contains("*(")).mkString("\n"))
   }
 
+  test("q83: post-agg ordered limit plans as distributed top-k") {
+    val plan = physical("q83_tpch_q10_shape")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2500))
+  }
+
+  test("q85: per-side slices of the disjunction reach both scans") {
+    val plan = physical("q85_tpch_q19_shape")
+    // Catalyst extracts (brand OR brand OR brand) for the part side and
+    // the quantity-band disjunction for the lineitem side — both scans
+    // must carry pushed filters even though the full OR spans tables
+    val scans = plan.split("Scan parquet")
+    assert(scans.length >= 3, plan.take(2000))
+    // every scan's PushedFilters carries an Or(...) disjunction slice
+    val pushed = plan.split("PushedFilters: ").drop(1).map(_.split("]")(0))
+    assert(pushed.length >= 2 && pushed.forall(_.contains("Or(")),
+      pushed.mkString("\n"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("q89: cross-model facts aggregate before the grain join (no row-grain fact join)") {
+    val df = Queries.all.find(_.name == "q89_cross_model_metrics").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // both sides of the outer join are aggregates: HashAggregate appears
+    // before (deeper than) the join in each branch — assert by counting:
+    // 2 facts × (partial+final) = at least 4 aggregate nodes
+    val aggs = plan.split("HashAggregate").length - 1
+    assert(aggs >= 4, s"saw $aggs HashAggregate nodes\n${plan.take(2500)}")
+    assert(plan.contains("FullOuter") || plan.contains("full_outer")
+      || plan.contains("FULL OUTER"), plan.take(2500))
+  }
+
   test("q23 lsh: band join shuffles keys only (no shingle arrays in join)") {
     val df = Queries.all.find(_.name == "q23_lsh_pairs").get.run(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString
