@@ -29,10 +29,16 @@ object StreamingPipeline {
 
   /** File-landed stream → transform → idempotent append + report,
     * checkpointed. `availableNow = true` mirrors one cron run
-    * (catchup=False, max_active_runs=1 → single query instance). */
-  def startIngest(spark: SparkSession, landingDir: String, sinkPath: String,
-      checkpoint: String, webhook: Sinks.Webhook,
-      availableNow: Boolean = true): StreamingQuery = {
+    * (catchup=False, max_active_runs=1 → single query instance).
+    *
+    * The sink is the same [[IncrementalPipeline.TxSink]] the batch
+    * pipeline uses — parquet (optionally block-bucketed) or JDBC. The
+    * per-epoch anti-join guards checkpoint replay; it reads only sink
+    * txids at/above the batch's own minimum block, so the guard scan
+    * prunes to the replay window instead of history. */
+  def startIngest(spark: SparkSession, landingDir: String,
+      sink: IncrementalPipeline.TxSink, checkpoint: String,
+      webhook: Sinks.Webhook, availableNow: Boolean): StreamingQuery = {
     val raw = spark.readStream.schema(txSchema).parquet(landingDir)
     val q = raw.writeStream
       .outputMode(OutputMode.Append)
@@ -40,16 +46,16 @@ object StreamingPipeline {
       .trigger(if (availableNow) Trigger.AvailableNow() else
         Trigger.ProcessingTime("15 minutes"))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val spark = batch.sparkSession
         var out = IncrementalPipeline.transform(batch).dropDuplicates("txid")
-        if (new java.io.File(sinkPath).exists()) {
-          val existing = spark.read.parquet(sinkPath).select("txid")
+        val lo = out.agg(coalesce(min(col("block")), lit(Long.MaxValue)))
+          .first().getLong(0) - 1
+        sink.existingTxids(lo).foreach { existing =>
           out = out.join(existing, Seq("txid"), "left_anti")
         }
         val cached = out.withColumn("insert_dt", current_timestamp()).cache()
         try {
           if (cached.count() > 0) {
-            cached.write.mode("append").parquet(sinkPath)
+            sink.append(cached)
             Sinks.notifyReport(cached,
               Seq("txid", "fee", "decoded_data", "blockdate"), webhook)
           }
@@ -59,6 +65,13 @@ object StreamingPipeline {
       .start()
     q
   }
+
+  def startIngest(spark: SparkSession, landingDir: String, sinkPath: String,
+      checkpoint: String, webhook: Sinks.Webhook,
+      availableNow: Boolean = true): StreamingQuery =
+    startIngest(spark, landingDir,
+      new IncrementalPipeline.ParquetTxSink(spark, sinkPath), checkpoint,
+      webhook, availableNow)
 
   /** Event-time windowed aggregation with a watermark: 5-minute tumbling
     * windows on the events-stream shape. Late data beyond 10 minutes is

@@ -51,6 +51,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("txid") === "s4").count() == 1)
   }
 
+  test("streaming ingest into the JDBC sink: idempotent across epochs") {
+    import spark.implicits._
+    import graft.ingest.IncrementalPipeline
+    val base = Files.createTempDirectory("graft-streamj").toString
+    val landing = s"$base/landing"; val cp = s"$base/cp"
+    val url = s"jdbc:derby:$base/db;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new IncrementalPipeline.JdbcTxSink(spark, url, "stream_txs", opts)
+
+    Seq(
+      ("j1", 1L, 1700000000L, 200, "0.1", hex("one")),
+      ("j2", 2L, 1700000060L, 200, "0.2", hex("two")))
+      .toDF("txid", "block", "blocktime", "type_int", "fee", "data")
+      .write.parquet(landing)
+    val wh = new Sinks.CollectingWebhook
+    StreamingPipeline.startIngest(spark, landing, sink, cp, wh, availableNow = true)
+      .awaitTermination(120000)
+    assert(sink.watermark() == 2L)
+
+    // next epoch: one already-landed txid + one new — the in-DB
+    // anti-join drops the duplicate, checkpoint advances
+    Seq(
+      ("j2", 2L, 1700000060L, 200, "0.2", hex("two")),
+      ("j3", 3L, 1700000120L, 200, "0.3", hex("three")))
+      .toDF("txid", "block", "blocktime", "type_int", "fee", "data")
+      .write.mode("append").parquet(landing)
+    StreamingPipeline.startIngest(spark, landing, sink, cp, wh, availableNow = true)
+      .awaitTermination(120000)
+
+    val rows = graft.sources.Tables.loadJdbc(spark, url, "stream_txs", opts).collect()
+    assert(rows.map(_.getAs[String]("txid")).sorted.toSeq == Seq("j1", "j2", "j3"))
+  }
+
   test("windowed agg with watermark over a streamed events sample") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream2").toString
