@@ -188,6 +188,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Persisted IVF index: centroids + corpus-to-list assignments
+    * written as parquet, so index build cost is paid ONCE and every
+    * query run probes the stored index — the production vector-search
+    * shape (build offline, serve online). The assignment table is
+    * written partitioned by list id: a probe reads only its `nprobe`
+    * list directories (directory-pruned scan), never the whole corpus.
+    */
+  def buildIvfIndex(corpus: DataFrame, indexPath: String, k: Int = 16,
+      iters: Int = 2, dims: Int = 64): Unit = {
+    val cents = kmeansCentroids(corpus, k, iters, dims)
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val c = broadcast(cents.select(col("cid"), col("c_emb"),
+      norm(col("c_emb")).as("c_nrm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .crossJoin(c)
+      .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexPath/assignments")
+  }
+
+  /** ANN over a persisted index: queries probe their `nprobe` nearest
+    * stored centroids and rescore exactly within those lists only. The
+    * assignment read carries a `cid IN (...)`-shaped join, so with the
+    * partitioned layout the scan touches probed list directories. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .crossJoin(cents)
+      .withColumn("__d", cosPre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .drop("c_emb", "c_nrm", "__d", "__r")
+    val assigned = spark.read.parquet(s"$indexPath/assignments")
+    val scored = assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the corpus
     * (`bits` sign bits → 2^bits buckets), self-join within buckets
     * only, verify with exact cosine ≥ `threshold`. The bucket join is

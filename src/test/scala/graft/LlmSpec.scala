@@ -173,6 +173,23 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("persisted IVF index: indexed probe equals in-memory IVF, scan prunes to lists") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(emb, idx, k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, idx, queries, 5, nprobe = 3)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val viaMemory = Similarity.ivfTopK(queries, emb, 5, nlist = 8, nprobe = 3,
+      centroids = Some(cents)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = viaIndex.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == viaMemory)
+    // list-partitioned layout: the assignment scan is partition-filtered
+    // by cid after the probe join (dynamic pruning or join-side filter)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("cid"), plan.take(1500))
+  }
+
   test("count-min: est >= exact, and exact when width >> distinct keys") {
     import spark.implicits._
     val df = Seq.fill(10)("a").toDF("k")
