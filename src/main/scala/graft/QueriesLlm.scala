@@ -683,6 +683,60 @@ object QueriesLlm {
             FROM documents)
       ORDER BY doc_id"""))
 
+  /** Corpus-curation CAPSTONE — the operators composed as a real
+    * training-data pipeline in ONE query: quality gate (token count,
+    * distinct-token ratio, no URLs) → near-dup removal (MinHash LSH
+    * survivors) → deterministic hash split → per-(split, lang) doc and
+    * token counts. Every stage is the already-oracle-proven operator;
+    * this gate proves they COMPOSE with unchanged semantics. Scale
+    * shape: quality gate rides the scan, dedup is the bucketed band
+    * join, split is a narrow md5 map — the one shuffle beyond dedup is
+    * the final small aggregate. */
+  private val q92 = Q("q92_corpus_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def toks = TextAnalysis.tokens(col("text"))
+      val quality = docs.filter(
+        size(toks) >= 5 &&
+        (size(array_distinct(toks)).cast("double") / size(toks)) >= 0.5 &&
+        size(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0))) === 0)
+      val dead = Dedup.lshPairs(docs, "doc_id", "text")
+        .select(col("id_b").as("doc_id")).distinct()
+      quality.join(dead, Seq("doc_id"), "left_anti")
+        .select(graft.llm.Corpus.split(col("doc_id")).as("split"), col("lang"),
+          size(toks).cast("long").as("n_toks"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("total_tokens"))
+        .orderBy("split", "lang")
+    },
+    Some(s"""$duckMinhashCtes,$duckBandCte,
+      dead AS (SELECT DISTINCT id_b FROM verified WHERE jaccard >= 0.5),
+      toked AS (
+        SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+      kept AS (
+        SELECT doc_id, lang, len(toks) AS n_toks
+        FROM toked
+        WHERE len(toks) >= 5
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.5
+          AND len(regexp_extract_all(text, 'https?://[^\\s]+')) = 0
+          AND doc_id NOT IN (SELECT id_b FROM dead)),
+      labeled AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, n_toks
+        FROM kept)
+      SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+      FROM labeled
+      GROUP BY split, lang
+      ORDER BY split, lang"""))
+
   // ------------------------------------------- corpus management ops
   /** Embedding-cosine near-duplicate pairs (the vector-space member of
     * the dedup family, next to exact/MinHash/SimHash): SRP buckets →
@@ -869,5 +923,5 @@ object QueriesLlm {
 
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90)
+    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92)
 }

@@ -780,6 +780,34 @@ object QueriesSql {
     // Spark unix_timestamp truncates — floor() aligns them exactly
     Some(q87Sql.replace("unix_timestamp(ts)", "floor(epoch(ts))")))
 
+  /** Unpivot/melt (the inverse of q48's pivot): wide per-flag measure
+    * columns to long (flag, measure, value) rows via Dataset.unpivot —
+    * constant-factor row expansion AFTER aggregation, so the melt runs
+    * at group cardinality, never fact cardinality. */
+  private val q91 = Q("q91_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"),
+        dsum(col("l_discount"), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure"),
+    Some(s"""
+      WITH agg AS (
+        SELECT l_returnflag,
+               ${dsumSql("l_quantity", 2)} AS sum_qty,
+               ${dsumSql("l_extendedprice", 2)} AS sum_price,
+               ${dsumSql("l_discount", 2)} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+      ORDER BY l_returnflag, measure"""))
+
   /** Time-spine gap filling (the MetricFlow join-to-time-spine
     * semantics): month buckets with NO fact rows still appear, with
     * zero revenue — a generated month spine LEFT-joined to the
@@ -856,5 +884,5 @@ object QueriesSql {
 
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
-    q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87)
+    q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91)
 }
