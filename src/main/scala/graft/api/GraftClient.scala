@@ -63,6 +63,23 @@ final class GraftClient(val registry: SemanticRegistry) {
   def dumpQueries(metricName: String, outDir: String): Seq[String] =
     Sinks.sqlDump(outDir, planner.dumpQueries(metricName).map(d => (d._1, d._3)))
 
+  /** Catalog introspection (`mf list metrics` / `mf list dimensions`
+    * parity): every metric with its accompanying dimensions, and every
+    * dimension with its owner. Registry-only — no Spark session, no
+    * data touched. */
+  def listMetrics: Seq[(String, String, Seq[String])] =
+    (registry.metrics.map(m => (m.name, m.description,
+      registry.dimensionsForMetric(m.name).map(_.name))) ++
+     registry.derivedMetrics.map(d => (d.name, d.description,
+       registry.dimensionsForMetric(
+         registry.baseMetricsFor(Seq(d.name)).head).map(_.name))))
+
+  def listDimensions: Seq[(String, String, Boolean)] =
+    for (m <- registry.models; d <- m.dimensions)
+      yield (d.name, m.name, d.isTime)
+
+  def listSavedQueries: Seq[String] = registry.savedQueries.keys.toSeq.sorted
+
   /** Render the plan DAG as an SVG file (full display_dag_as_svg
     * parity, dbt_query.py:127-132 — graphviz-free). Returns the path. */
   def explainSvg(spark: SparkSession, dir: String, req: MetricQueryRequest,

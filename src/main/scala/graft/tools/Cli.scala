@@ -39,6 +39,22 @@ object Cli {
       limit = opts.get("limit").map(_.toInt),
       savedQuery = opts.get("saved-query"))
 
+    // --list metrics|dimensions|saved-queries: registry introspection,
+    // no Spark jobs (mf list parity)
+    opts.get("list").foreach { what =>
+      what match {
+        case "metrics" => client.listMetrics.foreach { case (n, d, dims) =>
+          println(s"$n${if (d.nonEmpty) s" — $d" else ""}  [dims: ${dims.mkString(", ")}]")
+        }
+        case "dimensions" => client.listDimensions.foreach { case (n, owner, time) =>
+          println(s"$n  (model: $owner${if (time) ", time" else ""})")
+        }
+        case "saved-queries" => client.listSavedQueries.foreach(println)
+        case other => println(s"[cli] unknown --list target: $other")
+      }
+      spark.stop(); return
+    }
+
     opts.get("dump-sql") match {
       case Some(dumpDir) =>
         val written = client.dumpQueries(req.metrics.head, dumpDir)

@@ -84,6 +84,18 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("catalog introspection lists metrics, dimensions, saved queries") {
+    val client = new GraftClient(DefaultRegistry.registry)
+    val metrics = client.listMetrics.map(_._1)
+    assert(metrics.contains("revenue") && metrics.contains("avg_order_value"))
+    val revDims = client.listMetrics.find(_._1 == "revenue").get._3
+    assert(revDims.contains("r_name") && !revDims.contains("event_type"),
+      "dims follow the join graph")
+    val dims = client.listDimensions
+    assert(dims.exists { case (n, owner, time) => n == "ts" && owner == "events" && time })
+    assert(client.listSavedQueries == Seq("revenue_by_month"))
+  }
+
   test("salted sum equals plain sum") {
     val ev = Tables.load(spark, dir, "events")
     val plain = ev.groupBy(col("event_type")).agg(sum(col("value")).as("s"))
