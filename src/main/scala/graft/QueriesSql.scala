@@ -780,6 +780,75 @@ object QueriesSql {
     // Spark unix_timestamp truncates — floor() aligns them exactly
     Some(q87Sql.replace("unix_timestamp(ts)", "floor(epoch(ts))")))
 
+  /** TPC-H Q11 shape (important stock): HAVING against a scalar
+    * subquery over the same fact — group sums compared to a global
+    * fraction. Both sums exact-decimal, so the boundary compare is
+    * deterministic on both engines. */
+  private val q93Sql = s"""
+      SELECT n_name, ${dsumSql("s_acctbal", 2)} AS total_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      HAVING ${dsumSql("s_acctbal", 2)} >
+        (SELECT ${dsumSql("s_acctbal", 2)} * 0.04 FROM supplier)
+      ORDER BY total_bal DESC, n_name"""
+  private val q93 = Q("q93_tpch_q11_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q93Sql) },
+    Some(q93Sql))
+
+  /** TPC-H Q16 shape (parts/supplier relationship): multi-attribute
+    * grouping with COUNT(DISTINCT) and a negated predicate. */
+  private val q94Sql = """
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      LIMIT 20"""
+  private val q94 = Q("q94_tpch_q16_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q94Sql) },
+    Some(q94Sql))
+
+  /** TPC-H Q18 shape (large-volume customers): IN over a grouped
+    * HAVING subquery on the fact — the aggregate-then-semijoin plan. */
+  private val q95Sql = s"""
+      SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             ${dsumSql("l_quantity", 2)} AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING ${dsumSql("l_quantity", 2)} > 200)
+      GROUP BY c_name, o_orderkey, o_orderdate
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 20"""
+  private val q95 = Q("q95_tpch_q18_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q95Sql) },
+    Some(q95Sql))
+
+  /** TPC-H Q22 shape (global sales opportunity): scalar-average
+    * subquery predicate + NOT EXISTS anti-join, grouped counts. The
+    * average is exact-decimal-sum / count, so the threshold compare is
+    * bit-identical on both engines. */
+  private val q96Sql = s"""
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS numcust,
+             ${dsumSql("c_acctbal", 2)} AS totacctbal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT ${dsumSql("c_acctbal", 2)} / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
+  private val q96 = Q("q96_tpch_q22_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q96Sql) },
+    Some(q96Sql))
+
   /** Unpivot/melt (the inverse of q48's pivot): wide per-flag measure
     * columns to long (flag, measure, value) rows via Dataset.unpivot —
     * constant-factor row expansion AFTER aggregation, so the melt runs
@@ -884,5 +953,6 @@ object QueriesSql {
 
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
-    q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91)
+    q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91,
+    q93, q94, q95, q96)
 }

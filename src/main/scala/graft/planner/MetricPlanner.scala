@@ -30,19 +30,29 @@ final case class ExplainResult(
   */
 final class MetricPlanner(val registry: SemanticRegistry) {
 
-  /** Parse `dim` or `dim__granularity`. */
-  private def parseGroupBy(g: String): (Dimension, Option[String]) = {
+  /** Parse `dim` or `dim__granularity`. `metric_time__<gran>` resolves
+    * to `timeDim` — the queried metric's own time dimension (MetricFlow's
+    * virtual metric_time, which names "the metric's time axis" without
+    * the caller knowing the physical column). */
+  private def parseGroupBy(g: String,
+      timeDim: Option[Dimension] = None): (Dimension, Option[String], String) = {
     val (base, gran) = g.split("__") match {
       case Array(b, gr) => (b, Some(gr.toLowerCase))
       case Array(b)     => (b, None)
       case _            => sys.error(s"bad group-by: $g")
     }
-    val dim = registry.dimensionByName.getOrElse(base, sys.error(s"unknown dimension: $base"))
+    val (dim, outBase) =
+      if (base == "metric_time")
+        (timeDim.getOrElse(sys.error("metric_time requires a metric with a time dimension")),
+          "metric_time")
+      else
+        (registry.dimensionByName.getOrElse(base, sys.error(s"unknown dimension: $base")),
+          base)
     gran.foreach { gr =>
       require(dim.isTime, s"granularity on non-time dimension: $g")
       require(Set("day", "week", "month", "quarter", "year")(gr), s"bad granularity: $gr")
     }
-    (dim, gran)
+    (dim, gran, outBase)
   }
 
   /** Portable SQL expression for a (dimension, granularity) pair.
@@ -52,8 +62,8 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     case None    => dim.expr
   }
 
-  private def outName(dim: Dimension, gran: Option[String]): String =
-    gran.map(g => s"${dim.name}__$g").getOrElse(dim.name)
+  private def outName(base: String, gran: Option[String]): String =
+    gran.map(g => s"${base}__$g").getOrElse(base)
 
   /** Models whose dimensions appear (as whole words) in a predicate. */
   private def modelsReferenced(text: String): Seq[String] = {
@@ -84,12 +94,13 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       return compileCrossModel(spark, dir, req, ms)
     val factModel = ms.head.model
 
-    val groupBys = req.groupBy.map(parseGroupBy)
+    val timeDim = ms.head.timeDim.map(registry.dimensionByName)
+    val groupBys = req.groupBy.map(parseGroupBy(_, timeDim))
 
     // -- which models must be joined in --------------------------------
     val needed: Seq[String] =
       (Seq(factModel) ++
-        groupBys.map { case (d, _) => registry.dimensionOwner(d.name) } ++
+        groupBys.map { case (d, _, _) => registry.dimensionOwner(d.name) } ++
         req.where.toSeq.flatMap(modelsReferenced)).distinct
 
     val linksInOrder: Seq[JoinLink] = needed
@@ -109,7 +120,6 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       df = df.join(dimDf, expr(s"${l.fromCol} = ${m.key}"))
     }
 
-    val timeDim = ms.head.timeDim.map(registry.dimensionByName)
     val timeFilterSql: Option[String] =
       if (req.startTime.isEmpty && req.endTime.isEmpty) None
       else {
@@ -124,7 +134,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     for (f <- allFilters) df = df.filter(expr(f))
 
     val groupCols: Seq[Column] =
-      groupBys.map { case (d, g) => expr(dimExpr(d, g)).as(outName(d, g)) }
+      groupBys.map { case (d, g, b) => expr(dimExpr(d, g)).as(outName(b, g)) }
     val aggCols: Seq[Column] = ms.map(m => expr(m.aggSql).as(m.name))
 
     df =
@@ -136,14 +146,14 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     // metric don't leak into the output)
     for (name <- req.metrics if registry.isDerived(name))
       df = df.withColumn(name, expr(registry.derivedByName(name).exprSql))
-    df = df.select((groupBys.map { case (d, g) => outName(d, g) } ++
+    df = df.select((groupBys.map { case (_, g, b) => outName(b, g) } ++
       req.metrics).map(df.col): _*)
 
     // deterministic order: requested keys first, then all group keys as
     // tie-breakers so the output order is total (oracle-hash stable)
     val orderCols: Seq[Column] = (req.orderBy.map { o =>
       if (o.startsWith("-")) df.col(o.drop(1)).desc else df.col(o).asc
-    } ++ groupBys.map { case (d, g) => df.col(outName(d, g)).asc })
+    } ++ groupBys.map { case (_, g, b) => df.col(outName(b, g)).asc })
     if (orderCols.nonEmpty) df = df.orderBy(orderCols: _*)
     req.limit.foreach(n => df = df.limit(n))
 
@@ -273,10 +283,11 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     if (ms.map(_.model).distinct.size > 1)
       return renderCrossModelSql(req, ms, withDescriptions)
     val factModel = ms.head.model
-    val groupBys = req.groupBy.map(parseGroupBy)
+    val timeDim = ms.head.timeDim.map(registry.dimensionByName)
+    val groupBys = req.groupBy.map(parseGroupBy(_, timeDim))
     val needed: Seq[String] =
       (Seq(factModel) ++
-        groupBys.map { case (d, _) => registry.dimensionOwner(d.name) } ++
+        groupBys.map { case (d, _, _) => registry.dimensionOwner(d.name) } ++
         req.where.toSeq.flatMap(modelsReferenced)).distinct
     val linksInOrder = needed.flatMap(m => registry.joinPath(factModel, m)).distinct
 
@@ -299,19 +310,18 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       if (withDescriptions && d.nonEmpty) s"  -- $d" else ""
     }
     val selectItems =
-      groupBys.map { case (d, g) => s"${dimExpr(d, g)} AS ${outName(d, g)}" } ++
+      groupBys.map { case (d, g, b) => s"${dimExpr(d, g)} AS ${outName(b, g)}" } ++
       req.metrics.map(n => s"${metricSql(n)} AS $n" + metricDesc(n))
 
-    val timeDim = ms.head.timeDim.map(registry.dimensionByName)
     val timeFilter =
       (req.startTime.map(s => s"${timeDim.get.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
        req.endTime.map(e => s"${timeDim.get.expr} <= TIMESTAMP '$e 00:00:00'")).toList
 
     val whereParts = req.where.toSeq ++ timeFilter
-    val groupExprs = groupBys.map { case (d, g) => dimExpr(d, g) }
+    val groupExprs = groupBys.map { case (d, g, _) => dimExpr(d, g) }
     val orderExprs = (req.orderBy.map { o =>
       if (o.startsWith("-")) s"${o.drop(1)} DESC" else s"$o ASC"
-    } ++ groupBys.map { case (d, g) => s"${outName(d, g)} ASC" })
+    } ++ groupBys.map { case (_, g, b) => s"${outName(b, g)} ASC" })
 
     val sb = new StringBuilder
     sb ++= "SELECT" + desc("metric projection (dbt_query.py:77-86 surface)") + "\n  "

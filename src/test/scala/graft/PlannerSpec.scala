@@ -168,6 +168,21 @@ class PlannerSpec extends AnyFunSuite {
     assert(svg.contains("Aggregate") && svg.contains("Join"), svg.take(500))
   }
 
+  test("metric_time resolves to the metric's own time dimension (single model)") {
+    val viaVirtual = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue"), groupBy = Seq("metric_time__month")))
+    val viaPhysical = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue"), groupBy = Seq("l_shipdate__month")))
+    assert(viaVirtual.df.columns.toSeq == Seq("metric_time__month", "revenue"))
+    // same rows, only the group column name differs
+    assert(viaVirtual.df.collect().map(r => r.getDate(0) -> r.getDouble(1)).toSeq ==
+      viaPhysical.df.collect().map(r => r.getDate(0) -> r.getDouble(1)).toSeq)
+    // a different metric resolves metric_time to ITS time dimension
+    val ev = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("event_value"), groupBy = Seq("metric_time__day")))
+    assert(ev.sql.contains("date_trunc('day', ts)"), ev.sql)
+  }
+
   test("cross-model metrics: per-fact aggregation joined at metric_time grain") {
     val c = planner.compile(spark, dir, MetricQueryRequest(
       metrics = Seq("revenue", "event_value"),
