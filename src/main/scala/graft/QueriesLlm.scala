@@ -921,7 +921,60 @@ object QueriesLlm {
                        FROM events GROUP BY 1) x USING (event_type)
       ORDER BY event_type"""))
 
+  /** REAL video decode, oracle-proven (the q81/q86 pattern for video):
+    * the corpus is deterministic gray clips muxed into genuine RIFF/AVI
+    * containers with uncompressed DIB frames; Spark demuxes the BYTES
+    * (dimensions/fps/frame count from the container headers, pixels
+    * from the frame chunks) and the oracle recomputes the pixel formula
+    * arithmetically. Uncompressed DIB is lossless, so the hash-compare
+    * proves the container round-trip — this retires the last media
+    * stub. */
+  private val q97 = Q("q97_video_decode",
+    (s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.decodeVideoFeatures(
+        Multimodal.aviVideoTable(t(s, dir, "documents")))
+      feats.toDF().select(
+        Seq(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("fps").cast("long").as("fps")) ++
+        (0 until 8).map(i => element_at(col("hist"), i + 1).as(s"b$i")): _*)
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH vids AS (
+        SELECT doc_id AS media_id,
+               CAST(8 + doc_id % 5 AS BIGINT) AS width,
+               CAST(6 + doc_id % 3 AS BIGINT) AS height,
+               CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
+        FROM documents),
+      fs AS (
+        SELECT media_id, width, height, n_frames, unnest(range(0, n_frames)) AS f
+        FROM vids),
+      xs AS (
+        SELECT media_id, width, height, n_frames, f, unnest(range(0, width)) AS x
+        FROM fs),
+      px AS (
+        SELECT media_id, width, height, n_frames,
+               ((media_id * 31 + f * 17 + x * 7 + unnest(range(0, height)) * 13)
+                 % 256) // 32 AS bin
+        FROM xs)
+      SELECT media_id, width, height, n_frames, CAST(10 AS BIGINT) AS fps,
+             CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+             CAST(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+             CAST(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+             CAST(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+             CAST(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+      FROM px
+      GROUP BY media_id, width, height, n_frames
+      ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
-    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92)
+    q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
+    q97)
 }

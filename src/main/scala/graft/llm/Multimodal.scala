@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract / frame-sample run as partition-wise
   * batch transforms (`mapPartitions` over a typed Dataset — the Scala
-  * analogue of `mapInPandas` batches). The actual codec calls are
-  * STUBBED with a deterministic fake (image/audio libraries are not in
-  * this environment); everything Spark-side — schema, batching,
-  * partitioning, output shape — is real and tested, so a real decoder
-  * drops into [[decodeStub]] without touching the plan.
+  * analogue of `mapInPandas` batches). All three media kinds decode for
+  * real with zero external deps: images via the JDK's javax.imageio
+  * (PNG/JPEG), audio via javax.sound (WAV/PCM), video via a RIFF/AVI
+  * demuxer over uncompressed DIB frames built from the public AVI spec
+  * (the JDK has no video codec). Unrecognized payloads fall back to a
+  * deterministic byte-histogram fake so mixed tables never throw.
   *
   * Scale notes: payload bytes never enter a shuffle — features are
   * extracted in the same stage as the scan and only the (small) feature
@@ -41,12 +42,13 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height"),
         lit(16000).as("sampleRate")).as("meta"))
 
-  /** ??? real decoder goes here for AUDIO/VIDEO — STUB: a
+  /** Fallback for payloads in no recognized container — a
     * deterministic 8-bin byte histogram normalized to [0,1], shaped
     * exactly like a feature extractor (batch in → fixed-width
-    * Array[Float] out). IMAGES are no longer stubbed: PNG/JPEG payloads
-    * take the real [[decodePixels]] path (JDK javax.imageio — no
-    * external codec libs needed). */
+    * Array[Float] out). All three media kinds now have REAL paths:
+    * PNG/JPEG via [[decodePixels]] (javax.imageio), WAV/PCM via
+    * [[decodeSamples]] (javax.sound), AVI/DIB via [[decodeAviFrames]]
+    * (RIFF demuxer built from the public AVI spec). */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](8)
     if (payload == null || payload.isEmpty) return bins
@@ -105,6 +107,7 @@ object Multimodal {
         val feats =
           if (looksLikeImage(r.payload)) imageFeatures(r.payload)
           else if (looksLikeWav(r.payload)) audioFeatures(r.payload)
+          else if (looksLikeAvi(r.payload)) videoFeatures(r.payload)
           else fakeDecodeFeatures(r.payload)
         MediaFeatures(r.media_id, r.meta.kind,
           if (r.payload == null) 0L else r.payload.length.toLong, feats)
@@ -235,6 +238,177 @@ object Multimodal {
       rows.map { r =>
         val (w, h, hist) = decodePixels(r.payload)
         ImageFeatures(r.media_id, w, h, hist)
+      }
+    }
+  }
+
+  // ------------------------------------------------------- real video
+
+  final case class VideoRow(media_id: Long, payload: Array[Byte])
+  final case class VideoFeatures(media_id: Long, width: Int, height: Int,
+      n_frames: Int, fps: Int, hist: Array[Long])
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def fccBytes(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def chunk(fcc: String, body: Array[Byte]): Array[Byte] =
+    fccBytes(fcc) ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fccBytes(listType) ++ body)
+
+  /** REAL AVI muxer (RIFF container, uncompressed bottom-up BGR24 DIB
+    * frames — fourcc 'DIB ', biCompression BI_RGB). No JDK video codec
+    * exists, so the container layer is built here from the public AVI
+    * spec; uncompressed DIB is lossless, which is what makes the decode
+    * oracle-exact. Frames are row-major top-down gray arrays (w·h). */
+  def writeAviGray(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    def dib(gray: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        val srcRow = h - 1 - y // DIB rows are stored bottom-up
+        var x = 0
+        while (x < w) {
+          val g = gray(srcRow * w + x)
+          val o = y * stride + x * 3
+          out(o) = g; out(o + 1) = g; out(o + 2) = g // B,G,R equal = gray
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val avih = chunk("avih",
+      le32(1000000 / fps) ++ le32(frameBytes * fps) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh",
+      fccBytes("vids") ++ fccBytes("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+      le32(frameBytes) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf", // BITMAPINFOHEADER; biHeight>0 = bottom-up
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(frameBytes) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi",
+      frames.toArray.flatMap(f => chunk("00db", dib(f))))
+    val idx1 = chunk("idx1",
+      frames.indices.toArray.flatMap(i =>
+        fccBytes("00db") ++ le32(0x10) ++
+        le32(4 + i * (8 + frameBytes)) ++ le32(frameBytes)))
+    chunk("RIFF", fccBytes("AVI ") ++ hdrl ++ movi ++ idx1)
+  }
+
+  /** RIFF/AVI magic — route video rows to the real demuxer. */
+  def looksLikeAvi(payload: Array[Byte]): Boolean =
+    payload != null && payload.length > 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+      payload(10) == 'I'
+
+  /** REAL AVI demux + frame decode: walks the RIFF chunk tree (hdrl →
+    * strh/strf for fps and dimensions, movi → per-frame DIB chunks),
+    * un-flips the bottom-up padded BGR rows, and accumulates an 8-bin
+    * luminance histogram over every pixel of every frame. Width/height/
+    * fps come from the container HEADERS and pixels from the frame
+    * BYTES — never from the generator formula. */
+  def decodeAviFrames(payload: Array[Byte]): (Int, Int, Int, Int, Array[Long]) = {
+    def u32(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8) |
+      ((payload(o + 2) & 0xFF) << 16) | ((payload(o + 3) & 0xFF) << 24)
+    def u16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def fcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    require(looksLikeAvi(payload), "not an AVI payload")
+    var w = 0; var h = 0; var scale = 1; var rate = 0
+    var nFrames = 0
+    val hist = new Array[Long](8)
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fcc(o); val sz = u32(o + 4); val data = o + 8
+        id match {
+          case "LIST" => walk(data + 4, data + sz)
+          case "strh" if fcc(data) == "vids" =>
+            scale = u32(data + 20); rate = u32(data + 24)
+          case "strf" =>
+            w = u32(data + 4); h = u32(data + 8)
+            require(u16(data + 14) == 24 && u32(data + 16) == 0,
+              "expect uncompressed BGR24 DIB frames")
+          case "00db" | "00dc" =>
+            val stride = ((w * 3 + 3) / 4) * 4
+            var y = 0
+            while (y < h) {
+              val rowOff = data + (h - 1 - y) * stride
+              var x = 0
+              while (x < w) {
+                hist((payload(rowOff + x * 3) & 0xFF) / 32) += 1
+                x += 1
+              }
+              y += 1
+            }
+            nFrames += 1
+          case _ => ()
+        }
+        o = data + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, 8 + u32(4))
+    (w, h, nFrames, rate / math.max(scale, 1), hist)
+  }
+
+  /** Video feature vector off the real demux: normalized luminance
+    * histogram over all frames (same 8-float shape as the others). */
+  def videoFeatures(payload: Array[Byte]): Array[Float] = {
+    val (w, h, nf, _, hist) = decodeAviFrames(payload)
+    val n = math.max(w.toLong * h * nf, 1L).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Deterministic AVI corpus: one clip per document, 2 + id mod 4
+    * frames of 8 + id mod 5 × 6 + id mod 3 gray pixels at 10 fps,
+    * gray(id, f, x, y) = (id·31 + f·17 + x·7 + y·13) mod 256 — muxed
+    * into a REAL RIFF/AVI container with uncompressed DIB frames, so
+    * demuxing is a true container round-trip while every pixel is
+    * SQL-recomputable arithmetic (uncompressed = lossless = exact). */
+  def aviVideoTable(docs: DataFrame): Dataset[VideoRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 5).toInt
+        val h = 6 + (id % 3).toInt
+        val nf = 2 + (id % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          px
+        }
+        VideoRow(id, writeAviGray(frames, w, h, 10))
+      }
+    }
+  }
+
+  /** Real demux over the video table — dimensions/fps/frame count come
+    * from the RIFF headers and the histogram from frame BYTES. */
+  def decodeVideoFeatures(vids: Dataset[VideoRow]): Dataset[VideoFeatures] = {
+    import vids.sparkSession.implicits._
+    vids.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, nf, fps, hist) = decodeAviFrames(r.payload)
+        VideoFeatures(r.media_id, w, h, nf, fps, hist)
       }
     }
   }

@@ -106,6 +106,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real AVI demux: RIFF round-trip recovers headers and the pixel formula") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").limit(25)
+    val vids = Multimodal.aviVideoTable(docs)
+    val rows = vids.collect()
+    assert(rows.forall(r => Multimodal.looksLikeAvi(r.payload)))
+    val feats = Multimodal.decodeVideoFeatures(vids).collect()
+      .map(f => f.media_id -> f).toMap
+    for (r <- rows) {
+      val id = r.media_id
+      val (w, h, nf) = (8 + (id % 5).toInt, 6 + (id % 3).toInt, 2 + (id % 4).toInt)
+      val expect = new Array[Long](8)
+      for (f <- 0 until nf; x <- 0 until w; y <- 0 until h)
+        expect(((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt / 32) += 1
+      val v = feats(id)
+      assert(v.width == w && v.height == h && v.n_frames == nf && v.fps == 10,
+        s"id=$id got ${(v.width, v.height, v.n_frames, v.fps)}")
+      assert(v.hist.toSeq == expect.toSeq, s"id=$id")
+    }
+    // odd widths exercise the 4-byte row padding (stride != w*3)
+    assert(rows.exists(r => (8 + (r.media_id % 5)) % 4 != 0))
+  }
+
+  test("mixed-media routing sniffs AVI payloads to the real demuxer") {
+    val id = 7L
+    val (w, h, nf) = (8 + (id % 5).toInt, 6 + (id % 3).toInt, 2 + (id % 4).toInt)
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h)(i =>
+        ((id * 31 + f * 17 + (i % w) * 7 + (i / w) * 13) % 256).toByte)
+    }
+    val avi = Multimodal.writeAviGray(frames, w, h, 10)
+    assert(Multimodal.looksLikeAvi(avi) && !Multimodal.looksLikeImage(avi)
+      && !Multimodal.looksLikeWav(avi))
+    val viaRouter = Multimodal.videoFeatures(avi)
+    assert(math.abs(viaRouter.sum - 1.0f) < 1e-5f) // normalized over all pixels
+  }
+
   test("frame offsets stride the payload deterministically") {
     import spark.implicits._
     val df = Seq(("x" * 100)).toDF("payload")
