@@ -414,11 +414,27 @@ object Queries {
     (s, dir) => planner.compile(s, dir, q89Req).df,
     Some(planner.renderSql(q89Req, withDescriptions = false)))
 
+  /** Metric-level filters (MetricFlow `filter:`): three revenue metrics
+    * over the same fact, one unfiltered, one filtered on a fact column,
+    * one filtered on a column of a JOINED model (orders), in one
+    * request. Compiles to one aggregate subquery per filter group
+    * FULL-OUTER-joined on the group key — each group's scan stays
+    * scoped to its own predicate (no filter widens another metric's
+    * input), which is the plan you want when a filtered metric's
+    * predicate is selective at 100 TB. Oracle = rendered CTE SQL. */
+  private val q98Req = MetricQueryRequest(
+    metrics = Seq("revenue", "returned_revenue", "urgent_revenue"),
+    groupBy = Seq("c_mktsegment"),
+    orderBy = Seq("-revenue"))
+  private val q98 = Q("q98_filtered_metrics",
+    (s, dir) => planner.compile(s, dir, q98Req).df,
+    Some(planner.renderSql(q98Req, withDescriptions = false)))
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89) ++
+      q71, q80, q89, q98) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -91,7 +91,8 @@ object ManifestLoader {
       }
       Metric(name, str(m, "model", s"metric $name"), aggSql,
         timeDim = optStr(m, "time_dim"),
-        description = optStr(m, "description").getOrElse(""))
+        description = optStr(m, "description").getOrElse(""),
+        filterSql = optStr(m, "filter"))
     }
 
     val derived = arr(root, "derived_metrics").map { m =>

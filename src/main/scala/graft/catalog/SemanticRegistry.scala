@@ -38,12 +38,20 @@ final case class JoinLink(fromModel: String, fromCol: String, toModel: String)
   * subset so the same text compiles via Spark `expr()` and runs on the
   * DuckDB oracle. Distributed double sums go through the exact-decimal
   * pattern (see [[graft.functions.GraftFunctions.dsum]]). */
+/** @param filterSql MetricFlow's metric-level `filter:` — a row
+  *   predicate applied to THIS metric's input rows only (other metrics
+  *   in the same request see the unfiltered fact). Mixing metrics with
+  *   different filters compiles to one aggregate subquery per filter
+  *   group FULL-OUTER-joined on the group-by keys — exactly the SQL
+  *   MetricFlow emits, and at scale each subquery is its own partial
+  *   aggregate so no filter ever widens another metric's scan. */
 final case class Metric(
     name: String,
     model: String,
     aggSql: String,
     timeDim: Option[String] = None,
-    description: String = "")
+    description: String = "",
+    filterSql: Option[String] = None)
 
 /** A metric defined over OTHER metrics (MetricFlow's derived/ratio
   * metrics): `exprSql` references the input metric names as columns
@@ -213,7 +221,19 @@ object DefaultRegistry {
         description = "distinct orders touched"),
       Metric("event_value", "events", dsumSql("value", 2),
         timeDim = Some("ts"),
-        description = "sum of event values")),
+        description = "sum of event values"),
+      // metric-level filters (MetricFlow `filter:`): the predicate
+      // scopes THIS metric's input rows only
+      Metric("returned_revenue", "lineitem",
+        dsumSql("l_extendedprice * (1 - l_discount)"),
+        timeDim = Some("l_shipdate"),
+        description = "revenue on returned lineitems only",
+        filterSql = Some("l_returnflag = 'R'")),
+      Metric("urgent_revenue", "lineitem",
+        dsumSql("l_extendedprice * (1 - l_discount)"),
+        timeDim = Some("l_shipdate"),
+        description = "revenue on urgent-priority orders (filter joins orders in)",
+        filterSql = Some("o_orderpriority = '1-URGENT'"))),
     savedQueries = Map(
       // The flagship minimum slice (SURVEY.md §7.2 slice 0).
       "revenue_by_month" -> MetricQueryRequest(

@@ -101,7 +101,8 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     val needed: Seq[String] =
       (Seq(factModel) ++
         groupBys.map { case (d, _, _) => registry.dimensionOwner(d.name) } ++
-        req.where.toSeq.flatMap(modelsReferenced)).distinct
+        req.where.toSeq.flatMap(modelsReferenced) ++
+        ms.flatMap(_.filterSql).flatMap(modelsReferenced)).distinct
 
     val linksInOrder: Seq[JoinLink] = needed
       .flatMap(m => registry.joinPath(factModel, m))
@@ -112,12 +113,12 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     // parallelism-floor exchange here costs more than the single-
     // partition probe saves (measured at sf0.1; see Tables.loadP docs
     // for where the floor DOES pay).
-    var df = Tables.load(spark, dir, registry.modelByName(factModel).table)
+    var joined = Tables.load(spark, dir, registry.modelByName(factModel).table)
     for (l <- linksInOrder) {
       val m = registry.modelByName(l.toModel)
       val dimDf0 = Tables.load(spark, dir, m.table)
       val dimDf = if (m.small) broadcast(dimDf0) else dimDf0
-      df = df.join(dimDf, expr(s"${l.fromCol} = ${m.key}"))
+      joined = joined.join(dimDf, expr(s"${l.fromCol} = ${m.key}"))
     }
 
     val timeFilterSql: Option[String] =
@@ -130,16 +131,39 @@ final class MetricPlanner(val registry: SemanticRegistry) {
         Some(parts.mkString(" AND "))
       }
 
+    // base filters (request where + time range) apply to every metric;
+    // a metric's own filterSql applies to its input rows only
     val allFilters = req.where.toSeq ++ timeFilterSql
-    for (f <- allFilters) df = df.filter(expr(f))
 
     val groupCols: Seq[Column] =
       groupBys.map { case (d, g, b) => expr(dimExpr(d, g)).as(outName(b, g)) }
-    val aggCols: Seq[Column] = ms.map(m => expr(m.aggSql).as(m.name))
+    val keyNames = groupBys.map { case (_, g, b) => outName(b, g) }
 
-    df =
-      if (groupCols.nonEmpty) df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      else df.agg(aggCols.head, aggCols.tail: _*)
+    def aggregate(base: DataFrame, extraFilter: Option[String],
+        group: Seq[Metric]): DataFrame = {
+      var d = base
+      for (f <- allFilters ++ extraFilter) d = d.filter(expr(f))
+      val aggCols = group.map(m => expr(m.aggSql).as(m.name))
+      if (groupCols.nonEmpty) d.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      else d.agg(aggCols.head, aggCols.tail: _*)
+    }
+
+    // one aggregate subquery per metric-filter group (MetricFlow's
+    // compiled shape); the common single-group case stays one pass
+    val filterGroups: Seq[(Option[String], Seq[Metric])] =
+      ms.map(_.filterSql).distinct.map(f => f -> ms.filter(_.filterSql == f))
+    var df =
+      if (filterGroups.size == 1)
+        aggregate(joined, filterGroups.head._1, ms)
+      else
+        filterGroups.map { case (f, group) => aggregate(joined, f, group) }
+          .reduce { (a, b) =>
+            // grain-cardinality join; grouped keys coalesce via USING.
+            // An ungrouped request aggregates to one row per group —
+            // a 1×1 cross join stitches the scalars back together.
+            if (keyNames.nonEmpty) a.join(b, keyNames, "full_outer")
+            else a.crossJoin(b)
+          }
 
     // derive ratio metrics on the aggregated frame, then keep only the
     // requested metric columns (inputs pulled in solely for a derived
@@ -192,14 +216,18 @@ final class MetricPlanner(val registry: SemanticRegistry) {
 
   /** Metrics per fact model, in first-appearance order; each group's
     * shared time dimension. */
-  private def crossModelGroups(ms: Seq[Metric]): Seq[(String, Seq[Metric], Dimension)] =
-    ms.map(_.model).distinct.map { model =>
-      val group = ms.filter(_.model == model)
+  /** One aggregate frame per (fact model, metric filter) pair — metric
+    * filters sub-split a model's metrics exactly like the single-model
+    * path; in cross-model mode a filter may reference only the fact's
+    * own columns (no dimension joins inside the per-fact aggregates). */
+  private def crossModelGroups(ms: Seq[Metric]): Seq[(String, Option[String], Seq[Metric], Dimension)] =
+    ms.map(m => (m.model, m.filterSql)).distinct.map { case (model, f) =>
+      val group = ms.filter(m => m.model == model && m.filterSql == f)
       val tds = group.map(m => m.timeDim.getOrElse(
         sys.error(s"metric ${m.name} has no time dimension"))).distinct
       require(tds.size == 1,
         s"metrics on $model disagree on time dimension: ${tds.mkString(",")}")
-      (model, group, registry.dimensionByName(tds.head))
+      (model, f, group, registry.dimensionByName(tds.head))
     }
 
   private def compileCrossModel(spark: SparkSession, dir: String,
@@ -207,11 +235,11 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     val grans = crossModelGrans(req)
     val keyNames = grans.map(gr => s"metric_time__$gr")
 
-    val frames = crossModelGroups(ms).map { case (model, group, td) =>
+    val frames = crossModelGroups(ms).map { case (model, mf, group, td) =>
       var df = Tables.load(spark, dir, registry.modelByName(model).table)
       val timeParts =
         req.startTime.map(s => s"${td.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
-        req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'")
+        req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'") ++ mf
       for (f <- timeParts) df = df.filter(expr(f))
       val keys = grans.map(gr =>
         expr(s"CAST(date_trunc('$gr', ${td.expr}) AS DATE)").as(s"metric_time__$gr"))
@@ -245,10 +273,10 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     def desc(s: String): String = if (withDescriptions) s"  -- $s" else ""
 
     val groups = crossModelGroups(ms)
-    val ctes = groups.zipWithIndex.map { case ((model, group, td), i) =>
+    val ctes = groups.zipWithIndex.map { case ((model, mf, group, td), i) =>
       val timeParts =
         req.startTime.map(s => s"${td.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
-        req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'")
+        req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'") ++ mf
       val keyItems = grans.map(gr =>
         s"CAST(date_trunc('$gr', ${td.expr}) AS DATE) AS metric_time__$gr")
       val aggItems = group.map(m => s"${m.aggSql} AS ${m.name}")
@@ -288,7 +316,8 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     val needed: Seq[String] =
       (Seq(factModel) ++
         groupBys.map { case (d, _, _) => registry.dimensionOwner(d.name) } ++
-        req.where.toSeq.flatMap(modelsReferenced)).distinct
+        req.where.toSeq.flatMap(modelsReferenced) ++
+        ms.flatMap(_.filterSql).flatMap(modelsReferenced)).distinct
     val linksInOrder = needed.flatMap(m => registry.joinPath(factModel, m)).distinct
 
     def desc(s: String): String = if (withDescriptions) s"  -- $s" else ""
@@ -317,21 +346,63 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       (req.startTime.map(s => s"${timeDim.get.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
        req.endTime.map(e => s"${timeDim.get.expr} <= TIMESTAMP '$e 00:00:00'")).toList
 
-    val whereParts = req.where.toSeq ++ timeFilter
+    val baseWhere = req.where.toSeq ++ timeFilter
     val groupExprs = groupBys.map { case (d, g, _) => dimExpr(d, g) }
+    val keyNames = groupBys.map { case (_, g, b) => outName(b, g) }
     val orderExprs = (req.orderBy.map { o =>
       if (o.startsWith("-")) s"${o.drop(1)} DESC" else s"$o ASC"
-    } ++ groupBys.map { case (_, g, b) => s"${outName(b, g)} ASC" })
+    } ++ keyNames.map(k => s"$k ASC"))
 
+    def fromJoins: String = {
+      val sb = new StringBuilder
+      sb ++= s"FROM ${registry.modelByName(factModel).table}" + desc("fact model")
+      for (l <- linksInOrder) {
+        val m = registry.modelByName(l.toModel)
+        sb ++= s"\nJOIN ${m.table} ON ${l.fromCol} = ${m.key}" +
+          desc(s"dimension join (M3)${if (m.small) ", broadcast" else ""}")
+      }
+      sb.result()
+    }
+
+    val filterGroups: Seq[(Option[String], Seq[Metric])] =
+      ms.map(_.filterSql).distinct.map(f => f -> ms.filter(_.filterSql == f))
+
+    if (filterGroups.size > 1) {
+      // one aggregate subquery per metric filter group, joined on the
+      // group keys — MetricFlow's compiled shape for filtered metrics
+      val ctes = filterGroups.zipWithIndex.map { case ((f, group), i) =>
+        val items =
+          groupBys.map { case (d, g, b) => s"${dimExpr(d, g)} AS ${outName(b, g)}" } ++
+          group.map(m => s"${m.aggSql} AS ${m.name}" + metricDesc(m.name))
+        val where = baseWhere ++ f
+        s"f$i AS (\n  SELECT ${items.mkString(",\n         ")}" +
+          s"\n  ${fromJoins.replace("\n", "\n  ")}" +
+          (if (where.nonEmpty) s"\n  WHERE ${where.mkString(" AND ")}" +
+            desc("base constraints + this group's metric filter") else "") +
+          (if (groupExprs.nonEmpty)
+            s"\n  GROUP BY ${groupBys.indices.map(_ + 1).mkString(", ")}" else "") +
+          ")"
+      }
+      val outItems = keyNames ++ req.metrics.map { n =>
+        registry.derivedByName.get(n).map(dm => s"${dm.exprSql} AS $n")
+          .getOrElse(n) + metricDesc(n)
+      }
+      val joins = filterGroups.indices.tail.map { i =>
+        if (keyNames.nonEmpty) s"FULL OUTER JOIN f$i USING (${keyNames.mkString(", ")})"
+        else s"CROSS JOIN f$i"
+      }.mkString("\n")
+      return s"WITH ${ctes.mkString(",\n")}" +
+        desc("one aggregate per metric-filter group") +
+        s"\nSELECT ${outItems.mkString(", ")}\nFROM f0\n$joins" +
+        (if (orderExprs.nonEmpty) s"\nORDER BY ${orderExprs.mkString(", ")}" else "") +
+        req.limit.map(n => s"\nLIMIT $n").getOrElse("")
+    }
+
+    val whereParts = baseWhere ++ filterGroups.head._1
     val sb = new StringBuilder
     sb ++= "SELECT" + desc("metric projection (dbt_query.py:77-86 surface)") + "\n  "
     sb ++= selectItems.mkString(",\n  ")
-    sb ++= s"\nFROM ${registry.modelByName(factModel).table}" + desc("fact model")
-    for (l <- linksInOrder) {
-      val m = registry.modelByName(l.toModel)
-      sb ++= s"\nJOIN ${m.table} ON ${l.fromCol} = ${m.key}" +
-        desc(s"dimension join (M3)${if (m.small) ", broadcast" else ""}")
-    }
+    sb ++= "\n" + fromJoins
     if (whereParts.nonEmpty)
       sb ++= s"\nWHERE ${whereParts.mkString(" AND ")}" + desc("where + time constraints (M4/M5)")
     if (groupExprs.nonEmpty)

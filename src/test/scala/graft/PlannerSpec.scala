@@ -183,6 +183,44 @@ class PlannerSpec extends AnyFunSuite {
     assert(ev.sql.contains("date_trunc('day', ts)"), ev.sql)
   }
 
+  test("metric filter scopes only its own metric's input rows") {
+    import org.apache.spark.sql.functions.{expr, sum}
+    // single filtered metric: compiles to a plain WHERE
+    val solo = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("returned_revenue"), groupBy = Seq("l_linestatus")))
+    val manual = Tables.load(spark, dir, "lineitem")
+      .filter(expr("l_returnflag = 'R'")).groupBy("l_linestatus")
+      .agg(sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))"))
+        .cast("double").as("returned_revenue"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (r <- solo.df.collect())
+      assert(r.getDouble(1) == manual(r.getString(0)), r.getString(0))
+    assert(solo.sql.contains("l_returnflag = 'R'"))
+
+    // mixed filters: one subquery per filter group, outer-joined; the
+    // unfiltered metric must see ALL rows (not any metric's filter)
+    val mixed = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue", "returned_revenue", "urgent_revenue"),
+      groupBy = Seq("c_mktsegment"), orderBy = Seq("-revenue")))
+    assert(mixed.df.columns.toSeq ==
+      Seq("c_mktsegment", "revenue", "returned_revenue", "urgent_revenue"))
+    val unfiltered = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue"), groupBy = Seq("c_mktsegment")))
+      .df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (r <- mixed.df.collect()) {
+      assert(r.getDouble(1) == unfiltered(r.getString(0)), "unfiltered drifted")
+      assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(3) < r.getDouble(1),
+        "filtered metrics must be strict subsets here")
+    }
+    assert(mixed.sql.contains("FULL OUTER JOIN") && mixed.sql.contains("WITH f0"))
+    // the urgent_revenue group's subquery must join orders in for its filter
+    assert(mixed.sql.contains("o_orderpriority = '1-URGENT'"))
+
+    // manifest round-trip carries the filter
+    val fileReg = SemanticRegistry.fromFile("manifests/semantic_manifest.yml")
+    assert(fileReg.metric("urgent_revenue").filterSql.contains("o_orderpriority = '1-URGENT'"))
+  }
+
   test("cross-model metrics: per-fact aggregation joined at metric_time grain") {
     val c = planner.compile(spark, dir, MetricQueryRequest(
       metrics = Seq("revenue", "event_value"),
