@@ -849,6 +849,54 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q96Sql) },
     Some(q96Sql))
 
+  /** TPC-H Q15 shape (top supplier): a revenue CTE referenced TWICE —
+    * once as the join input, once under a scalar MAX — the classic
+    * reused-aggregate plan (Spark caches the exchange, DuckDB the CTE).
+    * The revenue sum is exact-decimal, so the MAX boundary compare is
+    * deterministic on both engines. */
+  private val q99Sql = s"""
+      WITH rev AS (
+        SELECT l_suppkey, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      ORDER BY s_suppkey"""
+  private val q99 = Q("q99_tpch_q15_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q99Sql) },
+    Some(q99Sql))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): correlated
+    * EXISTS + NOT EXISTS self-joins on the fact — compiles to a
+    * semi-join and an anti-join on l_orderkey, both co-keyed with the
+    * main join so at scale they share one shuffle key. "Late" is
+    * adapted to this schema as shipped >60 days after the order date;
+    * the NOT EXISTS correlates on the OUTER query's o_orderdate (same
+    * order, so the same date both engines). */
+  private val q100Sql = """
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
+  private val q100 = Q("q100_tpch_q21_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q100Sql) },
+    Some(q100Sql))
+
   /** Unpivot/melt (the inverse of q48's pivot): wide per-flag measure
     * columns to long (flag, measure, value) rows via Dataset.unpivot —
     * constant-factor row expansion AFTER aggregation, so the melt runs
@@ -954,5 +1002,5 @@ object QueriesSql {
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
     q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91,
-    q93, q94, q95, q96)
+    q93, q94, q95, q96, q99, q100)
 }

@@ -174,4 +174,33 @@ class PlanQualitySpec extends AnyFunSuite {
     // the self-join inputs project only id/band columns before exchange
     assert(plan.contains("band_hash"))
   }
+
+  test("q100: EXISTS/NOT EXISTS compile to semi+anti joins, never cartesian") {
+    val plan = physical("q100_tpch_q21_shape")
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+  }
+
+  test("q99: the twice-referenced revenue CTE aggregates the fact once") {
+    val df = Queries.all.find(_.name == "q99_tpch_q15_shape").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the rev CTE feeds both the join and the scalar MAX; the lineitem
+    // scan+partial-aggregate must be shared, not recomputed per use
+    val scans = plan.split("lineitem").length - 1
+    assert(plan.contains("ReusedExchange") || scans <= 2,
+      s"lineitem referenced $scans times with no exchange reuse\n${plan.take(3000)}")
+  }
+
+  test("q98: each filter group aggregates separately, outer-joined at group cardinality") {
+    val df = Queries.all.find(_.name == "q98_filtered_metrics").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // 3 filter groups × (partial+final) ≥ 6 aggregate nodes, FULL OUTER join
+    val aggs = plan.split("HashAggregate").length - 1
+    assert(aggs >= 6, s"saw $aggs HashAggregate nodes\n${plan.take(2500)}")
+    assert(plan.contains("FullOuter"), plan.take(2500))
+  }
 }
