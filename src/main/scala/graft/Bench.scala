@@ -48,13 +48,33 @@ object Bench {
       name -> times
     }
     def med(ts: Seq[Double]): Double = ts(ts.length / 2)
-    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + med(ts) }
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(med(ts)) }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, ts) =>
-      s"\"" + k + s"""\":{"median":${med(ts)},"min":${ts.head},"max":${ts.last},"n":$nRuns}"""
+      "\"" + k + s"""":{"median":${f3(med(ts))},"min":${f3(ts.head)},"max":${f3(ts.last)},"n":$nRuns}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(r => med(r._2)).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$detail,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":$detail,"sf":"$sfDir"}"""
+
+    // The harness that records this run keeps only a bounded tail of
+    // stdout (observed: 2000 chars), and the full per-query line above
+    // is ~9 KB — far too long to survive the tail or to json-parse from
+    // it. So: (a) persist the full line to a file next to the build so
+    // it can be committed and read later, and (b) print a COMPACT
+    // summary as the LAST line, sized to fit entirely inside a 2 KB
+    // tail even with the build tool's epilogue after it.
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_FULL.json"), "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    println(fullLine)
+    val slowest = results.sortBy(r => -med(r._2)).take(12)
+      .map { case (k, ts) => "\"" + k + "\":" + f3(med(ts)) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.length},"runs_per_query":$nRuns,"slowest":$slowest,"detail_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
