@@ -70,9 +70,17 @@ object IncrementalPipeline {
       maxConcurrency: Int = 8, maxRetries: Int = 3,
       numPartitions: Int = 0, backoffMs: Long = 50) extends BlockSource {
 
-    override def currentBlock(): Long =
-      RpcBlockSource.rpcCall(endpoint, "getblockcount", "", maxRetries,
-        backoffMs).trim.toLong
+    override def currentBlock(): Long = {
+      // Same JSON-RPC envelope as the range fetch: a conforming server
+      // replies {"jsonrpc":"2.0","id":1,"result":N} for getblockcount
+      // too — parsing the raw body as a bare number only ever worked
+      // against a non-conforming stub.
+      val body = RpcBlockSource.rpcCall(
+        java.net.http.HttpClient.newHttpClient(), endpoint, "getblockcount",
+        "", maxRetries, backoffMs)
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("result").asLong()
+    }
 
     override def fetchRange(fromExclusive: Long, toInclusive: Long): DataFrame = {
       import spark.implicits._
@@ -90,10 +98,15 @@ object IncrementalPipeline {
     import scala.jdk.CollectionConverters._
 
     /** One synchronous JSON-RPC call with retry + linear backoff.
-      * Retries on IOException and any non-200 status. */
-    private[ingest] def rpcCall(endpoint: String, method: String,
+      * Retries on IOException and any non-200 status. The client is
+      * caller-owned: each HttpClient carries a selector thread and a
+      * connection pool, so it must be created once per partition (or
+      * once on the driver), never per call — a per-call client leaks
+      * threads/sockets and defeats keep-alive at thousands of heights
+      * per partition. */
+    private[ingest] def rpcCall(client: java.net.http.HttpClient,
+        endpoint: String, method: String,
         params: String, maxRetries: Int, backoffMs: Long): String = {
-      val client = java.net.http.HttpClient.newHttpClient()
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
@@ -127,10 +140,13 @@ object IncrementalPipeline {
         math.min(maxConcurrency, hs.size))
       try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        // one client per PARTITION, shared by the worker pool (HttpClient
+        // is thread-safe) — connection reuse across all heights here
+        val client = java.net.http.HttpClient.newHttpClient()
         val out = new java.util.concurrent.ConcurrentLinkedQueue[RawTx]()
         val tasks = hs.map { h =>
           (() => {
-            val body = rpcCall(endpoint, "getblocktxs", h.toString,
+            val body = rpcCall(client, endpoint, "getblocktxs", h.toString,
               maxRetries, backoffMs)
             val root = mapper.readTree(body)
             val txs = root.get("result")
@@ -193,14 +209,52 @@ object IncrementalPipeline {
       bucketBlocks: Option[Long] = None) extends TxSink {
     private def exists = new java.io.File(path).exists()
 
+    /** The bucket width is part of the sink's on-disk LAYOUT: a reader
+      * configured with a different width would prune the wrong
+      * directories and silently miss duplicates, and a flat-configured
+      * reader over a bucketed sink (or vice versa) fails confusingly
+      * deep in Spark. The width is recorded in a sidecar file on first
+      * append and validated (against both the sidecar and the schema)
+      * on every subsequent read/append. */
+    private def sidecar = new java.io.File(path, "_graft_bucket_blocks")
+
+    private def recordedBucketBlocks: Option[Long] =
+      if (!sidecar.exists()) None
+      else Some(new String(java.nio.file.Files.readAllBytes(sidecar.toPath),
+        "UTF-8").trim.toLong)
+
+    private def validateLayout(): Unit = {
+      if (!exists) return
+      val hasBucketCol = spark.read.parquet(path).columns.contains("block_bucket")
+      (bucketBlocks, recordedBucketBlocks) match {
+        case (Some(n), Some(m)) if n != m =>
+          throw new IllegalStateException(
+            s"sink $path layout mismatch: written with bucketBlocks=$m, configured $n")
+        case (Some(n), None) if !hasBucketCol =>
+          throw new IllegalStateException(
+            s"sink $path layout mismatch: configured bucketBlocks=$n but the " +
+              "existing data is flat (no block_bucket column)")
+        case (None, recorded) if hasBucketCol =>
+          throw new IllegalStateException(
+            s"sink $path layout mismatch: existing data is bucketed" +
+              recorded.fold("")(m => s" (bucketBlocks=$m)") +
+              " but this sink is configured flat")
+        case _ => ()
+      }
+    }
+
     override def watermark(): Long =
       if (!exists) 0L
-      else spark.read.parquet(path)
-        .agg(coalesce(max(col("block")), lit(0L))).first().getLong(0)
+      else {
+        validateLayout()
+        spark.read.parquet(path)
+          .agg(coalesce(max(col("block")), lit(0L))).first().getLong(0)
+      }
 
     override def existingTxids(fromExclusive: Long): Option[DataFrame] =
       if (!exists) None
       else {
+        validateLayout()
         var df = spark.read.parquet(path)
         bucketBlocks.foreach { n =>
           df = df.filter(col("block_bucket") >= lit(fromExclusive / n))
@@ -209,6 +263,7 @@ object IncrementalPipeline {
       }
 
     override def append(df: DataFrame): Unit = {
+      validateLayout()
       val w = bucketBlocks match {
         case Some(n) =>
           df.withColumn("block_bucket", floor(col("block") / n))
@@ -217,6 +272,11 @@ object IncrementalPipeline {
         case None => df.sortWithinPartitions("block").write
       }
       w.mode(SaveMode.Append).parquet(path)
+      bucketBlocks.foreach { n =>
+        if (!sidecar.exists())
+          java.nio.file.Files.write(sidecar.toPath,
+            n.toString.getBytes("UTF-8"))
+      }
     }
   }
 
@@ -233,9 +293,33 @@ object IncrementalPipeline {
       spark.read.format("jdbc").options(options)
         .option("url", url).option("query", query)
 
+    /** True if the sink table answers a zero-row probe. ONLY a
+      * "table/view does not exist" error (SQLState class 42, or an
+      * unambiguous not-found message) maps to `false` — any other
+      * failure (connection refused, auth, timeout) is rethrown.
+      * Swallowing a transient probe error here would reset the
+      * watermark to 0 and skip the anti-join guard, bulk-duplicating
+      * history into an existing table on the next run — the exact
+      * failure the idempotent cycle exists to prevent. */
     private def tableExists: Boolean =
       try { reader(s"SELECT 1 AS one FROM $table WHERE 1=0").load(); true }
-      catch { case _: Exception => false }
+      catch {
+        case e: Exception =>
+          val chain = Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(16).toList
+          val notFound = chain.exists {
+            case s: java.sql.SQLException =>
+              // 42X05 (Derby), 42P01 (Postgres), 42S02 (MySQL/H2): class
+              // 42 = the statement referenced a missing object
+              Option(s.getSQLState).exists(_.startsWith("42"))
+            case _ => false
+          } || chain.exists(t => Option(t.getMessage).exists(m =>
+            m.matches("(?is).*(table|view|relation).*(does not exist|not found|doesn't exist).*")))
+          if (notFound) false
+          else throw new IllegalStateException(
+            s"probe of JDBC sink table $table failed with a non-'missing table' error; " +
+              "refusing to treat the sink as empty (would reset the watermark)", e)
+      }
 
     // ANSI-quoted identifiers: Spark's JDBC writer CREATEs the table
     // with quoted (case-exact) column names, so unquoted references

@@ -75,7 +75,15 @@ object Corpus {
     // Small-graph fast path: near-dup edge lists are pair-verified
     // output, so at 100 TB they are orders of magnitude smaller than
     // the corpus; most fit the driver comfortably.
+    // Self-pairs (a == b) are dropped BEFORE the size gate so both
+    // paths agree on degenerate input: previously the driver path
+    // emitted (x, x) while the distributed path's canon() dropped the
+    // id entirely — the same input could yield different memberships
+    // depending only on which side of the byte gate it landed.
+    // Singletons are excluded from the output by contract: an id
+    // appears iff it shares a component with at least one OTHER id.
     val pairRows = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+      .filter(col(idA).cast("long") =!= col(idB).cast("long"))
     if (pairRows.count() * 16L <= localMaxBytes) {
       val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]

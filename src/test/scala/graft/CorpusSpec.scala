@@ -66,6 +66,20 @@ class CorpusSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("dupClusters: self-pairs dropped identically on both sides of the byte gate") {
+    // (5,5) must not surface 5 as a singleton cluster in EITHER path —
+    // previously the driver path emitted (5,5) while the distributed
+    // path dropped it, so output depended on which side of the size
+    // gate the input landed
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val local = Corpus.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Corpus.dupClusters(pairs, localMaxBytes = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == Map(1L -> 1L, 2L -> 1L), local.toString)
+    assert(dist == local, s"$dist vs $local")
+  }
+
   test("large-star/small-star: 10k-node chain converges in O(log n) rounds") {
     // the adversarial shape for min-label propagation: a chain has
     // diameter n, so label propagation needs ~n rounds; star

@@ -125,6 +125,44 @@ class IngestSpec extends AnyFunSuite {
     assert(pushed.contains("GreaterThan(block"), plan.take(2000))
   }
 
+  test("jdbc sink: a non-'missing table' probe failure throws instead of resetting the watermark") {
+    // unreachable database: the probe fails with a connection-level
+    // error (Derby XJ004), NOT table-not-found — treating that as
+    // "table missing" would return watermark 0 and skip the anti-join
+    // guard, bulk-duplicating history on the next run
+    val sink = new IncrementalPipeline.JdbcTxSink(spark,
+      "jdbc:derby:/nonexistent-graft-db-path/db", "txs",
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val e = intercept[IllegalStateException] { sink.watermark() }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+    intercept[IllegalStateException] { sink.existingTxids(0L) }
+  }
+
+  test("parquet sink: layout mismatch fails fast instead of mis-pruning") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sinkl").toString
+    // written bucketed with n=10 ...
+    val dir1 = base + "/a"
+    new IncrementalPipeline.ParquetTxSink(spark, dir1, bucketBlocks = Some(10L))
+      .append(Seq(("t1", 1L)).toDF("txid", "block"))
+    // ... read with a different width → the horizon prune would list
+    // the wrong directories; must fail, not silently miss duplicates
+    val wrongN = new IncrementalPipeline.ParquetTxSink(spark, dir1, bucketBlocks = Some(5L))
+    assert(intercept[IllegalStateException] { wrongN.existingTxids(0L) }
+      .getMessage.contains("layout mismatch"))
+    // ... and a flat-configured reader over a bucketed sink also fails
+    val flat = new IncrementalPipeline.ParquetTxSink(spark, dir1)
+    assert(intercept[IllegalStateException] { flat.watermark() }
+      .getMessage.contains("layout mismatch"))
+    // written flat, read bucketed → same refusal
+    val dir2 = base + "/b"
+    new IncrementalPipeline.ParquetTxSink(spark, dir2)
+      .append(Seq(("t1", 1L)).toDF("txid", "block"))
+    val bucketed = new IncrementalPipeline.ParquetTxSink(spark, dir2, bucketBlocks = Some(10L))
+    assert(intercept[IllegalStateException] { bucketed.existingTxids(0L) }
+      .getMessage.contains("layout mismatch"))
+  }
+
   test("rpc source: bounded fan-out fetch with retry against an in-JVM HTTP stub") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import java.util.concurrent.atomic.AtomicInteger
@@ -148,7 +186,10 @@ class IngestSpec extends AnyFunSuite {
             ex.sendResponseHeaders(code, b.length)
             ex.getResponseBody.write(b); ex.close()
           }
-          if (body.contains("getblockcount")) respond(200, "6")
+          // proper JSON-RPC envelope — a bare-number reply here once
+          // masked a client bug (currentBlock parsed the raw body)
+          if (body.contains("getblockcount"))
+            respond(200, """{"jsonrpc":"2.0","id":1,"result":6}""")
           else {
             val h = body.split("\"params\":\\[")(1).split("]")(0).toLong
             // every height fails its FIRST request: the client must retry
