@@ -999,8 +999,202 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q79Sql) },
     Some(q79Sql))
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated scalar
+    * MIN subquery over a multi-join, with the costing CTE referenced
+    * twice. The schema has no partsupp, so the part↔supplier relation
+    * and unit cost derive from lineitem (min observed unit price per
+    * part+supplier) — same plan shape: aggregate CTE, 4-dim join,
+    * per-part correlated MIN with the same dimension chain inside.
+    * unit_cost is a double division computed identically on both
+    * engines, so the equality against the correlated MIN is exact. */
+  private val q101Sql = """
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+      FROM part
+      JOIN cost ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        AND unit_cost = (
+          SELECT MIN(c2.unit_cost)
+          FROM cost c2
+          JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100"""
+  private val q101 = Q("q101_tpch_q2_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q101Sql) },
+    Some(q101Sql))
+
+  /** TPC-H Q4 shape (order priority checking): correlated EXISTS
+    * against the fact with a date-arithmetic predicate, grouped
+    * priority counts. "Late line" is adapted to this schema as
+    * shipped >30 days after the order date (no commit/receipt dates). */
+  private val q102Sql = """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  private val q102 = Q("q102_tpch_q4_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q102Sql) },
+    Some(q102Sql))
+
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-filter-
+    * aggregate — no join at all; the filters must all reach the
+    * parquet scan and the single decimal sum rides the scan. */
+  private val q103Sql = s"""
+      SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""
+  private val q103 = Q("q103_tpch_q6_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q103Sql) },
+    Some(q103Sql))
+
+  /** TPC-H Q8 shape (national market share): the 8-table star with a
+    * conditional-share aggregate — SUM(CASE)/SUM over the same group.
+    * Both sums accumulate in DECIMAL and the share is one double
+    * division of two bit-identical operands, so the ratio is exact on
+    * both engines. */
+  private val q104Sql = """
+      WITH flat AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      SELECT o_year,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_4' THEN volume
+                           ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      FROM flat GROUP BY o_year ORDER BY o_year"""
+  private val q104 = Q("q104_tpch_q8_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q104Sql) },
+    Some(q104Sql))
+
+  /** TPC-H Q9 shape (product type profit): LIKE-filtered part join
+    * with a profit expression mixing fact and dimension measures,
+    * grouped by supplier nation × year. p_retailprice stands in for
+    * ps_supplycost (no partsupp in this schema). */
+  private val q105Sql = s"""
+      SELECT n_name, o_year, ${dsumSql("amount")} AS sum_profit
+      FROM (SELECT n_name,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.1 * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%bolt%')
+      GROUP BY n_name, o_year
+      ORDER BY n_name, o_year DESC"""
+  private val q105 = Q("q105_tpch_q9_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q105Sql) },
+    Some(q105Sql))
+
+  /** TPC-H Q12 shape (shipping modes and priority): dual conditional
+    * counts per category. l_shipmode doesn't exist in this schema, so
+    * the category is a derived ship-latency bucket (same CASE-bucket +
+    * SUM(CASE) plan shape). */
+  private val q106Sql = """
+      SELECT ship_bucket,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM (SELECT o_orderpriority,
+                   CASE WHEN l_shipdate < o_orderdate + INTERVAL 7 DAY THEN 'WEEK'
+                        WHEN l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 'MONTH'
+                        ELSE 'SLOW' END AS ship_bucket
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+      GROUP BY ship_bucket ORDER BY ship_bucket"""
+  private val q106 = Q("q106_tpch_q12_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q106Sql) },
+    Some(q106Sql))
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with an extra ON-clause filter (customers with zero
+    * qualifying orders must survive with count 0), then a second
+    * aggregation over the first — the histogram-of-counts plan. */
+  private val q107Sql = """
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""
+  private val q107 = Q("q107_tpch_q13_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q107Sql) },
+    Some(q107Sql))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): per-part
+    * correlated average threshold — the aggregate-correlated scalar
+    * subquery. The average is exact-decimal-sum / count so the
+    * threshold compare is bit-identical on both engines; the outer
+    * sum divides by 7.0 in DOUBLE (never decimal ÷ int, whose scale
+    * rules differ across engines). */
+  private val q108Sql = s"""
+      SELECT ${dsumSql("l_extendedprice", 4)} / 7.0 AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13' AND p_type = 'MEDIUM'
+        AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                          / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+  private val q108 = Q("q108_tpch_q17_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q108Sql) },
+    Some(q108Sql))
+
+  /** TPC-H Q20 shape (potential part promotion): the nested-IN chain —
+    * suppliers IN (grouped-HAVING over lineitem restricted to parts IN
+    * (LIKE-filtered part)) — compiling to two stacked semi-joins over
+    * the fact aggregate. */
+  private val q109Sql = s"""
+      SELECT s_name, s_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING ${dsumSql("l_quantity", 2)} > 100.0)
+      ORDER BY s_name"""
+  private val q109 = Q("q109_tpch_q20_shape",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q109Sql) },
+    Some(q109Sql))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
     q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91,
-    q93, q94, q95, q96, q99, q100)
+    q93, q94, q95, q96, q99, q100,
+    q101, q102, q103, q104, q105, q106, q107, q108, q109)
 }
