@@ -430,11 +430,37 @@ object Queries {
     (s, dir) => planner.compile(s, dir, q98Req).df,
     Some(planner.renderSql(q98Req, withDescriptions = false)))
 
+  /** Offset metric (MetricFlow's offset_window): month-over-month
+    * revenue growth queried alongside its base metric on the
+    * metric_time axis. Compiles to ONE aggregate pass plus a LEFT
+    * self-join of the aggregate with the month key shifted — the join
+    * runs at grain cardinality (12 rows here, dozens at 100 TB), so
+    * the offset costs nothing regardless of fact size. First month's
+    * growth is NULL (no prior period). Oracle = rendered CTE SQL. */
+  private val q110Req = MetricQueryRequest(
+    metrics = Seq("revenue", "revenue_mom_growth"),
+    groupBy = Seq("metric_time__month"),
+    startTime = Some("1995-01-01"), endTime = Some("1995-12-31"))
+  private val q110 = Q("q110_metric_offset",
+    (s, dir) => planner.compile(s, dir, q110Req).df,
+    Some(planner.renderSql(q110Req, withDescriptions = false)))
+
+  /** Cross-model SAVED query: the stored request spans two fact models
+    * (revenue over lineitem, event_value over events) on the shared
+    * metric_time axis at week grain — saved queries are fact-agnostic,
+    * resolving through the same registry surface as single-model ones.
+    * Oracle = rendered cross-model CTE SQL of the resolved request. */
+  private val q111Req = MetricQueryRequest(
+    metrics = Nil, savedQuery = Some("weekly_revenue_vs_events"))
+  private val q111 = Q("q111_saved_crossmodel",
+    (s, dir) => planner.compile(s, dir, q111Req).df,
+    Some(planner.renderSql(q111Req, withDescriptions = false)))
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89, q98) ++
+      q71, q80, q89, q98, q110, q111) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -99,7 +99,14 @@ object ManifestLoader {
       val name = str(m, "name", "derived_metrics")
       DerivedMetric(name, strList(m, "inputs"),
         str(m, "expr", s"derived metric $name"),
-        description = optStr(m, "description").getOrElse(""))
+        description = optStr(m, "description").getOrElse(""),
+        offsetInputs = arr(m, "offsets").map { o =>
+          OffsetInput(
+            alias = str(o, "alias", s"derived metric $name offsets"),
+            input = str(o, "input", s"derived metric $name offsets"),
+            n = Option(o.get("n")).map(_.asInt()).getOrElse(1),
+            grain = str(o, "grain", s"derived metric $name offsets"))
+        })
     }
 
     val saved = arr(root, "saved_queries").map { q =>

@@ -53,16 +53,32 @@ final case class Metric(
     description: String = "",
     filterSql: Option[String] = None)
 
+/** A time-offset input of a derived metric (MetricFlow's
+  * `offset_window`): `alias` names, inside the derived metric's
+  * expression, the value of base metric `input` from `n` `grain`s
+  * EARLIER on the query's time axis (e.g. last month's revenue for a
+  * month-over-month growth metric). Compiles to a grain-cardinality
+  * self-join of the aggregate — never a second pass over the fact. */
+final case class OffsetInput(alias: String, input: String, n: Int, grain: String) {
+  require(Set("day", "week", "month", "quarter", "year")(grain),
+    s"bad offset grain: $grain")
+  require(n > 0, s"offset must be positive: $n")
+}
+
 /** A metric defined over OTHER metrics (MetricFlow's derived/ratio
   * metrics): `exprSql` references the input metric names as columns
   * (e.g. `revenue / order_count`). Inputs must share a fact model; the
   * planner aggregates the inputs once and derives this column on the
-  * aggregated frame — never a second pass over the fact. */
+  * aggregated frame — never a second pass over the fact.
+  * `offsetInputs` adds time-shifted aliases (see [[OffsetInput]]);
+  * a query using them must group by a time dimension at the offset's
+  * granularity. */
 final case class DerivedMetric(
     name: String,
     inputs: Seq[String],
     exprSql: String,
-    description: String = "")
+    description: String = "",
+    offsetInputs: Seq[OffsetInput] = Nil)
 
 /** Declarative metric query request — field-for-field mirror of the
   * reference's MetricFlowQueryRequest (dbt_query.py:77-86).
@@ -241,11 +257,25 @@ object DefaultRegistry {
         groupBy = Seq("o_orderdate__month"),
         where = Some("o_orderpriority IN ('1-URGENT','2-HIGH')"),
         startTime = Some("1995-01-01"), endTime = Some("1996-12-31"),
-        orderBy = Seq("-revenue"), limit = Some(10))),
+        orderBy = Seq("-revenue"), limit = Some(10)),
+      // a CROSS-MODEL saved query: two facts on the shared metric_time
+      // axis — resolves through the same saved-query surface as the
+      // single-model one (MetricFlow saved queries are fact-agnostic)
+      "weekly_revenue_vs_events" -> MetricQueryRequest(
+        metrics = Seq("revenue", "event_value"),
+        groupBy = Seq("metric_time__week"),
+        startTime = Some("1997-06-01"), endTime = Some("1997-09-30"))),
     derivedMetrics = Seq(
       // ratio metric: both inputs exact by construction (decimal sum /
       // exact distinct count), one IEEE division at the end — portable
       DerivedMetric("avg_order_value", Seq("revenue", "order_count"),
         "revenue / order_count",
-        description = "revenue per distinct order (ratio metric)")))
+        description = "revenue per distinct order (ratio metric)"),
+      // offset metric (MetricFlow offset_window): growth vs the prior
+      // month's revenue — numerator and denominator both exact-decimal
+      // sums, one IEEE division; NULL on the first month (no prior)
+      DerivedMetric("revenue_mom_growth", Seq("revenue"),
+        "(revenue - revenue_prev_month) / revenue_prev_month",
+        description = "month-over-month revenue growth (offset metric)",
+        offsetInputs = Seq(OffsetInput("revenue_prev_month", "revenue", 1, "month")))))
 }

@@ -65,6 +65,36 @@ final class MetricPlanner(val registry: SemanticRegistry) {
   private def outName(base: String, gran: Option[String]): String =
     gran.map(g => s"${base}__$g").getOrElse(base)
 
+  /** Portable interval literal for shifting a date by `n` `grain`s.
+    * week/quarter normalize to day/month counts (INTERVAL WEEK/QUARTER
+    * literals are not portable across engines). */
+  private def intervalSql(n: Int, grain: String): String = grain match {
+    case "week"    => s"INTERVAL ${7 * n} DAY"
+    case "quarter" => s"INTERVAL ${3 * n} MONTH"
+    case g         => s"INTERVAL $n ${g.toUpperCase}"
+  }
+
+  /** Offset inputs required by the requested metrics, with the derived
+    * metrics that use them. */
+  private def offsetsFor(req: MetricQueryRequest): Seq[OffsetInput] =
+    req.metrics.flatMap(registry.derivedByName.get).flatMap(_.offsetInputs).distinct
+
+  /** The single time-granularity group-by key an offset metric shifts
+    * on; offsets require exactly one (MetricFlow: offset metrics are
+    * queried against metric_time). Returns (outName, granularity). */
+  private def offsetTimeKey(groupBys: Seq[(Dimension, Option[String], String)],
+      offsets: Seq[OffsetInput]): (String, String) = {
+    val timeKeys = groupBys.collect { case (d, Some(g), b) if d.isTime => (outName(b, Some(g)), g) }
+    require(timeKeys.size == 1,
+      s"offset metrics require exactly one time-granularity group-by, got: ${timeKeys.map(_._1).mkString(",") }")
+    val tk = timeKeys.head
+    offsets.foreach { o =>
+      require(o.grain == tk._2,
+        s"offset grain '${o.grain}' must match the query's time granularity '${tk._2}'")
+    }
+    tk
+  }
+
   /** Models whose dimensions appear (as whole words) in a predicate. */
   private def modelsReferenced(text: String): Seq[String] = {
     val owners = for {
@@ -164,6 +194,28 @@ final class MetricPlanner(val registry: SemanticRegistry) {
             if (keyNames.nonEmpty) a.join(b, keyNames, "full_outer")
             else a.crossJoin(b)
           }
+
+    // offset inputs (MetricFlow offset_window): LEFT-join the aggregate
+    // to itself with the time key shifted forward by the offset, so row
+    // (t) sees the input's value at (t - offset) under the alias. One
+    // join per distinct shift, all at GRAIN cardinality — Spark reuses
+    // the aggregate's exchange, and at 100 TB this joins dozens of rows
+    // regardless of fact size.
+    val offsets = offsetsFor(req)
+    if (offsets.nonEmpty) {
+      require(filterGroups.size == 1,
+        "offset metrics cannot mix with differently-filtered metrics in one request")
+      val (timeKey, _) = offsetTimeKey(groupBys, offsets)
+      val agg = df
+      for (((n, grain), os) <- offsets.groupBy(o => (o.n, o.grain)).toSeq.sortBy(_._1)) {
+        val prevCols: Seq[Column] = keyNames.map { k =>
+          if (k == timeKey)
+            expr(s"CAST($k + ${intervalSql(n, grain)} AS DATE)").as(k)
+          else agg.col(k)
+        } ++ os.map(o => agg.col(o.input).as(o.alias))
+        df = df.join(agg.select(prevCols: _*), keyNames, "left")
+      }
+    }
 
     // derive ratio metrics on the aggregated frame, then keep only the
     // requested metric columns (inputs pulled in solely for a derived
@@ -366,6 +418,56 @@ final class MetricPlanner(val registry: SemanticRegistry) {
 
     val filterGroups: Seq[(Option[String], Seq[Metric])] =
       ms.map(_.filterSql).distinct.map(f => f -> ms.filter(_.filterSql == f))
+
+    val offsets = offsetsFor(req)
+    if (offsets.nonEmpty) {
+      // offset metrics: aggregate once in a CTE, LEFT-join it to itself
+      // with the time key shifted — the prior-period value appears on
+      // the current row under the offset alias (MetricFlow's compiled
+      // offset_window shape)
+      require(filterGroups.size == 1,
+        "offset metrics cannot mix with differently-filtered metrics in one request")
+      val (timeKey, _) = offsetTimeKey(groupBys, offsets)
+      val shifts = offsets.groupBy(o => (o.n, o.grain)).toSeq.sortBy(_._1)
+      val aliasFrame: Map[String, String] = (for {
+        (((_, _), os), i) <- shifts.zipWithIndex
+        o <- os
+      } yield o.alias -> s"p$i").toMap
+      val aggItems =
+        groupBys.map { case (d, g, b) => s"${dimExpr(d, g)} AS ${outName(b, g)}" } ++
+        ms.map(m => s"${m.aggSql} AS ${m.name}")
+      val where = baseWhere ++ filterGroups.head._1
+      val cte = s"agg AS (\n  SELECT ${aggItems.mkString(",\n         ")}" +
+        s"\n  ${fromJoins.replace("\n", "\n  ")}" +
+        (if (where.nonEmpty) s"\n  WHERE ${where.mkString(" AND ")}" else "") +
+        (if (groupBys.nonEmpty)
+          s"\n  GROUP BY ${groupBys.indices.map(_ + 1).mkString(", ")}" else "") + ")"
+      def offsetMetricSql(name: String): String =
+        registry.derivedByName.get(name) match {
+          case Some(dm) =>
+            val withAliases = dm.offsetInputs.foldLeft(dm.exprSql) { (e, o) =>
+              e.replaceAll("\\b" + java.util.regex.Pattern.quote(o.alias) + "\\b",
+                s"${aliasFrame(o.alias)}.${o.input}")
+            }
+            // (?<![.\w]) keeps qualified names intact: after the alias
+            // pass, `p0.revenue` must not re-match the input `revenue`
+            dm.inputs.foldLeft(withAliases) { (e, in) =>
+              e.replaceAll("(?<![.\\w])" + java.util.regex.Pattern.quote(in) + "\\b", s"a.$in")
+            } + s" AS $name" + metricDesc(name)
+          case None => s"a.$name" + metricDesc(name)
+        }
+      val outItems = keyNames.map(k => s"a.$k AS $k") ++ req.metrics.map(offsetMetricSql)
+      val joins = shifts.zipWithIndex.map { case (((n, grain), _), i) =>
+        val conds = s"a.$timeKey = CAST(p$i.$timeKey + ${intervalSql(n, grain)} AS DATE)" +:
+          keyNames.filter(_ != timeKey).map(k => s"a.$k = p$i.$k")
+        s"LEFT JOIN agg p$i ON ${conds.mkString(" AND ")}" +
+          desc(s"prior-period self-join (offset $n $grain, grain cardinality)")
+      }.mkString("\n")
+      return s"WITH $cte" + desc("one aggregate pass; offsets join it to itself") +
+        s"\nSELECT ${outItems.mkString(", ")}\nFROM agg a\n$joins" +
+        (if (orderExprs.nonEmpty) s"\nORDER BY ${orderExprs.mkString(", ")}" else "") +
+        req.limit.map(n => s"\nLIMIT $n").getOrElse("")
+    }
 
     if (filterGroups.size > 1) {
       // one aggregate subquery per metric filter group, joined on the

@@ -255,4 +255,43 @@ class PlannerSpec extends AnyFunSuite {
     val physical = c.df.queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastHashJoin"), physical.take(2000))
   }
+
+  test("offset metric: prior-period self-join matches a hand-shifted check") {
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue", "revenue_mom_growth"),
+      groupBy = Seq("metric_time__month"),
+      startTime = Some("1995-01-01"), endTime = Some("1995-12-31")))
+    assert(c.df.columns.toSeq ==
+      Seq("metric_time__month", "revenue", "revenue_mom_growth"))
+    val rows = c.df.collect()
+    assert(rows.length == 12)
+    val rev = rows.map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    // first month has no prior period → NULL growth; every other month
+    // must equal the exact expression over the base metric values
+    for (r <- rows) {
+      val m = r.getDate(0).toLocalDate
+      val prev = rev.get(m.minusMonths(1).toString)
+      prev match {
+        case None => assert(r.isNullAt(2), s"$m should have NULL growth")
+        case Some(p) =>
+          assert(r.getDouble(2) == (r.getDouble(1) - p) / p, s"$m growth drifted")
+      }
+    }
+    // compiled shape: one aggregate, self-joined — not a second fact scan
+    assert(c.sql.contains("WITH agg AS") && c.sql.contains("LEFT JOIN agg"),
+      c.sql)
+    // manifest round-trip carries the offset definition
+    val fileReg = SemanticRegistry.fromFile("manifests/semantic_manifest.yml")
+    assert(fileReg.derivedByName("revenue_mom_growth").offsetInputs ==
+      DefaultRegistry.registry.derivedByName("revenue_mom_growth").offsetInputs)
+  }
+
+  test("cross-model saved query resolves to the metric_time join") {
+    val c = planner.compile(spark, dir,
+      MetricQueryRequest(metrics = Nil, savedQuery = Some("weekly_revenue_vs_events")))
+    assert(c.df.columns.toSeq ==
+      Seq("metric_time__week", "revenue", "event_value"))
+    assert(c.df.collect().nonEmpty)
+    assert(c.sql.contains("FULL OUTER JOIN"))
+  }
 }
