@@ -1192,9 +1192,46 @@ object QueriesSql {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q109Sql) },
     Some(q109Sql))
 
+  /** CTAS materialization through the statement runner (the dbt TABLE
+    * materialization the reference's project compiles to): the script
+    * materializes an aggregate as a physical parquet table in a
+    * session warehouse, then the next statement queries the TABLE —
+    * reading the parquet back, not re-running the select. Oracle = the
+    * flattened CTE equivalent. The outer sum re-aggregates the
+    * materialized doubles; both engines sum the same 25 values through
+    * the decimal pattern, so the hash is exact. */
+  private val q112 = Q("q112_ctas_script",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+      StatementRunner.execute(s,
+        s"""BEGIN;
+           |CREATE OR REPLACE TABLE seg_rev AS
+           |  SELECT c_mktsegment, o_orderpriority,
+           |         ${dsumSql("o_totalprice", 2)} AS rev
+           |  FROM customer JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY c_mktsegment, o_orderpriority;
+           |SELECT c_mktsegment,
+           |       CAST(COUNT(*) AS BIGINT) AS n_priorities,
+           |       ${dsumSql("rev", 2)} AS total_rev
+           |FROM seg_rev GROUP BY c_mktsegment ORDER BY c_mktsegment;
+           |COMMIT;""".stripMargin,
+        fetch = true, warehouse = Some(wh)).fetched.get
+    },
+    Some(s"""
+      WITH seg_rev AS (
+        SELECT c_mktsegment, o_orderpriority,
+               ${dsumSql("o_totalprice", 2)} AS rev
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment, o_orderpriority)
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_priorities,
+             ${dsumSql("rev", 2)} AS total_rev
+      FROM seg_rev GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
     q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91,
     q93, q94, q95, q96, q99, q100,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112)
 }

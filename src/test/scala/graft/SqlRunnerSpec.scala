@@ -74,4 +74,40 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(!t.isAlive, "job thread should have terminated")
     assert(failed != null, "cancelled job should raise")
   }
+
+  test("ctas: warehouse materialization is physical; drop removes it") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
+      .createOrReplaceTempView("ctas_src")
+    val wh = java.nio.file.Files.createTempDirectory("graft-whtest").toString
+    val r = StatementRunner.execute(spark,
+      """CREATE OR REPLACE TABLE grp_counts AS
+        |  SELECT grp, COUNT(*) AS n FROM ctas_src GROUP BY grp;
+        |SELECT grp, n FROM grp_counts ORDER BY grp;""".stripMargin,
+      fetch = true, warehouse = Some(wh))
+    assert(r.fetched.get.collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+      == Seq(("a", 2L), ("b", 1L)))
+    // physically materialized: the table dir holds parquet files, and
+    // the follow-up SELECT read them (not a re-run of the select)
+    val tableDir = new java.io.File(wh, "grp_counts")
+    assert(tableDir.exists() &&
+      tableDir.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(spark.table("grp_counts").queryExecution.optimizedPlan.toString
+      .contains("Relation"), "table view must be parquet-backed")
+
+    StatementRunner.execute(spark, "DROP TABLE grp_counts;", warehouse = Some(wh))
+    assert(!tableDir.exists(), "drop must delete the materialization")
+    assert(!spark.catalog.tableExists("grp_counts"))
+  }
+
+  test("ctas: without a warehouse degrades to a session view with a warning") {
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("x").createOrReplaceTempView("ctas_src2")
+    val r = StatementRunner.execute(spark,
+      """CREATE TABLE doubled AS SELECT x * 2 AS y FROM ctas_src2;
+        |SELECT CAST(SUM(y) AS BIGINT) AS s FROM doubled;""".stripMargin,
+      fetch = true)
+    assert(r.warnings.exists(_.contains("session view")), r.warnings.toString)
+    assert(r.fetched.get.first().getLong(0) == 12L)
+  }
 }
