@@ -206,7 +206,15 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       require(filterGroups.size == 1,
         "offset metrics cannot mix with differently-filtered metrics in one request")
       val (timeKey, _) = offsetTimeKey(groupBys, offsets)
-      val agg = df
+      // LAZY local checkpoint: both self-join sides share ONE
+      // materialization of the grain aggregate (plan-level exchange
+      // reuse can't match here — the join pushes an extra
+      // null-filter under the shifted side and re-aliases it, so
+      // without this the FACT would be scanned once per side). The
+      // checkpoint holds grain-cardinality rows (dozens), and being
+      // lazy it costs nothing until the query actually runs.
+      val agg = df.localCheckpoint(false)
+      df = agg
       for (((n, grain), os) <- offsets.groupBy(o => (o.n, o.grain)).toSeq.sortBy(_._1)) {
         val prevCols: Seq[Column] = keyNames.map { k =>
           if (k == timeKey)

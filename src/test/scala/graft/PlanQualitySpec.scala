@@ -203,4 +203,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(aggs >= 6, s"saw $aggs HashAggregate nodes\n${plan.take(2500)}")
     assert(plan.contains("FullOuter"), plan.take(2500))
   }
+
+  test("q101: the twice-referenced costing CTE aggregates lineitem once") {
+    val df = Queries.all.find(_.name == "q101_tpch_q2_shape").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // cost feeds the outer join chain AND the correlated MIN; the
+    // lineitem scan + per-(part,supplier) aggregate must be shared
+    val scans = plan.split("Scan parquet").map(_.takeWhile(_ != '\n')).count(_.contains("lineitem"))
+    assert(plan.contains("ReusedExchange") || scans <= 1,
+      s"lineitem scanned $scans times with no exchange reuse\n${plan.take(3000)}")
+  }
+
+  test("q103: pure scan-filter-aggregate — every predicate reaches the scan, no shuffle beyond the final agg") {
+    val plan = physical("q103_tpch_q6_shape")
+    val pushed = plan.split("PushedFilters: ")(1).split("]")(0)
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), pushed)
+    // single-row aggregate: one partial/final pair, no join anywhere
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q110: offset self-join reuses the aggregate exchange (one fact pass)") {
+    val df = Queries.all.find(_.name == "q110_metric_offset").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the month aggregate feeds both join sides; lineitem must be
+    // scanned once, with the prior-period side a ReusedExchange (or the
+    // whole self-join collapsed by AQE at this cardinality)
+    val scans = plan.split("Scan parquet").map(_.takeWhile(_ != '\n')).count(_.contains("lineitem"))
+    assert(plan.contains("ReusedExchange") || scans <= 1,
+      s"lineitem scanned $scans times with no exchange reuse\n${plan.take(3000)}")
+  }
+
+  test("q107: LEFT JOIN preserves zero-order customers without an inner-join rewrite") {
+    val plan = physical("q107_tpch_q13_shape")
+    assert(plan.contains("LeftOuter"), plan.take(2500))
+  }
+
+  test("q109: nested INs compile to semi-joins, never cartesian") {
+    val plan = physical("q109_tpch_q20_shape")
+    assert(plan.contains("LeftSemi"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2500))
+  }
 }

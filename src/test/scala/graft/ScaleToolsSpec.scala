@@ -93,7 +93,7 @@ class ScaleToolsSpec extends AnyFunSuite {
       "dims follow the join graph")
     val dims = client.listDimensions
     assert(dims.exists { case (n, owner, time) => n == "ts" && owner == "events" && time })
-    assert(client.listSavedQueries == Seq("revenue_by_month"))
+    assert(client.listSavedQueries == Seq("revenue_by_month", "weekly_revenue_vs_events"))
   }
 
   test("salted sum equals plain sum") {
