@@ -456,11 +456,24 @@ object Queries {
     (s, dir) => planner.compile(s, dir, q111Req).df,
     Some(planner.renderSql(q111Req, withDescriptions = false)))
 
+  /** Conversion metrics (MetricFlow's fifth and last metric type —
+    * the metric-type matrix is now complete: simple, ratio/derived,
+    * cumulative, offset, conversion): daily view→purchase funnel,
+    * count and rate from ONE attribution pass. The semi-join on the
+    * entity key is the only row-grain work; both outputs are then
+    * grain-cardinality. Oracle = rendered CTE SQL (EXISTS form). */
+  private val q113Req = MetricQueryRequest(
+    metrics = Seq("view_to_purchase_count", "view_to_purchase_rate"),
+    groupBy = Seq("metric_time__day"))
+  private val q113 = Q("q113_conversion_metric",
+    (s, dir) => planner.compile(s, dir, q113Req).df,
+    Some(planner.renderSql(q113Req, withDescriptions = false)))
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89, q98, q110, q111) ++
+      q71, q80, q89, q98, q110, q111, q113) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

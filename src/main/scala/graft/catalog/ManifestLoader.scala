@@ -109,6 +109,20 @@ object ManifestLoader {
         })
     }
 
+    val conversions = arr(root, "conversion_metrics").map { m =>
+      val name = str(m, "name", "conversion_metrics")
+      ConversionMetric(
+        name = name,
+        model = str(m, "model", s"conversion metric $name"),
+        entity = str(m, "entity", s"conversion metric $name"),
+        timeDim = str(m, "time_dim", s"conversion metric $name"),
+        baseFilterSql = str(m, "base_filter", s"conversion metric $name"),
+        conversionFilterSql = str(m, "conversion_filter", s"conversion metric $name"),
+        windowDays = Option(m.get("window_days")).map(_.asInt()).getOrElse(7),
+        calculation = optStr(m, "calculation").getOrElse("conversion_rate"),
+        description = optStr(m, "description").getOrElse(""))
+    }
+
     val saved = arr(root, "saved_queries").map { q =>
       val name = str(q, "name", "saved_queries")
       name -> MetricQueryRequest(
@@ -121,6 +135,6 @@ object ManifestLoader {
         limit = Option(q.get("limit")).filter(!_.isNull).map(_.asInt()))
     }.toMap
 
-    new SemanticRegistry(models, links, metrics, saved, derived)
+    new SemanticRegistry(models, links, metrics, saved, derived, conversions)
   }
 }

@@ -80,6 +80,30 @@ final case class DerivedMetric(
     description: String = "",
     offsetInputs: Seq[OffsetInput] = Nil)
 
+/** A conversion metric (MetricFlow's fifth metric type): of the BASE
+  * events (rows of `model` matching `baseFilterSql`), how many are
+  * followed by a CONVERSION event (row matching `conversionFilterSql`)
+  * for the SAME entity within `windowDays` after the base event's
+  * time. Deterministic attribution: a base event either converted or
+  * didn't (≥1 conversion in its window counts once), so the counts are
+  * order-free and oracle-reproducible. `calculation` picks the output:
+  * `conversions` (count of converted base events) or
+  * `conversion_rate` (converted / base, one IEEE division). */
+final case class ConversionMetric(
+    name: String,
+    model: String,
+    entity: String,
+    timeDim: String,
+    baseFilterSql: String,
+    conversionFilterSql: String,
+    windowDays: Int,
+    calculation: String,
+    description: String = "") {
+  require(Set("conversions", "conversion_rate")(calculation),
+    s"bad conversion calculation: $calculation")
+  require(windowDays > 0, s"window must be positive: $windowDays")
+}
+
 /** Declarative metric query request — field-for-field mirror of the
   * reference's MetricFlowQueryRequest (dbt_query.py:77-86).
   * `orderBy` uses the MetricFlow `-name` = descending convention
@@ -99,12 +123,15 @@ final class SemanticRegistry(
     val links: Seq[JoinLink],
     val metrics: Seq[Metric],
     val savedQueries: Map[String, MetricQueryRequest] = Map.empty,
-    val derivedMetrics: Seq[DerivedMetric] = Nil) {
+    val derivedMetrics: Seq[DerivedMetric] = Nil,
+    val conversionMetrics: Seq[ConversionMetric] = Nil) {
 
   val modelByName: Map[String, SemanticModel] = models.map(m => m.name -> m).toMap
   val metricByName: Map[String, Metric] = metrics.map(m => m.name -> m).toMap
   val derivedByName: Map[String, DerivedMetric] =
     derivedMetrics.map(m => m.name -> m).toMap
+  val conversionByName: Map[String, ConversionMetric] =
+    conversionMetrics.map(m => m.name -> m).toMap
 
   def isDerived(name: String): Boolean = derivedByName.contains(name)
 
@@ -277,5 +304,16 @@ object DefaultRegistry {
       DerivedMetric("revenue_mom_growth", Seq("revenue"),
         "(revenue - revenue_prev_month) / revenue_prev_month",
         description = "month-over-month revenue growth (offset metric)",
-        offsetInputs = Seq(OffsetInput("revenue_prev_month", "revenue", 1, "month")))))
+        offsetInputs = Seq(OffsetInput("revenue_prev_month", "revenue", 1, "month")))),
+    conversionMetrics = Seq(
+      // conversion metrics (MetricFlow's fifth metric type): view →
+      // purchase for the same user within a day of the view
+      ConversionMetric("view_to_purchase_count", "events", "user_id", "ts",
+        "event_type = 'view'", "event_type = 'purchase'",
+        windowDays = 1, calculation = "conversions",
+        description = "views followed by a purchase within a day"),
+      ConversionMetric("view_to_purchase_rate", "events", "user_id", "ts",
+        "event_type = 'view'", "event_type = 'purchase'",
+        windowDays = 1, calculation = "conversion_rate",
+        description = "share of views converting to a purchase within a day")))
 }

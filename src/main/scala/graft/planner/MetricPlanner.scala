@@ -115,6 +115,8 @@ final class MetricPlanner(val registry: SemanticRegistry) {
   def compile(spark: SparkSession, dir: String, req0: MetricQueryRequest): CompiledMetricQuery = {
     val req = resolve(req0)
     require(req.metrics.nonEmpty, "at least one metric required")
+    if (req.metrics.exists(registry.conversionByName.contains))
+      return compileConversion(spark, dir, req)
     // derived (ratio) metrics expand to their base inputs for the
     // aggregate; the derived columns are computed ON the aggregated
     // frame — one pass over the fact regardless
@@ -326,6 +328,162 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       renderSql(req, withDescriptions = true))
   }
 
+  // ------------------------------------------------------ conversion
+  /** Shared request validation for conversion metrics: every requested
+    * metric must be a conversion metric (no mixing), group-bys are
+    * `metric_time__<gran>`, `where` is rejected (a raw predicate can't
+    * name base vs conversion rows). Returns (metrics, grans). */
+  private def conversionParts(req: MetricQueryRequest): (Seq[ConversionMetric], Seq[String]) = {
+    val cms = req.metrics.map(n => registry.conversionByName.getOrElse(n,
+      sys.error(s"cannot mix conversion metrics with other metrics: $n")))
+    require(req.where.isEmpty,
+      "conversion metric queries support metric_time group-bys and time constraints only")
+    val grans = req.groupBy.map { g =>
+      g.split("__") match {
+        case Array("metric_time", gr)
+          if Set("day", "week", "month", "quarter", "year")(gr.toLowerCase) =>
+          gr.toLowerCase
+        case _ => sys.error(
+          s"conversion metric queries group by metric_time__<granularity>, got: $g")
+      }
+    }
+    (cms, grans)
+  }
+
+  /** Distinct (model, entity, time, base, conversion, window) funnels
+    * among the requested metrics — each is aggregated once even when
+    * both `conversions` and `conversion_rate` are requested over it. */
+  private def conversionDefs(cms: Seq[ConversionMetric]) =
+    cms.map(m => (m.model, m.entity, m.timeDim, m.baseFilterSql,
+      m.conversionFilterSql, m.windowDays)).distinct
+
+  /** Conversion metrics (MetricFlow's fifth metric type): BASE events
+    * LEFT-SEMI-joined to CONVERSION events of the same entity inside
+    * the attribution window, then counted at the requested grain and
+    * LEFT-joined back to the base counts. A base event with ≥1
+    * conversion counts exactly once (semi-join semantics), so counts
+    * are deterministic regardless of how many conversions follow.
+    *
+    * Scale shape: the semi-join shuffles base and conversion rows on
+    * the ENTITY key — the minimum possible co-location for funnel
+    * attribution — and everything after it is grain-cardinality. The
+    * base and conversion frames are column-pruned slices of one fact
+    * scan each (predicate pushed); no row ever carries more than
+    * (entity, time). */
+  private def compileConversion(spark: SparkSession, dir: String,
+      req: MetricQueryRequest): CompiledMetricQuery = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val (cms, grans) = conversionParts(req)
+    val keyNames = grans.map(gr => s"metric_time__$gr")
+    val defs = conversionDefs(cms)
+
+    val frames = defs.zipWithIndex.map { case ((model, entity, timeDim, bf, cf, w), i) =>
+      val fact = Tables.load(spark, dir, registry.modelByName(model).table)
+      val timeParts =
+        req.startTime.map(s => s"$timeDim >= TIMESTAMP '$s 00:00:00'").toSeq ++
+        req.endTime.map(e => s"$timeDim <= TIMESTAMP '$e 00:00:00'")
+      val base = timeParts.foldLeft(fact.filter(expr(bf)))((d, f) => d.filter(expr(f)))
+        .select(col(entity).as("__entity"), col(timeDim).as("__ts"))
+      val conv = fact.filter(expr(cf))
+        .select(col(entity).as("__c_entity"), col(timeDim).as("__c_ts"))
+      val keys = grans.map(gr =>
+        expr(s"CAST(date_trunc('$gr', __ts) AS DATE)").as(s"metric_time__$gr"))
+      def agg(d: DataFrame, as: String): DataFrame =
+        if (keys.nonEmpty) d.groupBy(keys: _*).agg(count(lit(1)).as(as))
+        else d.agg(count(lit(1)).as(as))
+      val b = agg(base, s"__base$i")
+      val converted = base.join(conv,
+        col("__entity") === col("__c_entity") &&
+          col("__c_ts") > col("__ts") &&
+          col("__c_ts") <= expr(s"__ts + INTERVAL $w DAY"),
+        "left_semi")
+      val c = agg(converted, s"__conv$i")
+      val joined = if (keyNames.nonEmpty) b.join(c, keyNames, "left") else b.crossJoin(c)
+      joined.withColumn(s"__conv$i", coalesce(col(s"__conv$i"), lit(0L)))
+    }
+    var df = frames.reduce { (a, b) =>
+      if (keyNames.nonEmpty) a.join(b, keyNames, "full_outer") else a.crossJoin(b)
+    }
+    for (m <- cms) {
+      val i = defs.indexOf((m.model, m.entity, m.timeDim, m.baseFilterSql,
+        m.conversionFilterSql, m.windowDays))
+      df = df.withColumn(m.name, m.calculation match {
+        case "conversions" => col(s"__conv$i")
+        case "conversion_rate" =>
+          col(s"__conv$i").cast("double") / col(s"__base$i")
+      })
+    }
+    df = df.select((keyNames ++ req.metrics).map(df.col): _*)
+    val orderCols = (req.orderBy.map { o =>
+      if (o.startsWith("-")) df.col(o.drop(1)).desc else df.col(o).asc
+    } ++ keyNames.map(df.col(_).asc))
+    if (orderCols.nonEmpty) df = df.orderBy(orderCols: _*)
+    req.limit.foreach(n => df = df.limit(n))
+    CompiledMetricQuery(df, renderSql(req, withDescriptions = false),
+      renderSql(req, withDescriptions = true))
+  }
+
+  private def renderConversionSql(req: MetricQueryRequest,
+      withDescriptions: Boolean): String = {
+    val (cms, grans) = conversionParts(req)
+    val keyNames = grans.map(gr => s"metric_time__$gr")
+    val defs = conversionDefs(cms)
+    def desc(s: String): String = if (withDescriptions) s"  -- $s" else ""
+
+    val ctes = defs.zipWithIndex.flatMap { case ((model, entity, timeDim, bf, cf, w), i) =>
+      val table = registry.modelByName(model).table
+      val timeParts =
+        req.startTime.map(s => s"$timeDim >= TIMESTAMP '$s 00:00:00'").toSeq ++
+        req.endTime.map(e => s"$timeDim <= TIMESTAMP '$e 00:00:00'")
+      val baseWhere = (Seq(bf) ++ timeParts).mkString(" AND ")
+      val keyItems = grans.map(gr =>
+        s"CAST(date_trunc('$gr', ts) AS DATE) AS metric_time__$gr")
+      def groupBy(n: Int): String =
+        if (n > 0) s"\n  GROUP BY ${(1 to n).map(_.toString).mkString(", ")}" else ""
+      Seq(
+        s"base$i AS (\n  SELECT $entity AS entity, $timeDim AS ts FROM $table" +
+          s"\n  WHERE $baseWhere)" + desc("base events (time-ranged)"),
+        s"conv$i AS (\n  SELECT $entity AS entity, $timeDim AS ts FROM $table" +
+          s"\n  WHERE $cf)" + desc("conversion events"),
+        s"b$i AS (\n  SELECT ${(keyItems :+ s"CAST(COUNT(*) AS BIGINT) AS base_events").mkString(",\n         ")}" +
+          s"\n  FROM base$i${groupBy(grans.length)})",
+        s"c$i AS (\n  SELECT ${(keyItems :+ s"CAST(COUNT(*) AS BIGINT) AS conversions").mkString(",\n         ")}" +
+          s"\n  FROM base$i b\n  WHERE EXISTS (\n    SELECT 1 FROM conv$i cv" +
+          s"\n    WHERE cv.entity = b.entity AND cv.ts > b.ts" +
+          s"\n      AND cv.ts <= b.ts + INTERVAL $w DAY)${groupBy(grans.length)})" +
+          desc("base events with >=1 conversion in the window, counted once"))
+    }
+    def metricItem(m: ConversionMetric): String = {
+      val i = defs.indexOf((m.model, m.entity, m.timeDim, m.baseFilterSql,
+        m.conversionFilterSql, m.windowDays))
+      val item = m.calculation match {
+        case "conversions" => s"COALESCE(c$i.conversions, 0) AS ${m.name}"
+        case "conversion_rate" =>
+          s"CAST(COALESCE(c$i.conversions, 0) AS DOUBLE) / b$i.base_events AS ${m.name}"
+      }
+      item + (if (withDescriptions && m.description.nonEmpty) s"  -- ${m.description}" else "")
+    }
+    val selectItems = keyNames.map(k => s"b0.$k AS $k") ++ cms.map(metricItem)
+    val joins = defs.indices.flatMap { i =>
+      val cJoin =
+        if (keyNames.isEmpty) Seq(s"CROSS JOIN c$i")
+        else Seq(s"LEFT JOIN c$i ON ${keyNames.map(k => s"b$i.$k = c$i.$k").mkString(" AND ")}")
+      val bJoin =
+        if (i == 0) Nil
+        else if (keyNames.isEmpty) Seq(s"CROSS JOIN b$i")
+        else Seq(s"FULL OUTER JOIN b$i ON ${keyNames.map(k => s"b0.$k = b$i.$k").mkString(" AND ")}")
+      bJoin ++ cJoin
+    }.mkString("\n")
+    val orderExprs = (req.orderBy.map { o =>
+      if (o.startsWith("-")) s"${o.drop(1)} DESC" else s"$o ASC"
+    } ++ keyNames.map(k => s"$k ASC")).mkString(", ")
+    s"WITH ${ctes.mkString(",\n")}" +
+      s"\nSELECT ${selectItems.mkString(",\n       ")}\nFROM b0\n$joins" +
+      desc("funnel attribution at grain cardinality") +
+      (if (orderExprs.nonEmpty) s"\nORDER BY $orderExprs" else "") +
+      req.limit.map(n => s"\nLIMIT $n").getOrElse("")
+  }
+
   private def renderCrossModelSql(req: MetricQueryRequest, ms: Seq[Metric],
       withDescriptions: Boolean): String = {
     val grans = crossModelGrans(req)
@@ -367,6 +525,8 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     * dbt_query.py:36-40,100-104). */
   def renderSql(req0: MetricQueryRequest, withDescriptions: Boolean): String = {
     val req = resolve(req0)
+    if (req.metrics.exists(registry.conversionByName.contains))
+      return renderConversionSql(req, withDescriptions)
     val ms = registry.baseMetricsFor(req.metrics).map(registry.metric)
     if (ms.map(_.model).distinct.size > 1)
       return renderCrossModelSql(req, ms, withDescriptions)

@@ -286,6 +286,46 @@ class PlannerSpec extends AnyFunSuite {
       DefaultRegistry.registry.derivedByName("revenue_mom_growth").offsetInputs)
   }
 
+  test("conversion metric: semi-join attribution matches a hand-computed funnel") {
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("view_to_purchase_count", "view_to_purchase_rate"),
+      groupBy = Seq("metric_time__day")))
+    assert(c.df.columns.toSeq ==
+      Seq("metric_time__day", "view_to_purchase_count", "view_to_purchase_rate"))
+    val rows = c.df.collect()
+    assert(rows.nonEmpty)
+    // hand-compute the funnel for one day from the raw table
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val someDay = rows.head.getDate(0)
+    val dayStart = someDay.toLocalDate.atStartOfDay()
+    def inDay(t: Long): Boolean = {
+      val ms = java.sql.Timestamp.valueOf(dayStart).getTime
+      t >= ms && t < ms + 86400000L
+    }
+    val purchases = ev.filter(_._3 == "purchase")
+    val views = ev.filter(e => e._3 == "view" && inDay(e._2))
+    val converted = views.count { case (u, t, _) =>
+      purchases.exists(p => p._1 == u && p._2 > t && p._2 <= t + 86400000L)
+    }
+    assert(rows.head.getLong(1) == converted.toLong,
+      s"day $someDay: expected $converted conversions")
+    assert(rows.head.getDouble(2) == converted.toDouble / views.length)
+    // a base event with MULTIPLE conversions in window counts once
+    // (semi-join): total conversions can never exceed base events
+    rows.foreach(r => assert(r.getDouble(2) <= 1.0, r.toString))
+    // manifest parity carries conversion metrics
+    val fileReg = SemanticRegistry.fromFile("manifests/semantic_manifest.yml")
+    assert(fileReg.conversionMetrics == DefaultRegistry.registry.conversionMetrics)
+    // mixing conversion and plain metrics is an explicit error
+    intercept[RuntimeException] {
+      planner.compile(spark, dir, MetricQueryRequest(
+        metrics = Seq("view_to_purchase_rate", "event_value"),
+        groupBy = Seq("metric_time__day")))
+    }
+  }
+
   test("cross-model saved query resolves to the metric_time join") {
     val c = planner.compile(spark, dir,
       MetricQueryRequest(metrics = Nil, savedQuery = Some("weekly_revenue_vs_events")))
