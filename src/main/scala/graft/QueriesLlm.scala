@@ -973,8 +973,78 @@ object QueriesLlm {
       GROUP BY media_id, width, height, n_frames
       ORDER BY media_id"""))
 
+  /** Gopher-style repetition filters (Rae et al.): per-doc fraction of
+    * the most common token and fraction of duplicate bigrams, with the
+    * filter verdict. Two doc-keyed partial-aggregated shuffles; ratios
+    * are int/int double divisions so both engines agree bit-exactly. */
+  private val q114 = Q("q114_gopher_repetition",
+    (s, dir) => graft.llm.TextAnalysis
+      .repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+      ts AS (SELECT doc_id,
+                    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                    CAST(MAX(cnt) AS BIGINT) AS top_token_count
+             FROM tc GROUP BY 1),
+      arr AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+             FROM arr),
+      bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+      bs AS (SELECT doc_id,
+                    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                    CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+             FROM bc GROUP BY 1)
+      SELECT ts.doc_id AS doc_id, n_tokens, distinct_tokens, top_token_count,
+             n_bigrams, distinct_bigrams,
+             CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac,
+             1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+             (CAST(top_token_count AS DOUBLE) / n_tokens > 0.2
+              OR 1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams > 0.3)
+               AS repetition_flagged
+      FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+      ORDER BY doc_id"""))
+
+  /** Benchmark-contamination scan (Lee et al.): corpus docs sharing a
+    * word 4-gram with the held-out eval slice (doc_id % 40 = 0 stands
+    * in for the benchmark; 4-gram window sized to this synthetic
+    * corpus — production uses 8–13). Eval shingles deduplicate to a
+    * small set that broadcasts at scale; the corpus side rides its
+    * scan. */
+  private val q115 = Q("q115_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.TextAnalysis.contaminatedDocs(
+        docs.filter(col("doc_id") % 40 =!= 0),
+        docs.filter(col("doc_id") % 40 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+3], ' '))) AS shingle
+             FROM arr),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 40 = 0)
+      SELECT sh.doc_id AS doc_id,
+             CAST(COUNT(DISTINCT sh.shingle) AS BIGINT) AS shared_ngrams
+      FROM sh JOIN ev USING (shingle)
+      WHERE sh.doc_id % 40 <> 0
+      GROUP BY sh.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97)
+    q97, q114, q115)
 }

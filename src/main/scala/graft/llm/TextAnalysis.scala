@@ -106,4 +106,73 @@ object TextAnalysis {
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
   }
+
+  /** Gopher-style repetition statistics per document (Rae et al.,
+    * "Scaling Language Models" — the repetition-removal filters):
+    * fraction of tokens that are the single most common token, and
+    * fraction of duplicate bigrams. Documents dominated by one token
+    * or by repeated phrases are low-quality training data regardless
+    * of their other stats.
+    *
+    * Shape: explode → per-(doc, gram) count → per-doc aggregate — two
+    * partial-aggregated shuffles keyed by doc id, no corpus-wide
+    * state, so at 100 TB it scales with the token count like the rest
+    * of the text family. (A per-row higher-order-function formulation
+    * would avoid the shuffles but runs interpreted and O(n²) per doc —
+    * the explode is the right trade.) */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      topTokenMax: Double = 0.2, dupBigramMax: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val tokStats = base.select(col(idCol), explode(col("toks")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(
+        sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("distinct_tokens"),
+        max("cnt").cast("long").as("top_token_count"))
+    val bgStats = base.select(col(idCol), explode(
+        zip_with(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(idCol, "bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(
+        sum("cnt").cast("long").as("n_bigrams"),
+        count(lit(1)).cast("long").as("distinct_bigrams"))
+    tokStats.join(bgStats, Seq(idCol))
+      .withColumn("top_token_frac",
+        col("top_token_count").cast("double") / col("n_tokens"))
+      .withColumn("dup_bigram_frac",
+        lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"))
+      .withColumn("repetition_flagged",
+        col("top_token_frac") > topTokenMax || col("dup_bigram_frac") > dupBigramMax)
+  }
+
+  /** Word n-gram shingles of a token array column (space-joined). */
+  private def wordShingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Benchmark-contamination check (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" §evaluation-overlap):
+    * corpus documents sharing at least one word n-gram with any
+    * document of the eval/benchmark set, with the count of DISTINCT
+    * shared n-grams per contaminated doc. Production uses 8–13-gram
+    * windows; `n` is a parameter because the right window depends on
+    * the tokenizer and corpus.
+    *
+    * Shape: both sides explode to (doc, shingle); the eval side
+    * reduces to DISTINCT shingles (small — benchmarks are tiny next
+    * to the corpus) and the join shuffles on the shingle hash only.
+    * At 100 TB the eval shingle set broadcasts and the corpus side
+    * never shuffles at all. */
+  def contaminatedDocs(corpus: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    def shingled(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+    val evalShingles = shingled(eval).select("shingle").distinct()
+    shingled(corpus).join(evalShingles, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("shingle")).as("shared_ngrams"))
+  }
 }

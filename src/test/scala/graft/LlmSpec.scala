@@ -287,4 +287,35 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("p") == 2L)  // ',' and '!'
     assert(r.getAs[Long]("b") == 6L)  // 4 words + 2 symbols
   }
+
+  test("gopher repetition stats: degenerate docs flagged, diverse docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam eggs"), // one token dominates
+      (2L, "to be or not to be that is the question"),           // diverse
+      (3L, "one two one two one two one two one two")            // repeated phrase
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("top_token_frac"), r.getAs[Double]("dup_bigram_frac"),
+          r.getAs[Boolean]("repetition_flagged"))).toMap
+    assert(got(1L)._1 == 0.9 && got(1L)._3, got(1L).toString)
+    assert(!got(2L)._3, got(2L).toString)
+    // doc 3: 9 bigrams, only 2 distinct -> dup fraction 7/9
+    assert(got(3L)._2 > 0.7 && got(3L)._3, got(3L).toString)
+  }
+
+  test("contamination: planted n-gram overlap found, clean docs absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),  // shares a 4-gram with eval
+      (11L, "one two three four five six seven")     // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (900L, "prefix words then alpha beta gamma delta and more")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminatedDocs(corpus, eval, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shared_ngrams")).toMap
+    assert(got == Map(10L -> 1L), got.toString)
+  }
 }
