@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE per read/write —
+    * with 32 concurrent decode tasks over thousands of images that is
+    * thousands of create/delete syscalls on shared /tmp per query,
+    * and was measured as multi-second run-to-run jitter on the image
+    * gate query. All our payloads are in-memory byte arrays, so the
+    * disk cache buys nothing: force memory-backed streams, once per
+    * JVM (executors run this via the static initializer of whichever
+    * task touches the object first). */
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(kind: String, width: Int, height: Int, sampleRate: Int)
   final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
@@ -159,7 +169,15 @@ object Multimodal {
     * sample is SQL-recomputable arithmetic (PCM is lossless). */
   def wavAudioTable(docs: DataFrame): Dataset[AudioRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // Deliberately NO parallelism-floor repartition here (the image
+    // and video builders have one): AudioSystem's per-call provider
+    // lookup is lock-bound, so widening from the scan's natural
+    // partitioning to 32 tasks made the audio gate query 3× SLOWER
+    // (0.49s → 1.5s measured at sf0.1) — more threads just queue on
+    // the registry lock. The scan's row-group splits already give
+    // enough parallelism for the cheap PCM arithmetic.
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
       ids.map { id =>
         val n = 400 + (id % 100).toInt
         val pcm = new Array[Byte](n * 2)
@@ -205,7 +223,13 @@ object Multimodal {
     * (PNG is lossless; the equality is exact). */
   def pngImageTable(docs: DataFrame): Dataset[ImageRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // parallelism floor: the corpus is typically one unsplittable
+    // parquet file (a 1-partition scan), and the codec work below is
+    // compute-dense per row — a round-robin exchange of the bare ids
+    // costs ~nothing and buys full-width encode/decode parallelism
+    docs.select(col("doc_id")).as[Long]
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
       ids.map { id =>
         val w = 8 + (id % 9).toInt
         val h = 8 + (id % 7).toInt
@@ -378,7 +402,13 @@ object Multimodal {
     * SQL-recomputable arithmetic (uncompressed = lossless = exact). */
   def aviVideoTable(docs: DataFrame): Dataset[VideoRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // parallelism floor: the corpus is typically one unsplittable
+    // parquet file (a 1-partition scan), and the codec work below is
+    // compute-dense per row — a round-robin exchange of the bare ids
+    // costs ~nothing and buys full-width encode/decode parallelism
+    docs.select(col("doc_id")).as[Long]
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
       ids.map { id =>
         val w = 8 + (id % 5).toInt
         val h = 6 + (id % 3).toInt
