@@ -1007,9 +1007,9 @@ object QueriesLlm {
              CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac,
              1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
              (CAST(top_token_count AS DOUBLE) / n_tokens > 0.2
-              OR 1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams > 0.3)
+              OR COALESCE(1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams > 0.3, FALSE))
                AS repetition_flagged
-      FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+      FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
       ORDER BY doc_id"""))
 
   /** Benchmark-contamination scan (Lee et al.): corpus docs sharing a

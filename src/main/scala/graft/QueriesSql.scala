@@ -1200,10 +1200,25 @@ object QueriesSql {
     * flattened CTE equivalent. The outer sum re-aggregates the
     * materialized doubles; both engines sum the same 25 values through
     * the decimal pattern, so the hash is exact. */
+  // One warehouse dir per JVM (CREATE OR REPLACE makes reruns idempotent);
+  // a per-invocation dir would leak parquet under /tmp across the bench
+  // harness's warmup + N timed runs. Cleaned up on JVM exit.
+  private lazy val q112Warehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-wh")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Exception => () }))
+    p.toString
+  }
+
   private val q112 = Q("q112_ctas_script",
     (s, dir) => {
       Tables.registerAll(s, dir)
-      val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+      val wh = q112Warehouse
       StatementRunner.execute(s,
         s"""BEGIN;
            |CREATE OR REPLACE TABLE seg_rev AS

@@ -216,7 +216,8 @@ object IncrementalPipeline {
       * deep in Spark. The width is recorded in a sidecar file on first
       * append and validated (against both the sidecar and the schema)
       * on every subsequent read/append. */
-    private def sidecar = new java.io.File(path, "_graft_bucket_blocks")
+    private val sidecarName = "_graft_bucket_blocks"
+    private def sidecar = new java.io.File(path, sidecarName)
 
     private def recordedBucketBlocks: Option[Long] =
       if (!sidecar.exists()) None
@@ -234,6 +235,16 @@ object IncrementalPipeline {
           throw new IllegalStateException(
             s"sink $path layout mismatch: configured bucketBlocks=$n but the " +
               "existing data is flat (no block_bucket column)")
+        case (Some(n), None) =>
+          // Bucketed data with NO sidecar: the true width is unknowable
+          // from the data alone, and pruning with a guessed width would
+          // silently miss duplicates — the exact failure this check
+          // exists to prevent. Refuse; migration = write the sidecar
+          // explicitly after verifying the width out of band.
+          throw new IllegalStateException(
+            s"sink $path has bucketed data (block_bucket column) but no " +
+              s"$sidecarName sidecar recording its width; refusing to assume " +
+              s"bucketBlocks=$n. Verify the layout and write the sidecar to migrate.")
         case (None, recorded) if hasBucketCol =>
           throw new IllegalStateException(
             s"sink $path layout mismatch: existing data is bucketed" +

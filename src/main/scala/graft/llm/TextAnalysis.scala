@@ -138,13 +138,17 @@ object TextAnalysis {
       .groupBy(idCol).agg(
         sum("cnt").cast("long").as("n_bigrams"),
         count(lit(1)).cast("long").as("distinct_bigrams"))
-    tokStats.join(bgStats, Seq(idCol))
+    // LEFT join: a document with fewer than 2 tokens has no bigrams at
+    // all — it must still appear (NULL bigram stats, flagged on
+    // top_token_frac alone), not silently vanish from the report.
+    tokStats.join(bgStats, Seq(idCol), "left")
       .withColumn("top_token_frac",
         col("top_token_count").cast("double") / col("n_tokens"))
       .withColumn("dup_bigram_frac",
         lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"))
       .withColumn("repetition_flagged",
-        col("top_token_frac") > topTokenMax || col("dup_bigram_frac") > dupBigramMax)
+        col("top_token_frac") > topTokenMax ||
+          coalesce(col("dup_bigram_frac") > dupBigramMax, lit(false)))
   }
 
   /** Word n-gram shingles of a token array column (space-joined). */

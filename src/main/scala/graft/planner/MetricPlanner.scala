@@ -407,10 +407,14 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     for (m <- cms) {
       val i = defs.indexOf((m.model, m.entity, m.timeDim, m.baseFilterSql,
         m.conversionFilterSql, m.windowDays))
+      // After the cross-funnel FULL OUTER reduce, a grain key absent from
+      // funnel i has NULL __conv$i / __base$i. Conversions coalesce to 0
+      // (no base events ⇒ 0 conversions); the rate keeps its NULL
+      // denominator ⇒ NULL, matching the rendered SQL exactly.
       df = df.withColumn(m.name, m.calculation match {
-        case "conversions" => col(s"__conv$i")
+        case "conversions" => coalesce(col(s"__conv$i"), lit(0L))
         case "conversion_rate" =>
-          col(s"__conv$i").cast("double") / col(s"__base$i")
+          coalesce(col(s"__conv$i"), lit(0L)).cast("double") / col(s"__base$i")
       })
     }
     df = df.select((keyNames ++ req.metrics).map(df.col): _*)
@@ -463,7 +467,13 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       }
       item + (if (withDescriptions && m.description.nonEmpty) s"  -- ${m.description}" else "")
     }
-    val selectItems = keyNames.map(k => s"b0.$k AS $k") ++ cms.map(metricItem)
+    // Grain keys must survive a key present in only ONE funnel's b_i:
+    // COALESCE across every b_i mirrors the DataFrame's USING-join key
+    // coalescing (b0.k alone would be NULL for such keys).
+    def keyExpr(k: String): String =
+      if (defs.length == 1) s"b0.$k"
+      else s"COALESCE(${defs.indices.map(i => s"b$i.$k").mkString(", ")})"
+    val selectItems = keyNames.map(k => s"${keyExpr(k)} AS $k") ++ cms.map(metricItem)
     val joins = defs.indices.flatMap { i =>
       val cJoin =
         if (keyNames.isEmpty) Seq(s"CROSS JOIN c$i")
@@ -471,7 +481,14 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       val bJoin =
         if (i == 0) Nil
         else if (keyNames.isEmpty) Seq(s"CROSS JOIN b$i")
-        else Seq(s"FULL OUTER JOIN b$i ON ${keyNames.map(k => s"b0.$k = b$i.$k").mkString(" AND ")}")
+        else {
+          // Progressive key coalescing ≡ the DataFrame's chained USING
+          // joins: b_i must match keys introduced by ANY earlier funnel.
+          def priorKey(k: String): String =
+            if (i == 1) s"b0.$k"
+            else s"COALESCE(${(0 until i).map(j => s"b$j.$k").mkString(", ")})"
+          Seq(s"FULL OUTER JOIN b$i ON ${keyNames.map(k => s"${priorKey(k)} = b$i.$k").mkString(" AND ")}")
+        }
       bJoin ++ cJoin
     }.mkString("\n")
     val orderExprs = (req.orderBy.map { o =>

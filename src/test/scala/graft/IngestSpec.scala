@@ -161,6 +161,23 @@ class IngestSpec extends AnyFunSuite {
     val bucketed = new IncrementalPipeline.ParquetTxSink(spark, dir2, bucketBlocks = Some(10L))
     assert(intercept[IllegalStateException] { bucketed.existingTxids(0L) }
       .getMessage.contains("layout mismatch"))
+    // pre-sidecar bucketed data: the true width is unknowable, so EVERY
+    // configured width must be refused (accepting one on faith — and then
+    // recording it — is the exact mis-prune the check exists to prevent)
+    val dir3 = base + "/c"
+    new IncrementalPipeline.ParquetTxSink(spark, dir3, bucketBlocks = Some(10L))
+      .append(Seq(("t1", 1L)).toDF("txid", "block"))
+    assert(new java.io.File(dir3, "_graft_bucket_blocks").delete())
+    for (n <- Seq(10L, 5L)) {
+      val s = new IncrementalPipeline.ParquetTxSink(spark, dir3, bucketBlocks = Some(n))
+      val e = intercept[IllegalStateException] { s.watermark() }
+      assert(e.getMessage.contains("no _graft_bucket_blocks sidecar"), e.getMessage)
+      intercept[IllegalStateException] {
+        s.append(Seq(("t2", 2L)).toDF("txid", "block"))
+      }
+      // the refused append must NOT have legitimized the width
+      assert(!new java.io.File(dir3, "_graft_bucket_blocks").exists())
+    }
   }
 
   test("rpc source: bounded fan-out fetch with retry against an in-JVM HTTP stub") {

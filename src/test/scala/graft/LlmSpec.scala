@@ -293,16 +293,21 @@ class LlmSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam eggs"), // one token dominates
       (2L, "to be or not to be that is the question"),           // diverse
-      (3L, "one two one two one two one two one two")            // repeated phrase
+      (3L, "one two one two one two one two one two"),           // repeated phrase
+      (4L, "lonely")                                             // single token: no bigrams
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
-      .collect().map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Double]("top_token_frac"), r.getAs[Double]("dup_bigram_frac"),
+    val rows = TextAnalysis.repetitionStats(docs, "doc_id", "text").collect()
+    assert(rows.length == 4, "short docs must not be silently dropped")
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("top_token_frac"),
+          Option(r.getAs[java.lang.Double]("dup_bigram_frac")),
           r.getAs[Boolean]("repetition_flagged"))).toMap
     assert(got(1L)._1 == 0.9 && got(1L)._3, got(1L).toString)
     assert(!got(2L)._3, got(2L).toString)
     // doc 3: 9 bigrams, only 2 distinct -> dup fraction 7/9
-    assert(got(3L)._2 > 0.7 && got(3L)._3, got(3L).toString)
+    assert(got(3L)._2.exists(_ > 0.7) && got(3L)._3, got(3L).toString)
+    // doc 4: 1 token = 100% top-token (flagged), NULL bigram stats
+    assert(got(4L)._1 == 1.0 && got(4L)._2.isEmpty && got(4L)._3, got(4L).toString)
   }
 
   test("contamination: planted n-gram overlap found, clean docs absent") {

@@ -326,6 +326,44 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-funnel conversion: DataFrame and rendered SQL agree when funnels cover different keys") {
+    // Two DISTINCT funnels with disjoint-ish base slices so some grain
+    // keys exist in only one funnel's base aggregate — the case where
+    // a naive SELECT b0.key after FULL OUTER JOIN diverges from the
+    // DataFrame's USING-join key coalescing.
+    val reg = DefaultRegistry.registry
+    val custom = new SemanticRegistry(
+      models = reg.models, links = reg.links, metrics = reg.metrics,
+      conversionMetrics = Seq(
+        ConversionMetric("conv_a", "events", "user_id", "ts",
+          "event_type = 'view' AND pmod(user_id, 7) = 0",
+          "event_type = 'purchase'", windowDays = 1, calculation = "conversions"),
+        ConversionMetric("conv_b", "events", "user_id", "ts",
+          "event_type = 'view' AND pmod(user_id, 7) = 3",
+          "event_type = 'purchase'", windowDays = 1, calculation = "conversions"),
+        ConversionMetric("rate_b", "events", "user_id", "ts",
+          "event_type = 'view' AND pmod(user_id, 7) = 3",
+          "event_type = 'purchase'", windowDays = 1, calculation = "conversion_rate")))
+    val p = new MetricPlanner(custom)
+    val c = p.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("conv_a", "conv_b", "rate_b"),
+      groupBy = Seq("metric_time__day")))
+    Tables.registerAll(spark, dir)
+    val viaDf = c.df.collect().map(_.toString).sorted
+    val viaSql = spark.sql(c.sql).collect().map(_.toString).sorted
+    assert(viaDf.nonEmpty && viaDf.sameElements(viaSql),
+      s"df/sql mismatch:\n${viaDf.take(5).mkString("\n")}\nvs\n${viaSql.take(5).mkString("\n")}\n${c.sql}")
+    // the divergence case must actually occur: at least one key missing
+    // from one funnel (NULL rate denominator), counts coalesced to 0
+    val rows = c.df.collect()
+    val oneSided = rows.filter(r => r.isNullAt(3)) // rate_b NULL ⇒ no b-funnel base
+    assert(oneSided.nonEmpty, "test data produced no funnel-disjoint grain key; widen the slices")
+    oneSided.foreach { r =>
+      assert(!r.isNullAt(0), "grain key must survive via key coalescing")
+      assert(r.getLong(2) == 0L, s"conv_b must coalesce to 0, got $r")
+    }
+  }
+
   test("cross-model saved query resolves to the metric_time join") {
     val c = planner.compile(spark, dir,
       MetricQueryRequest(metrics = Nil, savedQuery = Some("weekly_revenue_vs_events")))
