@@ -414,21 +414,138 @@ object QueriesLlm {
                AS n_frames
       FROM documents ORDER BY doc_id"""))
 
-  /** Feature extraction through the typed mapPartitions batch path
-    * (deterministic stub decoder; rows-only check — validated in
-    * ScalaTest against the scalar reference implementation). */
+  /** Feature extraction through the typed mapPartitions batch path,
+    * now oracle-checked end to end: the corpus is REAL decodable
+    * payloads of all three kinds (PNG via ImageIO, WAV via javax.sound,
+    * AVI via the RIFF muxer), extractFeatures sniffs each payload's
+    * magic bytes and routes it to the matching real decoder, and the
+    * DuckDB oracle recomputes every normalized histogram from the
+    * generator formulas alone. Float parity: both engines divide an
+    * exact integer count by an exact integer total in float32, then
+    * widen to double — bit-identical (q26 established the pattern). */
   private val q32 = Q("q32_media_features",
     (s, dir) => {
       import s.implicits._
-      val media = Multimodal.mediaTable(t(s, dir, "documents"))
-        .as[Multimodal.MediaRow]
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("byte_len"),
-          concat_ws(",", transform(col("features"),
-            f => format_number(f, 4))).as("feature_sig"))
+      val docs = t(s, dir, "documents")
+      def meta(kind: String) = Multimodal.MediaMeta(kind, 0, 0, 0)
+      val img = Multimodal.pngImageTable(docs.filter(col("doc_id") % 3 === 0))
+        .map(r => Multimodal.MediaRow(r.media_id, r.payload, meta("image")))
+      val aud = Multimodal.wavAudioTable(docs.filter(col("doc_id") % 3 === 1))
+        .map(r => Multimodal.MediaRow(r.media_id, r.payload, meta("audio")))
+      val vid = Multimodal.aviVideoTable(docs.filter(col("doc_id") % 3 === 2))
+        .map(r => Multimodal.MediaRow(r.media_id, r.payload, meta("video")))
+      Multimodal.extractFeatures(img.union(aud).union(vid)).toDF()
+        .select(Seq(col("media_id"), col("kind")) ++
+          (0 until 8).map(i =>
+            element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
         .orderBy("media_id")
     },
-    None)
+    Some {
+      val bins = (0 until 8).map(i =>
+        s"SUM(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS c$i").mkString(",\n               ")
+      val feats = (0 until 8).map(i =>
+        s"CAST(CAST(c$i AS REAL) / CAST(n AS REAL) AS DOUBLE) AS f$i").mkString(",\n             ")
+      s"""
+      WITH imgs AS (
+        SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      ixs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM imgs),
+      ipx AS (
+        SELECT media_id, w, h,
+               ((media_id * 31 + x * 7 + unnest(range(0, h)) * 13) % 256) // 32 AS bin
+        FROM ixs),
+      ihist AS (
+        SELECT media_id, w * h AS n,
+               $bins
+        FROM ipx GROUP BY media_id, w * h),
+      clips AS (
+        SELECT doc_id AS media_id, 400 + doc_id % 100 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      apx AS (
+        SELECT media_id, n,
+               ((media_id * 31 + unnest(range(0, n)) * 7) % 65536) // 8192 AS bin
+        FROM clips),
+      ahist AS (
+        SELECT media_id, n,
+               $bins
+        FROM apx GROUP BY media_id, n),
+      vids AS (
+        SELECT doc_id AS media_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+               2 + doc_id % 4 AS nf
+        FROM documents WHERE doc_id % 3 = 2),
+      vfs AS (SELECT media_id, w, h, nf, unnest(range(0, nf)) AS f FROM vids),
+      vxs AS (SELECT media_id, w, h, nf, f, unnest(range(0, w)) AS x FROM vfs),
+      vpx AS (
+        SELECT media_id, w * h * nf AS n,
+               ((media_id * 31 + f * 17 + x * 7 + unnest(range(0, h)) * 13) % 256) // 32
+                 AS bin
+        FROM vxs),
+      vhist AS (
+        SELECT media_id, n,
+               $bins
+        FROM vpx GROUP BY media_id, n)
+      SELECT media_id, 'image' AS kind,
+             $feats
+      FROM ihist
+      UNION ALL
+      SELECT media_id, 'audio' AS kind,
+             $feats
+      FROM ahist
+      UNION ALL
+      SELECT media_id, 'video' AS kind,
+             $feats
+      FROM vhist
+      ORDER BY media_id"""
+    })
+
+  /** REAL image resize gate: decode (ImageIO) → scale (Graphics2D, 2×
+    * nearest-neighbor) → re-encode (PNG) → decode AGAIN — the reported
+    * histogram comes from the re-decoded RESIZED bytes, so the hash
+    * passes only if the whole codec→raster→codec chain is exact. At 2×
+    * nearest, every source pixel becomes a 2×2 block: the oracle is
+    * the q81 pixel formula with doubled dimensions and 4× counts. */
+  private val q116 = Q("q116_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.pngImageTable(t(s, dir, "documents"))
+        .map(r => Multimodal.MediaRow(r.media_id, r.payload,
+          Multimodal.MediaMeta("image", 0, 0, 0)))
+      val resized = Multimodal.resizeBy(media, 2, "nearest")
+        .map(r => Multimodal.ImageRow(r.media_id, r.payload))
+      Multimodal.decodeImageFeatures(resized).toDF().select(
+        Seq(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")) ++
+        (0 until 8).map(i => element_at(col("hist"), i + 1).as(s"b$i")): _*)
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h
+        FROM documents),
+      xs AS (
+        SELECT media_id, w, h, unnest(range(0, w)) AS x
+        FROM imgs),
+      px AS (
+        SELECT media_id, w, h,
+               ((media_id * 31 + x * 7 + unnest(range(0, h)) * 13) % 256) // 32
+                 AS bin
+        FROM xs)
+      SELECT media_id,
+             CAST(w * 2 AS BIGINT) AS width,
+             CAST(h * 2 AS BIGINT) AS height,
+             CAST(4 * SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(4 * SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(4 * SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+             CAST(4 * SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+             CAST(4 * SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+             CAST(4 * SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+             CAST(4 * SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+             CAST(4 * SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+      FROM px
+      GROUP BY media_id, w, h
+      ORDER BY media_id"""))
 
   /** REAL image decode, oracle-proven: the corpus is deterministic
     * grayscale PNGs (encoded by the JDK's actual PNG writer), the
@@ -1046,5 +1163,5 @@ object QueriesLlm {
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97, q114, q115)
+    q97, q114, q115, q116)
 }

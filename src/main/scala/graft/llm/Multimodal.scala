@@ -451,27 +451,76 @@ object Multimodal {
         greatest(floor((length(payload) - 1) / stride).cast("int"), lit(0))),
       i => i * stride)
 
-  /** ??? real resampler goes here — STUB: nearest-neighbor byte
-    * selection to exactly targetW·targetH bytes (deterministic), shaped
-    * like an image resize (payload in → fixed-size payload out, meta
-    * dimensions rewritten). The Spark plumbing is the real part:
-    * partition-wise typed batches, one codec init per partition, output
-    * schema identical to the input table so resize composes with every
-    * other media op. */
-  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+  /** REAL image resize: decode with javax.imageio, rescale on the JDK's
+    * Java2D raster pipeline (`Graphics2D.drawImage` with an explicit
+    * interpolation hint — "nearest" or "bilinear"), re-encode as PNG.
+    * Pixels never leave the task: decode → scale → encode happen
+    * per-row inside the scan stage, and only the re-encoded payload
+    * flows on. Output schema is identical to the input table so resize
+    * composes with every other media op.
+    *
+    * Non-image payloads (no PNG/JPEG magic) fall back to deterministic
+    * nearest-neighbor BYTE subsampling to targetW·targetH bytes — the
+    * same "mixed tables never throw" contract as
+    * [[fakeDecodeFeatures]]. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int,
+      interpolation: String = "bilinear"): Dataset[MediaRow] =
+    resizeWith(media, (_, _) => (targetW, targetH), interpolation,
+      targetW, targetH)
+
+  /** Integer-factor resize (each source pixel becomes a `factor`×
+    * `factor` block under "nearest" — exactly SQL-replicable, which is
+    * how the resize gate query oracle-checks the whole decode → scale
+    * → encode round-trip). */
+  def resizeBy(media: Dataset[MediaRow], factor: Int,
+      interpolation: String = "nearest"): Dataset[MediaRow] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    resizeWith(media, (w, h) => (w * factor, h * factor), interpolation,
+      factor, factor)
+  }
+
+  private def interpHint(interpolation: String): Object = interpolation match {
+    case "nearest"  => java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR
+    case "bilinear" => java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+    case other => throw new IllegalArgumentException(
+      s"interpolation must be nearest|bilinear: $other")
+  }
+
+  private def resizeWith(media: Dataset[MediaRow],
+      target: (Int, Int) => (Int, Int), interpolation: String,
+      fallbackW: Int, fallbackH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    val n = targetW * targetH
+    val hint = interpolation // validate eagerly on the driver
+    interpHint(hint)
     media.mapPartitions { rows =>
-      // per-partition init would configure the real resampler once here
       rows.map { r =>
         val src = if (r.payload == null) Array.emptyByteArray else r.payload
-        val out = new Array[Byte](n)
-        if (src.nonEmpty) {
-          var i = 0
-          while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
+        if (looksLikeImage(src)) {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+          require(img != null, "undecodable image payload")
+          val (tw, th) = target(img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              interpHint(hint))
+            g.drawImage(img, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRow(r.media_id, bos.toByteArray,
+            r.meta.copy(kind = "image", width = tw, height = th))
+        } else {
+          val n = fallbackW * fallbackH
+          val out = new Array[Byte](n)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
+          }
+          MediaRow(r.media_id, out,
+            r.meta.copy(width = fallbackW, height = fallbackH))
         }
-        MediaRow(r.media_id, out,
-          r.meta.copy(width = targetW, height = targetH))
       }
     }
   }

@@ -53,6 +53,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
   }
 
+  test("real image resize: Graphics2D 2x nearest replicates every source pixel") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").limit(25)
+    val media = Multimodal.pngImageTable(docs).map(r =>
+      Multimodal.MediaRow(r.media_id, r.payload,
+        Multimodal.MediaMeta("image", 0, 0, 0)))
+    val resized = Multimodal.resizeBy(media, 2, "nearest").collect()
+    assert(resized.nonEmpty)
+    for (r <- resized) {
+      val id = r.media_id
+      val (sw, sh) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      assert(r.meta.width == sw * 2 && r.meta.height == sh * 2, r.meta.toString)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == sw * 2 && img.getHeight == sh * 2)
+      // every output pixel = the source formula at (x/2, y/2): a true
+      // decode → Graphics2D scale → PNG encode round-trip, bit-exact
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val expected = ((id * 31 + (x / 2) * 7 + (y / 2) * 13) % 256).toInt
+        assert((img.getRGB(x, y) & 0xFF) == expected,
+          s"media $id pixel ($x,$y): got ${img.getRGB(x, y) & 0xFF}, want $expected")
+      }
+    }
+  }
+
+  test("real image resize: fixed-target bilinear produces decodable images at the target size") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").limit(10)
+    val media = Multimodal.pngImageTable(docs).map(r =>
+      Multimodal.MediaRow(r.media_id, r.payload,
+        Multimodal.MediaMeta("image", 0, 0, 0)))
+    val resized = Multimodal.resize(media, 32, 24, "bilinear").collect()
+    for (r <- resized) {
+      assert(r.meta.width == 32 && r.meta.height == 24)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      // grayscale source ⇒ resampled pixels stay gray (R=G=B), and the
+      // mean luminance is preserved within interpolation tolerance
+      val px = for (y <- 0 until 24; x <- 0 until 32) yield img.getRGB(x, y)
+      assert(px.forall(p => ((p >> 16) & 0xFF) == (p & 0xFF) &&
+        ((p >> 8) & 0xFF) == (p & 0xFF)))
+      val (sw, sh) = (8 + (r.media_id % 9).toInt, 8 + (r.media_id % 7).toInt)
+      val srcMean = (for (y <- 0 until sh; x <- 0 until sw)
+        yield ((r.media_id * 31 + x * 7 + y * 13) % 256).toDouble).sum / (sw * sh)
+      val dstMean = px.map(p => (p & 0xFF).toDouble).sum / px.length
+      assert(math.abs(srcMean - dstMean) < 32.0, s"mean drift: $srcMean vs $dstMean")
+    }
+    // composes: the resized set feeds straight back into feature extraction
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resize(media, 32, 24, "bilinear")).collect()
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+  }
+
   test("real PNG decode: ImageIO round-trip recovers the exact pixel formula") {
     import spark.implicits._
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").limit(30)
