@@ -33,30 +33,53 @@ object Bench {
       }
     }
 
-    // Median-of-N timing: single-shot numbers on a shared machine are
-    // noise-dominated (round-2 recorded 20.5s for a query that reruns
-    // at 1.5s under load). Each query runs N times back-to-back; the
-    // headline per-query number is the MEDIAN, with min/max kept for
-    // dispersion. Total = sum of medians (the steady-state suite cost).
+    // INTERLEAVED median-of-N timing: single-shot numbers on a shared
+    // machine are noise-dominated, and back-to-back repeats of one
+    // query all land inside the same transient load window (round-4's
+    // driver run had a contiguous block of queries 2-18x slower than
+    // the same commit minutes earlier — all three samples taken inside
+    // the spike). So the suite runs as N ROUND-ROBIN PASSES: every
+    // query once, then every query again. A load window shorter than a
+    // full pass now inflates at most one of each query's samples, and
+    // the per-query median across passes rejects it.
+    //
+    // A query that THROWS is recorded as an error, not a (fast, bogus)
+    // time: its failed sample is excluded, and a query with no
+    // successful sample at all is excluded from the total and surfaced
+    // in "errors" — a regression must never IMPROVE the benchmark.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to nRuns).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      names.map(_._1 -> Vector.empty[Double]): _*)
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (_ <- 1 to nRuns; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+      }
     }
+    val results = names.map { case (k, _) => k -> samples(k).sorted }
     def med(ts: Seq[Double]): Double = ts(ts.length / 2)
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(med(ts)) }
+    val timed = results.filter(_._2.nonEmpty)
+    val qs = timed.map { case (k, ts) => "\"" + k + "\":" + f3(med(ts)) }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, ts) =>
-      "\"" + k + s"""":{"median":${f3(med(ts))},"min":${f3(ts.head)},"max":${f3(ts.last)},"n":$nRuns}"""
+      val err = errs.get(k).map(m => s""","err":"$m"""").getOrElse("")
+      if (ts.isEmpty) "\"" + k + s"""":{"n":0$err}"""
+      else "\"" + k +
+        s"""":{"median":${f3(med(ts))},"min":${f3(ts.head)},"max":${f3(ts.last)},"n":${ts.length}$err}"""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(r => med(r._2)).sum else 0.0
+    val total = timed.map(r => med(r._2)).sum
+    val errsJson = errs.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$nRuns,"queries":$qs,"errors":$errsJson,"runs":$detail,"sf":"$sfDir"}"""
 
     // The harness that records this run keeps only a bounded tail of
     // stdout (observed: 2000 chars), and the full per-query line above
@@ -70,11 +93,11 @@ object Bench {
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     println(fullLine)
-    val slowest = results.sortBy(r => -med(r._2)).take(12)
+    val slowest = timed.sortBy(r => -med(r._2)).take(12)
       .map { case (k, ts) => "\"" + k + "\":" + f3(med(ts)) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.length},"runs_per_query":$nRuns,"slowest":$slowest,"detail_file":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${timed.length},"n_errors":${errs.size},"passes":$nRuns,"slowest":$slowest,"detail_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
