@@ -71,7 +71,8 @@ object Corpus {
     * even on adversarial chain-shaped graphs — where plain min-label
     * propagation needs O(diameter) rounds. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      localMaxBytes: Long = 16L << 20): DataFrame = {
+      localMaxBytes: Long = 16L << 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Small-graph fast path: near-dup edge lists are pair-verified
     // output, so at 100 TB they are orders of magnitude smaller than
     // the corpus; most fit the driver comfortably.
@@ -105,7 +106,7 @@ object Corpus {
       import spark.implicits._
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
     }
-    bigStarClusters(pairRows.toDF("id_a", "id_b"))._1
+    bigStarClusters(pairRows.toDF("id_a", "id_b"), checkpointDir = checkpointDir)._1
   }
 
   /** Distributed connected components: alternating large-star /
@@ -121,7 +122,8 @@ object Corpus {
     * Convergence = the canonical edge set stops changing (exact
     * set-difference check, not a checksum: a false early stop would
     * silently merge/split clusters). */
-  def bigStarClusters(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+  def bigStarClusters(pairs: DataFrame, maxRounds: Int = 64,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -143,19 +145,35 @@ object Corpus {
         .unionAll(mins.select(col("u"), col("m").as("v")))
     }
 
-    // localCheckpoint per round: iterative algorithms must TRUNCATE
-    // lineage, not just cache — persist() keeps the logical plan, which
-    // doubles every round and OOMs the driver after ~15 rounds long
-    // before the data is large. (On a cluster with a checkpoint dir
-    // configured, reliable checkpoint() adds executor-loss tolerance;
-    // the round structure is identical.)
-    var edges = canon(
+    // Per-round lineage TRUNCATION is mandatory for iterative
+    // algorithms — persist() keeps the logical plan, which doubles
+    // every round and OOMs the driver after ~15 rounds long before the
+    // data is large. Two truncation modes:
+    //  - default: localCheckpoint(eager) — zero-setup, blocks live in
+    //    executor storage. Right for local mode and short jobs, but on
+    //    a real cluster an EXECUTOR LOSS destroys the truncated RDD
+    //    (no lineage left to recompute it) and kills a 60-round job.
+    //  - checkpointDir=Some(dir): reliable checkpoint() — each round's
+    //    edge set is written to the (typically HDFS/object-store) dir,
+    //    so any executor can re-read it after a loss; the round
+    //    structure is identical, the cost is one distributed write per
+    //    round. This is the mode to run with 1000 executors.
+    val spark = pairs.sparkSession
+    checkpointDir.foreach { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty ||
+          !spark.sparkContext.getCheckpointDir.contains(dir))
+        spark.sparkContext.setCheckpointDir(dir)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    var edges = truncate(canon(
       pairs.select(col("id_a").cast("long").as("u"),
-        col("id_b").cast("long").as("v"))).localCheckpoint(true)
+        col("id_b").cast("long").as("v"))))
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(true)
+      val next = truncate(canon(smallStar(canon(largeStar(edges)))))
       rounds += 1
       done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next

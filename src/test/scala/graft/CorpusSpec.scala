@@ -94,6 +94,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(1) == 0L), "single component rooted at 0")
   }
 
+  test("reliable-checkpoint mode: same labels, survives losing every persisted block") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val n = 2000
+    val pairs = spark.range(0, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (labels, rounds) = Corpus.bigStarClusters(pairs, checkpointDir = Some(dir))
+    assert(rounds <= 20)
+    // rounds actually wrote reliable checkpoints to the dir
+    val written = new java.io.File(dir).listFiles()
+    assert(written != null && written.nonEmpty, s"no checkpoint data in $dir")
+    // Simulate total storage loss (the thing an executor crash does to
+    // localCheckpoint blocks): drop EVERY persisted RDD block, then
+    // evaluate the result. Reliable checkpoints re-read from files, so
+    // the labels must still come back complete and correct.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val got = labels.collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L), "single component rooted at 0")
+    // same answer as the default localCheckpoint mode
+    val (viaLocal, _) = Corpus.bigStarClusters(pairs)
+    assert(viaLocal.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(got.map(r => (r.getLong(0), r.getLong(1))).sorted))
+    // dupClusters threads the option through (big-path via byte gate 0)
+    val viaDup = Corpus.dupClusters(pairs, localMaxBytes = 0L,
+      checkpointDir = Some(dir)).collect()
+    assert(viaDup.length == n && viaDup.forall(_.getLong(1) == 0L))
+  }
+
   test("dupClusters over lshPairs covers exactly the paired doc ids") {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = Dedup.lshPairs(docs, "doc_id", "text").select("id_a", "id_b")
