@@ -376,6 +376,20 @@ object QueriesSql {
     Some(new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
       .renderSql(q49Req, withDescriptions = false)))
 
+  /** Sub-day grain through the metric layer (MetricFlow exposes
+    * hour/minute granularity; the reference's event pipelines run on a
+    * 15-minute cadence): metric_time__hour buckets stay TIMESTAMPs —
+    * the day-grain DATE cast would collapse a day's 24 buckets into
+    * one. Oracle = the planner's own rendered SQL (M9), as for q2/q49. */
+  private val q117Req = graft.catalog.MetricQueryRequest(
+    metrics = Seq("event_value"), groupBy = Seq("metric_time__hour"),
+    startTime = Some("2024-01-02"), endTime = Some("2024-01-09"))
+  private val q117 = Q("q117_hourly_metric",
+    (s, dir) => new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
+      .compile(s, dir, q117Req).df,
+    Some(new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
+      .renderSql(q117Req, withDescriptions = false)))
+
   /** Exact interpolated quantiles (percentile ≡ quantile_cont — both
     * engines use linear interpolation on the sorted values). */
   private val q50 = Q("q50_quantiles",
@@ -1248,5 +1262,5 @@ object QueriesSql {
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
     q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91,
     q93, q94, q95, q96, q99, q100,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q117)
 }

@@ -60,7 +60,7 @@ final case class Metric(
   * month-over-month growth metric). Compiles to a grain-cardinality
   * self-join of the aggregate — never a second pass over the fact. */
 final case class OffsetInput(alias: String, input: String, n: Int, grain: String) {
-  require(Set("day", "week", "month", "quarter", "year")(grain),
+  require(Set("minute", "hour", "day", "week", "month", "quarter", "year")(grain),
     s"bad offset grain: $grain")
   require(n > 0, s"offset must be positive: $n")
 }

@@ -50,17 +50,38 @@ final class MetricPlanner(val registry: SemanticRegistry) {
           base)
     gran.foreach { gr =>
       require(dim.isTime, s"granularity on non-time dimension: $g")
-      require(Set("day", "week", "month", "quarter", "year")(gr), s"bad granularity: $gr")
+      require(granularities(gr), s"bad granularity: $gr")
     }
     (dim, gran, outBase)
   }
 
-  /** Portable SQL expression for a (dimension, granularity) pair.
-    * `date_trunc` + `CAST AS DATE` parse identically in Spark and DuckDB. */
+  /** Supported time granularities (MetricFlow exposes sub-day grains —
+    * the reference's event pipelines run on 15-minute cadence). */
+  private val granularities =
+    Set("minute", "hour", "day", "week", "month", "quarter", "year")
+  private def subDayGrain(g: String): Boolean = g == "minute" || g == "hour"
+
+  /** Portable SQL for a time-grain bucket of `inner`. Day-and-coarser
+    * buckets are DATEs; sub-day buckets stay TIMESTAMPs (an hour bucket
+    * cast to DATE would collapse the day's 24 buckets into one).
+    * `date_trunc` + `CAST AS DATE` parse identically in Spark and
+    * DuckDB. */
+  private def timeKeySql(gran: String, inner: String): String =
+    if (subDayGrain(gran)) s"date_trunc('$gran', $inner)"
+    else s"CAST(date_trunc('$gran', $inner) AS DATE)"
+
+  /** Portable SQL expression for a (dimension, granularity) pair. */
   private def dimExpr(dim: Dimension, gran: Option[String]): String = gran match {
-    case Some(g) => s"CAST(date_trunc('$g', ${dim.expr}) AS DATE)"
+    case Some(g) => timeKeySql(g, dim.expr)
     case None    => dim.expr
   }
+
+  /** Time key `k` shifted forward by n grains — the offset self-join
+    * condition. DATE keys need the cast back (date + interval is a
+    * timestamp in both engines); sub-day TIMESTAMP keys don't. */
+  private def shiftKeySql(k: String, n: Int, grain: String): String =
+    if (subDayGrain(grain)) s"$k + ${intervalSql(n, grain)}"
+    else s"CAST($k + ${intervalSql(n, grain)} AS DATE)"
 
   private def outName(base: String, gran: Option[String]): String =
     gran.map(g => s"${base}__$g").getOrElse(base)
@@ -219,8 +240,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       df = agg
       for (((n, grain), os) <- offsets.groupBy(o => (o.n, o.grain)).toSeq.sortBy(_._1)) {
         val prevCols: Seq[Column] = keyNames.map { k =>
-          if (k == timeKey)
-            expr(s"CAST($k + ${intervalSql(n, grain)} AS DATE)").as(k)
+          if (k == timeKey) expr(shiftKeySql(k, n, grain)).as(k)
           else agg.col(k)
         } ++ os.map(o => agg.col(o.input).as(o.alias))
         df = df.join(agg.select(prevCols: _*), keyNames, "left")
@@ -266,7 +286,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     val grans = req.groupBy.map { g =>
       g.split("__") match {
         case Array("metric_time", gr)
-          if Set("day", "week", "month", "quarter", "year")(gr.toLowerCase) =>
+          if granularities(gr.toLowerCase) =>
           gr.toLowerCase
         case _ => sys.error(
           s"cross-model queries group by metric_time__<granularity>, got: $g")
@@ -304,7 +324,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
         req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'") ++ mf
       for (f <- timeParts) df = df.filter(expr(f))
       val keys = grans.map(gr =>
-        expr(s"CAST(date_trunc('$gr', ${td.expr}) AS DATE)").as(s"metric_time__$gr"))
+        expr(timeKeySql(gr, td.expr)).as(s"metric_time__$gr"))
       val aggs = group.map(m => expr(m.aggSql).as(m.name))
       df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     }
@@ -341,7 +361,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
     val grans = req.groupBy.map { g =>
       g.split("__") match {
         case Array("metric_time", gr)
-          if Set("day", "week", "month", "quarter", "year")(gr.toLowerCase) =>
+          if granularities(gr.toLowerCase) =>
           gr.toLowerCase
         case _ => sys.error(
           s"conversion metric queries group by metric_time__<granularity>, got: $g")
@@ -387,7 +407,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
       val conv = fact.filter(expr(cf))
         .select(col(entity).as("__c_entity"), col(timeDim).as("__c_ts"))
       val keys = grans.map(gr =>
-        expr(s"CAST(date_trunc('$gr', __ts) AS DATE)").as(s"metric_time__$gr"))
+        expr(timeKeySql(gr, "__ts")).as(s"metric_time__$gr"))
       def agg(d: DataFrame, as: String): DataFrame =
         if (keys.nonEmpty) d.groupBy(keys: _*).agg(count(lit(1)).as(as))
         else d.agg(count(lit(1)).as(as))
@@ -441,7 +461,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
         req.endTime.map(e => s"$timeDim <= TIMESTAMP '$e 00:00:00'")
       val baseWhere = (Seq(bf) ++ timeParts).mkString(" AND ")
       val keyItems = grans.map(gr =>
-        s"CAST(date_trunc('$gr', ts) AS DATE) AS metric_time__$gr")
+        s"${timeKeySql(gr, "ts")} AS metric_time__$gr")
       def groupBy(n: Int): String =
         if (n > 0) s"\n  GROUP BY ${(1 to n).map(_.toString).mkString(", ")}" else ""
       Seq(
@@ -513,7 +533,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
         req.startTime.map(s => s"${td.expr} >= TIMESTAMP '$s 00:00:00'").toSeq ++
         req.endTime.map(e => s"${td.expr} <= TIMESTAMP '$e 00:00:00'") ++ mf
       val keyItems = grans.map(gr =>
-        s"CAST(date_trunc('$gr', ${td.expr}) AS DATE) AS metric_time__$gr")
+        s"${timeKeySql(gr, td.expr)} AS metric_time__$gr")
       val aggItems = group.map(m => s"${m.aggSql} AS ${m.name}")
       val where = if (timeParts.nonEmpty) s"\n  WHERE ${timeParts.mkString(" AND ")}" else ""
       s"m$i AS (\n  SELECT ${(keyItems ++ aggItems).mkString(",\n         ")}" +
@@ -643,7 +663,7 @@ final class MetricPlanner(val registry: SemanticRegistry) {
         }
       val outItems = keyNames.map(k => s"a.$k AS $k") ++ req.metrics.map(offsetMetricSql)
       val joins = shifts.zipWithIndex.map { case (((n, grain), _), i) =>
-        val conds = s"a.$timeKey = CAST(p$i.$timeKey + ${intervalSql(n, grain)} AS DATE)" +:
+        val conds = s"a.$timeKey = ${shiftKeySql(s"p$i.$timeKey", n, grain)}" +:
           keyNames.filter(_ != timeKey).map(k => s"a.$k = p$i.$k")
         s"LEFT JOIN agg p$i ON ${conds.mkString(" AND ")}" +
           desc(s"prior-period self-join (offset $n $grain, grain cardinality)")

@@ -326,6 +326,35 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-day grains: hour and minute buckets stay timestamps; SQL and DataFrame agree") {
+    Tables.registerAll(spark, dir)
+    for (gran <- Seq("hour", "minute")) {
+      val req = MetricQueryRequest(metrics = Seq("event_value"),
+        groupBy = Seq(s"metric_time__$gran"),
+        startTime = Some("2024-01-02"), endTime = Some("2024-01-03"))
+      val c = planner.compile(spark, dir, req)
+      val key = s"metric_time__$gran"
+      assert(c.df.schema(key).dataType.typeName.startsWith("timestamp"),
+        s"$gran bucket must stay a timestamp, got ${c.df.schema(key).dataType}")
+      val viaDf = c.df.collect().map(_.toString)
+      val viaSql = spark.sql(c.sql).collect().map(_.toString)
+      assert(viaDf.nonEmpty && viaDf.sameElements(viaSql), s"$gran df/sql mismatch")
+    }
+    // finer grain ⇒ at least as many buckets
+    def buckets(g: String) = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("event_value"), groupBy = Seq(s"metric_time__$g"),
+      startTime = Some("2024-01-02"), endTime = Some("2024-01-03"))).df.count()
+    val (d, h, m) = (buckets("day"), buckets("hour"), buckets("minute"))
+    assert(d <= h && h <= m, s"bucket counts not monotone: day=$d hour=$h minute=$m")
+    // cross-model metric_time join accepts an hour grain too
+    val cm = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("revenue", "event_value"), groupBy = Seq("metric_time__hour"),
+      startTime = Some("2024-01-02"), endTime = Some("2024-01-03")))
+    assert(cm.df.columns.toSeq ==
+      Seq("metric_time__hour", "revenue", "event_value"))
+    assert(cm.df.collect().nonEmpty)
+  }
+
   test("multi-funnel conversion: DataFrame and rendered SQL agree when funnels cover different keys") {
     // Two DISTINCT funnels with disjoint-ish base slices so some grain
     // keys exist in only one funnel's base aggregate — the case where
