@@ -104,7 +104,7 @@ object IncrementalPipeline {
       * once on the driver), never per call — a per-call client leaks
       * threads/sockets and defeats keep-alive at thousands of heights
       * per partition. */
-    private[ingest] def rpcCall(client: java.net.http.HttpClient,
+    private[graft] def rpcCall(client: java.net.http.HttpClient,
         endpoint: String, method: String,
         params: String, maxRetries: Int, backoffMs: Long): String = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
@@ -132,7 +132,7 @@ object IncrementalPipeline {
 
     /** Partition body: a bounded worker pool drains the height slice;
       * rows are emitted in COMPLETION order (unordered by design). */
-    private[ingest] def fetchPartition(heights: Iterator[Long], endpoint: String,
+    private[graft] def fetchPartition(heights: Iterator[Long], endpoint: String,
         maxConcurrency: Int, maxRetries: Int, backoffMs: Long): Iterator[RawTx] = {
       val hs = heights.toVector
       if (hs.isEmpty) return Iterator.empty

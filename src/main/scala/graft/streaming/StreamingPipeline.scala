@@ -36,34 +36,69 @@ object StreamingPipeline {
     * per-epoch anti-join guards checkpoint replay; it reads only sink
     * txids at/above the batch's own minimum block, so the guard scan
     * prunes to the replay window instead of history. */
+  /** Per-epoch ingest body, shared by the file-landed and RPC-native
+    * streams: transform → in-batch dedup → horizon-pruned anti-join
+    * against the sink → idempotent append + report. */
+  private def ingestBatch(batch: DataFrame, sink: IncrementalPipeline.TxSink,
+      webhook: Sinks.Webhook): Unit = {
+    var out = IncrementalPipeline.transform(batch).dropDuplicates("txid")
+    val lo = out.agg(coalesce(min(col("block")), lit(Long.MaxValue)))
+      .first().getLong(0) - 1
+    sink.existingTxids(lo).foreach { existing =>
+      out = out.join(existing, Seq("txid"), "left_anti")
+    }
+    val cached = out.withColumn("insert_dt", current_timestamp()).cache()
+    try {
+      if (cached.count() > 0) {
+        sink.append(cached)
+        Sinks.notifyReport(cached,
+          Seq("txid", "fee", "decoded_data", "blockdate"), webhook)
+      }
+    } finally cached.unpersist()
+  }
+
   def startIngest(spark: SparkSession, landingDir: String,
       sink: IncrementalPipeline.TxSink, checkpoint: String,
       webhook: Sinks.Webhook, availableNow: Boolean): StreamingQuery = {
     val raw = spark.readStream.schema(txSchema).parquet(landingDir)
-    val q = raw.writeStream
+    raw.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow() else
         Trigger.ProcessingTime("15 minutes"))
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        var out = IncrementalPipeline.transform(batch).dropDuplicates("txid")
-        val lo = out.agg(coalesce(min(col("block")), lit(Long.MaxValue)))
-          .first().getLong(0) - 1
-        sink.existingTxids(lo).foreach { existing =>
-          out = out.join(existing, Seq("txid"), "left_anti")
-        }
-        val cached = out.withColumn("insert_dt", current_timestamp()).cache()
-        try {
-          if (cached.count() > 0) {
-            sink.append(cached)
-            Sinks.notifyReport(cached,
-              Seq("txid", "fee", "decoded_data", "blockdate"), webhook)
-          }
-        } finally cached.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, sink, webhook)
       }
       .start()
-    q
+  }
+
+  /** Streaming-NATIVE RPC ingestion: the `graft-rpc` MicroBatchStream
+    * source (offsets = block heights, see [[RpcTableProvider]]) driven
+    * into the same idempotent sink body as the file stream. The
+    * checkpoint carries the committed height — a restart resumes
+    * after it, and a replayed uncommitted epoch re-fetches the same
+    * height range where the anti-join drops what already landed:
+    * exactly-once end to end. */
+  def startRpcIngest(spark: SparkSession, endpoint: String,
+      sink: IncrementalPipeline.TxSink, checkpoint: String,
+      webhook: Sinks.Webhook, availableNow: Boolean = true,
+      startBlock: Long = 0L, maxBlocksPerTrigger: Option[Long] = None,
+      numPartitions: Int = 4, maxConcurrency: Int = 8): StreamingQuery = {
+    var reader = spark.readStream.format("graft-rpc")
+      .option("endpoint", endpoint)
+      .option("startBlock", startBlock)
+      .option("numPartitions", numPartitions)
+      .option("maxConcurrency", maxConcurrency)
+    maxBlocksPerTrigger.foreach(n => reader = reader.option("maxBlocksPerTrigger", n))
+    reader.load().writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else
+        Trigger.ProcessingTime("15 minutes"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, sink, webhook)
+      }
+      .start()
   }
 
   def startIngest(spark: SparkSession, landingDir: String, sinkPath: String,

@@ -51,6 +51,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("txid") === "s4").count() == 1)
   }
 
+  test("rpc micro-batch source: offsets are block heights, restart resumes from the checkpoint") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import scala.jdk.CollectionConverters._
+    val head = new java.util.concurrent.atomic.AtomicLong(6L)
+    val fetched = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        def respond(s: String): Unit = {
+          val b = s.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        }
+        if (body.contains("getblockcount"))
+          respond(s"""{"jsonrpc":"2.0","id":1,"result":${head.get()}}""")
+        else {
+          val h = body.split("\"params\":\\[")(1).split("]")(0).toLong
+          fetched.add(h)
+          respond(
+            s"""{"jsonrpc":"2.0","id":1,"result":[
+                {"txid":"h${h}a","block":$h,"blocktime":${1700000000L + h * 60},"type_int":200,"fee":"0.1","data":"${hex(s"tx$h")}"},
+                {"txid":"h${h}b","block":$h,"blocktime":${1700000000L + h * 60},"type_int":100,"fee":"0.2","data":null}]}""")
+        }
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val base = Files.createTempDirectory("graft-rpcstream").toString
+      val sinkPath = s"$base/sink"; val cp = s"$base/cp"
+      val wh = new Sinks.CollectingWebhook
+      def run(): Unit = {
+        val q = StreamingPipeline.startRpcIngest(spark, endpoint,
+          new graft.ingest.IncrementalPipeline.ParquetTxSink(spark, sinkPath),
+          cp, wh, availableNow = true, maxBlocksPerTrigger = Some(2L),
+          numPartitions = 2, maxConcurrency = 2)
+        assert(q.awaitTermination(120000), "AvailableNow drain timed out")
+      }
+      run()
+      // heights 1..6 fetched in capped batches; one type-200 tx each lands
+      assert(fetched.asScala.toSet == (1L to 6L).toSet)
+      val out = spark.read.parquet(sinkPath)
+      assert(out.count() == 6)
+      assert(out.select("txid").collect().map(_.getString(0)).toSet ==
+        (1 to 6).map(h => s"h${h}a").toSet)
+      assert(wh.posted.nonEmpty, "report webhook fired")
+
+      // chain advances while the query is DOWN; the restart must resume
+      // from the checkpointed height — refetching nothing below it
+      fetched.clear(); head.set(9L)
+      run()
+      assert(fetched.asScala.toSet == Set(7L, 8L, 9L),
+        s"expected only new heights, refetched ${fetched.asScala.toSet}")
+      val out2 = spark.read.parquet(sinkPath)
+      assert(out2.count() == 9, "no duplicates across restart")
+      assert(out2.select("txid").distinct().count() == 9)
+
+      // head unchanged: an empty catch-up run is a clean no-op
+      fetched.clear()
+      run()
+      assert(fetched.isEmpty && spark.read.parquet(sinkPath).count() == 9)
+    } finally server.stop(0)
+  }
+
   test("streaming ingest into the JDBC sink: idempotent across epochs") {
     import spark.implicits._
     import graft.ingest.IncrementalPipeline
