@@ -152,17 +152,25 @@ object StreamingPipeline {
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("txid")
 
-  /** §2.3 failure/report callbacks as a StreamingQueryListener: posts a
-    * webhook on query termination with error (parity with the Airflow
-    * on_failure_callback → slack_alert, transactions_dag.py:76-77). */
-  final class AlertListener(webhook: graft.sinks.Sinks.Webhook)
+  /** §2.3 failure/report callbacks as a StreamingQueryListener: fires
+    * every configured [[graft.sinks.Sinks.AlertChannel]] (Slack webhook
+    * and/or email) on query termination with error — parity with the
+    * Airflow on_failure_callback → slack alert plus `email_on_failure`
+    * (transactions_dag.py:52-54,76-77). A channel that itself throws is
+    * swallowed so one dead alert transport can't mute the others. */
+  final class AlertListener(channels: Seq[graft.sinks.Sinks.AlertChannel])
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    def this(webhook: graft.sinks.Sinks.Webhook) =
+      this(Seq(graft.sinks.Sinks.WebhookAlerts(webhook)))
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       e.exception.foreach { err =>
-        graft.sinks.Sinks.notifyAlert(s"query=${e.id}", err, webhook)
+        channels.foreach { ch =>
+          try ch.alertFailure(s"query=${e.id}", err)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
   }
 

@@ -59,4 +59,65 @@ class SinksSpec extends AnyFunSuite {
     Sinks.notifyAlert("dag=ingest run=42", "boom", wh)
     assert(wh.posted.size == 1 && wh.posted.head.contains("ALERT"))
   }
+
+  test("email alerts: on_failure fires to all recipients, on_retry gated off") {
+    val mt = new Sinks.CollectingMailTransport
+    val ch = Sinks.EmailAlerts(mt, Seq("a@example.com", "b@example.com"))
+    ch.alertFailure("dag=ingest run=42", "boom")
+    ch.alertRetry("dag=ingest run=42", "retrying") // default onRetry=false
+    assert(mt.sent.size == 1)
+    val m = mt.sent.head
+    assert(m.to == Seq("a@example.com", "b@example.com"))
+    assert(m.subject.contains("FAILURE") && m.subject.contains("dag=ingest"))
+    assert(m.body == "boom")
+    // flipping the flag (email_on_retry: True) enables the retry channel
+    val ch2 = ch.copy(onRetry = true)
+    ch2.alertRetry("dag=ingest run=43", "retrying")
+    assert(mt.sent.size == 2 && mt.sent.last.subject.contains("RETRY"))
+  }
+
+  test("smtp transport: full RFC 5321 dialogue against an in-JVM server") {
+    import java.io.{BufferedReader, InputStreamReader, BufferedWriter, OutputStreamWriter}
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val rcpts = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream, US_ASCII))
+      val out = new BufferedWriter(new OutputStreamWriter(s.getOutputStream, US_ASCII))
+      def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+      reply("220 stub ESMTP")
+      var inData = false
+      val data = new StringBuilder
+      var line = in.readLine()
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; received.set(data.toString); reply("250 ok") }
+          else data.append(if (line.startsWith("..")) line.drop(1) else line).append("\n")
+        } else line.takeWhile(_ != ' ').takeWhile(_ != ':').toUpperCase match {
+          case "HELO" => reply("250-stub greets you"); reply("250 ok") // multiline reply
+          case "MAIL" => reply("250 ok")
+          case "RCPT" => rcpts.add(line); reply("250 ok")
+          case "DATA" => inData = true; data.clear(); reply("354 go")
+          case "QUIT" => reply("221 bye"); line = null
+          case _ => reply("250 ok")
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.start()
+    try {
+      val tr = new Sinks.SmtpTransport("127.0.0.1", server.getLocalPort)
+      tr.send(Sinks.Email("graft@localhost", Seq("ops@example.com"),
+        "[graft] FAILURE: q1", "line1\n.dot-led line\nline3"))
+      t.join(10000)
+      assert(rcpts.size == 1 && rcpts.get(0).contains("ops@example.com"))
+      val msg = received.get()
+      assert(msg.contains("Subject: [graft] FAILURE: q1"))
+      assert(msg.contains(".dot-led line")) // dot-stuffing round-trips
+      assert(msg.contains("line3"))
+    } finally server.close()
+  }
 }

@@ -240,10 +240,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == Seq("d1", "d2"))
   }
 
-  test("alert listener posts a webhook when a query dies") {
+  test("alert listener fires webhook AND email channels when a query dies") {
     import spark.implicits._
     val wh = new Sinks.CollectingWebhook
-    val listener = new StreamingPipeline.AlertListener(wh)
+    val mt = new Sinks.CollectingMailTransport
+    val listener = new StreamingPipeline.AlertListener(Seq(
+      Sinks.WebhookAlerts(wh),
+      Sinks.EmailAlerts(mt, Seq("ops@example.com"))))
     spark.streams.addListener(listener)
     try {
       val base = Files.createTempDirectory("graft-stream4").toString
@@ -260,8 +263,12 @@ class StreamingSpec extends AnyFunSuite {
       intercept[Exception] { q.awaitTermination(120000) }
       // listener events are async
       var waited = 0
-      while (wh.posted.isEmpty && waited < 10000) { Thread.sleep(200); waited += 200 }
+      while ((wh.posted.isEmpty || mt.sent.isEmpty) && waited < 10000) {
+        Thread.sleep(200); waited += 200
+      }
       assert(wh.posted.exists(_.contains("ALERT")))
+      assert(mt.sent.exists(m => m.subject.contains("FAILURE") &&
+        m.to == Seq("ops@example.com")))
     } finally spark.streams.removeListener(listener)
   }
 
