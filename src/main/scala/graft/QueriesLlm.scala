@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -1160,8 +1160,136 @@ object QueriesLlm {
       GROUP BY sh.doc_id
       ORDER BY doc_id"""))
 
+  /** Deterministic line-structured corpus derived from `documents`
+    * (the synthetic text has no newlines — same pattern as the media
+    * queries deriving payloads from doc_id): tokens re-chunked into
+    * 7-token lines, terminal '.' on lines where (doc_id+i)%3=0, the
+    * word "javascript" injected where (doc_id*7+i)%5=0, a
+    * "lorem ipsum." prefix line on doc_id%17=0 and a lone "{" line on
+    * doc_id%19=0 — so every C4 rule fires on a known subset. */
+  private def c4DerivedText(idCol: Column, textCol: Column): Column = {
+    val toks = split(trim(lower(textCol)), "\\s+")
+    val nLines = floor((size(toks) + lit(6)).cast("double") / 7).cast("int")
+    val body = array_join(transform(sequence(lit(0), nLines - 1), i =>
+      concat(concat_ws(" ", slice(toks, i * 7 + lit(1), lit(7))),
+        when((idCol * 7 + i) % 5 === 0, lit(" javascript")).otherwise(lit("")),
+        when((idCol + i) % 3 === 0, lit(".")).otherwise(lit("")))), "\n")
+    concat(
+      when(idCol % 17 === 0, lit("lorem ipsum.\n")).otherwise(lit("")),
+      body,
+      when(idCol % 19 === 0, lit("\n{")).otherwise(lit("")))
+  }
+
+  /** C4-style line + page filters (Raffel et al. 2020) over the
+    * derived line-structured corpus. Zero-shuffle narrow map — see
+    * TextAnalysis.c4Stats. */
+  private val q118 = Q("q118_c4_filters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), c4DerivedText(col("doc_id"), col("text")).as("text"))
+      TextAnalysis.c4Stats(docs, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      built AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, (len(t) + 6) // 7 - 1),
+                 i -> array_to_string(t[i*7+1 : i*7+7], ' ')
+                      || CASE WHEN (doc_id*7 + i) % 5 = 0 THEN ' javascript' ELSE '' END
+                      || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END) AS ls
+        FROM arr),
+      txt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum.' || chr(10) ELSE '' END
+               || array_to_string(ls, chr(10))
+               || CASE WHEN doc_id % 19 = 0 THEN chr(10) || '{' ELSE '' END AS text2
+        FROM built),
+      lines2 AS (
+        SELECT doc_id, text2, string_split(text2, chr(10)) AS ls FROM txt),
+      kept AS (
+        SELECT doc_id, text2, ls,
+               list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$')
+                 AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+                 AND NOT contains(lower(l), 'javascript')) AS kl
+        FROM lines2)
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(kl) AS BIGINT) AS n_kept_lines,
+             CAST(len(kl) AS DOUBLE) / len(ls) AS kept_frac,
+             contains(lower(text2), 'lorem ipsum') AS has_lorem_ipsum,
+             contains(text2, '{') AS has_brace,
+             (NOT contains(lower(text2), 'lorem ipsum')
+              AND NOT contains(text2, '{')
+              AND len(kl) >= 3) AS c4_kept,
+             CAST(COALESCE(length(array_to_string(list_transform(kl, l -> trim(l)),
+               chr(10))), 0) AS BIGINT) AS clean_chars
+      FROM kept
+      ORDER BY doc_id"""))
+
+  /** Paragraph-level exact dedup (RefinedWeb): per-doc duplicate
+    * paragraph fraction via ONE hash-keyed global count. */
+  private val q119 = Q("q119_paragraph_dedup",
+    (s, dir) => graft.llm.Dedup
+      .paragraphStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      pars AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(0, (len(t) + 9) // 10 - 1),
+                 i -> md5(array_to_string(t[i*10+1 : i*10+10], ' ')))) AS ph
+        FROM arr),
+      g AS (SELECT ph, COUNT(*) AS gcnt FROM pars GROUP BY 1)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+             CAST(SUM(CASE WHEN gcnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paragraphs,
+             CAST(SUM(CASE WHEN gcnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS dup_frac,
+             (CAST(SUM(CASE WHEN gcnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+               > 0.3 AS para_dup_flagged
+      FROM pars JOIN g USING (ph)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  /** BPE codec per (sf dir, merges): trained once per JVM — the
+    * persisted-index pattern (same as the IVF index, q75); training is
+    * deterministic so the cache only saves time, never changes
+    * results. */
+  private object BpeCache {
+    private val codecs =
+      new java.util.concurrent.ConcurrentHashMap[String, graft.llm.BpeCodec]()
+    def get(s: SparkSession, dir: String, numMerges: Int): graft.llm.BpeCodec =
+      codecs.computeIfAbsent(s"$dir#$numMerges", _ =>
+        graft.llm.Bpe.trainOnCorpus(t(s, dir, "documents"), "text", numMerges))
+  }
+
+  /** Distributed-BPE token accounting (Sennrich et al. 2016): merges
+    * learned from the corpus word-frequency table, encoding fused into
+    * the scan via the codegen'd bpe_encode expression. Rows-only gate:
+    * the learned vocabulary is the output of an iterative algorithm no
+    * single SQL statement expresses — BpeSpec asserts the merges equal
+    * a single-threaded reference implementation and the classic
+    * Sennrich worked example. */
+  private val q120 = Q("q120_bpe_tokens",
+    (s, dir) => {
+      val codec = BpeCache.get(s, dir, 40)
+      val docs = t(s, dir, "documents")
+      val enc = graft.llm.Bpe.encodeColumn(s, codec, col("text"))
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        size(enc).cast("long").as("n_bpe_tokens"),
+        (length(col("text")).cast("double") / size(enc)).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97, q114, q115, q116)
+    q97, q114, q115, q116, q118, q119, q120)
 }

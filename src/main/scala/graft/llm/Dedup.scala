@@ -285,4 +285,39 @@ object Dedup {
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
       .filter(col("n_docs") > 1)
+
+  /** Paragraph-level exact dedup (RefinedWeb / Penedo et al. 2023:
+    * duplicated paragraphs are removed even when the containing pages
+    * differ). Paragraphs are fixed `paraTokens`-token chunks of the
+    * normalized token stream (a pipeline over real web data splits on
+    * blank lines instead — the downstream shape is identical), keyed
+    * by md5 so any engine reproduces the key. Emits per-document
+    * counts: total paragraphs, paragraphs whose content occurs more
+    * than once corpus-wide, the duplicate fraction, and the
+    * RefinedWeb-style flag at `maxDupFrac`.
+    *
+    * Shape: explode to (doc, para-hash) → global count keyed by the
+    * hash (ONE shuffle, the exact-dedup shape: reduce side ∝ distinct
+    * paragraph count) → hash-keyed join back → per-doc re-aggregate.
+    * All three stages shuffle on high-cardinality keys, so the plan
+    * survives 100 TB; nothing is ever corpus² and no driver state. */
+  def paragraphStats(docs: DataFrame, idCol: String, textCol: String,
+      paraTokens: Int = 10, maxDupFrac: Double = 0.3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nPar = floor((size(toks) + lit(paraTokens - 1)).cast("double") / paraTokens)
+      .cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => md5(concat_ws(" ", slice(toks, i * paraTokens + lit(1), lit(paraTokens)))))
+    val ex = docs.select(col(idCol), explode(paras).as("ph"))
+    val global = ex.groupBy("ph").agg(count(lit(1)).as("gcnt"))
+    ex.join(global, Seq("ph"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_paragraphs"),
+        sum(when(col("gcnt") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_paragraphs"))
+      .withColumn("dup_frac",
+        col("n_dup_paragraphs").cast("double") / col("n_paragraphs"))
+      .withColumn("para_dup_flagged", col("dup_frac") > maxDupFrac)
+  }
 }

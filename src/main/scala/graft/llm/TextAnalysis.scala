@@ -179,4 +179,58 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(countDistinct(col("shingle")).as("shared_ngrams"))
   }
+
+  /** C4-style corpus cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning" §2.2): line-level filters — keep
+    * lines that end in terminal punctuation, contain at least
+    * `minWords` words, and do not mention "javascript" — plus
+    * page-level removal of documents containing "lorem ipsum" or a
+    * curly brace, or retaining fewer than `minKeptLines` lines after
+    * line filtering.
+    *
+    * Pure `Column` composition over built-ins (higher-order `filter`
+    * on the line array, no explode): a narrow per-row map with ZERO
+    * shuffle, so at 100 TB the whole cleaning pass rides the scan.
+    * The explode→filter→re-group alternative would shuffle every
+    * (doc, line) pair for no reason — lines of one document never
+    * interact. */
+  def c4Stats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minWords: Int = 3, minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, keepLine)
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      (size(kept).cast("double") / size(lines)).as("kept_frac"),
+      hasLorem.as("has_lorem_ipsum"),
+      hasBrace.as("has_brace"),
+      (!hasLorem && !hasBrace && size(kept) >= minKeptLines).as("c4_kept"),
+      length(array_join(transform(kept, l => trim(l)), "\n"))
+        .cast("long").as("clean_chars"))
+  }
+
+  /** The cleaned corpus itself (C4 page filter applied, surviving
+    * lines re-joined): what a training pipeline actually feeds
+    * downstream. Same zero-shuffle shape as [[c4Stats]]. */
+  def c4Clean(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minWords: Int = 3, minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, (l: Column) =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !lower(l).contains("javascript"))
+    docs.filter(!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{") && size(kept) >= minKeptLines)
+      .select(col(idCol),
+        array_join(transform(kept, l => trim(l)), "\n").as("clean_text"))
+  }
 }

@@ -323,4 +323,56 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shared_ngrams")).toMap
     assert(got == Map(10L -> 1L), got.toString)
   }
+
+  test("c4 filters: each line and page rule fires on its planted case") {
+    import spark.implicits._
+    val d = Seq(
+      // 1: all three lines clean and terminal-punctuated -> kept
+      (1L, "the cat sat down.\nthe dog ran fast!\nbirds can fly high?"),
+      // 2: line 2 has no terminal punct, line 3 too short -> 1 kept line -> page dropped
+      (2L, "a good first line.\nno terminal punctuation here\ntoo short."),
+      // 3: javascript line removed -> below min kept lines -> dropped
+      (3L, "click here javascript needed.\nthe rest is fine.\nanother good line here."),
+      // 4: lorem ipsum page-level removal despite clean lines
+      (4L, "lorem ipsum dolor sit.\nthe cat sat down.\nthe dog ran fast.\nbirds can fly."),
+      // 5: curly brace page-level removal
+      (5L, "function f() {\nthe cat sat down.\nthe dog ran fast.\nbirds can fly.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Stats(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept_lines"), r.getAs[Boolean]("c4_kept"))).toMap
+    assert(got(1L) == (3L, true), got(1L).toString)
+    assert(got(2L) == (1L, false), got(2L).toString)
+    assert(got(3L) == (2L, false), got(3L).toString)
+    assert(got(4L)._2 == false && got(4L)._1 == 4L, got(4L).toString)
+    assert(got(5L)._2 == false, got(5L).toString)
+    val clean = TextAnalysis.c4Clean(d, "doc_id", "text").collect()
+    assert(clean.length == 1 && clean.head.getAs[Long]("doc_id") == 1L)
+    assert(clean.head.getAs[String]("clean_text") ==
+      "the cat sat down.\nthe dog ran fast!\nbirds can fly high?")
+  }
+
+  test("paragraph dedup: shared 10-token chunks counted corpus-wide") {
+    import spark.implicits._
+    val p1 = "a b c d e f g h i j"   // 10 tokens = one paragraph
+    val p2 = "k l m n o p q r s t"
+    val p3 = "u v w x y z aa bb cc dd"
+    val d = Seq(
+      (1L, s"$p1 $p2"),  // paragraphs p1, p2
+      (2L, s"$p1 $p3"),  // shares p1 with doc 1
+      (3L, p3)           // shares p3 with doc 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphStats(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paragraphs"), r.getAs[Long]("n_dup_paragraphs"),
+          r.getAs[Boolean]("para_dup_flagged"))).toMap
+    assert(got(1L) == (2L, 1L, true), got(1L).toString)   // p1 dup, 1/2 > 0.3
+    assert(got(2L) == (2L, 2L, true), got(2L).toString)   // both paragraphs shared
+    assert(got(3L) == (1L, 1L, true), got(3L).toString)
+    // a corpus of unique docs has zero duplicate paragraphs
+    val uniq = Seq((1L, p1), (2L, p2)).toDF("doc_id", "text")
+    val u = Dedup.paragraphStats(uniq, "doc_id", "text").collect()
+    assert(u.forall(r => r.getAs[Long]("n_dup_paragraphs") == 0L &&
+      !r.getAs[Boolean]("para_dup_flagged")))
+  }
 }

@@ -247,4 +247,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(2500))
   }
+
+  test("q118 c4 filters: zero shuffle before the output sort — the scan rider shape") {
+    val df = Queries.all.find(_.name == "q118_c4_filters").get.run(spark, dir)
+    // strip the .orderBy the gate adds for deterministic comparison;
+    // the operator itself must be a pure narrow map over the scan
+    val stats = graft.llm.TextAnalysis.c4Stats(
+      graft.sources.Tables.load(spark, dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      "doc_id", "text")
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2500))
+    assert(df.columns.contains("c4_kept"))
+  }
+
+  test("q119 paragraph dedup: exchanges key on hash/doc only, no corpus-wide collect") {
+    val df = Queries.all.find(_.name == "q119_paragraph_dedup").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // every exchange is hash-keyed (ph / doc id), the final sort's
+    // range partitioning, or AQE's runtime broadcast of the SMALL
+    // aggregated-counts side — never a single-partition funnel of the
+    // exploded corpus
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => l.contains("hashpartitioning") ||
+      l.contains("rangepartitioning") || l.contains("BroadcastExchange")),
+      exchanges.mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("q120: bpe_encode evaluates inside whole-stage codegen") {
+    val df = Queries.all.find(_.name == "q120_bpe_tokens").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val encLines = plan.linesIterator.filter(_.contains("bpe_encode")).toSeq
+    assert(encLines.nonEmpty, plan.take(3000))
+    assert(encLines.forall(_.contains("*(")),
+      encLines.filterNot(_.contains("*(")).mkString("\n"))
+  }
 }
