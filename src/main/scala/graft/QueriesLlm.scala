@@ -1288,8 +1288,55 @@ object QueriesLlm {
     },
     None)
 
+  /** Data-mixture sampling (per-source keep rates, md5-decided): the
+    * corpus-assembly step that turns raw sources into a weighted
+    * training mixture. Zero-shuffle filter. */
+  private val q121 = Q("q121_mixture_sample",
+    (s, dir) => graft.llm.Corpus.mixtureSample(
+      t(s, dir, "documents"), "source", "doc_id",
+      Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.1), defaultWeight = 0.25)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, source
+      FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              / 16777216.0
+            < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+                          WHEN 'src2' THEN 0.1 ELSE 0.25 END
+      ORDER BY doc_id"""))
+
+  /** Token-budget shard packing via the two-level distributed prefix
+    * sum (within-bucket window cumsum + 256-row offset table). */
+  private val q122 = Q("q122_token_shards",
+    (s, dir) => graft.llm.Corpus.tokenShards(
+      t(s, dir, "documents"), "doc_id", "text", tokensPerShard = 2000L)
+      .orderBy("doc_id"),
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS rk,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                 % 256 AS INT) AS bk
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n_tokens, bk,
+               SUM(n_tokens) OVER (PARTITION BY bk ORDER BY rk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+        FROM base),
+      tot AS (SELECT bk, SUM(n_tokens) AS tot FROM base GROUP BY 1),
+      off AS (SELECT bk, COALESCE(SUM(tot) OVER (ORDER BY bk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+              FROM tot)
+      SELECT c.doc_id AS doc_id, c.n_tokens AS n_tokens,
+             CAST((o + cum_in - c.n_tokens) // 2000 AS BIGINT) AS shard_id
+      FROM cum c JOIN off USING (bk)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97, q114, q115, q116, q118, q119, q120)
+    q97, q114, q115, q116, q118, q119, q120, q121, q122)
 }

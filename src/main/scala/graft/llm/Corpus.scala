@@ -46,6 +46,55 @@ object Corpus {
       .drop("__rk", "__n")
   }
 
+  /** Deterministic data-mixture sampling (the "mixture weights" step
+    * of corpus assembly — e.g. The Pile / LLaMA-style per-source
+    * sampling rates): keep each row with probability
+    * `weights(source)`, decided by the row key's md5 — order-free,
+    * reproducible on any cluster size, ZERO shuffle (a pure filter
+    * riding the scan). Weights > 1 mean "keep all" (epoch-repetition
+    * upsampling is a separate explode step, kept out of this filter
+    * so the op stays a filter). */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 0.0): DataFrame = {
+    // uniform [0,1) at 2^-24 resolution from the first 6 md5 hex chars
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / (1 << 24)
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    df.filter(u < w)
+  }
+
+  /** Token-budget shard packing: assign documents to fixed-token-size
+    * training shards by global running token count in a deterministic
+    * md5 order. The running sum is a TWO-LEVEL distributed prefix sum
+    * — within-bucket window cumsum (256 hash buckets, partitioned
+    * shuffle) plus a 256-row bucket-offset table — never the
+    * single-partition global window that would funnel 100 TB through
+    * one task. Documents straddling a boundary belong to the shard
+    * their first token lands in (packing tolerance is ±1 doc). */
+  def tokenShards(df: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long, buckets: Int = 256): DataFrame = {
+    val rank = md5(col(idCol).cast("string"))
+    val base = df.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      rank.as("__rk"),
+      (conv(substring(rank, 1, 2), 16, 10).cast("int") % buckets).as("__bk"))
+    val w = Window.partitionBy(col("__bk")).orderBy(col("__rk"), col(idCol))
+    val withCum = base.withColumn("__cum_in", sum(col("n_tokens")).over(w))
+    // 256-row offset table: the only unpartitioned window runs over
+    // bucket TOTALS, bounded by the bucket count, never the data
+    val wb = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__bk").agg(sum("n_tokens").as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wb), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    withCum.join(broadcast(offsets), "__bk")
+      .select(col(idCol), col("n_tokens"),
+        floor((col("__off") + col("__cum_in") - col("n_tokens"))
+          / tokensPerShard).cast("long").as("shard_id"))
+  }
+
   /** PII redaction: emails, URLs and long digit runs replaced with
     * typed placeholder tokens (the standard pre-training scrub). Pure
     * regexp_replace — rides the scan, codegen'd, no UDF. */

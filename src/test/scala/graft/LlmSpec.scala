@@ -352,6 +352,47 @@ class LlmSpec extends AnyFunSuite {
       "the cat sat down.\nthe dog ran fast!\nbirds can fly high?")
   }
 
+  test("mixture sample: per-source rates honored, selection deterministic") {
+    val d = docs
+    val weights = Map("src0" -> 1.0, "src1" -> 0.0)
+    val got = graft.llm.Corpus.mixtureSample(d, "source", "doc_id",
+      weights, defaultWeight = 0.5)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0"), "weight 1.0 keeps everything")
+    assert(!bySrc.contains("src1"), "weight 0.0 keeps nothing")
+    // default-weight sources land near 50% (md5 is uniform)
+    val defKept = bySrc.filterKeys(s => s != "src0" && s != "src1").values.sum
+    val defTotal = totals.filterKeys(s => s != "src0" && s != "src1").values.sum
+    assert(math.abs(defKept.toDouble / defTotal - 0.5) < 0.15, s"$defKept/$defTotal")
+    // determinism: same inputs, same selection
+    val again = graft.llm.Corpus.mixtureSample(d, "source", "doc_id",
+      weights, defaultWeight = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("token shards: contiguous budget packing, every doc assigned exactly once") {
+    val shards = graft.llm.Corpus.tokenShards(docs, "doc_id", "text", 2000L)
+      .collect()
+    assert(shards.length == docs.count())
+    val totalToks = shards.map(_.getAs[Long]("n_tokens")).sum
+    val maxShard = shards.map(_.getAs[Long]("shard_id")).max
+    // shard count matches the budget arithmetic
+    assert(maxShard == (totalToks - 1) / 2000,
+      s"maxShard=$maxShard totalToks=$totalToks")
+    // every shard except the last carries at least the budget minus
+    // one straddling doc's tokens; none exceeds budget + max doc size
+    val byShard = shards.groupBy(_.getAs[Long]("shard_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_tokens")).sum }
+    val maxDoc = shards.map(_.getAs[Long]("n_tokens")).max
+    byShard.foreach { case (k, tot) =>
+      if (k < maxShard) assert(tot >= 2000 - maxDoc && tot <= 2000 + maxDoc,
+        s"shard $k total $tot")
+    }
+  }
+
   test("paragraph dedup: shared 10-token chunks counted corpus-wide") {
     import spark.implicits._
     val p1 = "a b c d e f g h i j"   // 10 tokens = one paragraph
