@@ -390,6 +390,19 @@ object QueriesSql {
     Some(new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
       .renderSql(q117Req, withDescriptions = false)))
 
+  /** Percentile measures through the metric layer (MetricFlow agg
+    * types `percentile`/`median`): percentile_disc ordered-set
+    * aggregates pick an element — bit-exact on both engines — grouped
+    * by a categorical dim. Oracle = rendered SQL (M9). */
+  private val q123Req = graft.catalog.MetricQueryRequest(
+    metrics = Seq("median_event_value", "p90_event_value"),
+    groupBy = Seq("event_type"), orderBy = Seq("event_type"))
+  private val q123 = Q("q123_percentile_metric",
+    (s, dir) => new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
+      .compile(s, dir, q123Req).df,
+    Some(new graft.planner.MetricPlanner(graft.catalog.DefaultRegistry.registry)
+      .renderSql(q123Req, withDescriptions = false)))
+
   /** Exact interpolated quantiles (percentile ≡ quantile_cont — both
     * engines use linear interpolation on the sorted values). */
   private val q50 = Q("q50_quantiles",
@@ -1262,5 +1275,5 @@ object QueriesSql {
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
     q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91,
     q93, q94, q95, q96, q99, q100,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q117)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q117, q123)
 }

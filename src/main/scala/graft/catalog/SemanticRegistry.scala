@@ -265,6 +265,20 @@ object DefaultRegistry {
       Metric("event_value", "events", dsumSql("value", 2),
         timeDim = Some("ts"),
         description = "sum of event values"),
+      // percentile measures (MetricFlow agg types `percentile`/
+      // `median`): percentile_disc — the SQL-standard ordered-set
+      // aggregate that PICKS an element rather than interpolating, so
+      // Spark and DuckDB agree bit-exactly (percentile_cont's
+      // interpolation arithmetic is not guaranteed identical across
+      // engines)
+      Metric("median_event_value", "events",
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE)",
+        timeDim = Some("ts"),
+        description = "median event value (percentile measure)"),
+      Metric("p90_event_value", "events",
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE)",
+        timeDim = Some("ts"),
+        description = "90th-percentile event value (percentile measure)"),
       // metric-level filters (MetricFlow `filter:`): the predicate
       // scopes THIS metric's input rows only
       Metric("returned_revenue", "lineitem",

@@ -393,6 +393,25 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile measures: planner median/p90 equal hand-sorted elements per group") {
+    val c = planner.compile(spark, dir, MetricQueryRequest(
+      metrics = Seq("median_event_value", "p90_event_value"),
+      groupBy = Seq("event_type")))
+    val got = c.df.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // percentile_disc(p): first element at cumulative fraction >= p
+    def disc(xs: Array[Double], p: Double): Double =
+      xs(math.ceil(p * xs.length).toInt - 1)
+    ev.foreach { case (et, xs) =>
+      assert(got(et)._1 == disc(xs, 0.5), s"$et median")
+      assert(got(et)._2 == disc(xs, 0.9), s"$et p90")
+    }
+  }
+
   test("cross-model saved query resolves to the metric_time join") {
     val c = planner.compile(spark, dir,
       MetricQueryRequest(metrics = Nil, savedQuery = Some("weekly_revenue_vs_events")))
