@@ -1335,8 +1335,33 @@ object QueriesLlm {
       FROM cum c JOIN off USING (bk)
       ORDER BY doc_id"""))
 
+  /** Epoch-repetition upsampling (weights > 1 side of the mixture):
+    * per-source epoch counts with the fractional epoch md5-decided. */
+  private val q124 = Q("q124_epoch_repeat",
+    (s, dir) => graft.llm.Corpus.epochRepeat(
+      t(s, dir, "documents"), "source", "doc_id",
+      Map("src0" -> 2.5, "src1" -> 0.5), defaultWeight = 1.0)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                 / 16777216.0 AS u,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                           ELSE 1.0 END AS wt
+        FROM documents),
+      n AS (
+        SELECT doc_id, source,
+               CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END
+                 AS INT) AS reps
+        FROM w)
+      SELECT doc_id, source, CAST(unnest(range(1, reps + 1)) AS INT) AS epoch
+      FROM n
+      ORDER BY doc_id, epoch"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97, q114, q115, q116, q118, q119, q120, q121, q122)
+    q97, q114, q115, q116, q118, q119, q120, q121, q122, q124)
 }

@@ -83,11 +83,23 @@ object ManifestLoader {
           dsumSql(str(m, "expr", s"metric $name"), scale)
         case "count_distinct" =>
           s"COUNT(DISTINCT ${str(m, "expr", s"metric $name")})"
+        case "median" =>
+          s"CAST(percentile_disc(0.5) WITHIN GROUP " +
+            s"(ORDER BY ${str(m, "expr", s"metric $name")}) AS DOUBLE)"
+        case "percentile" =>
+          val p = Option(m.get("percentile")).map(_.asDouble()).getOrElse(
+            sys.error(s"manifest: metric $name (agg: percentile) needs a " +
+              "`percentile:` fraction"))
+          require(p > 0 && p <= 1, s"metric $name: percentile $p out of (0,1]")
+          // percentile_disc picks an element (no interpolation), so any
+          // engine pair agrees bit-exactly — see SemanticRegistry
+          s"CAST(percentile_disc($p) WITHIN GROUP " +
+            s"(ORDER BY ${str(m, "expr", s"metric $name")}) AS DOUBLE)"
         case "raw" =>
           str(m, "agg_sql", s"metric $name (agg: raw)")
         case other =>
           sys.error(s"manifest: metric $name has unknown agg '$other' " +
-            "(want sum | count_distinct | raw)")
+            "(want sum | count_distinct | median | percentile | raw)")
       }
       Metric(name, str(m, "model", s"metric $name"), aggSql,
         timeDim = optStr(m, "time_dim"),

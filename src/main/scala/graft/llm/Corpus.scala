@@ -65,6 +65,28 @@ object Corpus {
     df.filter(u < w)
   }
 
+  /** Epoch-repetition upsampling — the other half of mixture
+    * weighting (LLaMA-style "N epochs of source X"): each row is
+    * emitted `floor(w)` times plus one more with probability
+    * `frac(w)`, md5-decided, with an `epoch` index column. Weight 2.5
+    * means every doc appears twice and half the docs (deterministic by
+    * key) a third time. A narrow explode — output volume is exactly
+    * the mixture's token budget, no shuffle. */
+  def epochRepeat(df: DataFrame, sourceCol: String, keyCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / (1 << 24)
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val n = (floor(w) + when(u < w - floor(w), 1).otherwise(0)).cast("int")
+    // sequence(1, 0) would DESCEND in Spark (default step -1): guard
+    // the n=0 case to an empty array so the row drops out
+    df.withColumn("epoch",
+      explode(when(n >= 1, sequence(lit(1), n))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Token-budget shard packing: assign documents to fixed-token-size
     * training shards by global running token count in a deterministic
     * md5 order. The running sum is a TWO-LEVEL distributed prefix sum

@@ -373,6 +373,28 @@ class LlmSpec extends AnyFunSuite {
     assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("epoch repeat: integer part always, fractional epoch md5-decided, zero drops") {
+    val got = graft.llm.Corpus.epochRepeat(docs, "source", "doc_id",
+      Map("src0" -> 2.5, "src1" -> 0.0), defaultWeight = 1.0).collect()
+    val perDoc = got.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, rs) => k -> rs.length }
+    val srcOf = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    // src1 (weight 0) vanishes entirely
+    assert(got.forall(_.getAs[String]("source") != "src1"))
+    // src0: every doc 2 or 3 times, and BOTH counts occur (frac 0.5)
+    val src0Counts = perDoc.filter(kv => srcOf(kv._1) == "src0").values.toSeq
+    assert(src0Counts.forall(c => c == 2 || c == 3), src0Counts.distinct.toString)
+    assert(src0Counts.contains(2) && src0Counts.contains(3))
+    // default weight 1.0: exactly once, epoch column is 1
+    val others = got.filter(r => {
+      val s = r.getAs[String]("source"); s != "src0" && s != "src1"
+    })
+    assert(others.forall(_.getAs[Int]("epoch") == 1))
+    val expectOthers = srcOf.count(kv => kv._2 != "src0" && kv._2 != "src1")
+    assert(others.length == expectOthers)
+  }
+
   test("token shards: contiguous budget packing, every doc assigned exactly once") {
     val shards = graft.llm.Corpus.tokenShards(docs, "doc_id", "text", 2000L)
       .collect()
