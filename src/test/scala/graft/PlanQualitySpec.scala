@@ -279,6 +279,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("q121/q124: mixture sampling and epoch repetition are zero-shuffle scan riders") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val sampled = graft.llm.Corpus.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 0.9), defaultWeight = 0.25)
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"),
+      sampled.queryExecution.executedPlan.toString.take(2000))
+    val repeated = graft.llm.Corpus.epochRepeat(docs, "source", "doc_id",
+      Map("src0" -> 2.5), defaultWeight = 1.0)
+      .select(col("doc_id"), col("epoch"))
+    assert(!repeated.queryExecution.executedPlan.toString.contains("Exchange"),
+      repeated.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("q120: bpe_encode evaluates inside whole-stage codegen") {
     val df = Queries.all.find(_.name == "q120_bpe_tokens").get.run(spark, dir)
     df.collect()
