@@ -48,7 +48,13 @@ object Bench {
     // successful sample at all is excluded from the total and surfaced
     // in "errors" — a regression must never IMPROVE the benchmark.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // SPARK_GRAFT_ONLY=q115_contamination,q26_embed_topk : time a
+    // subset (dev iteration); the driver never sets it, so the
+    // per-round numbers always cover the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(_._1 -> Vector.empty[Double]): _*)
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

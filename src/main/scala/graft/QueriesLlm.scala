@@ -1132,13 +1132,15 @@ object QueriesLlm {
   /** Benchmark-contamination scan (Lee et al.): corpus docs sharing a
     * word 4-gram with the held-out eval slice (doc_id % 40 = 0 stands
     * in for the benchmark; 4-gram window sized to this synthetic
-    * corpus — production uses 8–13). Eval shingles deduplicate to a
-    * small set that broadcasts at scale; the corpus side rides its
-    * scan. */
+    * corpus — production uses 8–13). Zero-shuffle path: the eval
+    * shingle set embeds in a codegen'd expression, the corpus side is
+    * a narrow map on the scan — no explode, no join (r5; the join
+    * formulation remains as contaminatedDocs and LlmSpec asserts
+    * equality). */
   private val q115 = Q("q115_contamination",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      graft.llm.TextAnalysis.contaminatedDocs(
+      graft.llm.TextAnalysis.contaminatedDocsFast(
         docs.filter(col("doc_id") % 40 =!= 0),
         docs.filter(col("doc_id") % 40 === 0),
         "doc_id", "text", n = 4)

@@ -180,6 +180,34 @@ object TextAnalysis {
       .agg(countDistinct(col("shingle")).as("shared_ngrams"))
   }
 
+  /** Contamination scan, zero-shuffle path: the eval shingle set is
+    * collected to the driver (benchmarks are tiny next to the corpus —
+    * the standing assumption of the join path too, which broadcasts
+    * it) and embedded by reference in a codegen'd expression, so the
+    * corpus side is ONE narrow map fused into the scan: no (doc,
+    * shingle) explode, no join, no countDistinct shuffle. Result ≡
+    * [[contaminatedDocs]] (LlmSpec asserts it). Falls back on the
+    * join path above when the eval side is too large to collect. */
+  def contaminatedDocsFast(corpus: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      maxEvalShingles: Long = 10_000_000L): org.apache.spark.sql.DataFrame = {
+    val evalShingles = eval
+      .select(explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+    if (evalShingles.limit((maxEvalShingles + 1).toInt).count() > maxEvalShingles)
+      return contaminatedDocs(corpus, eval, idCol, textCol, n)
+    val set = new java.util.HashSet[String]()
+    evalShingles.collect().foreach(r => set.add(r.getString(0)))
+    val spark = corpus.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shared_ngrams",
+      exprs => graft.functions.SharedNgrams(exprs.head, set, n), "scala_udf")
+    corpus.select(col(idCol),
+      call_udf("shared_ngrams", col(textCol)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") > 0)
+  }
+
   /** C4-style corpus cleaning (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning" §2.2): line-level filters — keep
     * lines that end in terminal punctuation, contain at least

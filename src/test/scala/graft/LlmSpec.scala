@@ -324,6 +324,17 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Map(10L -> 1L), got.toString)
   }
 
+  test("contamination fast path: codegen'd set-membership equals the join formulation") {
+    val corpus = docs.filter(col("doc_id") % 40 =!= 0)
+    val eval = docs.filter(col("doc_id") % 40 === 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shared_ngrams")).toMap
+    val viaJoin = toMap(TextAnalysis.contaminatedDocs(corpus, eval, "doc_id", "text", n = 4))
+    val viaExpr = toMap(TextAnalysis.contaminatedDocsFast(corpus, eval, "doc_id", "text", n = 4))
+    assert(viaJoin.nonEmpty && viaExpr == viaJoin,
+      s"join=${viaJoin.size} expr=${viaExpr.size}")
+  }
+
   test("c4 filters: each line and page rule fires on its planted case") {
     import spark.implicits._
     val d = Seq(

@@ -293,6 +293,15 @@ class PlanQualitySpec extends AnyFunSuite {
       repeated.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("q115: contamination scan is explode-free and join-free (codegen set probe)") {
+    val df = Queries.all.find(_.name == "q115_contamination").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("shared_ngrams"), plan.take(2000))
+    assert(!plan.contains("Generate") && !plan.contains("Join"), plan.take(3000))
+  }
+
   test("q120: bpe_encode evaluates inside whole-stage codegen") {
     val df = Queries.all.find(_.name == "q120_bpe_tokens").get.run(spark, dir)
     df.collect()
