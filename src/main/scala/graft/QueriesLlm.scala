@@ -1362,8 +1362,50 @@ object QueriesLlm {
       FROM n
       ORDER BY doc_id, epoch"""))
 
+  /** LM-perplexity quality scoring (CCNet): corpus-trained bigram LM
+    * with add-one smoothing, per-doc average negative log-prob. Both
+    * engines run the identical arithmetic (the shared libm makes
+    * ln/exp agree — same precedent as the TF-IDF gate's ln). */
+  private val q125 = Q("q125_lm_perplexity",
+    (s, dir) => graft.llm.TextAnalysis
+      .lmPerplexity(t(s, dir, "documents"), "doc_id", "text", flagAbove = 40.0)
+      .orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (
+        SELECT unnest(t) AS a FROM arr),
+      ca AS (SELECT a, COUNT(*) AS ca FROM uni GROUP BY 1),
+      v AS (SELECT COUNT(*) AS v FROM ca),
+      dbg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i])) AS a,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i + 1])) AS b
+        FROM arr),
+      cab AS (SELECT a, b, COUNT(*) AS cab FROM dbg GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST((-ln(CAST(cab.cab + 1 AS DOUBLE) / (ca.ca + v.v)))
+                 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+                 AS avg_neg_logprob
+        FROM dbg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+        GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id,
+             COALESCE(s.n_bigrams, 0) AS n_bigrams,
+             s.avg_neg_logprob AS avg_neg_logprob,
+             exp(s.avg_neg_logprob) AS perplexity,
+             COALESCE(exp(s.avg_neg_logprob) > 40.0, FALSE)
+               AS perplexity_flagged
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN scored s USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97, q114, q115, q116, q118, q119, q120, q121, q122, q124)
+    q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125)
 }

@@ -208,6 +208,58 @@ object TextAnalysis {
       .filter(col("shared_ngrams") > 0)
   }
 
+  /** Language-model perplexity scoring (the CCNet/Wenzek et al. 2020
+    * quality signal: documents far from the corpus distribution score
+    * high perplexity): a word-bigram LM with add-one smoothing,
+    * trained on the corpus itself in two aggregations, then applied
+    * per document. P(b|a) = (c(a,b) + 1) / (c(a) + V); score =
+    * avg −ln P over the doc's bigrams; perplexity = exp(score).
+    * Documents with fewer than 2 tokens get NULL scores (no bigrams)
+    * and are never flagged.
+    *
+    * Shape: unigram + bigram count aggregations (shuffles keyed by
+    * token/bigram — high cardinality, no skew magnet), then the doc
+    * bigram stream LEFT-joins the count tables on those same keys and
+    * re-aggregates per doc. Nothing is corpus²; the model tables are
+    * vocabulary-sized, three orders under the corpus at web scale. */
+  def lmPerplexity(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      flagAbove: Double = 1000.0): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("toks"))
+    val uni = base.select(explode(col("toks")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val vocab = uni.count() // V: driver scalar, one small job
+    val docBigrams = base.select(col(idCol), explode(
+        zip_with(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bi = docBigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val scored = docBigrams
+      .join(bi, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        // per-row ln values are engine-identical (shared libm); the
+        // SUM goes through exact decimals so accumulation ORDER can't
+        // move the result (the dsum/davg discipline — doubles are not
+        // associative, shuffles don't promise an order)
+        graft.functions.GraftFunctions.davg(
+          -log((col("cab") + 1).cast("double") / (col("ca") + vocab)), 12)
+          .as("avg_neg_logprob"))
+    // LEFT join from the full doc list: a sub-2-token doc has no
+    // bigrams — it must still appear (NULL scores, never flagged),
+    // not silently vanish from the quality report
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("perplexity", exp(col("avg_neg_logprob")))
+      .withColumn("perplexity_flagged",
+        coalesce(col("perplexity") > flagAbove, lit(false)))
+  }
+
   /** C4-style corpus cleaning (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning" §2.2): line-level filters — keep
     * lines that end in terminal punctuation, contain at least

@@ -363,6 +363,32 @@ class LlmSpec extends AnyFunSuite {
       "the cat sat down.\nthe dog ran fast!\nbirds can fly high?")
   }
 
+  test("lm perplexity: hand-computed bigram LM on a tiny corpus; short docs kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b"),   // bigrams: ab, ba, ab
+      (2L, "a b c"),     // ab, bc
+      (3L, "z")          // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmPerplexity(d, "doc_id", "text", flagAbove = 3.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // corpus: c(a)=3 c(b)=3 c(c)=1 c(z)=1, V=4
+    // c(ab)=3 c(ba)=1 c(bc)=1
+    // P(b|a)=(3+1)/(3+4)=4/7; P(a|b)=(1+1)/(3+4)=2/7; P(c|b)=2/7
+    val pAB = 4.0 / 7; val pBA = 2.0 / 7; val pBC = 2.0 / 7
+    val d1 = (-math.log(pAB) - math.log(pBA) - math.log(pAB)) / 3
+    val d2 = (-math.log(pAB) - math.log(pBC)) / 2
+    assert(got(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(got(1L).getAs[Double]("avg_neg_logprob") - d1) < 1e-9)
+    assert(math.abs(got(2L).getAs[Double]("avg_neg_logprob") - d2) < 1e-9)
+    // perplexity = exp(score); doc 2 contains the rare c -> higher ppl
+    assert(got(2L).getAs[Double]("perplexity") > got(1L).getAs[Double]("perplexity"))
+    // short doc present with NULL scores, never flagged
+    assert(got.contains(3L) && got(3L).isNullAt(got(3L).fieldIndex("perplexity")))
+    assert(!got(3L).getAs[Boolean]("perplexity_flagged"))
+    assert(got(3L).getAs[Long]("n_bigrams") == 0L)
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)
