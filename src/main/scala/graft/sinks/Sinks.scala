@@ -31,6 +31,18 @@ object Sinks {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
 
+  /** JSON-lines sink — the write side of `Tables.loadJsonl` (the
+    * interchange format every downstream tokenizer/training job
+    * reads). Partitioned write; this is a data sink, not a
+    * driver-sized report like [[csv]]. */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC sink — columnar alternative to the parquet sinks, same
+    * footer-stats pruning story at read time. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S20: SQL-dump sink — write rendered SQL per name to `<name>.sql`
     * (dbt_query.py:162-183, dbt_query2.py:42-80). */
   def sqlDump(dir: String, rendered: Seq[(String, String)]): Seq[String] = {

@@ -69,6 +69,13 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** ORC source (columnar alternative to parquet; Spark's reader does
+    * the same predicate pushdown / column pruning / vectorized scan).
+    * Schema comes from the ORC footer — self-describing like parquet,
+    * no inference pass. */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC table source (S1's warehouse shape — the reference reads
     * named warehouse tables over a DB connection). Single-partition
     * read; prefer [[loadJdbcPartitioned]] for anything big. */
