@@ -296,10 +296,11 @@ object Dedup {
     * than once corpus-wide, the duplicate fraction, and the
     * RefinedWeb-style flag at `maxDupFrac`.
     *
-    * Shape: explode to (doc, para-hash) → global count keyed by the
-    * hash (ONE shuffle, the exact-dedup shape: reduce side ∝ distinct
-    * paragraph count) → hash-keyed join back → per-doc re-aggregate.
-    * All three stages shuffle on high-cardinality keys, so the plan
+    * Shape: explode to (doc, para-hash) → per-occurrence global count
+    * as a WINDOW over the hash (one shuffle keyed by the hash — a
+    * groupBy-count + join-back would shuffle the occurrence stream on
+    * the same key TWICE for the same answer) → per-doc re-aggregate.
+    * Both shuffles key on high-cardinality values, so the plan
     * survives 100 TB; nothing is ever corpus² and no driver state. */
   def paragraphStats(docs: DataFrame, idCol: String, textCol: String,
       paraTokens: Int = 10, maxDupFrac: Double = 0.3): DataFrame = {
@@ -309,8 +310,8 @@ object Dedup {
     val paras = transform(sequence(lit(0), nPar - 1),
       i => md5(concat_ws(" ", slice(toks, i * paraTokens + lit(1), lit(paraTokens)))))
     val ex = docs.select(col(idCol), explode(paras).as("ph"))
-    val global = ex.groupBy("ph").agg(count(lit(1)).as("gcnt"))
-    ex.join(global, Seq("ph"))
+    ex.withColumn("gcnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
       .groupBy(idCol)
       .agg(
         count(lit(1)).cast("long").as("n_paragraphs"),
