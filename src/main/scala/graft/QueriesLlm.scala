@@ -1404,8 +1404,58 @@ object QueriesLlm {
       LEFT JOIN scored s USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Substring-level exact dedup (Lee et al. 2022): overlapping
+    * 8-token windows, global occurrence count on the window hash (ONE
+    * shuffle), per-doc duplicated-token coverage via interval union
+    * over the sorted dup positions. The overlap is what fixed-chunk
+    * paragraph hashing (q119) cannot see: spans straddling a chunk
+    * boundary. */
+  private val q126 = Q("q126_substring_dedup",
+    (s, dir) => graft.llm.Dedup
+      .substringStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      wins AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                 i -> {'pos': i - 1,
+                       'wh': md5(array_to_string(t[i:i+7], ' '))})) AS w
+        FROM arr),
+      g AS (
+        SELECT doc_id, n_tokens, w.pos AS pos, w.wh AS wh,
+               COUNT(*) OVER (PARTITION BY w.wh) AS gcnt
+        FROM wins),
+      per AS (
+        SELECT doc_id, n_tokens,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN gcnt > 1 THEN 1 ELSE 0 END) AS n_dup_windows,
+               COALESCE(list_sort(list(pos) FILTER (WHERE gcnt > 1)), [])
+                 AS dps
+        FROM g GROUP BY doc_id, n_tokens),
+      cov AS (
+        SELECT doc_id, n_tokens, n_windows, n_dup_windows,
+               least(CASE WHEN len(dps) = 0 THEN 0
+                 ELSE 8 + COALESCE(list_sum(list_transform(
+                        generate_series(1, len(dps) - 1),
+                        i -> least(dps[i+1] - dps[i], 8))), 0) END,
+                 n_tokens) AS dup_tokens
+        FROM per)
+      SELECT doc_id,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_windows AS BIGINT) AS n_windows,
+             CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+             CAST(dup_tokens AS BIGINT) AS dup_tokens,
+             CAST(dup_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+             (CAST(dup_tokens AS DOUBLE) / n_tokens) > 0.2
+               AS substr_dup_flagged
+      FROM cov
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125)
+    q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126)
 }

@@ -12,7 +12,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * joined by single spaces. */
 object SharedNgramsHelper {
   def count(evalSet: java.util.HashSet[String], s: UTF8String, n: Int): Long = {
-    val toks = s.toString.trim.toLowerCase.split("\\s+")
+    // Normalization must match the SQL path (`split(trim(lower(text)),
+    // "\\s+")`) byte for byte: Spark's trim strips ONLY ' ' (U+0020),
+    // not the \t/\n/controls Java String.trim removes, and Spark's
+    // lower is locale-independent — so trim spaces by hand and
+    // lowercase under Locale.ROOT (a Turkish-locale JVM would
+    // otherwise map I→ı and diverge from the join path / oracle).
+    val str = s.toString
+    var b = 0; var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    val toks = str.substring(b, e)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (toks.length < n) return 0L
     var seen: java.util.HashSet[String] = null
     val sb = new java.lang.StringBuilder

@@ -154,8 +154,17 @@ object Corpus {
     // depending only on which side of the byte gate it landed.
     // Singletons are excluded from the output by contract: an id
     // appears iff it shares a component with at least one OTHER id.
+    // persist() before the byte-gate count: the gate and the follow-up
+    // (driver collect OR the distributed path's first edge
+    // materialization) are TWO actions over the same upstream pair
+    // pipeline — without the cache an un-persisted caller pays the
+    // full LSH/cosine pipeline twice. Unpersisted in the finally:
+    // both exits are independent of the input by then (the collect
+    // has happened / bigStarClusters eagerly truncated round 0).
     val pairRows = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
       .filter(col(idA).cast("long") =!= col(idB).cast("long"))
+      .persist()
+    try {
     if (pairRows.count() * 16L <= localMaxBytes) {
       val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -178,6 +187,7 @@ object Corpus {
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
     }
     bigStarClusters(pairRows.toDF("id_a", "id_b"), checkpointDir = checkpointDir)._1
+    } finally pairRows.unpersist(blocking = false)
   }
 
   /** Distributed connected components: alternating large-star /

@@ -181,13 +181,22 @@ object Dedup {
       .select("id_a", "id_b")
     // persist() barrier: without it Catalyst collapses the projection
     // into the filter and evaluates the jaccard expression twice per
-    // pair (once for the predicate, once for the output column)
+    // pair (once for the predicate, once for the output column).
+    // The final localCheckpoint(eager) materializes the VERIFIED pair
+    // set (the small end artifact) in one action off that cache, so
+    // both intermediates can be unpersisted right here — repeated
+    // dedup runs in a long-lived session no longer accumulate
+    // signature/score blocks until LRU eviction.
     val scored = prefiltered
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .persist()
-    scored.filter(col("jaccard") >= threshold)
+    try scored.filter(col("jaccard") >= threshold).localCheckpoint(true)
+    finally {
+      scored.unpersist(blocking = false)
+      base0.unpersist(blocking = false)
+    }
   }
 
   /** Signature table for INCREMENTAL dedup: (id, sig, sh, bh) per doc —
@@ -248,12 +257,14 @@ object Dedup {
       .filter(col("__new_id").isNull || col("__probed_by_a"))
       .select("id_a", "id_b")
     val all = existingSigs.unionAll(newSigs)
+    // same materialize-then-release discipline as [[lshPairs]]
     val scored = prefiltered
       .join(all.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(all.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .persist()
-    scored.filter(col("jaccard") >= threshold)
+    try scored.filter(col("jaccard") >= threshold).localCheckpoint(true)
+    finally scored.unpersist(blocking = false)
   }
 
   /** Surviving ids after near-dup removal: drop any doc that has a
@@ -320,5 +331,81 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_dup_paragraphs").cast("double") / col("n_paragraphs"))
       .withColumn("para_dup_flagged", col("dup_frac") > maxDupFrac)
+  }
+
+  /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": duplicate token
+    * spans of length ≥ `windowTokens` are detected ANYWHERE in the
+    * corpus — across documents, within a document, and straddling any
+    * chunk boundary). The published implementation builds a suffix
+    * array; the distributed equivalent here slides an OVERLAPPING
+    * `windowTokens`-token window over every document (stride 1) and
+    * md5-keys each window: a span of L ≥ windowTokens duplicated
+    * tokens produces exactly L − windowTokens + 1 duplicated windows,
+    * so duplicated-window positions reconstruct duplicated-token
+    * coverage exactly. This is precisely what fixed-chunk paragraph
+    * hashing ([[paragraphStats]]) misses: a duplicate span straddling
+    * a chunk boundary hashes into two different paragraphs on each
+    * side and is invisible there (LlmSpec plants that case).
+    *
+    * Documents shorter than the window emit ONE window over their
+    * whole token stream (short exact-duplicates still surface; spans
+    * shorter than `windowTokens` are below the detection threshold by
+    * definition, per the paper's length cutoff).
+    *
+    * Emits per document: token/window counts, duplicated-window
+    * count, `dup_tokens` = tokens covered by ≥ 1 duplicated window
+    * (union of [pos, pos+w) intervals, computed from the SORTED dup
+    * positions as w + Σ min(gap, w) — no per-token explode), the
+    * covered fraction, and a flag at `maxDupFrac`.
+    *
+    * Shape (identical to [[paragraphStats]], ~w× the rows): explode to
+    * (doc, pos, window-hash) → global occurrence count as a WINDOW
+    * over the hash (ONE shuffle keyed by the high-cardinality hash) →
+    * per-doc re-aggregate (second shuffle keyed by doc id). The
+    * interval-union runs on the per-doc dup-position ARRAY inside the
+    * aggregate — duplicate volume bounded, never corpus² and no
+    * driver state, so the plan survives 100 TB. */
+  def substringStats(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, maxDupFrac: Double = 0.2): DataFrame = {
+    val w = windowTokens
+    val toks = TextAnalysis.tokens(col(textCol))
+    // m ≥ w → m − w + 1 overlapping windows; m < w → one whole-doc
+    // window (sequence stays ascending/non-empty in both cases)
+    val starts = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
+    val wins = transform(starts, i => struct(
+      (i - 1).cast("int").as("pos"),
+      md5(concat_ws(" ", slice(toks, i, lit(w)))).as("wh")))
+    val ex = docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        explode(wins).as("win"))
+      .select(col(idCol), col("n_tokens"),
+        col("win.pos").as("pos"), col("win.wh").as("wh"))
+    val g = ex.withColumn("gcnt", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
+    val k = size(col("dps"))
+    val gapSum = aggregate(
+      zip_with(slice(col("dps"), lit(1), greatest(k - 1, lit(0))),
+        slice(col("dps"), lit(2), greatest(k - 1, lit(0))),
+        (a, b) => least(b - a, lit(w))),
+      lit(0L), (acc, v) => acc + v.cast("long"))
+    g.groupBy(col(idCol), col("n_tokens"))
+      .agg(
+        count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("gcnt") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_windows"),
+        // collect_list drops the nulls `when` leaves for unique
+        // windows; sort_array pins the (otherwise unspecified)
+        // collection order so the gap fold is deterministic
+        sort_array(collect_list(when(col("gcnt") > 1, col("pos")))).as("dps"))
+      .withColumn("dup_tokens", least(
+        when(k === 0, lit(0L)).otherwise(lit(w.toLong) + gapSum),
+        col("n_tokens"))) // whole-doc pseudo-window of a short doc covers < w tokens
+      .drop("dps")
+      .withColumn("dup_token_frac",
+        col("dup_tokens").cast("double") / col("n_tokens"))
+      .withColumn("substr_dup_flagged", col("dup_token_frac") > maxDupFrac)
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        col("n_dup_windows"), col("dup_tokens"), col("dup_token_frac"),
+        col("substr_dup_flagged"))
   }
 }

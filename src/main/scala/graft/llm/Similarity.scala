@@ -123,7 +123,24 @@ object Similarity {
     * that lose all members drop out (k shrinks rather than producing
     * empty lists). Returns (cid, c_emb double-array). */
   def kmeansCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 2,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    // Per-round lineage truncation (the Bpe.train / bigStarClusters
+    // discipline): without it every iteration's plan embeds the
+    // previous one's — analysis/optimization cost and recompute depth
+    // grow superlinearly in `iters`. The centroid table is k rows, so
+    // truncation is O(k) per round. Default localCheckpoint(eager) is
+    // right for local mode; pass checkpointDir for a reliable
+    // HDFS/object-store checkpoint that survives executor loss on a
+    // real cluster (same knob as Corpus.bigStarClusters).
+    val spark = corpus.sparkSession
+    checkpointDir.foreach { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty ||
+          !spark.sparkContext.getCheckpointDir.contains(dir))
+        spark.sparkContext.setCheckpointDir(dir)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     var cents = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
@@ -138,9 +155,9 @@ object Similarity {
         .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") === 1)
-      cents = assigned.groupBy(col("cid"))
+      cents = truncate(assigned.groupBy(col("cid"))
         .agg(array((0 until dims).map(i =>
-          avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c_emb"))
+          avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c_emb")))
     }
     cents
   }
@@ -265,6 +282,61 @@ object Similarity {
       .join(c.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"),
         col("nrm").as("nrm_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SRP bucket-index table for INCREMENTAL embedding dedup:
+    * (id, emb, nrm, bucket) per vector — the artifact a production
+    * pipeline persists (parquet, partitioned by `bucket` so a batch
+    * probe reads only its colliding bucket directories), symmetric
+    * with [[Dedup.signatureTable]] on the MinHash side. Norms and
+    * buckets are computed ONCE at index-build time; every later batch
+    * reuses them instead of re-projecting the whole corpus. */
+  def bucketIndex(vectors: DataFrame, idCol: String, embCol: String,
+      bits: Int = 8): DataFrame =
+    vectors.repartition(par(vectors))
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        norm(col(embCol)).as("nrm"), srpBucket(col(embCol), bits).as("bucket"))
+
+  /** Incremental embedding near-dup pairs: verified pairs involving at
+    * least one NEW vector — new×existing and new×new, never
+    * existing×existing (that work was done when those vectors
+    * arrived). The batch side is bucketed with the SAME deterministic
+    * SRP planes as the stored index, so per batch the bucket join
+    * probes only the new vectors' buckets: cost scales with BATCH size
+    * against index size, not corpus². Pair orientation follows the
+    * min-id keeper convention (id_a < id_b), so survivors compose
+    * across batches — same contract as [[Dedup.incrementalLshPairs]].
+    * `existingIdx` is a [[bucketIndex]] frame (or its parquet
+    * read-back); with a bucket-partitioned layout the probe join
+    * prunes to the batch's bucket directories. */
+  def incrementalNearDupPairs(newVecs: DataFrame, existingIdx: DataFrame,
+      idCol: String, embCol: String, threshold: Double,
+      bits: Int = 8): DataFrame = {
+    val newIdx = bucketIndex(newVecs, idCol, embCol, bits)
+    val all = existingIdx.unionAll(newIdx)
+    val newIds = broadcast(newIdx.select(col("id").as("__new_id")))
+    newIdx.select(col("bucket"), col("id").as("id_x"),
+        col("emb").as("emb_x"), col("nrm").as("nrm_x"))
+      .join(all.select(col("bucket"), col("id").as("id_y"),
+        col("emb").as("emb_y"), col("nrm").as("nrm_y")), Seq("bucket"))
+      .filter(col("id_x") =!= col("id_y"))
+      // canonical min-id orientation; new×new pairs collide from BOTH
+      // probes (both sides are in newIdx and in all) — keep only the
+      // id_a-probed row; new×old pairs appear once (only the new side
+      // probes) and survive the filter via the null branch
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        when(col("id_x") < col("id_y"), col("emb_x")).otherwise(col("emb_y")).as("emb_a"),
+        when(col("id_x") < col("id_y"), col("emb_y")).otherwise(col("emb_x")).as("emb_b"),
+        when(col("id_x") < col("id_y"), col("nrm_x")).otherwise(col("nrm_y")).as("nrm_a"),
+        when(col("id_x") < col("id_y"), col("nrm_y")).otherwise(col("nrm_x")).as("nrm_b"),
+        (col("id_x") < col("id_y")).as("__probed_by_a"))
+      .join(newIds, col("id_a") === col("__new_id"), "left")
+      .filter(col("__new_id").isNull || col("__probed_by_a"))
       .select(col("id_a"), col("id_b"),
         cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -195,7 +195,12 @@ object TextAnalysis {
     val evalShingles = eval
       .select(explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
       .distinct()
-    if (evalShingles.limit((maxEvalShingles + 1).toInt).count() > maxEvalShingles)
+    // The collected set lives in one driver array, so anything past
+    // Int.MaxValue - 1 can't be collected anyway; clamping keeps a
+    // caller-supplied huge Long from overflowing to a NEGATIVE limit
+    // (which Spark rejects) while preserving the gate semantics.
+    val cap = math.min(maxEvalShingles, (Int.MaxValue - 1).toLong)
+    if (evalShingles.limit(cap.toInt + 1).count() > cap)
       return contaminatedDocs(corpus, eval, idCol, textCol, n)
     val set = new java.util.HashSet[String]()
     evalShingles.collect().foreach(r => set.add(r.getString(0)))
