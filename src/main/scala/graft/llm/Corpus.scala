@@ -239,31 +239,36 @@ object Corpus {
     //    so any executor can re-read it after a loss; the round
     //    structure is identical, the cost is one distributed write per
     //    round. This is the mode to run with 1000 executors.
-    val spark = pairs.sparkSession
-    checkpointDir.foreach { dir =>
-      if (spark.sparkContext.getCheckpointDir.isEmpty ||
-          !spark.sparkContext.getCheckpointDir.contains(dir))
-        spark.sparkContext.setCheckpointDir(dir)
-    }
+    // The checkpoint-dir change is SCOPED (set → iterate → restore,
+    // Lineage.withCheckpointDir): every round's checkpoint is eager,
+    // so nothing escapes the scope, and the session's own global
+    // checkpoint setting is untouched after the call.
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    var edges = truncate(canon(
-      pairs.select(col("id_a").cast("long").as("u"),
-        col("id_b").cast("long").as("v"))))
-    var rounds = 0
-    var done = false
-    while (!done && rounds < maxRounds) {
-      val next = truncate(canon(smallStar(canon(largeStar(edges)))))
-      rounds += 1
-      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-      edges = next
+    def run(): (DataFrame, Int) = {
+      var edges = truncate(canon(
+        pairs.select(col("id_a").cast("long").as("u"),
+          col("id_b").cast("long").as("v"))))
+      var rounds = 0
+      var done = false
+      while (!done && rounds < maxRounds) {
+        val next = truncate(canon(smallStar(canon(largeStar(edges)))))
+        rounds += 1
+        done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        edges = next
+      }
+      // converged edges are stars (u → component min): label members
+      // by their root, roots by themselves
+      val labels = edges.select(col("u").as("id"), col("v").as("label"))
+        .unionAll(edges.select(col("v").as("id"), col("v").as("label")))
+        .groupBy("id").agg(min(col("label")).as("cluster_id"))
+      (labels, rounds)
     }
-    // converged edges are stars (u → component min): label members by
-    // their root, roots by themselves
-    val labels = edges.select(col("u").as("id"), col("v").as("label"))
-      .unionAll(edges.select(col("v").as("id"), col("v").as("label")))
-      .groupBy("id").agg(min(col("label")).as("cluster_id"))
-    (labels, rounds)
+    checkpointDir match {
+      case Some(dir) =>
+        Lineage.withCheckpointDir(pairs.sparkSession.sparkContext, dir)(run())
+      case None => run()
+    }
   }
 }

@@ -121,7 +121,8 @@ object Dedup {
     * which is what makes this hold at 1000× the data. */
   def lshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 12, numBands: Int = 4,
-      minAgree: Int = 6): DataFrame = {
+      minAgree: Int = 6, materialize: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Pipeline shape, chosen for 100 TB:
     //  1. shingle sets computed once, persisted;
     //  2. signatures via explode→groupBy so each shingle is md5'd
@@ -142,7 +143,13 @@ object Dedup {
     // whole pipeline, and unsplittable input files must not serialize
     // it onto one core (sf0.1 measured 4.4 s → 0.3 s). persist() of
     // the raw struct is the CSE barrier guaranteeing the expression
-    // runs once even though two fields are projected from it.
+    // runs once even though two fields are projected from it; the
+    // cache is also read three times (band join ×2, verify joins).
+    // Default (lazy) callers leave it pinned until LRU eviction —
+    // pass materialize=true in a long-lived session to compute the
+    // verified pairs eagerly and release every intermediate cache
+    // (checkpointDir ⇒ reliable checkpoint instead of executor-local
+    // blocks, the right mode on a real cluster).
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base0 = docs.repartition(par).select(col(idCol).as("id"),
       graft.functions.MinHashShingles
@@ -181,22 +188,42 @@ object Dedup {
       .select("id_a", "id_b")
     // persist() barrier: without it Catalyst collapses the projection
     // into the filter and evaluates the jaccard expression twice per
-    // pair (once for the predicate, once for the output column).
-    // The final localCheckpoint(eager) materializes the VERIFIED pair
-    // set (the small end artifact) in one action off that cache, so
-    // both intermediates can be unpersisted right here — repeated
-    // dedup runs in a long-lived session no longer accumulate
-    // signature/score blocks until LRU eviction.
-    val scored = prefiltered
+    // pair (once for the predicate, once for the output column). The
+    // return is LAZY — an eager checkpoint here measured 2–5× on
+    // every consumer (one extra materialization per call) and hides
+    // the band join from downstream optimization; lazy also stays
+    // recomputable after executor loss.
+    val sc = scored(prefiltered, base).persist()
+    val verified = sc.filter(col("jaccard") >= threshold)
+    if (!materialize) verified
+    else materializeAndRelease(verified, checkpointDir, Seq(sc, base0))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the cached
+    * (id, sh) table. */
+  private def scored(prefiltered: DataFrame, base: DataFrame): DataFrame =
+    prefiltered
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .persist()
-    try scored.filter(col("jaccard") >= threshold).localCheckpoint(true)
-    finally {
-      scored.unpersist(blocking = false)
-      base0.unpersist(blocking = false)
-    }
+
+  /** Opt-in eager materialization for long-lived sessions: compute the
+    * (small) verified-pair artifact in one action, then release every
+    * intermediate cache so repeated dedup runs don't accumulate
+    * signature blocks until LRU eviction. `checkpointDir` selects a
+    * reliable (recomputable-after-executor-loss is moot: the data IS
+    * on stable storage) checkpoint instead of executor-local blocks —
+    * the right call on a real cluster, where localCheckpoint blocks
+    * die with their executor. Default callers skip all of this: the
+    * lazy plan is both faster and loss-tolerant. */
+  private def materializeAndRelease(result: DataFrame,
+      checkpointDir: Option[String], caches: Seq[DataFrame]): DataFrame = {
+    val sc = result.sparkSession.sparkContext
+    try checkpointDir match {
+      case Some(dir) =>
+        Lineage.withCheckpointDir(sc, dir)(result.checkpoint(eager = true))
+      case None => result.localCheckpoint(true)
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
 
   /** Signature table for INCREMENTAL dedup: (id, sig, sh, bh) per doc —
@@ -221,7 +248,9 @@ object Dedup {
     * corpus². Pair orientation follows the min-id keeper convention
     * (id_a < id_b), so survivors compose across batches. */
   def incrementalLshPairs(newSigs: DataFrame, existingSigs: DataFrame,
-      threshold: Double = 0.5, numBands: Int = 4, minAgree: Int = 6): DataFrame = {
+      threshold: Double = 0.5, numBands: Int = 4, minAgree: Int = 6,
+      materialize: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     def banded(sigs: DataFrame) = sigs.select(col("id"), col("sig"), col("bh"),
       posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
     val newB = banded(newSigs)
@@ -257,14 +286,12 @@ object Dedup {
       .filter(col("__new_id").isNull || col("__probed_by_a"))
       .select("id_a", "id_b")
     val all = existingSigs.unionAll(newSigs)
-    // same materialize-then-release discipline as [[lshPairs]]
-    val scored = prefiltered
-      .join(all.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(all.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .persist()
-    try scored.filter(col("jaccard") >= threshold).localCheckpoint(true)
-    finally scored.unpersist(blocking = false)
+    // same lazy-by-default / opt-in-materialize discipline (and the
+    // same jaccard-CSE persist barrier) as [[lshPairs]]
+    val sc = scored(prefiltered, all).persist()
+    val verified = sc.filter(col("jaccard") >= threshold)
+    if (!materialize) verified
+    else materializeAndRelease(verified, checkpointDir, Seq(sc))
   }
 
   /** Surviving ids after near-dup removal: drop any doc that has a

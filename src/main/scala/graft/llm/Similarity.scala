@@ -131,35 +131,40 @@ object Similarity {
     // truncation is O(k) per round. Default localCheckpoint(eager) is
     // right for local mode; pass checkpointDir for a reliable
     // HDFS/object-store checkpoint that survives executor loss on a
-    // real cluster (same knob as Corpus.bigStarClusters).
-    val spark = corpus.sparkSession
-    checkpointDir.foreach { dir =>
-      if (spark.sparkContext.getCheckpointDir.isEmpty ||
-          !spark.sparkContext.getCheckpointDir.contains(dir))
-        spark.sparkContext.setCheckpointDir(dir)
-    }
+    // real cluster (same knob as Corpus.bigStarClusters). The global
+    // checkpoint-dir change is SCOPED (set → iterate → restore, see
+    // Lineage.withCheckpointDir) — every checkpoint is eager, so all
+    // writes land inside the scope and the session's own setting is
+    // back in place when this returns.
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    var cents = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"),
-        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
-    for (_ <- 1 to iters) {
-      val c = broadcast(cents.select(col("cid"), col("c_emb"),
-        norm(col("c_emb")).as("c_nrm")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("__d").desc, col("cid").asc)
-      val assigned = corpus.repartition(par(corpus))
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        .crossJoin(c)
-        .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-      cents = truncate(assigned.groupBy(col("cid"))
-        .agg(array((0 until dims).map(i =>
-          avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c_emb")))
+    def run(): DataFrame = {
+      var cents = corpus.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+      for (_ <- 1 to iters) {
+        val c = broadcast(cents.select(col("cid"), col("c_emb"),
+          norm(col("c_emb")).as("c_nrm")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("__d").desc, col("cid").asc)
+        val assigned = corpus.repartition(par(corpus))
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+          .crossJoin(c)
+          .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1)
+        cents = truncate(assigned.groupBy(col("cid"))
+          .agg(array((0 until dims).map(i =>
+            avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c_emb")))
+      }
+      cents
     }
-    cents
+    checkpointDir match {
+      case Some(dir) =>
+        Lineage.withCheckpointDir(corpus.sparkSession.sparkContext, dir)(run())
+      case None => run()
+    }
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
