@@ -25,11 +25,23 @@ object Bench {
     // sf run reuses them), and initializes the scheduler/shuffle/
     // broadcast machinery. At bench SFs the one-time compile cost
     // otherwise dominates several sub-second queries.
+    // Execute each query AS WRITTEN: `df.count()` plans a new
+    // aggregate on top, letting Catalyst prune every output column —
+    // and with them eliminate sorts and even unique-key outer joins
+    // feeding only those columns — so a query ending in a projection
+    // or left join would be timed as a bare row-count of its inputs.
+    // Evaluating the executed plan's RDD materializes every output
+    // column (the noop-sink benchmarking pattern) without collecting
+    // anything to the driver.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
         && new java.io.File(warmDir).exists()) {
       SparkEntry.queries.values.foreach { fn =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { exec(fn(spark, warmDir)) } catch { case _: Throwable => () }
       }
     }
 
@@ -61,7 +73,7 @@ object Bench {
     for (_ <- 1 to nRuns; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        exec(fn(spark, sfDir))
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -1422,7 +1422,7 @@ object QueriesLlm {
         SELECT doc_id, len(t) AS n_tokens,
                unnest(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
                  i -> {'pos': i - 1,
-                       'wh': md5(array_to_string(t[i:i+7], ' '))})) AS w
+                       'wh': ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT})) AS w
         FROM arr),
       g AS (
         SELECT doc_id, n_tokens, w.pos AS pos, w.wh AS wh,
@@ -1454,8 +1454,46 @@ object QueriesLlm {
       FROM cov
       ORDER BY doc_id"""))
 
+  /** Incremental embedding near-dup over an SRP bucket index
+    * (Similarity.bucketIndex + incrementalNearDupPairs): the batch
+    * (every 10th vector) probes the index built from the rest of the
+    * corpus — new×old and new×new pairs only, min-id oriented. The
+    * oracle is the FULL-corpus bucket join restricted to pairs
+    * touching the batch, so this gate pins the incremental
+    * decomposition (batch × index ≡ full ∩ batch), the production
+    * shape where each ingest batch costs batch×index, never corpus².
+    * LlmSpec additionally pins the parquet round-trip of the
+    * bucket-partitioned index. */
+  private val q127 = Q("q127_incr_embed_neardup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.bucketIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding")
+      Similarity.incrementalNearDupPairs(
+        emb.filter(col("vec_id") % 10 === 0), idx,
+        "vec_id", "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               ${duckSrp("embedding")} AS bucket,
+               sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                 AS nrm
+        FROM embeddings)
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.3 AND (id_a % 10 = 0 OR id_b % 10 = 0)
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
-    q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126)
+    q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
+    q127)
 }

@@ -387,43 +387,80 @@ object Dedup {
     * covered fraction, and a flag at `maxDupFrac`.
     *
     * Shape (identical to [[paragraphStats]], ~w× the rows): explode to
-    * (doc, pos, window-hash) → global occurrence count as a WINDOW
-    * over the hash (ONE shuffle keyed by the high-cardinality hash) →
-    * per-doc re-aggregate (second shuffle keyed by doc id). The
-    * interval-union runs on the per-doc dup-position ARRAY inside the
-    * aggregate — duplicate volume bounded, never corpus² and no
-    * driver state, so the plan survives 100 TB. */
+    * (doc, pos, window-hash) → ONE hash aggregate on the
+    * high-cardinality 60-bit window hash keeps only duplicated hashes
+    * (volume ∝ duplicates) → broadcast-join them back over the
+    * exploded stream → per-doc aggregate of the duplicated windows
+    * only. The interval-union runs on the per-doc dup-position ARRAY
+    * inside the aggregate — every exchange after the first is bounded
+    * by duplicate volume, never corpus², and there is no full-stream
+    * sort and no driver state, so the plan survives 100 TB. */
   def substringStats(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8, maxDupFrac: Double = 0.2): DataFrame = {
+      windowTokens: Int = 8, maxDupFrac: Double = 0.2,
+      stride: Int = 1): DataFrame = {
     val w = windowTokens
     val toks = TextAnalysis.tokens(col(textCol))
     // m ≥ w → m − w + 1 overlapping windows; m < w → one whole-doc
-    // window (sequence stays ascending/non-empty in both cases)
-    val starts = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
+    // window (sequence stays ascending/non-empty in both cases).
+    // stride > 1 subsamples window starts — coverage becomes
+    // approximate (a duplicated span is seen by ⌈(L−w+1)/stride⌉
+    // windows instead of all of them) in exchange for stride× less
+    // explode/shuffle volume; stride=1 is the exact Lee et al. shape.
+    val starts = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)),
+      lit(stride))
+    // 60-bit long window key (shingleHash), not the 32-char md5
+    // string: the occurrence aggregate below shuffles on wh, and 8
+    // bytes vs ~44 (string bytes + overhead) is ~4× less shuffle
+    // volume on the dominant exchange. Collisions
+    // (~n²/2^61) would have to pair two windows ACROSS the whole
+    // corpus to miscount by one — negligible against the detection
+    // use case, and the DuckDB oracle applies the identical
+    // truncation so the gate stays exact.
     val wins = transform(starts, i => struct(
       (i - 1).cast("int").as("pos"),
-      md5(concat_ws(" ", slice(toks, i, lit(w)))).as("wh")))
-    val ex = docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-        explode(wins).as("win"))
-      .select(col(idCol), col("n_tokens"),
-        col("win.pos").as("pos"), col("win.wh").as("wh"))
-    val g = ex.withColumn("gcnt", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
+      shingleHash(concat_ws(" ", slice(toks, i, lit(w)))).as("wh")))
+    // DUPLICATES-ARE-RARE shape. The textbook plan (global occurrence
+    // count as a window function over wh, then re-aggregate every
+    // window row per doc) SORTS the full exploded stream and then
+    // shuffles all of it a second time for the per-doc counts.
+    // Instead, ONE hash aggregate over wh carries the occurrence list
+    // (id, pos) alongside the count — same single full-stream shuffle
+    // the window version pays, but hash-aggregated instead of sorted —
+    // and everything after the gcnt > 1 filter is proportional to
+    // DUPLICATE volume: the occurrence explode, the per-doc
+    // aggregate, and the final join back onto the (id, n_tokens)
+    // projection (broadcast-sized dup side). Per-group state is
+    // bounded by a window's occurrence count, so no skew hazard short
+    // of a corpus-dominating repeated window. n_windows needs no
+    // counting at all — it is a closed form of n_tokens.
+    val ex = docs.select(col(idCol), explode(wins).as("win"))
+      .select(col(idCol), col("win.pos").as("pos"), col("win.wh").as("wh"))
+    val dupPerDoc = ex.groupBy(col("wh"))
+      .agg(count(lit(1)).as("gcnt"),
+        collect_list(struct(col(idCol), col("pos"))).as("occ"))
+      .filter(col("gcnt") > 1)
+      .select(explode(col("occ")).as("o"))
+      .select(col(s"o.$idCol").as(idCol), col("o.pos").as("pos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_dup_windows"),
+        // sort_array pins the (otherwise unspecified) collection
+        // order so the gap fold is deterministic
+        sort_array(collect_list(col("pos"))).as("dps"))
     val k = size(col("dps"))
     val gapSum = aggregate(
       zip_with(slice(col("dps"), lit(1), greatest(k - 1, lit(0))),
         slice(col("dps"), lit(2), greatest(k - 1, lit(0))),
         (a, b) => least(b - a, lit(w))),
       lit(0L), (acc, v) => acc + v.cast("long"))
-    g.groupBy(col(idCol), col("n_tokens"))
-      .agg(
-        count(lit(1)).cast("long").as("n_windows"),
-        sum(when(col("gcnt") > 1, 1L).otherwise(0L)).cast("long")
-          .as("n_dup_windows"),
-        // collect_list drops the nulls `when` leaves for unique
-        // windows; sort_array pins the (otherwise unspecified)
-        // collection order so the gap fold is deterministic
-        sort_array(collect_list(when(col("gcnt") > 1, col("pos")))).as("dps"))
+    // n_windows = |sequence(1, max(m−w+1, 1), stride)| in closed form
+    val nWin = (floor(((greatest(col("n_tokens") - (w - 1), lit(1)) - 1)
+      / lit(stride)).cast("double")) + 1).cast("long")
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .withColumn("n_windows", nWin)
+      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+      .withColumn("dps", coalesce(col("dps"), array().cast("array<int>")))
       .withColumn("dup_tokens", least(
         when(k === 0, lit(0L)).otherwise(lit(w.toLong) + gapSum),
         col("n_tokens"))) // whole-doc pseudo-window of a short doc covers < w tokens

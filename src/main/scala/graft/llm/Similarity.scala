@@ -321,30 +321,31 @@ object Similarity {
       idCol: String, embCol: String, threshold: Double,
       bits: Int = 8): DataFrame = {
     val newIdx = bucketIndex(newVecs, idCol, embCol, bits)
-    val all = existingIdx.unionAll(newIdx)
-    val newIds = broadcast(newIdx.select(col("id").as("__new_id")))
-    newIdx.select(col("bucket"), col("id").as("id_x"),
-        col("emb").as("emb_x"), col("nrm").as("nrm_x"))
-      .join(all.select(col("bucket"), col("id").as("id_y"),
-        col("emb").as("emb_y"), col("nrm").as("nrm_y")), Seq("bucket"))
-      .filter(col("id_x") =!= col("id_y"))
-      // canonical min-id orientation; new×new pairs collide from BOTH
-      // probes (both sides are in newIdx and in all) — keep only the
-      // id_a-probed row; new×old pairs appear once (only the new side
-      // probes) and survive the filter via the null branch
+    def side(df: DataFrame, s: String) = df.select(col("bucket"),
+      col("id").as(s"id_$s"), col("emb").as(s"emb_$s"), col("nrm").as(s"nrm_$s"))
+    def verify(pairs: DataFrame) = pairs.select(col("id_a"), col("id_b"),
+        cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+    // TWO joins, not one join against (existing ∪ new): each pair is
+    // emitted exactly once by construction (new×old probes the index
+    // once; new×new is a strict-inequality self-join), so no
+    // double-emit dedup pass is needed — and the stored index scan
+    // sits DIRECTLY on a join side keyed by its partition column, the
+    // canonical dynamic-partition-pruning shape (a scan reached
+    // through a union defeats DPP, and Spark's runtime can even fail
+    // the unprepared pruning subquery — LlmSpec's parquet round-trip
+    // pins this).
+    val crossBatch = verify(side(newIdx, "x").join(side(existingIdx, "y"), Seq("bucket"))
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
         when(col("id_x") < col("id_y"), col("emb_x")).otherwise(col("emb_y")).as("emb_a"),
         when(col("id_x") < col("id_y"), col("emb_y")).otherwise(col("emb_x")).as("emb_b"),
         when(col("id_x") < col("id_y"), col("nrm_x")).otherwise(col("nrm_y")).as("nrm_a"),
-        when(col("id_x") < col("id_y"), col("nrm_y")).otherwise(col("nrm_x")).as("nrm_b"),
-        (col("id_x") < col("id_y")).as("__probed_by_a"))
-      .join(newIds, col("id_a") === col("__new_id"), "left")
-      .filter(col("__new_id").isNull || col("__probed_by_a"))
-      .select(col("id_a"), col("id_b"),
-        cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
-      .filter(col("cos") >= threshold)
+        when(col("id_x") < col("id_y"), col("nrm_y")).otherwise(col("nrm_x")).as("nrm_b")))
+    val withinBatch = verify(side(newIdx, "a").join(side(newIdx, "b"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b")))
+    crossBatch.unionAll(withinBatch)
   }
 
   /** Survivors after embedding-cosine dedup: greedy min-id keeper over

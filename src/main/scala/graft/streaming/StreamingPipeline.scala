@@ -108,6 +108,82 @@ object StreamingPipeline {
       new IncrementalPipeline.ParquetTxSink(spark, sinkPath), checkpoint,
       webhook, availableNow)
 
+  /** Document schema for the corpus-ingest stream (the fixture
+    * `documents` shape minus derived columns). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  /** END-TO-END training-corpus ingest: file-landed document stream →
+    * C4 page/line cleaning → deterministic mixture sampling →
+    * INCREMENTAL MinHash near-dup dedup against the signature store of
+    * everything already ingested → audited append of the survivors and
+    * of their signatures. One `foreachBatch` body, exactly the offline
+    * pipeline's operators — the streaming and batch paths share code,
+    * not just semantics.
+    *
+    * Scale shape per micro-batch: cleaning and mixture sampling are
+    * zero-shuffle filters riding the scan; dedup probes batch ×
+    * signature-store (never corpus²); the store grows by survivors
+    * only, so it mirrors the corpus exactly. Offsets live in the
+    * checkpoint: a restart resumes after the last committed file, so
+    * nothing is re-cleaned, re-sampled, re-deduped or re-appended
+    * (StreamingSpec pins resume-across-restart). */
+  def startCorpusIngest(spark: SparkSession, landingDir: String,
+      corpusDir: String, sigDir: String, checkpoint: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      threshold: Double = 0.5, availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.schema(docSchema).parquet(landingDir)
+    raw.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else
+        Trigger.ProcessingTime("15 minutes"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        corpusIngestBatch(batch, corpusDir, sigDir, weights, defaultWeight,
+          threshold)
+      }
+      .start()
+  }
+
+  /** Per-epoch corpus-ingest body (package-visible so the spec can
+    * drive a single batch without a stream). */
+  private[streaming] def corpusIngestBatch(batch: DataFrame,
+      corpusDir: String, sigDir: String, weights: Map[String, Double],
+      defaultWeight: Double, threshold: Double): Unit = {
+    import graft.llm.{Corpus, Dedup, TextAnalysis}
+    val spark = batch.sparkSession
+    // mixture first (pure filter, cheapest), then C4 cleaning; the
+    // clean frame re-attaches `source` for the corpus sink
+    val sampled = Corpus.mixtureSample(batch, "source", "doc_id",
+      weights, defaultWeight)
+    val cleaned = TextAnalysis.c4Clean(sampled, "doc_id", "text")
+      .join(sampled.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val newSigs = Dedup.signatureTable(cleaned, "doc_id", "clean_text")
+      .persist()
+    try {
+      val existing = scala.util.Try(spark.read.parquet(sigDir))
+        .getOrElse(newSigs.limit(0)) // first batch: no store yet
+      // materialize=true: a long-running stream must not accumulate a
+      // persisted pair cache per epoch — compute the (small) verified
+      // pair set eagerly and release every intermediate block
+      val pairs = Dedup.incrementalLshPairs(newSigs, existing,
+        threshold, materialize = true)
+      // min-id keeper: with monotone doc ids across batches the kept
+      // side is always the already-ingested (or earlier-in-batch) doc
+      val dead = pairs.select(col("id_b").as("doc_id")).distinct()
+      val survivors = cleaned.join(dead, Seq("doc_id"), "left_anti").cache()
+      try {
+        if (survivors.count() > 0) {
+          Sinks.appendWithAudit(survivors, corpusDir)
+          newSigs.join(dead, newSigs("id") === dead("doc_id"), "left_anti")
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
+        }
+      } finally survivors.unpersist()
+    } finally newSigs.unpersist(blocking = false)
+  }
+
   /** Event-time windowed aggregation with a watermark: 5-minute tumbling
     * windows on the events-stream shape. Late data beyond 10 minutes is
     * dropped and state is bounded — the 100 TB-safe default. */

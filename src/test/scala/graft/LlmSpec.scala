@@ -452,6 +452,103 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dedup: span straddling a chunk boundary invisible to paragraphStats, caught by substringStats") {
+    import spark.implicits._
+    def filler(p: String) = (1 to 6).map(i => s"$p$i").mkString(" ")
+    val span8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val span12 = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      // docs 1+2: 8-token duplicated span at tokens 7..14 — straddles
+      // the 10-token paragraph-chunk boundary
+      (1L, s"${filler("u")} $span8 ${filler("v")}"),
+      (2L, s"${filler("w")} $span8 ${filler("x")}"),
+      // docs 3+4: 12-token span -> 5 overlapping dup windows whose
+      // union must count 12 tokens, not 5*8 (exercises the gap fold)
+      (3L, s"${filler("p")} $span12 ${filler("q")}"),
+      (4L, s"${filler("r")} $span12 ${filler("m")}")
+    ).toDF("doc_id", "text")
+    // paragraphStats chunks each 20/24-token doc at token 10 (and 20):
+    // every chunk mixes span tokens with doc-unique filler, so no
+    // paragraph repeats corpus-wide — the duplicate span is INVISIBLE
+    val para = Dedup.paragraphStats(d, "doc_id", "text").collect()
+    assert(para.length == 4 &&
+      para.forall(_.getAs[Long]("n_dup_paragraphs") == 0L),
+      para.mkString("; "))
+    // substringStats (8-token stride-1 windows) reconstructs the spans
+    val sub = Dedup.substringStats(d, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = sub(id)
+      assert(r.getAs[Long]("n_windows") == 13L, r.toString)    // 20-8+1
+      assert(r.getAs[Long]("n_dup_windows") == 1L, r.toString) // the span window
+      assert(r.getAs[Long]("dup_tokens") == 8L, r.toString)
+      assert(r.getAs[Boolean]("substr_dup_flagged"), r.toString) // 8/20 > 0.2
+    }
+    for (id <- Seq(3L, 4L)) {
+      val r = sub(id)
+      assert(r.getAs[Long]("n_windows") == 17L, r.toString)    // 24-8+1
+      assert(r.getAs[Long]("n_dup_windows") == 5L, r.toString) // 12-8+1
+      assert(r.getAs[Long]("dup_tokens") == 12L, r.toString)   // interval union
+      assert(r.getAs[Boolean]("substr_dup_flagged"), r.toString)
+    }
+  }
+
+  test("incremental embedding near-dup: batch-vs-index pairs equal full-corpus pairs touching the batch") {
+    val batchPred = col("vec_id") % 10 === 0
+    val existingMem = Similarity.bucketIndex(emb.filter(!batchPred),
+      "vec_id", "embedding")
+    // production shape: the index is persisted partitioned by bucket
+    // (probe reads prune to colliding bucket dirs) and read back —
+    // partition-column round-trip must not change the pair set
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-srp-idx").toString
+    existingMem.write.mode("overwrite").partitionBy("bucket").parquet(idxDir)
+    val existing = spark.read.parquet(idxDir)
+      .select(col("id"), col("emb"), col("nrm"), col("bucket").cast("long"))
+    val batch = emb.filter(batchPred)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incremental = toSet(Similarity.incrementalNearDupPairs(
+      batch, existing, "vec_id", "embedding", threshold = 0.3))
+    val full = toSet(Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3)
+      .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0))
+    assert(incremental == full,
+      s"only-incremental=${incremental -- full}, only-full=${full -- incremental}")
+    assert(full.nonEmpty, "fixture must have near-dups touching the batch")
+  }
+
+  test("kmeans: 10-iteration plan stays truncated; checkpointDir is scoped and value-identical") {
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    // lineage truncation: without it the analyzed plan embeds every
+    // prior round and grows superlinearly in iters; truncated it is a
+    // single leaf regardless of iteration count
+    val deep = Similarity.kmeansCentroids(emb, k = 8, iters = 10)
+    val nodes = deep.queryExecution.analyzed.collect { case p => p }.size
+    assert(nodes <= 4, s"analyzed plan has $nodes nodes after 10 rounds")
+    // reliable-checkpoint mode: same centroids, checkpoint files land
+    // under the given dir, and the session's global checkpoint dir is
+    // restored on exit
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans-ckpt").toString
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1)).toMap
+    val viaCkpt = toMap(Similarity.kmeansCentroids(emb, k = 8, iters = 3,
+      checkpointDir = Some(dir)))
+    assert(sc.getCheckpointDir == prev,
+      s"global checkpoint dir changed: $prev -> ${sc.getCheckpointDir}")
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty, "no checkpoint written under dir")
+    val viaLocal = toMap(Similarity.kmeansCentroids(emb, k = 8, iters = 3))
+    assert(viaCkpt.keySet == viaLocal.keySet)
+    for (cid <- viaCkpt.keySet) {
+      val (a, b) = (viaCkpt(cid), viaLocal(cid))
+      assert(a.length == b.length &&
+        a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 },
+        s"cid=$cid differs")
+    }
+  }
+
   test("paragraph dedup: shared 10-token chunks counted corpus-wide") {
     import spark.implicits._
     val p1 = "a b c d e f g h i j"   // 10 tokens = one paragraph

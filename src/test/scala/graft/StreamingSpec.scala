@@ -51,6 +51,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("txid") === "s4").count() == 1)
   }
 
+  test("corpus ingest e2e: clean -> sample -> incremental dedup -> audited append, resumes across restart") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-corpus-stream").toString
+    val landing = s"$base/landing"; val corpus = s"$base/corpus"
+    val sigs = s"$base/sigs"; val cp = s"$base/cp"
+    val weights = Map("keep" -> 1.0, "drop" -> 0.0)
+    // three C4-surviving lines each (terminal punctuation, >= 3 words,
+    // no javascript/lorem/braces); texts mutually dissimilar so the
+    // only near-dup pair is the planted identical one
+    val text1 = "the quick brown fox jumps over fences.\nmorning rain fell on the quiet harbor town!\nseven sailors counted stars above deck?"
+    val text2 = "bakers knead dough before sunrise daily.\ncopper kettles whistle in the old kitchen!\nchildren chase autumn leaves down lanes?"
+    val text11 = "glaciers carve valleys over countless years.\nlibraries hold voices from distant ages!\ngardeners plant tulips beside stone walls?"
+    def run(): Unit = {
+      val q = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
+        sigs, cp, weights)
+      assert(q.awaitTermination(120000), "AvailableNow drain timed out")
+    }
+
+    Seq(
+      (1L, text1, "keep"),                             // survives
+      (2L, text2, "keep"),                             // survives
+      (3L, "function f() {\nthe cat sat down.\nthe dog ran fast.\nbirds can fly.", "keep"), // C4 page filter drops
+      (4L, text11, "drop"))                            // mixture weight 0 drops
+      .toDF("doc_id", "text", "source").write.parquet(landing)
+    run()
+    val out1 = spark.read.parquet(corpus)
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L), out1.collect().mkString("; "))
+    assert(out1.columns.contains("clean_text") && out1.columns.contains("insert_dt"))
+    assert(spark.read.parquet(sigs).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // batch 2: a near-dup of doc 1 must be dropped AGAINST THE STORE
+    // (doc 1 is not in this batch), a new doc appended; the restart on
+    // the same checkpoint must not re-process batch-1 files
+    Seq(
+      (10L, text1, "keep"),   // identical to ingested doc 1 -> dead
+      (11L, text11, "keep"))  // new content -> survives
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(landing)
+    run()
+    val out2 = spark.read.parquet(corpus)
+    assert(out2.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "restart must not re-append already-committed docs")
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 11L), out2.collect().mkString("; "))
+    assert(spark.read.parquet(sigs).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 11L),
+      "signature store mirrors the corpus")
+
+    // nothing new landed: a catch-up run is a clean no-op
+    run()
+    assert(spark.read.parquet(corpus).count() == 3)
+  }
+
   test("rpc micro-batch source: offsets are block heights, restart resumes from the checkpoint") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import scala.jdk.CollectionConverters._
