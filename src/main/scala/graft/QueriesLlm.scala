@@ -244,7 +244,11 @@ object QueriesLlm {
         FROM pre JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)"""
 
   private val q22 = Q("q22_minhash_sig",
+    // parallelism floor (the lshPairs rule): the digest pass is the
+    // whole cost and must not serialize onto one core behind an
+    // unsplittable input file
     (s, dir) => t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         concat_ws(",",
           graft.functions.MinHashSig.column(s, col("text"), 12)).as("sig"))
@@ -270,8 +274,13 @@ object QueriesLlm {
       ORDER BY doc_id"""))
 
   private val q25 = Q("q25_simhash",
+    // native one-digest-per-token expression + parallelism floor; the
+    // HOF Dedup.simhash16 is the reference formulation (16 digests per
+    // token — LlmSpec pins value-equality between the two)
     (s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), graft.functions.SimHash16
+        .column(s, graft.llm.TextAnalysis.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id"),
     Some("""
       SELECT doc_id,
@@ -1491,9 +1500,91 @@ object QueriesLlm {
       WHERE cos >= 0.3 AND (id_a % 10 = 0 OR id_b % 10 = 0)
       ORDER BY id_a, id_b"""))
 
+  /** URL-level dedup (the first dedup stage of CCNet/RefinedWeb corpus
+    * assembly): canonicalize each document's URL
+    * ([[TextAnalysis.urlCanonicalize]] — fragment/tracking-param
+    * removal, case/port/www/trailing-slash normalization, sorted
+    * query), then one hash aggregate on the canonical key. The fixture
+    * carries no URL column, so both engines derive the SAME messy URL
+    * deterministically from doc_id — three spellings per group of
+    * three consecutive ids, together exercising every rule — and the
+    * oracle replicates the canonicalization regex-for-regex (all
+    * RE2-safe, no lookaheads). Zero-shuffle map + one exact-dedup
+    * aggregate: the q21 shape, scale-safe at any corpus size. */
+  private val q128 = Q("q128_url_dedup",
+    (s, dir) => {
+      val g = (col("doc_id") - (col("doc_id") % 3)).cast("string")
+      val h = ((col("doc_id") - (col("doc_id") % 3)) % 5).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://www.ex"), h, lit(".com:443/a/b"), g,
+            lit("/?utm_source=t&z=2&a=1#sec")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTPS://Ex"), h, lit(".COM/a/b"), g,
+            lit("?a=1&z=2&fbclid=xyz")))
+        .otherwise(
+          concat(lit("https://ex"), h, lit(".com/a/b"), g,
+            lit("/?z=2&a=1")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.urlCanonicalize(url).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+        .orderBy("canon_url")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN
+            'https://www.ex' || CAST((doc_id - doc_id % 3) % 5 AS VARCHAR)
+              || '.com:443/a/b' || CAST(doc_id - doc_id % 3 AS VARCHAR)
+              || '/?utm_source=t&z=2&a=1#sec'
+          WHEN doc_id % 3 = 1 THEN
+            'HTTPS://Ex' || CAST((doc_id - doc_id % 3) % 5 AS VARCHAR)
+              || '.COM/a/b' || CAST(doc_id - doc_id % 3 AS VARCHAR)
+              || '?a=1&z=2&fbclid=xyz'
+          ELSE
+            'https://ex' || CAST((doc_id - doc_id % 3) % 5 AS VARCHAR)
+              || '.com/a/b' || CAST(doc_id - doc_id % 3 AS VARCHAR)
+              || '/?z=2&a=1'
+          END AS url
+        FROM documents),
+      nf AS (
+        SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      parts AS (
+        SELECT doc_id,
+          lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          regexp_replace(regexp_replace(
+              lower(regexp_extract(nofrag,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+              '^www\.', ''), ':(80|443)$', '') AS host,
+          regexp_extract(nofrag,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+        FROM nf),
+      pq AS (
+        SELECT doc_id, scheme, host,
+          regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+            AS path,
+          regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query
+        FROM parts),
+      prm AS (
+        SELECT doc_id, scheme, host, path,
+          list_sort(list_filter(string_split(query, '&'), p ->
+            p <> '' AND NOT regexp_matches(p,
+              '^(utm_[^=&]*|fbclid|gclid|ref)='))) AS params
+        FROM pq),
+      canon AS (
+        SELECT doc_id, scheme || '://' || host || path ||
+          CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END
+          AS canon_url
+        FROM prm)
+      SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+      FROM canon GROUP BY canon_url ORDER BY canon_url"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127)
+    q127, q128)
 }

@@ -317,12 +317,20 @@ object Dedup {
   }
 
   /** Group docs by identical simhash (hamming-0 buckets); near-dup
-    * buckets at hamming ≤ d come from banding the 16 bits. */
-  def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), simhash16(col(textCol)).as("simhash"))
+    * buckets at hamming ≤ d come from banding the 16 bits. Bulk path:
+    * the native one-digest-per-token expression
+    * (graft.functions.SimHash16) with the same parallelism floor as
+    * [[lshPairs]] — digesting is the compute-dense stage and an
+    * unsplittable input file must not serialize it onto one core. */
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col(idCol), graft.functions.SimHash16
+        .column(docs.sparkSession, TextAnalysis.tokens(col(textCol))).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
       .filter(col("n_docs") > 1)
+  }
 
   /** Paragraph-level exact dedup (RefinedWeb / Penedo et al. 2023:
     * duplicated paragraphs are removed even when the containing pages
@@ -347,6 +355,9 @@ object Dedup {
       .cast("int")
     val paras = transform(sequence(lit(0), nPar - 1),
       i => md5(concat_ws(" ", slice(toks, i * paraTokens + lit(1), lit(paraTokens)))))
+    // no parallelism floor: one md5 per ~paraTokens tokens is light
+    // (contrast substringStats' one md5 PER token), and the plan gate
+    // pins that every exchange here keys on the hash or the doc id
     val ex = docs.select(col(idCol), explode(paras).as("ph"))
     ex.withColumn("gcnt", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
@@ -433,7 +444,11 @@ object Dedup {
     // bounded by a window's occurrence count, so no skew hazard short
     // of a corpus-dominating repeated window. n_windows needs no
     // counting at all — it is a closed form of n_tokens.
-    val ex = docs.select(col(idCol), explode(wins).as("win"))
+    // parallelism floor (the lshPairs rule): window hashing is the
+    // compute-dense stage; an unsplittable input file must not
+    // serialize 3M md5s onto one core
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val ex = docs.repartition(par).select(col(idCol), explode(wins).as("win"))
       .select(col(idCol), col("win.pos").as("pos"), col("win.wh").as("wh"))
     val dupPerDoc = ex.groupBy(col("wh"))
       .agg(count(lit(1)).as("gcnt"),

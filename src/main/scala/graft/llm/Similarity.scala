@@ -81,19 +81,24 @@ object Similarity {
     * plane matrix is a plan-time constant, so executors never digest
     * `bits × dims` md5s per row the way a column-expression
     * formulation would. */
-  def planeSign(p: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane$p:$d".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if ("89abcdef".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
-  }
+  def planeSign(p: Int, d: Int): Double =
+    graft.functions.SrpBucketHelper.planeSign(p, d)
 
   /** Sign-random-projection bucket id: `bits` sign bits of the vector
     * against deterministic ±1 hyperplanes. `dims` is the embedding
-    * width (the fixture corpus is 64-wide); the projection is a flat
-    * codegen'd multiply-add chain with the same left-to-right fold
-    * order as the aggregate formulation. */
-  def srpBucket(emb: Column, bits: Int = 8, dims: Int = 64): Column = {
+    * width (the fixture corpus is 64-wide). Backed by the native
+    * [[graft.functions.SrpBucket]] expression — a primitive double
+    * loop with a cached plane matrix; the flat Column formulation
+    * ([[srpBucketFlat]], ~4,000 expression nodes at 8×64) measured
+    * ~0.3 ms/row and dominated every SRP consumer. Values are
+    * bit-identical (LlmSpec pins it). */
+  def srpBucket(emb: Column, bits: Int = 8, dims: Int = 64): Column =
+    graft.functions.SrpBucket.column(emb, bits, dims)
+
+  /** The flat Column formulation, kept as the reference implementation
+    * the native expression is checked against (and the shape the
+    * DuckDB oracle mirrors term by term). */
+  def srpBucketFlat(emb: Column, bits: Int = 8, dims: Int = 64): Column = {
     val bitCols = (0 until bits).map { p =>
       val proj = (0 until dims).map(d =>
         element_at(emb, d + 1).cast("double") * lit(planeSign(p, d)))
@@ -279,9 +284,10 @@ object Similarity {
     * fold order) → DuckDB-oracle-checkable. */
   def nearDupPairs(vectors: DataFrame, idCol: String, embCol: String,
       threshold: Double, bits: Int = 8): DataFrame = {
-    val c = vectors.repartition(par(vectors))
-      .select(col(idCol).as("id"), col(embCol).as("emb"),
-        norm(col(embCol)).as("nrm"), srpBucket(col(embCol), bits).as("bucket"))
+    // no repartition floor: see [[bucketIndex]] — bucketing is cheaper
+    // than the exchange it would take to parallelize it, and the
+    // bucket join shuffles both sides on the bucket key anyway
+    val c = bucketIndex(vectors, idCol, embCol, bits)
     c.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))
       .join(c.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"),
@@ -301,9 +307,13 @@ object Similarity {
     * reuses them instead of re-projecting the whole corpus. */
   def bucketIndex(vectors: DataFrame, idCol: String, embCol: String,
       bits: Int = 8): DataFrame =
-    vectors.repartition(par(vectors))
-      .select(col(idCol).as("id"), col(embCol).as("emb"),
-        norm(col(embCol)).as("nrm"), srpBucket(col(embCol), bits).as("bucket"))
+    // no parallelism floor here (unlike the md5-digest text ops):
+    // SRP bucketing is ~bits×dims flops per row — cheaper than
+    // shuffling the embedding itself — so an extra exchange would
+    // cost more than it parallelizes, and the downstream bucket join
+    // repartitions anyway
+    vectors.select(col(idCol).as("id"), col(embCol).as("emb"),
+      norm(col(embCol)).as("nrm"), srpBucket(col(embCol), bits).as("bucket"))
 
   /** Incremental embedding near-dup pairs: verified pairs involving at
     * least one NEW vector — new×existing and new×new, never

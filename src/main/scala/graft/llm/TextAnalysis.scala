@@ -231,7 +231,11 @@ object TextAnalysis {
       idCol: String, textCol: String,
       flagAbove: Double = 1000.0): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col(textCol))
-    val base = docs.select(col(idCol), toks.as("toks"))
+    // parallelism floor (the lshPairs rule): tokenize/explode feeds
+    // every downstream aggregate and must not serialize onto one core
+    // behind an unsplittable input file
+    val base = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), toks.as("toks"))
     val uni = base.select(explode(col("toks")).as("a"))
       .groupBy("a").agg(count(lit(1)).as("ca"))
     val vocab = uni.count() // V: driver scalar, one small job
@@ -265,6 +269,36 @@ object TextAnalysis {
         coalesce(col("perplexity") > flagAbove, lit(false)))
   }
 
+  /** URL canonicalization (the key step of URL-level dedup in web
+    * corpus assembly — CCNet/RefinedWeb dedup by canonical URL before
+    * any content hashing): two spellings of the same resource must
+    * map to one key. Rules (each a portable regex/HOF both engines
+    * reproduce; no lookaheads — RE2-safe):
+    *   1. drop the #fragment;
+    *   2. lowercase scheme and host (path/query stay case-sensitive);
+    *   3. strip a leading `www.` and the default `:80`/`:443` ports;
+    *   4. drop tracking parameters (`utm_*`, `fbclid`, `gclid`,
+    *      `ref`), SORT the survivors for order-independence;
+    *   5. strip trailing slashes from the path.
+    * A narrow per-row map — zero shuffle; the dedup that follows is
+    * one hash aggregate on the canonical key. */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(
+      regexp_replace(host0, "^www\\.", ""), ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_replace(
+      regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = sort_array(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=&]*|fbclid|gclid|ref)=")))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   /** C4-style corpus cleaning (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning" §2.2): line-level filters — keep
     * lines that end in terminal punctuation, contain at least
@@ -282,23 +316,38 @@ object TextAnalysis {
   def c4Stats(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       minWords: Int = 3, minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
-    val lines = split(col(textCol), "\n")
+    // NO parallelism floor: this is a zero-shuffle scan rider
+    // (PlanQualitySpec pins it) — at scale the scan parallelizes by
+    // file, and shuffling full text bytes to parallelize a regex pass
+    // costs more than it buys. (Contrast substringStats, whose md5
+    // volume is ~token-count and does justify the floor.)
+    // STAGED projections: the filtered line array is referenced by
+    // four output columns, and a Column expression referenced N times
+    // is evaluated N times — re-running the per-line regex filter per
+    // reference. Materializing `__kept` in its own projection runs it
+    // once per row (CollapseProject refuses to inline non-cheap
+    // expressions referenced more than once, so the stage survives
+    // optimization).
     val keepLine = (l: Column) =>
       trim(l).rlike("[.!?\"]$") &&
         size(split(trim(l), "\\s+")) >= minWords &&
         !lower(l).contains("javascript")
-    val kept = filter(lines, keepLine)
-    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
-    val hasBrace = col(textCol).contains("{")
-    docs.select(
+    val staged = docs.select(col(idCol),
+        lower(col(textCol)).contains("lorem ipsum").as("__lorem"),
+        col(textCol).contains("{").as("__brace"),
+        split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), col("__lorem"), col("__brace"), col("__lines"),
+        filter(col("__lines"), keepLine).as("__kept"))
+    staged.select(
       col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept_lines"),
-      (size(kept).cast("double") / size(lines)).as("kept_frac"),
-      hasLorem.as("has_lorem_ipsum"),
-      hasBrace.as("has_brace"),
-      (!hasLorem && !hasBrace && size(kept) >= minKeptLines).as("c4_kept"),
-      length(array_join(transform(kept, l => trim(l)), "\n"))
+      size(col("__lines")).cast("long").as("n_lines"),
+      size(col("__kept")).cast("long").as("n_kept_lines"),
+      (size(col("__kept")).cast("double") / size(col("__lines"))).as("kept_frac"),
+      col("__lorem").as("has_lorem_ipsum"),
+      col("__brace").as("has_brace"),
+      (!col("__lorem") && !col("__brace") && size(col("__kept")) >= minKeptLines)
+        .as("c4_kept"),
+      length(array_join(transform(col("__kept"), l => trim(l)), "\n"))
         .cast("long").as("clean_chars"))
   }
 
@@ -308,14 +357,18 @@ object TextAnalysis {
   def c4Clean(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       minWords: Int = 3, minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, (l: Column) =>
+    // same staged-projection discipline as [[c4Stats]]: the regex
+    // filter runs once per row, not once per reference
+    val kept = filter(split(col(textCol), "\n"), (l: Column) =>
       trim(l).rlike("[.!?\"]$") &&
         size(split(trim(l), "\\s+")) >= minWords &&
         !lower(l).contains("javascript"))
-    docs.filter(!lower(col(textCol)).contains("lorem ipsum") &&
-        !col(textCol).contains("{") && size(kept) >= minKeptLines)
+    docs.select(col(idCol),
+        (!lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("__page_ok"),
+        kept.as("__kept"))
+      .filter(col("__page_ok") && size(col("__kept")) >= minKeptLines)
       .select(col(idCol),
-        array_join(transform(kept, l => trim(l)), "\n").as("clean_text"))
+        array_join(transform(col("__kept"), l => trim(l)), "\n").as("clean_text"))
   }
 }

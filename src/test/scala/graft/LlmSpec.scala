@@ -71,6 +71,59 @@ class LlmSpec extends AnyFunSuite {
     assert(hs.forall(h => h >= 0 && h < 65536))
   }
 
+  test("native srp_bucket is value-identical to the flat Column formulation on real vectors") {
+    val both = emb.select(
+      Similarity.srpBucketFlat(col("embedding"), 8).as("flat"),
+      Similarity.srpBucket(col("embedding"), 8).as("nat"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null-array parity: the when/otherwise chain maps NULL to bucket 0
+    val n = emb.limit(1).select(
+      Similarity.srpBucketFlat(lit(null).cast("array<float>"), 8).as("flat"),
+      Similarity.srpBucket(lit(null).cast("array<float>"), 8).as("nat"))
+      .collect()(0)
+    assert(n.getLong(0) == 0L && n.getLong(1) == 0L, n.toString)
+  }
+
+  test("native simhash16 is value-identical to the HOF formulation on real docs") {
+    val both = docs.select(
+      Dedup.simhash16(col("text")).as("hof"),
+      graft.functions.SimHash16
+        .column(spark, TextAnalysis.tokens(col("text"))).as("nat"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("url canonicalization maps spelling variants to one key, each rule exercised") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment dropped; scheme/host lowered; www + :443 stripped;
+      // trailing slash stripped; utm_* dropped; survivors sorted
+      ("https://www.Example.COM:443/path/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/path?a=1&b=2"),
+      // :80 stripped, double trailing slash stripped
+      ("HTTP://example.com:80/a//", "http://example.com/a"),
+      // no query, no fragment: identity modulo nothing
+      ("https://example.com/a", "https://example.com/a"),
+      // tracking-only query disappears entirely (no dangling '?')
+      ("https://example.com/a?utm_campaign=z&fbclid=1&gclid=2&ref=r",
+        "https://example.com/a"),
+      // 'referrer' is NOT 'ref' — prefix match must not overreach
+      ("https://example.com/a?referrer=x", "https://example.com/a?referrer=x"),
+      // root URL with bare trailing slash
+      ("https://example.com/", "https://example.com"),
+      // path/query case is preserved (only scheme+host fold)
+      ("https://Example.com/CaseSensitive?Q=V",
+        "https://example.com/CaseSensitive?Q=V"))
+    val out = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.urlCanonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"canonicalize($in)") }
+  }
+
   test("native jaccard_shingles equals the array formulation") {
     import spark.implicits._
     val texts = Seq(
