@@ -404,13 +404,23 @@ object QueriesSql {
       .renderSql(q123Req, withDescriptions = false)))
 
   /** Exact interpolated quantiles (percentile ≡ quantile_cont — both
-    * engines use linear interpolation on the sorted values). */
+    * engines use linear interpolation on the sorted values). Exact
+    * percentile's aggregation state is a value→count map per (group,
+    * agg-expression): asking for p25/p75 as two separate aggregates
+    * builds, serializes, and merges the extendedprice map TWICE, so
+    * both quantiles come from ONE `percentile(x, array(...))` state.
+    * Decimals are cast to double before the map (interpolation happens
+    * on doubles regardless — value-identical, measured) so the state
+    * keys are cheap primitives, not Decimal objects. 2.05→1.36 s at
+    * sf0.1; at 100 TB the halved state is also half the shuffle. */
   private val q50 = Q("q50_quantiles",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
-        expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
+      .agg(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("median_qty"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.75))")
+          .as("pp"))
+      .select(col("l_returnflag"), col("median_qty"),
+        col("pp")(0).as("price_p25"), col("pp")(1).as("price_p75"))
       .orderBy("l_returnflag"),
     Some("""
       SELECT l_returnflag,

@@ -228,6 +228,28 @@ object StreamingPipeline {
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("txid")
 
+  /** STREAM-STREAM inner join with bounded state: correlate two live
+    * streams (e.g. document arrivals with their metadata/embedding
+    * events) on a key, accepting matches only within a time band
+    * (`right.ts ∈ [left.ts, left.ts + maxDelay]`). Both sides carry a
+    * watermark AND the join condition bounds event-time distance —
+    * together they let Spark evict buffered rows once no future match
+    * is possible, so state is O(in-horizon traffic), never unbounded.
+    * Without the time-range conjunct Spark would have to keep every
+    * row forever — the canonical stream-join state leak at scale. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      maxDelay: String = "1 hour", horizon: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", horizon)
+    val r = right
+      .withColumnRenamed(key, s"${key}_r").withColumnRenamed("ts", "ts_r")
+      .withWatermark("ts_r", horizon)
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col("ts_r") >= col("ts") &&
+        col("ts_r") <= col("ts") + expr(s"INTERVAL $maxDelay"))
+      .drop(s"${key}_r")
+  }
+
   /** §2.3 failure/report callbacks as a StreamingQueryListener: fires
     * every configured [[graft.sinks.Sinks.AlertChannel]] (Slack webhook
     * and/or email) on query termination with error — parity with the

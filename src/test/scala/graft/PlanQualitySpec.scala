@@ -302,6 +302,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Generate") && !plan.contains("Join"), plan.take(3000))
   }
 
+  test("q128: url canonicalization is a narrow map — one exchange total (the dedup agg)") {
+    val df = Queries.all.find(_.name == "q128_url_dedup").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // canonicalize must not shuffle; the only exchanges are the hash
+    // aggregate on the canonical key and the final presentation sort
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"saw $exchanges exchanges\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("q50: both extendedprice quantiles come from ONE percentile state") {
+    val df = Queries.all.find(_.name == "q50_quantiles").get.run(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // percentile(x, array(0.25, 0.75)) — a second separate percentile
+    // over l_extendedprice would double the value→count map state,
+    // its shuffle bytes, and the merge work
+    val pcts = plan.linesIterator.mkString("\n").split("percentile\\(").length - 1
+    assert(pcts == 2, s"expected 2 percentile aggs (qty + price-array), saw $pcts\n${plan.take(2000)}")
+  }
+
   test("q120: bpe_encode evaluates inside whole-stage codegen") {
     val df = Queries.all.find(_.name == "q120_bpe_tokens").get.run(spark, dir)
     df.collect()

@@ -295,6 +295,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == Seq("d1", "d2"))
   }
 
+  test("stream-stream join matches within the time band, drops out-of-band rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-ssj").toString
+    val t0 = 1700000000L
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // left: doc arrivals; right: metadata events. m1 arrives 10 min
+    // after d1 (in band), m2 arrives 2 h after d2 (out of band), m3
+    // has no matching doc; far-future rows push both watermarks.
+    Seq((10L, ts(t0), "d1"), (20L, ts(t0), "d2"), (99L, ts(t0 + 999999), "wm"))
+      .toDF("doc_id", "ts", "payload").write.parquet(s"$base/left")
+    Seq((10L, ts(t0 + 600), "m1"), (20L, ts(t0 + 7200), "m2"),
+      (30L, ts(t0 + 600), "m3"), (98L, ts(t0 + 999999), "wm"))
+      .toDF("doc_id", "ts", "meta").write.parquet(s"$base/right")
+    val l = spark.readStream
+      .schema(spark.read.parquet(s"$base/left").schema).parquet(s"$base/left")
+    val r = spark.readStream
+      .schema(spark.read.parquet(s"$base/right").schema).parquet(s"$base/right")
+    val q = StreamingPipeline.streamStreamJoin(l, r, "doc_id")
+      .select(col("doc_id"), col("payload"), col("meta"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_out").collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2))).toSet
+    // only the in-band pair joins: d2's metadata is 2h late, m3 has no doc
+    assert(got == Set((10L, "d1", "m1")), got.toString)
+  }
+
   test("alert listener fires webhook AND email channels when a query dies") {
     import spark.implicits._
     val wh = new Sinks.CollectingWebhook
