@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Queries.Q
 import graft.functions.GraftFunctions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Inventory batch 2: window functions, set ops, JSON, and the
@@ -711,20 +711,29 @@ object QueriesLlm {
   /** Engine-portable HLL distinct sketch (graft.llm.HllSketch): unlike
     * approx_count_distinct (q7a, engine-private sketch → rows-only),
     * this one is md5-derived and exact-arithmetic, so the DuckDB oracle
-    * implements the identical sketch and the ESTIMATES hash-match. */
+    * implements the identical sketch and the ESTIMATES hash-match.
+    * Both the sketch and the exact check derive from ONE shared
+    * distinct() of (flag, key): a register's value is max(rank) over
+    * DISTINCT keys — duplicates cannot change a max — so the two md5
+    * digests run per distinct key, not per raw row (at corpus scale
+    * that's hash work ∝ cardinality, orders of magnitude below row
+    * count), and the partial-distinct exchange feeds both consumers
+    * (runtime exchange reuse). Estimates are value-identical to the
+    * per-row formulation. */
   private val q46 = Q("q46_hll_distinct",
     (s, dir) => {
       import graft.llm.HllSketch._
-      val regs = t(s, dir, "lineitem")
-        .select(col("l_returnflag"),
+      val d = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+      val regs = d.select(col("l_returnflag"),
           bucket(col("l_partkey")).as("b"), rank(col("l_partkey")).as("r"))
         .groupBy("l_returnflag", "b").agg(max(col("r")).as("mr"))
       val est = regs.groupBy("l_returnflag")
         .agg((lit(Alpha * M * M) /
           (sum(expr("1.0 / shiftleft(1L, mr)")) + (lit(M) - count(lit(1)))))
           .as("hll_distinct"))
-      val exact = t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      val exact = d.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_exact"))
       est.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
     },
     Some("""
@@ -1582,9 +1591,89 @@ object QueriesLlm {
       SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
       FROM canon GROUP BY canon_url ORDER BY canon_url"""))
 
+  /** In-engine trained quality/language classifier
+    * (llm.QualityClassifier): logistic regression over the q17 text
+    * statistics, fit by 3 deterministic full-batch GD iterations with
+    * exact-decimal gradient sums, predicting the ground-truth `lang =
+    * 'en'` column — the "distill a label into a cheap linear scorer"
+    * step of corpus quality filtering. The oracle replicates the
+    * ENTIRE training run as unrolled CTEs (one gradient + one weight
+    * CTE per iteration) and then scores — weights and per-doc sigmoid
+    * scores hash-match bit-for-bit, proving the training loop is
+    * engine-reproducible, not just the final map. */
+  private val q129 = Q("q129_quality_classifier",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 1.0)
+      QualityClassifier.score(feat, "doc_id", w).orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               1.0 AS x0,
+               len(toks) / 100.0 AS x1,
+               (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / len(toks)) / 10.0 AS x2,
+               (length(text) - length(regexp_replace(text, '[.,!?;:''"-]', '', 'g')))
+                 / 10.0 AS x3,
+               CAST(len(list_filter(toks, t ->
+                 t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks) AS x4,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM (SELECT doc_id, text, lang,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)),
+      c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+      wA AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+      gA AS (
+        SELECT
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x0) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x1) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x2) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x3) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x4) AS DECIMAL(30,12))) AS DOUBLE) AS g4
+        FROM f, wA),
+      wB AS (SELECT wA.w0 - gA.g0 / c.n AS w0, wA.w1 - gA.g1 / c.n AS w1,
+                    wA.w2 - gA.g2 / c.n AS w2, wA.w3 - gA.g3 / c.n AS w3,
+                    wA.w4 - gA.g4 / c.n AS w4
+             FROM wA, gA, c),
+      gB AS (
+        SELECT
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x0) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x1) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x2) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x3) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x4) AS DECIMAL(30,12))) AS DOUBLE) AS g4
+        FROM f, wB),
+      wC AS (SELECT wB.w0 - gB.g0 / c.n AS w0, wB.w1 - gB.g1 / c.n AS w1,
+                    wB.w2 - gB.g2 / c.n AS w2, wB.w3 - gB.g3 / c.n AS w3,
+                    wB.w4 - gB.g4 / c.n AS w4
+             FROM wB, gB, c),
+      gC AS (
+        SELECT
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x0) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x1) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x2) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x3) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
+          CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x4) AS DECIMAL(30,12))) AS DOUBLE) AS g4
+        FROM f, wC),
+      wD AS (SELECT wC.w0 - gC.g0 / c.n AS w0, wC.w1 - gC.g1 / c.n AS w1,
+                    wC.w2 - gC.g2 / c.n AS w2, wC.w3 - gC.g3 / c.n AS w3,
+                    wC.w4 - gC.g4 / c.n AS w4
+             FROM wC, gC, c)
+      SELECT doc_id,
+             1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4)))
+               AS quality_score,
+             1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) >= 0.5
+               AS predicted,
+             y AS label
+      FROM f, wD
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128)
+    q127, q128, q129)
 }

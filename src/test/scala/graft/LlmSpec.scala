@@ -96,6 +96,34 @@ class LlmSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("quality classifier: in-engine GD separates planted classes, training is bit-deterministic") {
+    import spark.implicits._
+    import graft.llm.QualityClassifier
+    val stop = Seq("the", "a", "of", "and", "is")
+    // planted separable corpus: "english" docs are stopword-dense,
+    // "other" docs have zero stopwords and longer tokens
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, s"the cat $i is one of the best and the dog is a pal", "en")
+    } ++ (40 until 80).map { i =>
+      (i.toLong, s"zxqwv$i bbbbbbb ccccccc ddddddd eeeeeee fffffff ggggggg", "xx")
+    }).toDF("doc_id", "text", "lang")
+    val feat = QualityClassifier.features(
+      docs, "doc_id", "text", col("lang") === "en", stop)
+    val w1 = QualityClassifier.train(feat, iters = 10, lr = 1.0)
+    val w2 = QualityClassifier.train(feat, iters = 10, lr = 1.0)
+    // determinism to the last bit: decimal-exact gradient sums make
+    // the training loop order-independent
+    assert(w1.toSeq == w2.toSeq, s"${w1.toSeq} vs ${w2.toSeq}")
+    val scored = QualityClassifier.score(feat, "doc_id", w1).collect()
+    val acc = scored.count(r =>
+      r.getBoolean(2) == (r.getDouble(3) == 1.0)).toDouble / scored.length
+    assert(acc >= 0.95, s"accuracy $acc on a linearly separable corpus")
+    // scoring is a zero-shuffle map over the feature frame
+    val plan = QualityClassifier.score(feat, "doc_id", w1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("url canonicalization maps spelling variants to one key, each rule exercised") {
     import spark.implicits._
     val cases = Seq(
