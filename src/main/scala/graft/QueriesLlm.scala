@@ -1671,9 +1671,24 @@ object QueriesLlm {
       FROM f, wD
       ORDER BY doc_id"""))
 
+  /** Per-domain document cap (Corpus.domainCap): at most k docs per
+    * source, md5-rank-chosen — the RefinedWeb "no domain dominates"
+    * assembly rule. One window shuffle on the domain key. */
+  private val q130 = Q("q130_domain_cap",
+    (s, dir) => graft.llm.Corpus.domainCap(
+      t(s, dir, "documents"), "source", "doc_id", 25)
+      .select(col("doc_id"), col("source")).orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 25 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128, q129)
+    q127, q128, q129, q130)
 }

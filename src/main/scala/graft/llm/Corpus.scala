@@ -46,6 +46,26 @@ object Corpus {
       .drop("__rk", "__n")
   }
 
+  /** Per-domain document cap (the RefinedWeb/C4 "no domain dominates"
+    * rule: at most `k` documents per source/domain, chosen
+    * deterministically). Keeps the `k` rows with the smallest
+    * md5(key) within each domain — order-free and reproducible on any
+    * cluster size, and because the rank is md5-based the kept set is
+    * an unbiased "random" k, not the first k by ingest order (which
+    * would be time-correlated). ONE shuffle on the domain key; the
+    * window is top-k per group, never a global sort. Skew note: a
+    * giant domain makes a giant partition — for web-scale corpora
+    * pre-aggregate obvious megadomains or raise shuffle partitions;
+    * the per-row state inside the window is O(1) (rank counter). */
+  def domainCap(df: DataFrame, domainCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic data-mixture sampling (the "mixture weights" step
     * of corpus assembly — e.g. The Pile / LLaMA-style per-source
     * sampling rates): keep each row with probability

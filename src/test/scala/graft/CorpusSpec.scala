@@ -38,6 +38,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(sampled.join(docs, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("domain cap: at most k per domain, deterministic, unbiased by ingest order") {
+    val docs = Tables.load(spark, dir, "documents")
+    val capped = Corpus.domainCap(docs, "source", "doc_id", 7)
+    val per = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- full)
+      assert(per(src) == math.min(n, 7L), s"$src: ${per(src)} of $n")
+    // md5 rank, not ingest order: the kept set must not be the first k ids
+    val keptIds = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val firstK = docs.orderBy("doc_id").limit(per.values.sum.toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds != firstK, "cap should not be ingest-order-biased")
+    // deterministic across evaluations
+    val again = Corpus.domainCap(docs, "source", "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+  }
+
   test("pii redaction replaces emails, urls and digit runs") {
     val out = Seq(
       "mail me at a.b@example.com or see https://x.io/path?q=1 ref 123456")
