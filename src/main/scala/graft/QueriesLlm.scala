@@ -1686,9 +1686,55 @@ object QueriesLlm {
         FROM documents)
       WHERE rk <= 25 ORDER BY doc_id"""))
 
+  /** Substring-dedup REWRITE (Dedup.substringDedupTexts): q126 flags
+    * duplicated-window coverage; this gate pins the write path — all
+    * but the globally first occurrence of every duplicated 8-token
+    * window dropped, text rebuilt from surviving tokens. The oracle
+    * replicates keeper choice (row_number over (doc, pos) per window
+    * hash), the per-doc drop-interval union, and the token-level
+    * rebuild. */
+  private val q131 = Q("q131_substring_rewrite",
+    (s, dir) => graft.llm.Dedup
+      .substringDedupTexts(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      wins AS (
+        SELECT doc_id, t,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                 i -> {'pos': i - 1,
+                       'wh': ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT})) AS w
+        FROM arr),
+      occ AS (
+        SELECT doc_id, w.pos AS pos, w.wh AS wh,
+               COUNT(*) OVER (PARTITION BY w.wh) AS gcnt,
+               row_number() OVER (PARTITION BY w.wh ORDER BY doc_id, w.pos) AS rn
+        FROM wins),
+      drops AS (
+        SELECT doc_id, list_sort(list(pos)) AS dps
+        FROM occ WHERE gcnt > 1 AND rn > 1 GROUP BY doc_id),
+      joined AS (
+        SELECT a.doc_id, a.t, COALESCE(d.dps, []) AS dps
+        FROM arr a LEFT JOIN drops d USING (doc_id)),
+      kept AS (
+        SELECT doc_id, t,
+               list_filter(generate_series(0, len(t) - 1), i ->
+                 len(list_filter(dps, dp -> i >= dp AND i < dp + 8)) = 0)
+                 AS ki
+        FROM joined)
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(t) - len(ki) AS BIGINT) AS n_dropped,
+             COALESCE(array_to_string(list_transform(ki, i -> t[i + 1]), ' '), '')
+               AS clean_text
+      FROM kept
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128, q129, q130)
+    q127, q128, q129, q130, q131)
 }

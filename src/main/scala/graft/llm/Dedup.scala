@@ -487,4 +487,63 @@ object Dedup {
         col("n_dup_windows"), col("dup_tokens"), col("dup_token_frac"),
         col("substr_dup_flagged"))
   }
+
+  /** The WRITE path of substring-level dedup (Lee et al. 2022 §3:
+    * "we remove all but one occurrence"): [[substringStats]] flags,
+    * this REWRITES — every duplicated window keeps its globally FIRST
+    * occurrence (min (doc, pos)), and all other occurrences' token
+    * ranges are dropped from their documents, rebuilding each text
+    * from the surviving tokens (whitespace/case-normalized by the
+    * shared tokenizer, like every token-level op here).
+    *
+    * Keeper choice is per WINDOW, so overlapping duplicated spans
+    * resolve consistently: the occurrence list of each window hash is
+    * sorted and all but the head emit a drop interval [pos, pos+w);
+    * a document's kept tokens are those covered by NO drop interval
+    * (HOF exists over the per-doc sorted drop positions — no
+    * per-token explode).
+    *
+    * Shape: identical to [[substringStats]] through the occurrence
+    * aggregate (one full-stream hash shuffle on the 60-bit window
+    * key); everything after the `gcnt > 1` filter — the non-keeper
+    * explode, the per-doc drop-list aggregate, the join back onto
+    * (id, tokens) — is proportional to DUPLICATE volume. The rebuild
+    * is a narrow per-row map. Survives 100 TB for the same reasons
+    * substringStats does. */
+  def substringDedupTexts(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val w = windowTokens
+    val toks = TextAnalysis.tokens(col(textCol))
+    val starts = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
+    val wins = transform(starts, i => struct(
+      (i - 1).cast("int").as("pos"),
+      shingleHash(concat_ws(" ", slice(toks, i, lit(w)))).as("wh")))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val ex = docs.repartition(par).select(col(idCol), explode(wins).as("win"))
+      .select(col(idCol), col("win.pos").as("pos"), col("win.wh").as("wh"))
+    // sort_array pins the occurrence order to (id, pos); the head is
+    // the keeper, the tail emits drop intervals
+    val drops = ex.groupBy(col("wh"))
+      .agg(count(lit(1)).as("gcnt"),
+        sort_array(collect_list(struct(col(idCol), col("pos")))).as("occ"))
+      .filter(col("gcnt") > 1)
+      .select(explode(slice(col("occ"), lit(2),
+        greatest(size(col("occ")) - 1, lit(0)))).as("o"))
+      .select(col(s"o.$idCol").as(idCol), col("o.pos").as("pos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("dps"))
+    val dps = coalesce(col("dps"), array().cast("array<int>"))
+    // kept = 0-based token indices covered by no drop interval
+    val keptIdx = filter(
+      sequence(lit(0), size(col("toks")) - 1),
+      i => !exists(dps, d => i >= d && i < d + w))
+    docs.select(col(idCol), toks.as("toks"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(keptIdx)).cast("long").as("n_dropped"),
+        array_join(
+          transform(keptIdx, i => element_at(col("toks"), i + 1)), " ")
+          .as("clean_text"))
+  }
 }

@@ -124,6 +124,28 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("substring rewrite: first occurrence kept, later occurrence's span dropped, bystander untouched") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"dup$i").mkString(" ") // 10-token span, > window=8
+    val d = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six seven $span eight nine ten eleven"),
+      (3L, "totally unrelated words nobody repeats anywhere else here today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupTexts(d, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is the global first occurrence of every dup window: intact
+    assert(out(1L)._2 == 0L, out(1L).toString)
+    assert(out(1L)._3.contains("dup1") && out(1L)._3.contains("dup10"))
+    // doc 2 loses exactly the 10 span tokens, keeps its own words
+    assert(out(2L)._2 == 10L, out(2L).toString)
+    assert(!out(2L)._3.contains("dup"), out(2L)._3)
+    assert(out(2L)._3 == "one two three four five six seven eight nine ten eleven")
+    // doc 3 shares no window: untouched
+    assert(out(3L)._2 == 0L && out(3L)._3.startsWith("totally unrelated"))
+  }
+
   test("url canonicalization maps spelling variants to one key, each rule exercised") {
     import spark.implicits._
     val cases = Seq(
