@@ -1563,10 +1563,20 @@ object QueriesLlm {
         SELECT doc_id,
           lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
-          regexp_replace(regexp_replace(
+          CASE lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            WHEN 'http' THEN regexp_replace(regexp_replace(
               lower(regexp_extract(nofrag,
                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-              '^www\.', ''), ':(80|443)$', '') AS host,
+              '^www\.', ''), ':80$', '')
+            WHEN 'https' THEN regexp_replace(regexp_replace(
+              lower(regexp_extract(nofrag,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+              '^www\.', ''), ':443$', '')
+            ELSE regexp_replace(
+              lower(regexp_extract(nofrag,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+              '^www\.', '')
+          END AS host,
           regexp_extract(nofrag,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
         FROM nf),

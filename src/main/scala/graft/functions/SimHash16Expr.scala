@@ -20,17 +20,22 @@ object SimHash16Helper {
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(toks.getUTF8String(i).getBytes)
-      // hex char j of the digest: even j = high nibble of byte j/2,
-      // odd j = low nibble; char ∈ "89abcdef" ⇔ nibble value ≥ 8
-      var j = 0
-      while (j < 16) {
-        val nib =
-          if ((j & 1) == 0) (d(j >> 1) & 0xF0) >> 4
-          else d(j >> 1) & 0x0F
-        if (nib >= 8) counts(j) += 1
-        j += 1
+      // a null token casts NO votes but stays in the denominator —
+      // the HOF form's md5(null)→null predicate drops it from the
+      // filter while size(toks) still counts it
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).getBytes)
+        // hex char j of the digest: even j = high nibble of byte j/2,
+        // odd j = low nibble; char ∈ "89abcdef" ⇔ nibble value ≥ 8
+        var j = 0
+        while (j < 16) {
+          val nib =
+            if ((j & 1) == 0) (d(j >> 1) & 0xF0) >> 4
+            else d(j >> 1) & 0x0F
+          if (nib >= 8) counts(j) += 1
+          j += 1
+        }
       }
       i += 1
     }

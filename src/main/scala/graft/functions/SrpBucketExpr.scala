@@ -64,7 +64,11 @@ object SrpBucketHelper {
         }
         d += 1
       }
-      if (!nul && acc >= 0.0) res |= (1L << p)
+      // !(acc < 0.0), not acc >= 0.0: Spark SQL's `>=` orders NaN
+      // greater than every number, so the flat Column form sets the
+      // bit when the projection is NaN — Java's >= would not. The
+      // negated-< form matches Spark (and IEEE -0.0 >= 0 stays true).
+      if (!nul && !(acc < 0.0)) res |= (1L << p)
       p += 1
     }
     res
@@ -111,8 +115,14 @@ case class SrpBucket(child: Expression, bits: Int = 8, dims: Int = 64)
 }
 
 object SrpBucket {
-  def column(emb: Column, bits: Int = 8, dims: Int = 64): Column = {
-    val spark = SparkSession.active
+  /** Registers in `SparkSession.active` — fine for the common
+    * single-session case; pass the DataFrame's own session via the
+    * other overload when sessions are isolated (`spark.newSession()`),
+    * or the analyzer of the owning session won't see the function. */
+  def column(emb: Column, bits: Int = 8, dims: Int = 64): Column =
+    column(SparkSession.active, emb, bits, dims)
+
+  def column(spark: SparkSession, emb: Column, bits: Int, dims: Int): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       s"srp_bucket_${bits}_$dims",
       exprs => SrpBucket(exprs.head, bits, dims), "scala_udf")

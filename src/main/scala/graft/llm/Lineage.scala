@@ -22,11 +22,22 @@ object Lineage {
     * qualified path (Spark offers no way to re-point at an existing
     * qualified dir) — same root, so any caller contract of the form
     * "my checkpoints live under X" still holds. If no dir was set
-    * before, the context is returned to the unset state. */
-  def withCheckpointDir[T](sc: SparkContext, dir: String)(body: => T): T = {
-    val prev = sc.getCheckpointDir
-    sc.setCheckpointDir(dir)
-    try body
-    finally sc.setCheckpointDir(prev.orNull) // Option(null) → unset
-  }
+    * before, the context is returned to the unset state.
+    *
+    * Scoped calls are SERIALIZED (one global lock): the checkpoint dir
+    * is process-global mutable state, and two overlapping scopes would
+    * otherwise checkpoint into each other's directories mid-iteration
+    * and "restore" each other's temporary value as permanent. The lock
+    * is held for the whole body — concurrent reliable-checkpoint
+    * pipelines in one driver queue behind each other, which is the
+    * safe (and rare) case. */
+  def withCheckpointDir[T](sc: SparkContext, dir: String)(body: => T): T =
+    lock.synchronized {
+      val prev = sc.getCheckpointDir
+      sc.setCheckpointDir(dir)
+      try body
+      finally sc.setCheckpointDir(prev.orNull) // Option(null) → unset
+    }
+
+  private val lock = new Object
 }

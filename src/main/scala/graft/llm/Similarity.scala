@@ -336,6 +336,17 @@ object Similarity {
     def verify(pairs: DataFrame) = pairs.select(col("id_a"), col("id_b"),
         cosPre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)
+    // REPLAY SAFETY: a retried/backfilled batch may already be in the
+    // stored index; without this anti-join those ids would self-pair
+    // (id, id, cos=1 — a min-id survivors pass would then drop the doc
+    // as a duplicate of itself) and batch∩index pairs would emit
+    // multiple times. Excluding batch ids from the index side makes a
+    // replay behave exactly like the first ingest of that batch. The
+    // batch id set is broadcast (a micro-batch is small by
+    // construction), so the index scan itself is untouched.
+    val existingOnly = existingIdx.join(
+      org.apache.spark.sql.functions.broadcast(newIdx.select(col("id"))),
+      Seq("id"), "left_anti")
     // TWO joins, not one join against (existing ∪ new): each pair is
     // emitted exactly once by construction (new×old probes the index
     // once; new×new is a strict-inequality self-join), so no
@@ -345,7 +356,7 @@ object Similarity {
     // through a union defeats DPP, and Spark's runtime can even fail
     // the unprepared pruning subquery — LlmSpec's parquet round-trip
     // pins this).
-    val crossBatch = verify(side(newIdx, "x").join(side(existingIdx, "y"), Seq("bucket"))
+    val crossBatch = verify(side(newIdx, "x").join(side(existingOnly, "y"), Seq("bucket"))
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),

@@ -276,7 +276,9 @@ object TextAnalysis {
     * reproduce; no lookaheads — RE2-safe):
     *   1. drop the #fragment;
     *   2. lowercase scheme and host (path/query stay case-sensitive);
-    *   3. strip a leading `www.` and the default `:80`/`:443` ports;
+    *   3. strip a leading `www.` and the SCHEME'S default port only
+    *      (`:80` for http, `:443` for https — `https://h:80` is a
+    *      distinct endpoint and keeps its port);
     *   4. drop tracking parameters (`utm_*`, `fbclid`, `gclid`,
     *      `ref`), SORT the survivors for order-independence;
     *   5. strip trailing slashes from the path.
@@ -286,8 +288,12 @@ object TextAnalysis {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(
-      regexp_replace(host0, "^www\\.", ""), ":(80|443)$", "")
+    val hostNoWww = regexp_replace(host0, "^www\\.", "")
+    // only the SCHEME'S default port is redundant: https://h:80 is a
+    // real non-default endpoint and must keep its port
+    val host = when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .otherwise(hostNoWww)
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     val path = regexp_replace(
       regexp_extract(rest, "^([^?]*)", 1), "/+$", "")

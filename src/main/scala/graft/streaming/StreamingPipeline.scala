@@ -127,9 +127,11 @@ object StreamingPipeline {
     * zero-shuffle filters riding the scan; dedup probes batch ×
     * signature-store (never corpus²); the store grows by survivors
     * only, so it mirrors the corpus exactly. Offsets live in the
-    * checkpoint: a restart resumes after the last committed file, so
-    * nothing is re-cleaned, re-sampled, re-deduped or re-appended
-    * (StreamingSpec pins resume-across-restart). */
+    * checkpoint: a restart resumes after the last committed file, and
+    * an UNcommitted batch that already appended (crash between append
+    * and commit) is neutralized on re-execution by the exact-id
+    * anti-join against the signature store (StreamingSpec pins both
+    * resume-across-restart and the double-run). */
   def startCorpusIngest(spark: SparkSession, landingDir: String,
       corpusDir: String, sigDir: String, checkpoint: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
@@ -148,7 +150,14 @@ object StreamingPipeline {
   }
 
   /** Per-epoch corpus-ingest body (package-visible so the spec can
-    * drive a single batch without a stream). */
+    * drive a single batch without a stream).
+    *
+    * Idempotence: the parquet appends are not transactional, so a
+    * batch that crashed between the corpus append and the streaming
+    * commit WILL be re-executed — the exact-id anti-join against the
+    * signature store (which mirrors the corpus) drops every doc the
+    * previous attempt already landed, making the retry a no-op
+    * (StreamingSpec pins a double-run). */
   private[streaming] def corpusIngestBatch(batch: DataFrame,
       corpusDir: String, sigDir: String, weights: Map[String, Double],
       defaultWeight: Double, threshold: Double): Unit = {
@@ -158,21 +167,43 @@ object StreamingPipeline {
     // clean frame re-attaches `source` for the corpus sink
     val sampled = Corpus.mixtureSample(batch, "source", "doc_id",
       weights, defaultWeight)
-    val cleaned = TextAnalysis.c4Clean(sampled, "doc_id", "text")
+    val cleaned0 = TextAnalysis.c4Clean(sampled, "doc_id", "text")
       .join(sampled.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // first batch: no store yet → empty frame with the store schema.
+    // ONLY path-not-found maps to empty — a transient read failure
+    // must fail the batch loudly, not silently dedup against nothing
+    val existing = try spark.read.parquet(sigDir) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("Path does not exist") =>
+        Dedup.signatureTable(cleaned0.limit(0), "doc_id", "clean_text")
+    }
+    // exact-id idempotence: a RETRIED batch's survivors are already in
+    // the store under their own ids — drop them before near-dup work
+    val cleaned = cleaned0.join(
+      existing.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
     val newSigs = Dedup.signatureTable(cleaned, "doc_id", "clean_text")
       .persist()
     try {
-      val existing = scala.util.Try(spark.read.parquet(sigDir))
-        .getOrElse(newSigs.limit(0)) // first batch: no store yet
       // materialize=true: a long-running stream must not accumulate a
       // persisted pair cache per epoch — compute the (small) verified
       // pair set eagerly and release every intermediate block
       val pairs = Dedup.incrementalLshPairs(newSigs, existing,
         threshold, materialize = true)
-      // min-id keeper: with monotone doc ids across batches the kept
-      // side is always the already-ingested (or earlier-in-batch) doc
-      val dead = pairs.select(col("id_b").as("doc_id")).distinct()
+      // keeper orientation: the STORE always wins — a stored doc can't
+      // be un-appended, so when a pair touches the store the batch
+      // member dies regardless of id order (a backfilled batch can
+      // carry ids SMALLER than stored near-dups); within-batch pairs
+      // keep the min id. Pair volume ∝ duplicates, so these two small
+      // joins are cheap.
+      val batchIds = newSigs.select(col("id"))
+      val dead = pairs
+        .join(batchIds, pairs("id_b") === batchIds("id"), "left_semi")
+        .select(col("id_b").as("doc_id")) // id_b in batch: min-id rule
+        .unionAll(pairs
+          .join(batchIds, pairs("id_b") === batchIds("id"), "left_anti")
+          .select(col("id_a").as("doc_id"))) // id_b stored: batch side dies
+        .distinct()
       val survivors = cleaned.join(dead, Seq("doc_id"), "left_anti").cache()
       try {
         if (survivors.count() > 0) {

@@ -155,6 +155,9 @@ class LlmSpec extends AnyFunSuite {
         "https://example.com/path?a=1&b=2"),
       // :80 stripped, double trailing slash stripped
       ("HTTP://example.com:80/a//", "http://example.com/a"),
+      // NON-default port survives: https on :80 is a distinct endpoint
+      ("https://example.com:80/a", "https://example.com:80/a"),
+      ("http://example.com:443/a", "http://example.com:443/a"),
       // no query, no fragment: identity modulo nothing
       ("https://example.com/a", "https://example.com/a"),
       // tracking-only query disappears entirely (no dangling '?')
@@ -619,6 +622,14 @@ class LlmSpec extends AnyFunSuite {
     assert(incremental == full,
       s"only-incremental=${incremental -- full}, only-full=${full -- incremental}")
     assert(full.nonEmpty, "fixture must have near-dups touching the batch")
+    // REPLAY SAFETY: probing an index that ALREADY CONTAINS the batch
+    // (a retried micro-batch) must behave exactly like the first
+    // ingest — no self-pairs (id, id, cos=1), no double-emitted pairs
+    val fullIdx = Similarity.bucketIndex(emb, "vec_id", "embedding")
+    val replayed = toSet(Similarity.incrementalNearDupPairs(
+      batch, fullIdx, "vec_id", "embedding", threshold = 0.3))
+    assert(replayed == full,
+      s"replay diverged: extra=${replayed -- full}, missing=${full -- replayed}")
   }
 
   test("kmeans: 10-iteration plan stays truncated; checkpointDir is scoped and value-identical") {

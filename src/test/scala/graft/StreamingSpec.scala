@@ -104,6 +104,31 @@ class StreamingSpec extends AnyFunSuite {
     // nothing new landed: a catch-up run is a clean no-op
     run()
     assert(spark.read.parquet(corpus).count() == 3)
+
+    // RETRY idempotence: a crash between the corpus append and the
+    // streaming commit re-executes the batch. Simulate the worst case
+    // (a fresh checkpoint reprocesses EVERY landing file as one
+    // uncommitted batch): the exact-id anti-join against the signature
+    // store must neutralize all of it — no duplicate doc_ids, no new
+    // rows
+    val q2 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
+      sigs, s"$base/cp-retry", weights)
+    assert(q2.awaitTermination(120000))
+    val out3 = spark.read.parquet(corpus)
+    assert(out3.count() == 3 &&
+      out3.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "re-executed batch must be a no-op: " + out3.collect().mkString("; "))
+
+    // BACKFILL: a batch doc with an id SMALLER than its stored
+    // near-dup — the store must win (doc 0 dies, stored doc 1 stays)
+    Seq((0L, text1, "keep")).toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(landing)
+    val q3 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
+      sigs, s"$base/cp-retry", weights)
+    assert(q3.awaitTermination(120000))
+    assert(spark.read.parquet(corpus).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L),
+      "backfilled near-dup with a smaller id must lose to the store")
   }
 
   test("rpc micro-batch source: offsets are block heights, restart resumes from the checkpoint") {
