@@ -1742,9 +1742,114 @@ object QueriesLlm {
       FROM kept
       ORDER BY doc_id"""))
 
+  /** Bloom-filter seen-window membership (BloomFilter.seenWindowStats):
+    * build an md5-derived bloom (m = 2^17 bits, k = 7) over the
+    * 8-token window hashes of the doc_id % 4 != 0 corpus slice, probe
+    * every distinct window of the % 4 == 0 batch, and emit per batch
+    * doc the distinct/bloom-hit/exact-hit window counts. The small m
+    * is deliberate: at sf0.01 the filter runs at ~0.5 load so the
+    * gate data contains REAL false positives (n_bloom_hits >
+    * n_exact_hits on some rows) alongside the planted true hits —
+    * pinning both the no-false-negative guarantee and the FP
+    * behavior. The oracle recomputes the identical filter from the
+    * same digests (bit-set form; the Spark side's bit_or word bitmap
+    * is just the compressed representation of the same set). */
+  private val q132 = Q("q132_bloom_seen",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.BloomFilter.seenWindowStats(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", windowTokens = 8, k = 7, m = 1 << 17)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      wins AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                 i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT)) AS wh
+        FROM arr),
+      ex AS (SELECT DISTINCT wh FROM wins WHERE doc_id % 4 <> 0),
+      ebits AS (
+        SELECT DISTINCT ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':'
+          || CAST(wh AS VARCHAR)), 1, 8))::BIGINT % 131072 AS bit
+        FROM ex, generate_series(0, 6) AS s(j)),
+      bw AS (SELECT DISTINCT doc_id, wh FROM wins WHERE doc_id % 4 = 0),
+      probe AS (
+        SELECT p.doc_id, p.wh, (COUNT(e.bit) = 7) AS bloom_hit
+        FROM (SELECT doc_id, wh,
+                ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':'
+                  || CAST(wh AS VARCHAR)), 1, 8))::BIGINT % 131072 AS bit
+              FROM bw, generate_series(0, 6) AS s(j)) p
+        LEFT JOIN ebits e USING (bit)
+        GROUP BY p.doc_id, p.wh)
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(COUNT(*) FILTER (WHERE p.bloom_hit) AS BIGINT) AS n_bloom_hits,
+             CAST(COUNT(*) FILTER (WHERE x.wh IS NOT NULL) AS BIGINT) AS n_exact_hits
+      FROM bw b JOIN probe p USING (doc_id, wh)
+      LEFT JOIN ex x USING (wh)
+      GROUP BY b.doc_id
+      ORDER BY doc_id"""))
+
+  /** DSIR importance resampling (Dsir.importanceWeights + gumbelTopK):
+    * target slice = lang 'en'; hashed uni+bigram models with b = 1024
+    * buckets; per-doc log-weight folded in ascending-bucket order
+    * (order-pinned double sum — the oracle's list_reduce replays the
+    * identical fold), then deterministic Gumbel top-100 selection.
+    * Both the weights AND the sampled set hash-match; on the fixture
+    * the selection comes out ~3/4 English — target-like docs
+    * upweighted, non-target survivors present (that's the sampling,
+    * not top-k-by-weight, behavior the paper wants). */
+  private val q133 = Q("q133_dsir_select",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wts = graft.llm.Dsir.importanceWeights(
+        docs, "doc_id", "text", col("lang") === "en", b = 1024)
+      graft.llm.Dsir.gumbelTopK(wts, "doc_id", 100)
+    },
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, lang, unnest(t ||
+          list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM arr),
+      bkts AS (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bkt
+        FROM grams),
+      bstats AS (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rc,
+               CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tc
+        FROM bkts GROUP BY bkt),
+      tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS tr, CAST(SUM(tc) AS BIGINT) AS tt FROM bstats),
+      lr AS (
+        SELECT bkt,
+          ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+        - ln(CAST(rc + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)) AS lr
+        FROM bstats, tot),
+      dc AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS c FROM bkts GROUP BY doc_id, bkt),
+      contrib AS (
+        SELECT doc_id, bkt, CAST(c AS DOUBLE) * lr AS v
+        FROM dc JOIN lr USING (bkt)),
+      w AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY bkt)),
+            (a, x) -> a + x) AS logw
+        FROM contrib GROUP BY doc_id)
+      SELECT doc_id, logw,
+        logw - ln(-ln(((('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT) + 0.5) / 16777216.0)) AS score
+      FROM w
+      ORDER BY score DESC, doc_id LIMIT 100"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128, q129, q130, q131)
+    q127, q128, q129, q130, q131, q132, q133)
 }

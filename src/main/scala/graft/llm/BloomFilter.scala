@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable Bloom filter: fixed-size set membership for
+  * seen-before probes over unbounded key domains — the membership
+  * companion to the HLL distinct sketch ([[HllSketch]]) and the
+  * count-min frequency sketch ([[CountMin]]). Classic use in a
+  * training-data pipeline: a "have we ingested this fingerprint /
+  * URL / n-gram window before?" prefilter that answers from `m` bits
+  * of state instead of a corpus-sized join — no false negatives,
+  * false positives at the standard (1 − e^(−kn/m))^k rate, so a
+  * `true` is verified exactly and a `false` skips the expensive path
+  * outright.
+  *
+  * Unlike Spark's built-in `BloomFilterAggregate` (whose bit layout
+  * is engine-private), every bit here is md5-derived and reproducible
+  * on any engine — the DuckDB oracle recomputes the identical filter
+  * in SQL and hash-matches (q132).
+  *
+  * Scale shape: the sketch is a table of 32-bit words,
+  * `(word_idx, word)`, at most m/32 rows REGARDLESS of corpus size
+  * (m = 2^24 → 512 K rows ≈ 4 MB) — built by one explode (×k) + one
+  * `bit_or` hash aggregate (map-side combine collapses each partition
+  * to ≤ m/32 rows before the shuffle), merged across shards by the
+  * same `bit_or` (associative), and broadcast to the probe side so a
+  * membership probe is a broadcast join + bit test: NO shuffle of the
+  * probed stream, which is the whole point at 100 TB.
+  */
+object BloomFilter {
+
+  /** Bits per sketch word. 32 (not 64) so `1 << (bit % 32)` stays in
+    * positive BIGINT range on every engine — DuckDB's `<<` on BIGINT
+    * and Spark's `shiftleft` agree with no sign games. */
+  val WordBits = 32
+
+  /** (word_idx INT, mask BIGINT) of one bit position. The mask is a
+    * BIGINT so bit 31 stays positive (an INT mask would wrap negative
+    * on the JVM but not in DuckDB); Spark's `functions.shiftleft` only
+    * takes a literal shift, so the column-shift goes through the SQL
+    * form. */
+  private val wordIdx: Column = (col("bit") / WordBits).cast("int").as("word_idx")
+  private val wordMask: Column =
+    expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bit % $WordBits AS INT))").as("mask")
+
+  /** j-th bit position of a key: first 8 hex chars of
+    * md5("bloom<j>:" + x) → 32-bit int, mod m. Seeded by prefix, so
+    * the k probes are independent digests (k ≤ 16 keeps cost sane;
+    * DuckDB: ('0x' || substr(md5('bloom' || j || ':' || x), 1, 8))::BIGINT % m). */
+  def bitPos(j: Int, x: Column, m: Int): Column =
+    conv(substring(md5(concat(lit(s"bloom$j:"), x.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % m
+
+  /** All k bit positions of a key (array of longs in [0, m)). */
+  def bitPositions(x: Column, k: Int, m: Int): Column =
+    array((0 until k).map(j => bitPos(j, x, m)): _*)
+
+  /** Build the filter from a key column: (word_idx INT, word INT)
+    * rows, only non-zero words present (≤ m/32 rows). One explode ×k
+    * + one bit_or aggregate — shuffle volume is word-count, not
+    * row-count. */
+  def build(df: DataFrame, key: Column, k: Int = 7, m: Int = 1 << 24): DataFrame =
+    df.select(explode(bitPositions(key, k, m)).as("bit"))
+      .select(wordIdx, wordMask)
+      .groupBy("word_idx")
+      .agg(expr("bit_or(mask)").as("word"))
+
+  /** Merge filters built with the same (k, m) — cell-wise bit_or,
+    * associative, so shard-local filters combine in any order. */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+
+  /** Membership probe: for each item row, `might_contain` = all k bit
+    * positions set. The sketch side is ≤ m/32 rows → broadcast; the
+    * probed stream shuffles only on its own id for the k-way
+    * regroup (and even that is map-side combinable). No false
+    * negatives; `true` at the documented FP rate. */
+  def mightContain(sketch: DataFrame, items: DataFrame, idCol: String,
+      keyCol: Column, k: Int = 7, m: Int = 1 << 24): DataFrame =
+    items.select(col(idCol), explode(bitPositions(keyCol, k, m)).as("bit"))
+      .select(col(idCol), wordIdx, wordMask)
+      .join(broadcast(sketch), Seq("word_idx"), "left")
+      .groupBy(col(idCol))
+      .agg((count(when(col("word").isNotNull &&
+        (col("word").bitwiseAND(col("mask")) =!= 0L), 1)) === k)
+        .as("might_contain"))
+
+  /** Seen-window membership stats per document: the bloom-prefilter
+    * pattern at n-gram-window granularity (the cheap front half of a
+    * substring-dedup / contamination scan — see
+    * [[Dedup.substringStats]] for the exact back half). Builds a
+    * filter over the `windowTokens`-token window hashes of
+    * `existing`, probes every window of `batch`, and emits per batch
+    * doc: distinct windows, bloom-hit windows, and exact-hit windows
+    * (ground truth via join against the existing windows), so the
+    * false-positive overhead is directly visible as
+    * `n_bloom_hits − n_exact_hits ≥ 0` (never negative: no false
+    * negatives).
+    *
+    * Scale shape: filter build is explode + bit_or agg (word-count
+    * shuffle); the probe side is a broadcast join (no shuffle of the
+    * batch window stream beyond its per-doc regroup); the exact
+    * ground-truth join shuffles on the 60-bit window hash — that join
+    * exists HERE because the gate pins FP behavior; a production
+    * prefilter would run only the bloom side and verify just the hits. */
+  def seenWindowStats(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int = 8,
+      k: Int = 7, m: Int = 1 << 24): DataFrame = {
+    val w = windowTokens
+    def windows(df: DataFrame): DataFrame = {
+      val toks = TextAnalysis.tokens(col(textCol))
+      val starts = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
+      df.select(col(idCol), explode(
+        transform(starts, i =>
+          Dedup.shingleHash(concat_ws(" ", slice(toks, i, lit(w)))))).as("wh"))
+    }
+    val exWins = windows(existing)
+    val sketch = build(exWins, col("wh"), k, m)
+    // DISTINCT (id, wh): a window repeated within one doc would emit
+    // 2k bit rows and break the all-k-set count; distinct windows are
+    // also the right unit for "how much of this doc was seen before"
+    val batchWins = windows(batch).distinct()
+      .select(col(idCol), col("wh"), explode(bitPositions(col("wh"), k, m)).as("bit"))
+      .select(col(idCol), col("wh"), wordIdx, wordMask)
+      .join(broadcast(sketch), Seq("word_idx"), "left")
+      .groupBy(col(idCol), col("wh"))
+      .agg((count(when(col("word").isNotNull &&
+        (col("word").bitwiseAND(col("mask")) =!= 0L), 1)) === k).as("bloom_hit"))
+    val exact = exWins.select(col("wh")).distinct()
+      .withColumn("__seen", lit(1))
+    batchWins.join(exact, Seq("wh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"))
+  }
+}
