@@ -1847,9 +1847,101 @@ object QueriesLlm {
       FROM w
       ORDER BY score DESC, doc_id LIMIT 100"""))
 
+  /** DuckDB k-means assignment CTE body: every vector to its nearest
+    * centroid in `ctab` (cosine desc, cid tie-break) — the oracle twin
+    * of the crossJoin+row_number stage inside
+    * `Similarity.kmeansCentroids`/`semDedup`. */
+  private def semAssign(vtab: String, ctab: String): String = {
+    val cs = duckCos("v.emb", "x.c")
+    s"""SELECT vec_id, emb, cid, cs FROM (
+        SELECT v.vec_id, v.emb, x.cid, $cs AS cs,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY $cs DESC, x.cid ASC) AS r
+        FROM $vtab v CROSS JOIN $ctab x) WHERE r = 1"""
+  }
+
+  /** DuckDB centroid-update CTE body: per-cluster element-wise mean
+    * through the exact-decimal fold — the oracle twin of the
+    * `exactMeans` aggregate in `Similarity.kmeansCentroids`. */
+  private def semUpdate(atab: String): String =
+    s"""SELECT cid, list(m ORDER BY i) AS c FROM (
+        SELECT cid, i,
+               CAST(SUM(CAST(emb[i] AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM $atab, generate_series(1, 64) AS s(i) GROUP BY cid, i)
+        GROUP BY cid"""
+
+  /** SemDeDup (Similarity.semDedup, Abbas et al. 2023): k-means the
+    * embedding space (k = 8, 2 exact-decimal Lloyd's rounds), flag
+    * within-cluster pairs with cosine ≥ 0.3 as semantic duplicates,
+    * keep the pair member with the LOWER cosine to its centroid (most
+    * atypical survives; ties → lower id). The oracle replays the
+    * ENTIRE training run as unrolled CTEs (the q129 discipline) —
+    * seeds, both assignment rounds, both exact-decimal centroid
+    * updates, the final assignment, and the keeper rule all
+    * hash-match. */
+  private val q134 = Q("q134_semdedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.semDedup(emb, "vec_id", "embedding",
+        tau = 0.3, k = 8, iters = 2)
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, emb AS c FROM v WHERE vec_id < 8),
+      a1 AS (${semAssign("v", "c0")}),
+      c1 AS (${semUpdate("a1")}),
+      a2 AS (${semAssign("v", "c1")}),
+      c2 AS (${semUpdate("a2")}),
+      af AS (${semAssign("v", "c2")}),
+      losers AS (
+        SELECT DISTINCT CASE WHEN a.cs < b.cs
+                               OR (a.cs = b.cs AND a.vec_id < b.vec_id)
+                             THEN b.vec_id ELSE a.vec_id END AS vec_id
+        FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ${duckCos("a.emb", "b.emb")} >= 0.3)
+      SELECT af.vec_id, af.cid, af.cs AS cent_cos,
+             l.vec_id IS NULL AS kept
+      FROM af LEFT JOIN losers l ON af.vec_id = l.vec_id
+      ORDER BY af.vec_id"""))
+
+  /** Blocklist phrases for q135. Deliberately overlapping — "can" is a
+    * suffix of "scan" which is a suffix of "full scan" — so the gate
+    * data exercises Aho-Corasick fail-chain emission (all three must
+    * fire on "full scan"), not just disjoint-keyword matching. */
+  private val blockPats = Seq("cartesian", "slow join", "drop table",
+    "scan", "can", "window", "lorem ipsum", "batch stream", "full scan",
+    "spill")
+
+  /** C4-style blocklist stage (TextAnalysis.blocklist): which blocklist
+    * phrases occur in each document, via ONE Aho-Corasick pass fused
+    * into the scan — O(text + hits) per row regardless of pattern
+    * count, zero shuffle. The oracle replays matching as per-pattern
+    * `contains(lower(text), p)` — substring semantics, so the two
+    * formulations must agree id-for-id. */
+  private val q135 = Q("q135_blocklist",
+    (s, dir) => graft.llm.TextAnalysis.blocklist(
+      t(s, dir, "documents"), "doc_id", "text", blockPats).orderBy("doc_id"),
+    Some(s"""
+      WITH pats(pid, p) AS (VALUES ${blockPats.zipWithIndex
+        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")}),
+      m AS (
+        SELECT d.doc_id,
+               list(p.pid ORDER BY p.pid)
+                 FILTER (WHERE contains(lower(d.text), p.p)) AS mids
+        FROM documents d CROSS JOIN pats p
+        GROUP BY d.doc_id)
+      SELECT doc_id,
+             coalesce(mids, CAST([] AS INTEGER[])) AS matched,
+             CAST(coalesce(len(mids), 0) AS BIGINT) AS n_matched,
+             coalesce(len(mids), 0) = 0 AS kept
+      FROM m ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

@@ -126,9 +126,18 @@ object Similarity {
     * one narrow assignment map + one k-sized aggregate per iteration —
     * the classic scalable shape (never an n×n distance matrix). Lists
     * that lose all members drop out (k shrinks rather than producing
-    * empty lists). Returns (cid, c_emb double-array). */
+    * empty lists). Returns (cid, c_emb double-array).
+    *
+    * `exactMeans` routes the per-element centroid means through the
+    * exact-decimal fold (the dsum discipline): sums are
+    * shuffle-order-independent, so the trained centroids — and
+    * everything downstream of them — become bit-reproducible across
+    * engines and partitionings. The default float-avg path is kept for
+    * q75's rows-only IVF gate; [[semDedup]] trains with exact means so
+    * the WHOLE operator (clustering included) hash-gates. */
   def kmeansCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 2,
-      dims: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+      dims: Int = 64, checkpointDir: Option[String] = None,
+      exactMeans: Boolean = false): DataFrame = {
     // Per-round lineage truncation (the Bpe.train / bigStarClusters
     // discipline): without it every iteration's plan embeds the
     // previous one's — analysis/optimization cost and recompute depth
@@ -159,9 +168,14 @@ object Similarity {
           .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
           .withColumn("__r", row_number().over(w))
           .filter(col("__r") === 1)
+        def mean(i: Int): Column =
+          if (exactMeans)
+            sum(element_at(col("embedding"), i + 1).cast("double")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double") /
+              count(lit(1))
+          else avg(element_at(col("embedding"), i + 1).cast("double"))
         cents = truncate(assigned.groupBy(col("cid"))
-          .agg(array((0 until dims).map(i =>
-            avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c_emb")))
+          .agg(array((0 until dims).map(mean): _*).as("c_emb")))
       }
       cents
     }
@@ -170,6 +184,60 @@ object Similarity {
         Lineage.withCheckpointDir(corpus.sparkSession.sparkContext, dir)(run())
       case None => run()
     }
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication. K-means-cluster the embedding space, call two
+    * documents duplicates when their within-cluster cosine exceeds
+    * `tau`, and keep the member of each duplicate pair with the LOWER
+    * cosine to its centroid — the paper's diversity-preserving keeper
+    * rule (the more atypical example survives; ties break to the lower
+    * id). Returns every input row as (idCol, cid, cent_cos, kept).
+    *
+    * Scale shape: the clustering IS the scalability — the pair join
+    * shuffles on the cluster id and candidate volume is Σ cluster²,
+    * never corpus²; grow `k` with the corpus (the paper runs 50k
+    * clusters at web scale) so clusters stay bounded, and AQE's
+    * skew-join splits the odd monster cluster. Training goes through
+    * [[kmeansCentroids]] with `exactMeans = true`, so centroids —
+    * hence assignments, pair sets, and keeper choices — are
+    * bit-reproducible and the whole operator hash-gates against a
+    * DuckDB replay of the full training run (q134). */
+  def semDedup(vectors: DataFrame, idCol: String, embCol: String,
+      tau: Double, k: Int = 8, iters: Int = 2, dims: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val cents = kmeansCentroids(v, k, iters, dims, checkpointDir,
+      exactMeans = true)
+    val c = broadcast(cents.select(col("cid"), col("c_emb"),
+      norm(col("c_emb")).as("c_nrm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    val assigned = v.repartition(par(v))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .crossJoin(c)
+      .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        col("__d").as("cent_cos"))
+    val a = assigned.select(col("cid"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("cent_cos").as("ca"))
+    val b = assigned.select(col("cid"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("cent_cos").as("cb"))
+    // loser of each duplicate pair = the member closer to its centroid
+    // (higher cent_cos); join emits each unordered pair once (ia < ib)
+    val losers = a.join(b, Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .filter(cosPre(col("ea"), col("eb"), col("na"), col("nb")) >= tau)
+      .select(when(col("ca") < col("cb") ||
+          (col("ca") === col("cb") && col("ia") < col("ib")), col("ib"))
+        .otherwise(col("ia")).as("vec_id"))
+      .distinct()
+    assigned
+      .join(losers.withColumn("__lost", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cid"), col("cent_cos"),
+        col("__lost").isNull.as("kept"))
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -60,4 +60,40 @@ class FunctionsSpec extends AnyFunSuite {
   test("uppercase hex accepted") {
     assert(hexDecodeUtf8Strict("48454C4C4F") == "HELLO")
   }
+
+  private def acMatch(patterns: Seq[String], text: String): Seq[Int] = {
+    val a = new graft.functions.AhoAutomaton(patterns)
+    val arr = a.matched(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    (0 until arr.numElements()).map(arr.getInt)
+  }
+
+  test("aho-corasick: classic overlapping-suffix worked example") {
+    // the textbook he/she/his/hers automaton: "ushers" must fire
+    // she (via goto), he and hers (via the fail/emit chains), not his
+    assert(acMatch(Seq("he", "she", "his", "hers"), "ushers") == Seq(0, 1, 3))
+    assert(acMatch(Seq("he", "she", "his", "hers"), "uhis") == Seq(2))
+    assert(acMatch(Seq("he", "she", "his", "hers"), "xyz").isEmpty)
+  }
+
+  test("aho-corasick: distinct ascending ids, repeats counted once") {
+    assert(acMatch(Seq("ab", "b", "abc"), "zababcab") == Seq(0, 1, 2))
+  }
+
+  test("aho-corasick: case-insensitive on both sides") {
+    assert(acMatch(Seq("Scan", "JOIN"), "full SCAN then join") == Seq(0, 1))
+  }
+
+  test("aho-corasick: matches equal brute-force contains on random text") {
+    val pats = Seq("aa", "ab", "ba", "aab", "bba", "abab", "b")
+    for (_ <- 1 to 300) {
+      val s = Array.fill(rnd.nextInt(30))(if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val want = pats.zipWithIndex.filter { case (p, _) => s.contains(p) }.map(_._2)
+      assert(acMatch(pats, s) == want, s"text=$s")
+    }
+  }
+
+  test("aho-corasick: empty or blank pattern list rejected") {
+    intercept[IllegalArgumentException](new graft.functions.AhoAutomaton(Nil))
+    intercept[IllegalArgumentException](new graft.functions.AhoAutomaton(Seq("ok", "")))
+  }
 }

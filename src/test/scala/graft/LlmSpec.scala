@@ -279,6 +279,68 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("semDedup: planted clique keeps the most atypical member, loner untouched") {
+    import spark.implicits._
+    // 4-dim geometry: cluster A (seed id 0 = e1) holds a duplicate
+    // chain 0≈2≈3≈4 whose middle member 3 is the closest to the
+    // centroid. The keeper rule ("lowest cosine to centroid survives a
+    // pair") drops the exact copy 2 (tie with 0 → higher id loses) and
+    // the central 3 (loses BOTH its pairs), keeping the chain's two
+    // extremes 0 and 4 — the paper's diversity-preserving behavior.
+    // Cluster B (seed id 1 = e2) holds the non-duplicate 5
+    // (cos(1,5) = 0.8 < tau) — both kept.
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(1f, 0f, 0f, 0f),
+      3L -> Array(0.95f, 0.31f, 0f, 0f),
+      4L -> Array(0.9f, 0.43f, 0f, 0f),
+      5L -> Array(0.6f, 0.8f, 0f, 0f)).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+      tau = 0.95, k = 2, iters = 2, dims = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out.size == 6, "every input row comes back exactly once")
+    assert(out.filter(_._2).keySet == Set(0L, 1L, 4L, 5L), s"kept=${out.filter(_._2).keySet}")
+  }
+
+  test("semDedup: exact-decimal training makes the full run repartition-invariant") {
+    def runOn(v: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedup(v, "vec_id", "embedding", tau = 0.3, k = 8, iters = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+          r.getAs[Double]("cent_cos"), r.getAs[Boolean]("kept"))).toSet
+    val base = runOn(emb)
+    // bit-exact equality, not tolerance: centroid means go through the
+    // decimal fold, so no shuffle order can move any double downstream
+    assert(runOn(emb.repartition(7)) == base)
+    val n = emb.count()
+    assert(base.size == n && base.map(_._1).size == n)
+    assert(base.exists(_._4) && base.exists(!_._4), "fixture yields a kept/dropped mix")
+  }
+
+  test("blocklist: one AC pass over fixture docs equals per-pattern contains; null text propagates") {
+    import spark.implicits._
+    val pats = Seq("scan", "can", "slow join", "zebra")
+    val got = TextAnalysis.blocklist(docs, "doc_id", "text", pats)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1).toList).toMap
+    val want = docs.select("doc_id", "text").collect().map { r =>
+      val t = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+      r.getLong(0) -> pats.zipWithIndex.filter(p => t.contains(p._1)).map(_._2).toList
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_.contains(1)), "fail-chain emit: 'can' inside 'scan'")
+    assert(got.values.forall(!_.contains(3)), "'zebra' must not match the fixture")
+    val nulls = TextAnalysis.blocklist(
+      Seq((1L, null: String), (2L, "a full scan")).toDF("doc_id", "text"),
+      "doc_id", "text", pats).orderBy("doc_id").collect()
+    assert(nulls(0).isNullAt(1))
+    assert(nulls(1).getSeq[Int](1).toList == List(0, 1))
+    // 100 TB shape: a scan rider — one narrow map, no exchange anywhere
+    val plan = TextAnalysis.blocklist(docs, "doc_id", "text", pats)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist must be zero-shuffle:\n${plan.take(800)}")
+  }
+
   test("persisted IVF index: indexed probe equals in-memory IVF, scan prunes to lists") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     Similarity.buildIvfIndex(emb, idx, k = 8, iters = 2)
