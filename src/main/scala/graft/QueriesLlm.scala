@@ -1939,9 +1939,93 @@ object QueriesLlm {
              coalesce(len(mids), 0) = 0 AS kept
       FROM m ORDER BY doc_id"""))
 
+  /** DuckDB dot product over `n`-wide double lists — the ascending
+    * `list_sum` fold that bit-matches the native DotProduct. */
+  private def duckDotN(a: String, b: String, n: Int): String =
+    s"list_sum(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]))"
+
+  /** Squared L2 by dots — (|x|² + |c|²) - 2·x·c, the exact operation
+    * order of `Similarity.l2ByDots`. */
+  private def pqD2(x: String, c: String, n: Int): String =
+    s"(${duckDotN(x, x, n)} + ${duckDotN(c, c, n)} - 2.0 * ${duckDotN(x, c, n)})"
+
+  /** DuckDB PQ assignment CTE body: each (vec, subspace) row to its
+    * nearest codebook centroid (L2 asc, cid tie-break) — oracle twin
+    * of the assignment stage in `Similarity.pqTrain`/`pqEncode`. */
+  private def pqAssign(stab: String, btab: String): String =
+    s"""SELECT vec_id, sub, sv, cid, d2 FROM (
+        SELECT vec_id, sub, sv, cid, d2,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d2 ASC, cid ASC) AS r
+        FROM (SELECT s.vec_id, s.sub, s.sv, b.cid,
+                     ${pqD2("s.sv", "b.c", 16)} AS d2
+              FROM $stab s JOIN $btab b USING (sub))) WHERE r = 1"""
+
+  /** DuckDB PQ codebook-update CTE body: per-cell exact-decimal means,
+    * empty cells keeping their previous centroid (the dense-codebook
+    * invariant ADC's flattened lookup requires). */
+  private def pqUpdate(btab: String, atab: String): String =
+    s"""SELECT b.sub, b.cid, coalesce(u.c, b.c) AS c
+        FROM $btab b LEFT JOIN (
+          SELECT sub, cid, list(m ORDER BY i) AS c FROM (
+            SELECT sub, cid, i,
+                   CAST(SUM(CAST(sv[i] AS DECIMAL(30,12))) AS DOUBLE)
+                     / COUNT(*) AS m
+            FROM $atab, generate_series(1, 16) AS s(i) GROUP BY sub, cid, i)
+          GROUP BY sub, cid) u ON b.sub = u.sub AND b.cid = u.cid"""
+
+  /** Product-quantization ANN (Similarity.pqTopK, Jégou et al. 2011):
+    * m=4 subspace codebooks of ksub=8 centroids, L2 k-means with
+    * exact-decimal means (2 rounds), corpus → 4-int codes, queries
+    * score by asymmetric distance (per-query LUT, ordered O(m) fold).
+    * The oracle replays the ENTIRE run as unrolled CTEs — subvector
+    * split, seeds, both Lloyd's rounds with the dense-codebook empty-
+    * cell rule, encoding, LUT build, ADC fold, ranking — and every
+    * double hash-matches. */
+  private val q136 = Q("q136_pq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      subs AS (
+        SELECT vec_id, sub, emb[sub*16 + 1 : sub*16 + 16] AS sv
+        FROM v, generate_series(0, 3) AS g(sub)),
+      b0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sv AS c
+             FROM subs WHERE vec_id < 8),
+      a1 AS (${pqAssign("subs", "b0")}),
+      b1 AS (${pqUpdate("b0", "a1")}),
+      a2 AS (${pqAssign("subs", "b1")}),
+      b2 AS (${pqUpdate("b1", "a2")}),
+      af AS (${pqAssign("subs", "b2")}),
+      codes AS (SELECT vec_id, list(cid ORDER BY sub) AS codes
+                FROM af GROUP BY vec_id),
+      lut AS (
+        SELECT query_id, list(d2 ORDER BY sub, cid) AS lut FROM (
+          SELECT q.vec_id AS query_id, b.sub, b.cid,
+                 ${pqD2("q.sv", "b.c", 16)} AS d2
+          FROM subs q JOIN b2 b USING (sub) WHERE q.vec_id < 10)
+        GROUP BY query_id),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_sum(list_transform(generate_series(0, 3), s ->
+                 q.lut[s*8 + c.codes[s+1] + 1])) AS d2
+        FROM codes c CROSS JOIN lut q WHERE c.vec_id <> q.query_id)
+      SELECT query_id, rank, vec_id, d2 FROM (
+        SELECT query_id, vec_id, d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2 ASC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }

@@ -240,6 +240,150 @@ object Similarity {
         col("__lost").isNull.as("kept"))
   }
 
+  /** (vec_id, sub, sv): each vector split into `m` contiguous
+    * subvectors of `dims/m` doubles — the product-quantization
+    * decomposition. Narrow (explode of an m-element array built from
+    * a slice), no shuffle. */
+  private def subVectors(vectors: DataFrame, m: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    vectors.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => transform(slice(col("embedding"), s * dsub + 1, lit(dsub)),
+          x => x.cast("double")))).as(Seq("sub", "sv")))
+  }
+
+  /** Squared L2 distance by dot products: |x|² + |c|² - 2·x·c, every
+    * dot the native ascending-fold [[graft.functions.DotProduct]] —
+    * the exact operation order the DuckDB oracle replays, so distances
+    * (hence assignments and codes) are bit-identical across engines.
+    * `xx`/`cc` are precomputed once per row/centroid; reusing the
+    * value is bitwise-free. */
+  private def l2ByDots(xx: Column, cc: Column, x: Column, c: Column): Column =
+    xx + cc - lit(2.0) * dot(x, c)
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search", IEEE TPAMI 33(1)):
+    * `m` independent L2 k-means quantizers of `ksub` centroids each,
+    * one per `dims/m`-dim subspace. Returns (sub, cid, c).
+    *
+    * All `m` subspaces train in the SAME Spark jobs — the subspace id
+    * rides the rows (one narrow explode, centroid table m·ksub rows
+    * broadcast back), so training cost is one corpus pass per Lloyd's
+    * round regardless of `m`, not m sequential k-means runs. Centroid
+    * means go through the exact-decimal fold (the
+    * [[kmeansCentroids]] `exactMeans` discipline), making the full
+    * training run — codebooks, codes, ADC scores — bit-reproducible
+    * and hash-gateable (q136). Seeds are the first `ksub` vectors'
+    * subvectors (deterministic, engine-portable). */
+  def pqTrain(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, dims: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val subs = subVectors(corpus.repartition(par(corpus)), m, dims)
+      .withColumn("xx", dot(col("sv"), col("sv")))
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    def run(): DataFrame = {
+      var books = subs.filter(col("vec_id") < ksub)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"),
+          col("sv").as("c"))
+      for (_ <- 1 to iters) {
+        val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
+        val w = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("__d").asc, col("cid").asc)
+        val assigned = subs.join(b, Seq("sub"))
+          .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c")))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1)
+        // per-element exact-decimal mean; a cell that loses every
+        // member KEEPS its previous centroid (left join + coalesce) —
+        // unlike kmeansCentroids' shrink-k behavior, PQ's flattened
+        // ADC lookup (s·ksub + code) requires a dense m×ksub codebook
+        val upd = assigned.groupBy(col("sub"), col("cid"))
+          .agg(array((0 until dsub).map(i =>
+            sum(element_at(col("sv"), i + 1)
+              .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double") /
+              count(lit(1))): _*).as("cNew"))
+        books = truncate(books.select(col("sub"), col("cid"), col("c"))
+          .join(upd, Seq("sub", "cid"), "left")
+          .select(col("sub"), col("cid"),
+            coalesce(col("cNew"), col("c")).as("c")))
+      }
+      books
+    }
+    checkpointDir match {
+      case Some(dir) =>
+        Lineage.withCheckpointDir(corpus.sparkSession.sparkContext, dir)(run())
+      case None => run()
+    }
+  }
+
+  /** PQ-encode: each vector → `m` codebook ids (its nearest centroid
+    * per subspace), i.e. dims·4 bytes of floats compressed to m small
+    * ints — the representation that lets a 100 TB corpus's index fit
+    * in memory. Returns (vec_id, codes array<int> ordered by sub).
+    * One broadcast join + one shuffle of (vec_id, sub, cid) rows —
+    * the embeddings themselves never shuffle. */
+  def pqEncode(corpus: DataFrame, books: DataFrame, m: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    subVectors(corpus.repartition(par(corpus)), m, dims)
+      .withColumn("xx", dot(col("sv"), col("sv")))
+      .join(b, Seq("sub"))
+      .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): the query
+    * stays exact, the corpus is its codes, and each pair's
+    * approximate distance is m table lookups — Σ_s lut[s·ksub +
+    * codes_s] where lut holds the query-to-centroid squared L2 per
+    * (sub, cid), flattened in (sub, cid) order.
+    *
+    * Scale shape: the per-query LUT is Q·m·ksub rows folded to one
+    * m·ksub-double array per query and BROADCAST; the corpus side
+    * touches only (vec_id, codes) — m ints per vector, the embeddings
+    * never reshuffle or rescan — and the fold is an ordered O(m)
+    * aggregate inside the scan, so pair scoring is memory-bandwidth
+    * on codes, the whole point of PQ. Ranking is the per-query
+    * window top-k (TakeOrdered shape). Deterministic end-to-end:
+    * trained via [[pqTrain]], distances via [[l2ByDots]], fold order
+    * ascending in sub — q136 hash-gates the full run. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2, dims: Int = 64): DataFrame = {
+    val books = pqTrain(corpus, m, ksub, iters, dims)
+    val codes = pqEncode(corpus, books, m, dims)
+    val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
+    val lut = subVectors(
+      queries.select(col("vec_id"), col("embedding")), m, dims)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("xx", dot(col("sv"), col("sv")))
+      .join(b, Seq("sub"))
+      .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c")))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cid"), col("__d")))),
+        x => x.getField("__d")).as("lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc +
+          element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1) + 1)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2,
       centroids: Option[DataFrame] = None): DataFrame = {

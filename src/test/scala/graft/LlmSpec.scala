@@ -341,6 +341,73 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blocklist must be zero-shuffle:\n${plan.take(800)}")
   }
 
+  test("pq: dense codebook, bounded codes, ADC equals reconstruction L2") {
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2)
+    assert(books.count() == 32, "dense m×ksub codebook")
+    val bk = books.collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"))
+      -> r.getSeq[Double](2)).toMap
+    val codes = Similarity.pqEncode(emb, books).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // ADC is m table lookups, but it must EQUAL the L2² between the
+    // query and the decoded (reconstructed) vector — the PQ contract
+    val q42 = emb.filter(col("vec_id") === 42).collect()(0)
+      .getSeq[Float](1).map(_.toDouble)
+    val top = Similarity.pqTopK(emb.filter(col("vec_id") === 42), emb, 10).collect()
+    assert(top.length == 10)
+    for (r <- top) {
+      val rec = (0 until 4).flatMap(s => bk((s, codes(r.getAs[Long]("vec_id"))(s))))
+      val want = q42.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      val got = r.getAs[Double]("d2")
+      assert(math.abs(got - want) <= 1e-9 * math.max(1.0, want.abs),
+        s"vec ${r.getAs[Long]("vec_id")}: adc=$got recon=$want")
+    }
+  }
+
+  test("pq: exact copy shares codes and reaches the ADC floor; duplicate seed leaves a kept empty cell") {
+    import spark.implicits._
+    val extra = emb.filter(col("vec_id") === 7)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).union(extra)
+    val books = Similarity.pqTrain(corpus)
+    val codes = Similarity.pqEncode(corpus, books).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(codes(9999L) == codes(7L), "identical vectors must encode identically")
+    // the copy's codes are the query's own per-sub argmins, so its ADC
+    // distance is the global floor — rank 1 carries exactly that d2
+    val top = Similarity.pqTopK(corpus.filter(col("vec_id") === 9999), corpus,
+      corpus.count().toInt).collect()
+    val d1 = top.filter(_.getAs[Int]("rank") == 1).head.getAs[Double]("d2")
+    val dCopy = top.filter(_.getAs[Long]("vec_id") == 7L).head.getAs[Double]("d2")
+    assert(d1 == dCopy)
+    // duplicate seeds: every assignment tie-breaks to the lower cid, so
+    // the higher seed's cell empties — it must KEEP its seed centroid
+    // (dense codebook), and the run must stay consistent end-to-end
+    val vs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f),
+      1L -> Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      4L -> Array(0.9f, 0.1f, 0f, 0f, 0f, 0.9f, 0.1f, 0f),
+      5L -> Array(0f, 0.9f, 0.1f, 0f, 0.9f, 0f, 0f, 0.1f),
+      6L -> Array(0f, 0f, 0.9f, 0.1f, 0.1f, 0f, 0.9f, 0f),
+      7L -> Array(0.5f, 0.5f, 0f, 0f, 0f, 0.5f, 0.5f, 0f)
+    ).toDF("vec_id", "embedding")
+    val tiny = Similarity.pqTrain(vs, m = 2, ksub = 4, iters = 2, dims = 8)
+    assert(tiny.count() == 8, "empty cell kept, codebook stays m×ksub")
+    val t = Similarity.pqTopK(vs.filter(col("vec_id") === 0), vs, 3,
+      m = 2, ksub = 4, iters = 2, dims = 8).collect()
+    assert(t.head.getAs[Long]("vec_id") == 1L, "the exact duplicate ranks first")
+  }
+
+  test("pq: full run bit-identical under repartition") {
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(c.filter(col("vec_id") < 10), c, 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("d2"))).toSet
+    assert(run(emb.repartition(7)) == run(emb))
+  }
+
   test("persisted IVF index: indexed probe equals in-memory IVF, scan prunes to lists") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     Similarity.buildIvfIndex(emb, idx, k = 8, iters = 2)
