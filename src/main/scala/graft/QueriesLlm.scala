@@ -2023,9 +2023,80 @@ object QueriesLlm {
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** HTML→text extraction (TextAnalysis.htmlToText): both engines wrap
+    * the fixture text in the SAME html scaffold — title, style block,
+    * attributes, a visible paragraph full of entities, a comment, and
+    * a script whose body contains '<' — then strip it. Exercises
+    * block removal, tag strip, ordered entity decode (&amp; last),
+    * title extraction, and whitespace collapse, all in the Java∩RE2
+    * regex subset. */
+  private val q137 = Q("q137_html_text",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: red; }</style></head><body class=\"d\"><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><p>Fish &amp; chips, 1 &lt; 2, &quot;it&#39;s&quot;&nbsp;done</p>" +
+          "<!-- dropped --><script type=\"text/javascript\">var x = 1 < 2;</script></body></html>"))
+      graft.llm.TextAnalysis.htmlToText(
+        d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || doc_id ||
+               '</title><style>p { color: red; }</style></head><body class="d"><h1>Doc ' ||
+               doc_id || '</h1><p>' || text ||
+               '</p><p>Fish &amp; chips, 1 &lt; 2, &quot;it&#39;s&quot;&nbsp;done</p><!-- dropped --><script type="text/javascript">var x = 1 < 2;</script></body></html>'
+                 AS html
+        FROM documents),
+      s1 AS (SELECT doc_id, html,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                 '(?is)<head(\s[^>]*)?>.*?</head\s*>', ' ', 'g'),
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g') AS nb FROM h),
+      s2 AS (SELECT doc_id, html,
+               regexp_replace(nb, '(?s)<[^>]+>', ' ', 'g') AS nt FROM s1),
+      s3 AS (SELECT doc_id, html,
+               replace(replace(replace(replace(replace(replace(nt,
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS de
+             FROM s2)
+      SELECT doc_id,
+             regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+             trim(regexp_replace(de, '\s+', ' ', 'g')) AS text_clean
+      FROM s3 ORDER BY doc_id"""))
+
+  /** Sliding token windows (TextAnalysis.tokenWindows): 64-token
+    * chunks at 48-token stride (16 tokens of overlap), last chunk
+    * short, chunk count in integer arithmetic — the training-chunk
+    * preparation pass. */
+  private val q138 = Q("q138_token_windows",
+    (s, dir) => graft.llm.TextAnalysis.tokenWindows(
+      t(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents),
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks, n,
+                   unnest(generate_series(0,
+                     CASE WHEN n <= 64 THEN 0
+                          ELSE (n - 64 + 47) // 48 END)) AS chunk_id
+            FROM n)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')
+               AS chunk_text,
+             CAST(least(64, n - chunk_id*48) AS BIGINT) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

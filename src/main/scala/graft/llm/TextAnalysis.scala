@@ -398,4 +398,71 @@ object TextAnalysis {
         size(col("matched")).cast("long").as("n_matched"),
         (size(col("matched")) === 0).as("kept"))
   }
+
+  /** HTML → text extraction (the CommonCrawl/WARC → plain-text stage):
+    * drop head/script/style blocks and comments, strip tags (replaced by a
+    * space so adjacent words don't fuse), decode the six entities that
+    * dominate real HTML (&amp; last, so "&amp;lt;" decodes exactly
+    * once), collapse whitespace. Also surfaces the <title>. Narrow
+    * map, zero shuffle — a scan rider like the C4 filters.
+    *
+    * Deliberate simplification (same contract on both engines): tags
+    * match `<[^>]+>`, so a literal '>' inside an attribute value ends
+    * the tag early; the full-fidelity path is a real HTML parser
+    * behind mapInPandas. All regexes stay in the Java∩RE2 subset
+    * (non-greedy + inline (?is), no lookarounds), so the DuckDB
+    * oracle replays them verbatim (q137). */
+  def htmlToText(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, htmlCol: String): org.apache.spark.sql.DataFrame = {
+    // <head> needs a boundary (`(\s[^>]*)?>`) so <header> never
+    // matches; title is extracted from the ORIGINAL html before the
+    // head block (title text included) is dropped from the body text
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(col(htmlCol),
+      "(?is)<head(\\s[^>]*)?>.*?</head\\s*>", " "),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    docs.select(col(idCol),
+      regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1)
+        .as("title"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
+  }
+
+  /** Sliding token windows (training-chunk preparation): each document
+    * split on `\S+` tokens and emitted as overlapping chunks of
+    * `window` tokens at `stride`-token steps — the standard context-
+    * window packing for long documents, with `window - stride` tokens
+    * of overlap preserving cross-chunk context. The LAST chunk may be
+    * short (every token is covered; nothing is emitted past the end).
+    * Chunk count = 1 if n ≤ window else 1 + ceil((n-window)/stride),
+    * in INTEGER arithmetic so both engines agree exactly.
+    *
+    * Scale shape: one narrow explode — output volume is input tokens
+    * × (window/stride) overlap factor, no shuffle, no state. */
+  def tokenWindows(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          when(col("__n") <= window, lit(0)).otherwise(
+            floor((col("__n") - window + (stride - 1)) / stride)
+              .cast("int")))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1,
+          lit(window)), " ").as("chunk_text"),
+        least(lit(window), col("__n") - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"))
+  }
 }

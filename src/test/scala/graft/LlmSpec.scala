@@ -341,6 +341,78 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blocklist must be zero-shuffle:\n${plan.take(800)}")
   }
 
+  test("htmlToText: blocks dropped, tags stripped, entities decoded once, title found") {
+    import spark.implicits._
+    val html =
+      """<HTML><head><TITLE>My  Page</TITLE>
+        |<style type="text/css">body { color: red; }
+        |h1 { x: y; }</style></head>
+        |<body><h1 class="big">Hello</h1>
+        |<script>if (1 < 2 && 3 > 0) { alert("</p>"); }</script>
+        |<p>Fish &amp; chips &mdash; 1 &lt; 2, &amp;lt; stays, &quot;it&#39;s&quot;&nbsp;fine</p>
+        |<!-- multi
+        |line comment --><div
+        |  data-x="1">split tag</div></body></HTML>""".stripMargin
+    val out = TextAnalysis.htmlToText(
+      Seq((1L, html), (2L, null: String)).toDF("doc_id", "html"),
+      "doc_id", "html").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("title") == "My  Page")
+    // the script body's stray "</p>" string closes the script block at
+    // the first </script>-free simplification level we DOCUMENT: the
+    // non-greedy block regex ends at the real </script>; entities
+    // decode exactly once (&amp;lt; -> &lt;, NOT <); unknown &mdash;
+    // passes through verbatim
+    assert(out(0).getAs[String]("text_clean") ==
+      "Hello Fish & chips &mdash; 1 < 2, &lt; stays, \"it's\" fine split tag")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2), "null html propagates")
+    // scan rider: no exchange anywhere in the plan
+    val plan = TextAnalysis.htmlToText(
+      docs.select(col("doc_id"), col("text").as("html")), "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"htmlToText must be zero-shuffle")
+  }
+
+  test("tokenWindows: full coverage, overlap, short last chunk, integer chunk count") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks
+      (2L, "a b c d"),                        // exactly one window
+      (3L, "  \n\t "),                        // whitespace only -> dropped
+      (4L, "x")                               // single token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenWindows(d, "doc_id", "text",
+      window = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))).toMap
+    assert(!out.keys.exists(_._1 == 3L), "whitespace-only doc emits nothing")
+    assert(out((4L, 0L)) == ("x", 1L))
+    assert(out((2L, 0L)) == ("a b c d", 4L), "n == window emits exactly one chunk")
+    assert(!out.contains((2L, 1L)))
+    // 10 tokens, w=4, s=3: chunks at 0,3,6 — 6..9 covers the tail
+    assert(out((1L, 0L)) == ("t0 t1 t2 t3", 4L))
+    assert(out((1L, 1L)) == ("t3 t4 t5 t6", 4L), "w-s tokens of overlap")
+    assert(out((1L, 2L)) == ("t6 t7 t8 t9", 4L))
+    assert(!out.contains((1L, 3L)))
+    // 11 tokens: last chunk short, never empty
+    val o11 = TextAnalysis.tokenWindows(
+      Seq((9L, (0 to 10).map("w" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", window = 4, stride = 3).collect()
+    assert(o11.length == 4 && o11.map(_.getAs[Long]("n_tokens")).sorted.toSeq
+      == Seq(2L, 4L, 4L, 4L))
+    // fixture-wide invariant: chunk count follows the integer formula
+    val counts = TextAnalysis.tokenWindows(docs, "doc_id", "text", 64, 48)
+      .groupBy("doc_id").count()
+      .join(docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n")), "doc_id")
+      .collect()
+    assert(counts.nonEmpty)
+    for (r <- counts) {
+      val n = r.getAs[Int]("n"); val c = r.getAs[Long]("count")
+      val want = if (n <= 64) 1L else 1L + (n - 64 + 47) / 48
+      assert(c == want, s"doc ${r.getAs[Long]("doc_id")}: n=$n chunks=$c")
+    }
+  }
+
   test("pq: dense codebook, bounded codes, ADC equals reconstruction L2") {
     val books = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2)
     assert(books.count() == 32, "dense m×ksub codebook")
