@@ -2094,9 +2094,51 @@ object QueriesLlm {
              CAST(least(64, n - chunk_id*48) AS BIGINT) AS n_tokens
       FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** Sequence packing (Corpus.packSequences): corpus token stream in
+    * doc-id order cut into 128-token training sequences, one row per
+    * (sequence, doc) segment incl. boundary-spanning splits. The
+    * oracle replays the two-level order-preserving prefix sum — the
+    * bucket width comes from the same max-id scalar both engines
+    * compute — then the cut arithmetic in BIGINT. */
+  private val q139 = Q("q139_seq_pack",
+    (s, dir) => graft.llm.Corpus.packSequences(
+      t(s, dir, "documents"), "doc_id", "text", seqLen = 128)
+      .orderBy("seq_id", "doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents),
+      b0 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+             FROM t WHERE len(toks) > 0),
+      wd AS (SELECT greatest(1, (MAX(doc_id) + 256) // 256) AS width FROM b0),
+      b AS (SELECT doc_id, toks, n, doc_id // width AS bk FROM b0, wd),
+      c AS (SELECT doc_id, toks, n, bk,
+                   CAST(SUM(n) OVER (PARTITION BY bk ORDER BY doc_id)
+                     AS BIGINT) AS cum
+            FROM b),
+      o AS (SELECT bk,
+                   CAST(coalesce(SUM(tot) OVER (ORDER BY bk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS off
+            FROM (SELECT bk, CAST(SUM(n) AS BIGINT) AS tot FROM b GROUP BY bk)),
+      s AS (SELECT doc_id, toks, n, off + cum - n AS start
+            FROM c JOIN o USING (bk)),
+      e AS (SELECT doc_id, toks, n, start,
+                   unnest(generate_series(start // 128, (start + n - 1) // 128))
+                     AS seq_id
+            FROM s)
+      SELECT seq_id, doc_id,
+             greatest(start, seq_id*128) - start AS doc_offset,
+             least(start + n, (seq_id+1)*128) - greatest(start, seq_id*128)
+               AS n_seg_tokens,
+             array_to_string(toks[greatest(start, seq_id*128) - start + 1 :
+               least(start + n, (seq_id+1)*128) - start], ' ') AS seg_text
+      FROM e ORDER BY seq_id, doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
+    q139)
 }

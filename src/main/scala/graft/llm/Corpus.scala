@@ -137,6 +137,56 @@ object Corpus {
           / tokensPerShard).cast("long").as("shard_id"))
   }
 
+  /** GPT-style sequence packing (sample packing): the corpus token
+    * stream, concatenated in ascending doc-id order, cut into fixed
+    * `seqLen`-token training sequences. Emits one row per (sequence,
+    * document) SEGMENT — a doc spanning a cut contributes a segment to
+    * each sequence it crosses — with the in-doc token offset, segment
+    * length, and segment text, so a loader can reassemble sequences
+    * or build attention-boundary masks.
+    *
+    * Scale shape: the global prefix sum is the two-level trick
+    * ([[tokenShards]] discipline) with ORDER-PRESERVING buckets —
+    * contiguous doc-id ranges (width from one O(1) max-id scalar), so
+    * ascending bucket = ascending corpus order; the in-bucket window
+    * shuffles once on the bucket key and the only unpartitioned
+    * window runs over `buckets` bucket totals, never the data.
+    * Everything downstream is narrow. Deterministic → q139 hash-gates
+    * the full output including boundary-spanning segments. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, buckets: Int = 256): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = docs.select(col(idCol).as("doc_id"),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .withColumn("n", size(col("__toks")).cast("long"))
+      .filter(col("n") > 0)
+    val maxId = Option(base.agg(max(col("doc_id"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val width = math.max(1L, (maxId + buckets) / buckets)
+    val withBk = base.withColumn("__bk", (col("doc_id") / width).cast("long"))
+    val w = Window.partitionBy(col("__bk")).orderBy(col("doc_id"))
+    val wb = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBk.groupBy("__bk").agg(sum("n").as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wb), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val segA = greatest(col("start"), col("seq_id") * seqLen) - col("start")
+    val segLen = least(col("start") + col("n"), (col("seq_id") + 1) * seqLen) -
+      greatest(col("start"), col("seq_id") * seqLen)
+    withBk
+      .withColumn("__cum", sum(col("n")).over(w))
+      .join(broadcast(offsets), "__bk")
+      .withColumn("start", col("__off") + col("__cum") - col("n"))
+      .select(col("doc_id"), col("__toks"), col("n"), col("start"),
+        explode(sequence((col("start") / seqLen).cast("long"),
+          ((col("start") + col("n") - 1) / seqLen).cast("long"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        segA.as("doc_offset"),
+        segLen.as("n_seg_tokens"),
+        array_join(slice(col("__toks"), (segA + 1).cast("int"),
+          segLen.cast("int")), " ").as("seg_text"))
+  }
+
   /** PII redaction: emails, URLs and long digit runs replaced with
     * typed placeholder tokens (the standard pre-training scrub). Pure
     * regexp_replace — rides the scan, codegen'd, no UDF. */

@@ -86,6 +86,47 @@ class CorpusSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("packSequences: boundary spans exact, sequences full, docs reassemble") {
+    // L=8; token counts 5,4,7,2 -> starts 0,5,9,16. Doc 2 straddles the
+    // first cut: 3 tokens close seq 0, 1 token opens seq 1.
+    val d = Seq(
+      (1L, "a0 a1 a2 a3 a4"),
+      (2L, "b0 b1 b2 b3"),
+      (3L, "c0 c1 c2 c3 c4 c5 c6"),
+      (4L, "d0 d1"),
+      (5L, "   ")).toDF("doc_id", "text")
+    val segs = Corpus.packSequences(d, "doc_id", "text", seqLen = 8).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("doc_offset"), r.getAs[Long]("n_seg_tokens"),
+          r.getAs[String]("seg_text"))).toMap
+    assert(segs == Map(
+      (0L, 1L) -> (0L, 5L, "a0 a1 a2 a3 a4"),
+      (0L, 2L) -> (0L, 3L, "b0 b1 b2"),
+      (1L, 2L) -> (3L, 1L, "b3"),
+      (1L, 3L) -> (0L, 7L, "c0 c1 c2 c3 c4 c5 c6"),
+      (2L, 4L) -> (0L, 2L, "d0 d1")))
+    // fixture-wide invariants: every sequence except the last holds
+    // exactly seqLen tokens, and a doc's segments reassemble its
+    // whitespace-split token stream in doc_offset order
+    val docs = Tables.load(spark, dir, "documents")
+    val packed = Corpus.packSequences(docs, "doc_id", "text", seqLen = 128)
+    val bySeq = packed.groupBy("seq_id").agg(sum("n_seg_tokens").as("tot"))
+      .collect().map(r => r.getAs[Long]("seq_id") -> r.getAs[Long]("tot")).toMap
+    val lastSeq = bySeq.keys.max
+    assert(bySeq.filter(_._1 != lastSeq).values.forall(_ == 128L))
+    assert(bySeq(lastSeq) <= 128L && bySeq(lastSeq) > 0L)
+    val rebuilt = packed
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("doc_offset"), col("seg_text")))),
+        x => x.getField("seg_text")), " ").as("whole"))
+    val orig = docs.select(col("doc_id"),
+      array_join(regexp_extract_all(col("text"), lit("\\S+"), lit(0)), " ")
+        .as("whole"))
+      .filter(length(col("whole")) > 0)
+    assert(rebuilt.except(orig).isEmpty && orig.except(rebuilt).isEmpty)
+  }
+
   test("dupClusters: self-pairs dropped identically on both sides of the byte gate") {
     // (5,5) must not surface 5 as a singleton cluster in EITHER path —
     // previously the driver path emitted (5,5) while the distributed

@@ -334,4 +334,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(encLines.forall(_.contains("*(")),
       encLines.filterNot(_.contains("*(")).mkString("\n"))
   }
+
+  test("q139 seq pack: offsets join broadcasts; token arrays stay off the offsets aggregate") {
+    val df = Queries.all.find(_.name == "q139_seq_pack").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the bucket-totals aggregate must shuffle (doc_id-derived key, n)
+    // only — if __toks rides that exchange, the two-level prefix sum
+    // is moving the whole corpus twice
+    val aggExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("__bk"))
+      .filter(l => !l.contains("SinglePartition")).toSeq
+    assert(aggExchanges.nonEmpty, plan.take(3000))
+    assert(aggExchanges.exists(!_.contains("__toks")),
+      "offsets-side exchange must carry only (__bk, n):\n" +
+        aggExchanges.mkString("\n"))
+  }
+
+  test("q136 pq: ADC join sees only codes and LUT — embeddings never reach pair scoring") {
+    val df = Queries.all.find(_.name == "q136_pq_topk").get.run(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // the ADC stage is the join whose output carries codes + lut; its
+    // input sides must be the m-int codes table and the per-query LUT
+    // — if an embedding column crosses this join, PQ lost its point
+    // (pair scoring must touch m ints per vector, not the vectors)
+    val adc = joins.find(j => j.output.exists(_.name == "codes") &&
+      j.output.exists(_.name == "lut"))
+    assert(adc.isDefined, joins.map(_.output.map(_.name)).toString)
+    val sideNames = Seq(adc.get.left.output.map(_.name).toSet,
+      adc.get.right.output.map(_.name).toSet)
+    assert(sideNames.contains(Set("vec_id", "codes")), sideNames.toString)
+    assert(sideNames.contains(Set("query_id", "lut")), sideNames.toString)
+  }
 }
