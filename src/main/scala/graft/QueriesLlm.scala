@@ -2135,10 +2135,66 @@ object QueriesLlm {
                least(start + n, (seq_id+1)*128) - start], ' ') AS seg_text
       FROM e ORDER BY seq_id, doc_id"""))
 
+  /** Unicode NFC normalization + control strip + whitespace collapse
+    * (TextAnalysis.normalizeText, native NfcNormalize codegen expr).
+    * Both engines append the same decomposed/control-laden suffix to
+    * every doc — composition (e+U+0301), dakuten composition, canonical
+    * REORDERING then composition (a+acute+dot-below), an NFC-invariant
+    * compatibility ligature, C0/VT/DEL controls, double spaces — then
+    * normalize; the hash gate pins JVM-Normalizer ≡ utf8proc parity. */
+  private val q140 = Q("q140_nfc_normalize",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val aug = concat(col("text"),
+        lit(" e\u0301 \u304B\u3099 a\u0301\u0323 \uFB01 x\u0007y\u000Bz\u007F  tail"))
+      graft.llm.TextAnalysis.normalizeText(
+        s, d.select(col("doc_id"), aug.as("text")), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+               text || ' e' || chr(769) || ' ' || chr(12363) || chr(12441) ||
+               ' a' || chr(769) || chr(803) || ' ' || chr(64257) ||
+               ' x' || chr(7) || 'y' || chr(11) || 'z' || chr(127) || '  tail'
+                 AS text
+        FROM documents),
+      n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                 '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                 '\s+', ' ', 'g')) AS norm_text
+        FROM a)
+      SELECT doc_id, norm_text, norm_text <> text AS changed,
+             CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+      FROM n ORDER BY doc_id"""))
+
+  /** Weighted sampling without replacement (Corpus.weightedSample,
+    * Efraimidis–Spirakis A-ES): top-7 docs per source by ln(u)/w with
+    * w = n_chars. The oracle replays the md5→52-bit-uniform→ln→divide
+    * key arithmetic and the hash gate pins the doubles bit-for-bit. */
+  private val q141 = Q("q141_weighted_sample",
+    (s, dir) => graft.llm.Corpus.weightedSample(
+      t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+      "source", "doc_id", "n_chars", n = 7)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("weight"), col("aes_key"))
+      .orderBy("source", "doc_id"),
+    Some("""
+      WITH k AS (
+        SELECT source, doc_id, n_chars,
+               ln(((('0x' || substr(md5(doc_id::VARCHAR || ':aes'), 1, 13))::BIGINT
+                    + 0.5) / 4503599627370496.0)) / n_chars AS aes_key
+        FROM documents WHERE n_chars > 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY aes_key DESC, doc_id) AS rk FROM k)
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, aes_key
+      FROM r WHERE rk <= 7 ORDER BY source, doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139)
+    q139, q140, q141)
 }

@@ -66,6 +66,39 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * "A-ES", Inf. Proc. Letters 2006): per stratum, keep the `n` rows
+    * with the largest u^(1/w) — equivalently, in log space, the
+    * largest ln(u)/w — where u is a md5-derived uniform in (0,1) and
+    * w the row's weight. Longer/heavier rows win proportionally more
+    * often, yet every selection is a deterministic pure function of
+    * the key (reproducible on any cluster size, no RNG state).
+    *
+    * This is THE distributed weighted-reservoir algorithm: the key is
+    * computed row-local (narrow), so the only shuffle is the
+    * per-stratum top-n window — identical shape to [[domainCap]].
+    * Exposes the sort key as `aes_key` so the q141 oracle hash-pins
+    * the whole computation (md5→uniform→ln→divide are all
+    * bit-reproducible in DuckDB — the q125 ln-parity precedent).
+    * Skew note: as with domainCap, a mega-stratum means a big window
+    * partition; the in-window state is O(1). */
+  def weightedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      weightCol: String, n: Int, salt: String = "aes"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    // 52-bit md5 prefix → exact double; +0.5 keeps u off both endpoints
+    val k52 = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":" + salt))), 1, 13), 16, 10).cast("double")
+    val u = (k52 + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__aes").desc, col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__aes", log(u) / col(weightCol).cast("double"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .withColumnRenamed("__aes", "aes_key")
+      .drop("__rk")
+  }
+
   /** Deterministic data-mixture sampling (the "mixture weights" step
     * of corpus assembly — e.g. The Pile / LLaMA-style per-source
     * sampling rates): keep each row with probability

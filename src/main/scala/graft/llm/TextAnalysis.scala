@@ -465,4 +465,31 @@ object TextAnalysis {
         least(lit(window), col("__n") - col("chunk_id") * stride)
           .cast("long").as("n_tokens"))
   }
+
+  /** Corpus text normalization — the stage every pipeline runs before
+    * hashing, deduping, or tokenizing raw web text: Unicode NFC
+    * canonical composition (so `é` composed and `e`+U+0301 hash
+    * identically), C0/C1-control and DEL stripping, whitespace
+    * collapse, trim. NFC is the native codegen expression
+    * [[graft.functions.NfcNormalize]] (ASCII rows return the input
+    * buffer untouched); the strip/collapse regexes stay in the
+    * Java∩RE2 subset so the DuckDB oracle replays them verbatim
+    * (q140). Narrow map, zero shuffle — rides the scan at 100 TB.
+    *
+    * `changed` compares against the raw input (a cheap data-quality
+    * metric: fraction of corpus touched by normalization). */
+  def normalizeText(spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val nfc = graft.functions.NfcNormalize.column(spark, col(textCol))
+    // \x0B (vertical tab) must go in THIS step: Java \s matches it but
+    // RE2 \s does not, so the collapse step may only ever see the
+    // shared [\t\n\f\r ] whitespace alphabet.
+    val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    docs.select(col(idCol).as("doc_id"),
+      collapsed.as("norm_text"),
+      (collapsed =!= col(textCol)).as("changed"),
+      length(collapsed).cast("long").as("n_chars_norm"))
+  }
 }

@@ -86,6 +86,40 @@ class CorpusSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("weightedSample: A-ES keys favor heavy rows, deterministic, zero-weight excluded") {
+    // one stratum, extreme weights: doc 1 weighs 10000x doc 2..4 —
+    // with n=1 it must win for (almost) any uniform draw; verify the
+    // winner IS the argmax of ln(u)/w computed independently here
+    val d = Seq((1L, "s", 1000000L), (2L, "s", 100L), (3L, "s", 100L),
+      (4L, "s", 100L), (5L, "s", 0L)).toDF("doc_id", "src", "w")
+    def key(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:aes".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      math.log(u) / (if (id == 1L) 1000000L else 100L)
+    }
+    val expectWinner = Seq(1L, 2L, 3L, 4L).maxBy(key)
+    val got = Corpus.weightedSample(d, "src", "doc_id", "w", n = 1)
+    val row = got.collect().head
+    assert(row.getAs[Long]("doc_id") == expectWinner)
+    assert(math.abs(row.getAs[Double]("aes_key") - key(expectWinner)) == 0.0,
+      "engine key must equal the locally computed A-ES key bit-for-bit")
+    // zero-weight rows can never be sampled
+    assert(Corpus.weightedSample(d, "src", "doc_id", "w", n = 5)
+      .filter(col("doc_id") === 5L).isEmpty)
+    // fixture-wide: per-stratum counts capped at n, selection
+    // deterministic across evaluations, and the kept set is the
+    // top-n by key within each stratum (no cross-stratum leakage)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val s1 = Corpus.weightedSample(docs, "source", "doc_id", "n_chars", n = 7)
+    val s2 = Corpus.weightedSample(docs, "source", "doc_id", "n_chars", n = 7)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty)
+    val perStratum = s1.groupBy("source").count().collect()
+    assert(perStratum.forall(_.getLong(1) <= 7))
+  }
+
   test("packSequences: boundary spans exact, sequences full, docs reassemble") {
     // L=8; token counts 5,4,7,2 -> starts 0,5,9,16. Doc 2 straddles the
     // first cut: 3 tokens close seq 0, 1 token opens seq 1.

@@ -887,4 +887,36 @@ class LlmSpec extends AnyFunSuite {
     assert(u.forall(r => r.getAs[Long]("n_dup_paragraphs") == 0L &&
       !r.getAs[Boolean]("para_dup_flagged")))
   }
+
+  test("normalizeText: NFC composes/reorders, controls stripped, ascii zero-copy") {
+    import spark.implicits._
+    // decomposed acute composes; dakuten composes; acute+dot-below
+    // REORDERS canonically then composes the dot (U+1EA1 + U+0301);
+    // the fi ligature is NFC-invariant (compatibility, not canonical);
+    // C0/VT/DEL controls vanish; runs of whitespace collapse
+    val messy = "é が  ạ́\txyz ﬁ "
+    val out = graft.llm.TextAnalysis.normalizeText(
+      spark, Seq((1L, messy), (2L, "plain ascii"), (3L, null: String))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val norm = out(0).getAs[String]("norm_text")
+    assert(norm == "é が ạ́ xyz ﬁ",
+      norm.map(c => f"${c.toInt}%04x").mkString(" "))
+    assert(out(0).getAs[Boolean]("changed"))
+    assert(out(1).getAs[String]("norm_text") == "plain ascii" &&
+      !out(1).getAs[Boolean]("changed"))
+    assert(out(2).isNullAt(1), "null text propagates")
+    // the ASCII fast path must return the input buffer itself — on a
+    // web corpus that's nearly every row, and it's what makes a
+    // normalize-everything policy free at 100 TB
+    val ascii = org.apache.spark.unsafe.types.UTF8String.fromString("hello")
+    assert(graft.functions.NfcNormalizeHelper.normalize(ascii) eq ascii)
+    val nonAscii = org.apache.spark.unsafe.types.UTF8String.fromString("é")
+    assert(graft.functions.NfcNormalizeHelper.normalize(nonAscii).toString == "é")
+    // scan rider: narrow map, no exchange anywhere in the plan
+    val plan = graft.llm.TextAnalysis.normalizeText(
+      spark, docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "normalizeText must be zero-shuffle")
+    assert(plan.contains("*("), "normalizeText must stay in whole-stage codegen")
+  }
 }
