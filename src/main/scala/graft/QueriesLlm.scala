@@ -2191,10 +2191,42 @@ object QueriesLlm {
       SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, aes_key
       FROM r WHERE rk <= 7 ORDER BY source, doc_id"""))
 
+  /** Scalar int8 quantization (Similarity.int8Quantize, SQ8): per-dim
+    * affine [-127,127] codes + worst-dim reconstruction error. The
+    * oracle replays per-dim min/max and the exact double affine on
+    * 64-dim rows; codes are exact ints and max_abs_err avoids any
+    * float summation-order dependence, so the whole row hash-matches. */
+  private val q142 = Q("q142_int8_quantize",
+    (s, dir) => graft.llm.Similarity.int8Quantize(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"),
+        array_join(col("codes"), " ").as("codes_str"),
+        col("max_abs_err"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      pd AS (SELECT e.vec_id, d.i, e.embedding[d.i] AS x
+             FROM embeddings e, dims d),
+      st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM pd GROUP BY i),
+      c AS (SELECT vec_id, pd.i, pd.x, st.mn, st.mx,
+              CASE WHEN mx = mn THEN 0
+                   ELSE CAST(round((pd.x::DOUBLE - mn::DOUBLE) * 254.0
+                          / (mx::DOUBLE - mn::DOUBLE)) AS INTEGER) - 127
+              END AS code
+            FROM pd JOIN st USING (i)),
+      r AS (SELECT vec_id, i, code,
+              abs(mn::DOUBLE + (code + 127.0) * (mx::DOUBLE - mn::DOUBLE)
+                  / 254.0 - x::DOUBLE) AS err
+            FROM c)
+      SELECT vec_id,
+             array_to_string(list(code ORDER BY i), ' ') AS codes_str,
+             max(err) AS max_abs_err
+      FROM r GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141)
+    q139, q140, q141, q142)
 }

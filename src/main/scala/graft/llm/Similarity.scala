@@ -640,4 +640,46 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
+
+  /** Per-dimension (min, max) over the corpus — the stats pass of
+    * scalar quantization. posexplode → hash aggregate: partial
+    * (map-side) aggregation collapses every partition to `dim` rows
+    * before the exchange, so the shuffle is partitions×dim rows no
+    * matter how many vectors the corpus holds. */
+  def dimStats(corpus: DataFrame, embCol: String): DataFrame =
+    corpus.select(posexplode(col(embCol)).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+
+  /** Scalar int8 quantization of an embedding column (the storage tier
+    * below PQ: 4× smaller than float32 with per-dimension affine
+    * codes; what vector stores call SQ8). Each dimension maps
+    * [mn_d, mx_d] affinely onto [-127, 127]; a flat dimension
+    * (mn = mx) codes to 0. Emits the codes plus `max_abs_err`, the
+    * row's worst-dimension reconstruction error — max, not mean, so
+    * the parity gate never depends on a float summation order.
+    *
+    * Scale shape: stats pass ([[dimStats]]) shuffles partitions×dim
+    * rows; the quantize pass is a narrow map under a broadcast of one
+    * dim-sized stats row. Codes are exact integers (round of an exact
+    * double ratio), so q142 hash-pins them plus the error doubles. */
+  def int8Quantize(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val stats = dimStats(corpus, embCol)
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("s"))
+      .select(transform(col("s"), e => e.getField("mn")).as("__mn"),
+        transform(col("s"), e => e.getField("mx")).as("__mx"))
+    def mnAt(i: Column) = element_at(col("__mn"), i + 1).cast("double")
+    def mxAt(i: Column) = element_at(col("__mx"), i + 1).cast("double")
+    val codes = transform(col(embCol), (x, i) =>
+      when(mxAt(i) === mnAt(i), lit(0)).otherwise(
+        (round((x.cast("double") - mnAt(i)) * lit(254.0)
+          / (mxAt(i) - mnAt(i)))).cast("int") - lit(127)))
+    corpus.crossJoin(broadcast(stats))
+      .withColumn("codes", codes)
+      .withColumn("__err", transform(col("codes"), (c, i) =>
+        abs(mnAt(i) + (c.cast("double") + lit(127.0)) * (mxAt(i) - mnAt(i))
+          / lit(254.0) - element_at(col(embCol), i + 1).cast("double"))))
+      .select(col(idCol), col("codes"),
+        array_max(col("__err")).as("max_abs_err"))
+  }
 }
