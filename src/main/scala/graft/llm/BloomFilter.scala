@@ -44,17 +44,22 @@ object BloomFilter {
   private val wordMask: Column =
     expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bit % $WordBits AS INT))").as("mask")
 
-  /** j-th bit position of a key: first 8 hex chars of
-    * md5("bloom<j>:" + x) → 32-bit int, mod m. Seeded by prefix, so
-    * the k probes are independent digests (k ≤ 16 keeps cost sane;
-    * DuckDB: ('0x' || substr(md5('bloom' || j || ':' || x), 1, 8))::BIGINT % m). */
-  def bitPos(j: Int, x: Column, m: Int): Column =
-    conv(substring(md5(concat(lit(s"bloom$j:"), x.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % m
-
-  /** All k bit positions of a key (array of longs in [0, m)). */
-  def bitPositions(x: Column, k: Int, m: Int): Column =
-    array((0 until k).map(j => bitPos(j, x, m)): _*)
+  /** All k bit positions of a key (array of longs in [0, m)), via
+    * Kirsch–Mitzenmacher double hashing: ONE md5 per key split into
+    * two 32-bit halves h1/h2, bit j = (h1 + j·h2) mod m. Same
+    * asymptotic FP rate as k independent digests (Kirsch &
+    * Mitzenmacher 2006) at 1/k the digest cost — md5 dominates the
+    * build/probe, so this is the k× hot-path saving. Subexpression
+    * elimination computes the shared md5 once per row; h1 + 15·h2 <
+    * 2^36 so the arithmetic never overflows BIGINT.
+    * DuckDB twin: h1 = ('0x' || substr(md5('bloom:' || x), 1, 8))::BIGINT,
+    * h2 = same with substr(.., 9, 8); bit = (h1 + j*h2) % m. */
+  def bitPositions(x: Column, k: Int, m: Int): Column = {
+    val d = md5(concat(lit("bloom:"), x.cast("string")))
+    val h1 = conv(substring(d, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(d, 9, 8), 16, 10).cast("long")
+    array((0 until k).map(j => (h1 + lit(j.toLong) * h2) % m): _*)
+  }
 
   /** Build the filter from a key column: (word_idx INT, word INT)
     * rows, only non-zero words present (≤ m/32 rows). One explode ×k

@@ -193,8 +193,10 @@ object Corpus {
         regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
       .withColumn("n", size(col("__toks")).cast("long"))
       .filter(col("n") > 0)
-    val maxId = Option(base.agg(max(col("doc_id"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // cast in the aggregate so any numeric id type (int, short, decimal)
+    // reads back as a long instead of ClassCastException-ing
+    val maxIdRow = base.agg(max(col("doc_id")).cast("long")).head
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
     val width = math.max(1L, (maxId + buckets) / buckets)
     val withBk = base.withColumn("__bk", (col("doc_id") / width).cast("long"))
     val w = Window.partitionBy(col("__bk")).orderBy(col("doc_id"))

@@ -485,7 +485,8 @@ object TextAnalysis {
     // \x0B (vertical tab) must go in THIS step: Java \s matches it but
     // RE2 \s does not, so the collapse step may only ever see the
     // shared [\t\n\f\r ] whitespace alphabet.
-    val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val stripped =
+      regexp_replace(nfc, "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x80-\\x9F]", "")
     val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
     docs.select(col(idCol).as("doc_id"),
       collapsed.as("norm_text"),
