@@ -111,6 +111,19 @@ object Dedup {
     * explode to (band_idx, band_hash) → self-equi-join on the band key
     * (the ONLY shuffle) → distinct candidate pairs → verify with exact
     * Jaccard ≥ threshold.
+    *
+    * ==Cache-release contract==
+    * The default (`materialize = false`) return is a LAZY plan pinned
+    * on two persisted intermediates (the signature table and the
+    * scored-pair CSE barrier). Those blocks stay cached until LRU
+    * eviction — fine for run-and-exit jobs, a slow leak in a
+    * long-lived session that calls this repeatedly. Long-lived callers
+    * must pick one of:
+    *   - `materialize = true` (plus `checkpointDir` on a real
+    *     cluster): pairs are computed eagerly and every intermediate
+    *     cache is released before return; or
+    *   - [[withLshPairs]]: loan-pattern wrapper that consumes the lazy
+    *     frame and releases the caches afterward.
     */
   /** Band/row choice: with r rows per band and b bands the candidate
     * S-curve midpoint is (1/b)^(1/r). The fixture corpus has high
@@ -123,6 +136,29 @@ object Dedup {
       threshold: Double = 0.5, numHashes: Int = 12, numBands: Int = 4,
       minAgree: Int = 6, materialize: Boolean = false,
       checkpointDir: Option[String] = None): DataFrame = {
+    val (verified, caches) = lshPairsWithCaches(docs, idCol, textCol,
+      threshold, numHashes, numBands, minAgree)
+    if (!materialize) verified
+    else materializeAndRelease(verified, checkpointDir, caches)
+  }
+
+  /** Loan-pattern [[lshPairs]] for long-lived sessions: computes the
+    * lazy verified-pair frame, hands it to `f`, and releases every
+    * intermediate cache once `f` returns — the no-leak way to consume
+    * pairs without paying [[materialize]]'s extra materialization.
+    * The frame must not escape `f` (its caches are gone after). */
+  def withLshPairs[A](docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, numHashes: Int = 12, numBands: Int = 4,
+      minAgree: Int = 6)(f: DataFrame => A): A = {
+    val (verified, caches) = lshPairsWithCaches(docs, idCol, textCol,
+      threshold, numHashes, numBands, minAgree)
+    try f(verified)
+    finally caches.foreach(_.unpersist(blocking = false))
+  }
+
+  private def lshPairsWithCaches(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, numBands: Int,
+      minAgree: Int): (DataFrame, Seq[DataFrame]) = {
     // Pipeline shape, chosen for 100 TB:
     //  1. shingle sets computed once, persisted;
     //  2. signatures via explode→groupBy so each shingle is md5'd
@@ -195,8 +231,7 @@ object Dedup {
     // recomputable after executor loss.
     val sc = scored(prefiltered, base).persist()
     val verified = sc.filter(col("jaccard") >= threshold)
-    if (!materialize) verified
-    else materializeAndRelease(verified, checkpointDir, Seq(sc, base0))
+    (verified, Seq(sc, base0))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the cached
@@ -251,6 +286,11 @@ object Dedup {
       threshold: Double = 0.5, numBands: Int = 4, minAgree: Int = 6,
       materialize: Boolean = false,
       checkpointDir: Option[String] = None): DataFrame = {
+    // Cache-release contract: same as [[lshPairs]] — the default lazy
+    // return pins one persisted intermediate (the scored-pair CSE
+    // barrier). A long-lived ingest loop calls with materialize=true
+    // (per batch the verified-pair artifact is small and consumed
+    // immediately, so the eager compute is the natural mode here).
     def banded(sigs: DataFrame) = sigs.select(col("id"), col("sig"), col("bh"),
       posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
     val newB = banded(newSigs)
