@@ -2158,7 +2158,7 @@ object QueriesLlm {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val aug = concat(col("text"),
-        lit(" e\u0301 \u304B\u3099 a\u0301\u0323 \uFB01 x\u0007y\u000Bz\u007F  tail"))
+        lit(" e\u0301 \u304B\u3099 a\u0301\u0323 \uFB01 x\u0007y\u000Bz\u007F w\u0085v  tail"))
       graft.llm.TextAnalysis.normalizeText(
         s, d.select(col("doc_id"), aug.as("text")), "doc_id", "text")
         .orderBy("doc_id")

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed table loader over a scale-factor directory.
   *
@@ -25,9 +25,29 @@ object Tables {
     // micros timestamp (exact integer division — no precision surprise).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    else df
+    val withTs =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      else df
+    normalizeNtz(withTs)
+  }
+
+  /** Normalize every TIMESTAMP_NTZ column to a session-TZ TIMESTAMP at
+    * the source boundary. Parquet writers vary in the
+    * `isAdjustedToUTC` logical-type flag (the same fixture has shipped
+    * as NANOS, MICROS-UTC and MICROS-local across driver versions);
+    * downstream the engine is instant-based — `withWatermark` rejects
+    * NTZ event time and `Row.getTimestamp` expects an instant. The
+    * session timezone is pinned to UTC, so the wall-clock → instant
+    * reinterpretation is unambiguous. One narrow projection, no
+    * shuffle — at 100 TB this rides the scan. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.select(df.schema.fieldNames.map { f =>
+      if (ntz.exists(_.name == f)) col(f).cast(TimestampType).as(f)
+      else col(f)
+    }.toIndexedSeq: _*)
   }
 
   /** Load with a scan-parallelism floor: repartition to the session's
