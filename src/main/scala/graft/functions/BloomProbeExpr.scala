@@ -17,6 +17,8 @@ object BloomProbeHelper {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val prefix = "bloom:".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
   /** `true` iff all k Kirsch–Mitzenmacher bit positions of `key` are
     * set in `words` (bit b lives at `words(b >>> 5)` mask
     * `1L << (b & 31)` — exactly the `(word_idx, word)` layout
@@ -25,11 +27,13 @@ object BloomProbeHelper {
     * key.cast("string")))`; h1/h2 are the first/second 4 digest bytes
     * read big-endian unsigned, matching `conv(substring(hex, 1, 8),
     * 16, 10)` / `(9, 8)`. h1 + 6·h2 < 2^35, no overflow. */
-  def probe(key: Long, words: Array[Long], k: Int, m: Int): Boolean = {
+  def probe(key: org.apache.spark.unsafe.types.UTF8String,
+      words: Array[Long], k: Int, m: Int): Boolean = {
     val d = md.get()
     d.reset()
-    val digest = d.digest(
-      ("bloom:" + key).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    d.update(prefix)
+    d.update(key.getBytes)
+    val digest = d.digest()
     val h1 = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
       ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
     val h2 = ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
@@ -61,7 +65,9 @@ case class BloomProbe(child: Expression, k: Int, m: Int,
   override def prettyName: String = "bloom_probe"
 
   override def nullSafeEval(v: Any): Any =
-    BloomProbeHelper.probe(v.asInstanceOf[Long], bcast.value, k, m)
+    BloomProbeHelper.probe(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      bcast.value, k, m)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = BloomProbeHelper.getClass.getName.stripSuffix("$")
@@ -83,13 +89,15 @@ object BloomProbe {
 
   /** Column API, [[MultiMatch.column]]-style temp-function
     * registration; the name carries a fresh counter so two sketches
-    * in one session never collide. `key` must be a non-negative
-    * BIGINT (the engine's 60-bit window/shingle hashes). */
+    * in one session never collide. The key is cast to string exactly
+    * as [[graft.llm.BloomFilter.bitPositions]] does, so any key type
+    * (the engine's 60-bit BIGINT window hashes, raw strings) digests
+    * identically in both probe forms and in the DuckDB oracle. */
   def column(spark: SparkSession, key: Column, k: Int, m: Int,
       bcast: Broadcast[Array[Long]]): Column = {
     val name = s"bloom_probe_${counter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => BloomProbe(exprs.head, k, m, bcast), "scala_udf")
-    call_function(name, key)
+    call_function(name, key.cast("string"))
   }
 }

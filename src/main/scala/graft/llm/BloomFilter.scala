@@ -77,20 +77,35 @@ object BloomFilter {
     sketches.reduce(_ unionAll _)
       .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
 
+  /** Collect a built sketch's `(word_idx, word)` rows into a dense
+    * `long[]` bitmap and broadcast it. The collect is bounded by the
+    * SKETCH size (≤ m/32 longs — 4 MB at m = 2^24), never the data,
+    * so it is driver-safe at any corpus scale; TorrentBroadcast ships
+    * it once per executor. */
+  def broadcastWords(sketch: DataFrame, m: Int)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val words = new Array[Long](m / WordBits)
+    sketch.collect().foreach { r =>
+      words(r.getAs[Int]("word_idx")) = r.getAs[Long]("word")
+    }
+    sketch.sparkSession.sparkContext.broadcast(words)
+  }
+
   /** Membership probe: for each item row, `might_contain` = all k bit
-    * positions set. The sketch side is ≤ m/32 rows → broadcast; the
-    * probed stream shuffles only on its own id for the k-way
-    * regroup (and even that is map-side combinable). No false
-    * negatives; `true` at the documented FP rate. */
+    * positions set. The sketch collapses to a broadcast `long[]`
+    * bitmap ([[broadcastWords]]) and the probe runs as ONE codegen
+    * expression ([[graft.functions.BloomProbe]]) — k bit tests per
+    * row inside whole-stage codegen, zero extra rows, ZERO shuffle of
+    * the probed stream (the r8 row-form probe paid a ×k explode plus
+    * a per-id regroup exchange). Output keeps one row per input item
+    * row. No false negatives; `true` at the documented FP rate. */
   def mightContain(sketch: DataFrame, items: DataFrame, idCol: String,
-      keyCol: Column, k: Int = 7, m: Int = 1 << 24): DataFrame =
-    items.select(col(idCol), explode(bitPositions(keyCol, k, m)).as("bit"))
-      .select(col(idCol), wordIdx, wordMask)
-      .join(broadcast(sketch), Seq("word_idx"), "left")
-      .groupBy(col(idCol))
-      .agg((count(when(col("word").isNotNull &&
-        (col("word").bitwiseAND(col("mask")) =!= 0L), 1)) === k)
+      keyCol: Column, k: Int = 7, m: Int = 1 << 24): DataFrame = {
+    val bcast = broadcastWords(sketch, m)
+    items.select(col(idCol),
+      graft.functions.BloomProbe.column(items.sparkSession, keyCol, k, m, bcast)
         .as("might_contain"))
+  }
 
   /** Seen-window membership stats per document: the bloom-prefilter
     * pattern at n-gram-window granularity (the cheap front half of a
@@ -104,12 +119,19 @@ object BloomFilter {
     * `n_bloom_hits − n_exact_hits ≥ 0` (never negative: no false
     * negatives).
     *
-    * Scale shape: filter build is explode + bit_or agg (word-count
-    * shuffle); the probe side is a broadcast join (no shuffle of the
-    * batch window stream beyond its per-doc regroup); the exact
-    * ground-truth join shuffles on the 60-bit window hash — that join
-    * exists HERE because the gate pins FP behavior; a production
-    * prefilter would run only the bloom side and verify just the hits. */
+    * Scale shape: the existing side's DISTINCT window hashes are
+    * computed once and persisted — they feed BOTH the filter build
+    * (explode + bit_or agg, word-count shuffle, collected into a
+    * broadcast `long[]` bitmap at construction time) and the exact
+    * ground-truth join in the returned plan. The probe itself is one
+    * codegen expression per batch window ([[graft.functions
+    * .BloomProbe]]) — no ×k row explosion, no regroup exchange; the
+    * batch stream shuffles only for its own (id, wh) DISTINCT and the
+    * exact join. That exact join exists HERE because the gate pins FP
+    * behavior; a production prefilter would run only the bloom side
+    * and verify just the hits. The persisted intermediate is pinned by
+    * the returned plan (same contract as [[Dedup.clusters]]); it is
+    * sketch-adjacent in size (distinct 60-bit hashes), evicted LRU. */
   def seenWindowStats(existing: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, windowTokens: Int = 8,
       k: Int = 7, m: Int = 1 << 24): DataFrame = {
@@ -121,20 +143,14 @@ object BloomFilter {
         transform(starts, i =>
           Dedup.shingleHash(concat_ws(" ", slice(toks, i, lit(w)))))).as("wh"))
     }
-    val exWins = windows(existing)
-    val sketch = build(exWins, col("wh"), k, m)
-    // DISTINCT (id, wh): a window repeated within one doc would emit
-    // 2k bit rows and break the all-k-set count; distinct windows are
-    // also the right unit for "how much of this doc was seen before"
+    val exWins = windows(existing).select(col("wh")).distinct().persist()
+    val bcast = broadcastWords(build(exWins, col("wh"), k, m), m)
+    // DISTINCT (id, wh): distinct windows are the right unit for "how
+    // much of this doc was seen before" (and what the oracle counts)
     val batchWins = windows(batch).distinct()
-      .select(col(idCol), col("wh"), explode(bitPositions(col("wh"), k, m)).as("bit"))
-      .select(col(idCol), col("wh"), wordIdx, wordMask)
-      .join(broadcast(sketch), Seq("word_idx"), "left")
-      .groupBy(col(idCol), col("wh"))
-      .agg((count(when(col("word").isNotNull &&
-        (col("word").bitwiseAND(col("mask")) =!= 0L), 1)) === k).as("bloom_hit"))
-    val exact = exWins.select(col("wh")).distinct()
-      .withColumn("__seen", lit(1))
+      .withColumn("bloom_hit", graft.functions.BloomProbe.column(
+        batch.sparkSession, col("wh"), k, m, bcast))
+    val exact = exWins.withColumn("__seen", lit(1))
     batchWins.join(exact, Seq("wh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),

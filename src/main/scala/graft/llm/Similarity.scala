@@ -427,6 +427,75 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF-PQ composed ANN (the IVFADC scheme of Jégou et al. 2011,
+    * non-residual variant): the coarse quantizer from [[ivfTopK]]
+    * assigns every corpus vector to ONE inverted list and each query
+    * probes its `nprobe` nearest lists, so the [[pqTopK]] asymmetric
+    * distance computation runs only over the codes IN PROBED LISTS —
+    * query cost drops from a full code-table scan to
+    * nprobe/nlist of it, which is the piece that makes PQ an index
+    * rather than a compressed brute force.
+    *
+    * Scale shape: codebooks (m·ksub rows) and the per-query
+    * (cid, lut) probe table (Q·nprobe rows, m·ksub doubles each) are
+    * BROADCAST; the corpus side touches (cid, vec_id, codes) — m
+    * ints per vector, embeddings never reach pair scoring — and the
+    * list restriction is the equi-join on `cid`, so the scored stream
+    * is Σ probed-list sizes, never corpus×queries. One shuffle
+    * co-locates codes with their list id (vec_id equi-join).
+    * Deterministic end-to-end (seed centroids = first `nlist`
+    * vectors, [[pqTrain]] exact-decimal means, ordered ADC fold) →
+    * the q142 oracle replays the entire run and hash-matches. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 2, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, dims: Int = 64): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+    def assign(df: DataFrame, idCol: String, embCol: String,
+        nrmCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__d").desc, col("cid").asc)
+      df.withColumn(nrmCol, norm(col(embCol)))
+        .crossJoin(cents)
+        .withColumn("__d",
+          cosPre(col(embCol), col("c_emb"), col(nrmCol), col("c_nrm")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .drop("c_emb", "c_nrm", "__d", "__r", nrmCol, embCol)
+    }
+    val books = pqTrain(corpus, m, ksub, iters, dims)
+    val codes = pqEncode(corpus, books, m, dims)
+    val assigned = assign(corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", "nrm", 1)
+    val listCodes = codes.join(assigned, Seq("vec_id"))
+    val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
+    val lut = subVectors(
+      queries.select(col("vec_id"), col("embedding")), m, dims)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("xx", dot(col("sv"), col("sv")))
+      .join(b, Seq("sub"))
+      .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c")))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cid"), col("__d")))),
+        x => x.getField("__d")).as("lut"))
+    val probed = assign(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", "q_nrm", nprobe)
+      .join(lut, Seq("query_id"))
+    val scored = listCodes.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc +
+          element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1) + 1)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
   /** Persisted IVF index: centroids + corpus-to-list assignments
     * written as parquet, so index build cost is paid ONCE and every
     * query run probes the stored index — the production vector-search

@@ -371,4 +371,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(sideNames.contains(Set("vec_id", "codes")), sideNames.toString)
     assert(sideNames.contains(Set("query_id", "lut")), sideNames.toString)
   }
+
+  test("q143 ivf-pq: ADC scoring sees only probed-list codes, equi-joined on cid") {
+    val df = Queries.all.find(_.name == "q143_ivfpq_topk").get.run(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // the list-restricted ADC stage: codes meet the per-query
+    // (cid, lut) probe table via an EQUI-join on the list id — that
+    // join is what shrinks scoring from the full code table to
+    // nprobe/nlist of it. Embeddings must not cross it.
+    val adc = joins.find(j => j.output.exists(_.name == "codes") &&
+      j.output.exists(_.name == "lut"))
+    assert(adc.isDefined, joins.map(_.output.map(_.name)).toString)
+    val j = adc.get
+    assert(j.condition.exists(_.references.exists(_.name == "cid")),
+      s"ADC join must be keyed on the list id, got: ${j.condition}")
+    val crossed = j.output.map(_.name).toSet
+    assert(!crossed.contains("embedding") && !crossed.contains("q_emb") &&
+      !crossed.contains("sv") && !crossed.contains("emb"),
+      s"embeddings crossed the ADC join: $crossed")
+    // physical: every cross-shaped join in the path is a BROADCAST
+    // (centroids, probe table); a CartesianProduct node would mean a
+    // shuffled all-pairs join slipped in
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
