@@ -2308,10 +2308,100 @@ object QueriesLlm {
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Fixed BPE merge table for q144 — rank order IS merge priority.
+    * Hand-chosen against the fixture vocabulary to exercise every
+    * encoder behavior: multi-char merges built on earlier merges
+    * (th+e</w>), end-of-word-marker merges, rank precedence between
+    * overlapping candidates (g+</w> before g+g</w> turns `agg` into
+    * [a, gg</w>]), and unranked residues left as single chars. */
+  private val bpeFixedMerges: Seq[(String, String)] = Seq(
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("i", "n"), ("o", "r"),
+    ("e", "r"), ("er", "</w>"), ("g", "</w>"), ("g", "g</w>"), ("o", "w"),
+    ("ow", "</w>"), ("s", "t"), ("a", "n"), ("a", "r"), ("in", "e</w>"),
+    ("a", "l"), ("u", "e</w>"), ("st", "r"), ("h", "a"), ("q", "u"))
+
+  /** BPE ENCODE path, hash-gated (closes q120's rows-only gap): the
+    * greedy lowest-rank-first merge loop (BpeCodec.encodeWord →
+    * mergeOnce all-occurrence left-to-right pass per round) replayed
+    * in DuckDB as a recursive CTE over a FIXED merge table embedded
+    * as literals on both sides. The oracle's state machine alternates
+    * choose (lateral min-rank pair present) and apply (replace() on
+    * the delimiter-wrapped symbol string, repeated to fixpoint —
+    * replace() is left-to-right non-overlapping, and a second pass
+    * only picks up occurrences whose shared delimiter the first pass
+    * consumed, which is exactly mergeOnce's semantics since merging
+    * (a,b) can never create a new (a,b) adjacency). Training stays
+    * covered by BpeSpec + rows-only q120 (an iterative argmax no
+    * single SQL statement expresses); THIS gate pins the encoder. */
+  private val q144 = Q("q144_bpe_encode",
+    (s, dir) => {
+      val codec = new graft.llm.BpeCodec(bpeFixedMerges.toArray)
+      val enc = graft.llm.Bpe.encodeColumn(s, codec, col("text"))
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(enc).cast("long").as("n_bpe_tokens"),
+          array_join(enc, " ").as("bpe_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      merges(rank, a, b) AS (VALUES ${bpeFixedMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}),
+      arr AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+      words AS (SELECT DISTINCT word FROM (
+        SELECT t[i] AS word FROM (
+          SELECT t, unnest(generate_series(1, len(t))) AS i FROM arr))
+        WHERE word <> ''),
+      init AS (SELECT word,
+                 '|' || array_to_string(list_transform(
+                   generate_series(1, length(word)), j -> word[j]), '|')
+                     || '|</w>|' AS s
+               FROM words),
+      rec AS (
+        SELECT word, s, CAST(NULL AS VARCHAR) AS ca,
+               CAST(NULL AS VARCHAR) AS cb, FALSE AS done
+        FROM init
+        UNION ALL
+        SELECT r.word,
+               CASE WHEN r.ca IS NOT NULL
+                         AND contains(r.s, '|'||r.ca||'|'||r.cb||'|')
+                    THEN replace(r.s, '|'||r.ca||'|'||r.cb||'|',
+                                 '|'||r.ca||r.cb||'|')
+                    ELSE r.s END,
+               CASE WHEN r.ca IS NOT NULL
+                         AND contains(r.s, '|'||r.ca||'|'||r.cb||'|')
+                    THEN r.ca ELSE best.a END,
+               CASE WHEN r.ca IS NOT NULL
+                         AND contains(r.s, '|'||r.ca||'|'||r.cb||'|')
+                    THEN r.cb ELSE best.b END,
+               (r.ca IS NULL OR NOT contains(r.s, '|'||r.ca||'|'||r.cb||'|'))
+                 AND best.a IS NULL
+        FROM rec r
+        LEFT JOIN LATERAL (
+          SELECT m.a, m.b FROM merges m
+          WHERE contains(r.s, '|'||m.a||'|'||m.b||'|')
+          ORDER BY m.rank LIMIT 1) AS best ON TRUE
+        WHERE NOT r.done
+      ),
+      enc AS (SELECT word, list_filter(str_split(s, '|'), x -> x <> '') AS toks
+              FROM rec WHERE done),
+      stream AS (SELECT doc_id, i, t[i] AS word FROM (
+          SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM arr)),
+      flat AS (SELECT doc_id, i, j, toks[j] AS tok FROM (
+          SELECT s.doc_id, s.i, e.toks,
+                 unnest(generate_series(1, len(e.toks))) AS j
+          FROM stream s JOIN enc e USING (word)))
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+             string_agg(tok, ' ' ORDER BY i, j) AS bpe_text
+      FROM flat GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143)
+    q139, q140, q141, q142, q143, q144)
 }

@@ -118,11 +118,18 @@ object Bpe {
 
   /** `bpe_encode(text)` column: array of subword tokens. Registers a
     * temp function carrying the codec (same registration pattern as
-    * [[graft.functions.MinHashSig]]). */
+    * [[graft.functions.MinHashSig]]); the registry name carries a
+    * digest of the merge table so two codecs in one session (e.g. a
+    * corpus-trained and a fixed one) never swap under each other. */
   def encodeColumn(spark: SparkSession, codec: BpeCodec, c: Column): Column = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(codec.merges.map { case (a, b) => a + " " + b }
+        .mkString("\n").getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val name = s"bpe_encode_$digest"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_encode", exprs => BpeEncode(exprs.head, codec), "scala_udf")
-    call_udf("bpe_encode", c)
+      name, exprs => BpeEncode(exprs.head, codec), "scala_udf")
+    call_udf(name, c)
   }
 }
 
