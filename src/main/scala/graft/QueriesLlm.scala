@@ -909,11 +909,16 @@ object QueriesLlm {
   /** Near-dup PAIRS resolved into duplicate CLUSTERS (connected
     * components, min-id label) — the step between pair detection and
     * keeper selection in a real dedup pipeline. Oracle: recursive-CTE
-    * transitive closure over the same verified pair list. */
+    * transitive closure over the same verified pair list. Pairs are
+    * consumed through the [[Dedup.withLshPairs]] loan — dupClusters
+    * is eager on both its paths (driver union-find collect /
+    * round-0-truncated big-star), so every LSH intermediate cache is
+    * released the moment clustering returns instead of lingering
+    * until LRU eviction. */
   private val q57 = Q("q57_dup_clusters",
-    (s, dir) => graft.llm.Corpus.dupClusters(
-      Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text"))
-      .select(col("id").as("doc_id"), col("cluster_id"))
+    (s, dir) => Dedup.withLshPairs(t(s, dir, "documents"), "doc_id", "text") {
+      pairs => graft.llm.Corpus.dupClusters(pairs)
+    }.select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id"),
     Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
       p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),

@@ -124,14 +124,15 @@ object Dedup {
     *     cache is released before return; or
     *   - [[withLshPairs]]: loan-pattern wrapper that consumes the lazy
     *     frame and releases the caches afterward.
-    */
-  /** Band/row choice: with r rows per band and b bands the candidate
-    * S-curve midpoint is (1/b)^(1/r). The fixture corpus has high
-    * background similarity (~0.1–0.15 jaccard — small shared
-    * vocabulary), so r=3, b=4 (midpoint ≈ 0.63) keeps background pairs
-    * out of the candidate set while planted near-dups (j > 0.8, band
-    * hit ≥ 94%) survive — candidates stay O(dups), not O(corpus²),
-    * which is what makes this hold at 1000× the data. */
+    *
+    * ==Band/row choice==
+    * With r rows per band and b bands the candidate S-curve midpoint
+    * is (1/b)^(1/r). The fixture corpus has high background
+    * similarity (~0.1–0.15 jaccard — small shared vocabulary), so
+    * r=3, b=4 (midpoint ≈ 0.63) keeps background pairs out of the
+    * candidate set while planted near-dups (j > 0.8, band hit ≥ 94%)
+    * survive — candidates stay O(dups), not O(corpus²), which is what
+    * makes this hold at 1000× the data. */
   def lshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 12, numBands: Int = 4,
       minAgree: Int = 6, materialize: Boolean = false,
@@ -145,8 +146,12 @@ object Dedup {
   /** Loan-pattern [[lshPairs]] for long-lived sessions: computes the
     * lazy verified-pair frame, hands it to `f`, and releases every
     * intermediate cache once `f` returns — the no-leak way to consume
-    * pairs without paying [[materialize]]'s extra materialization.
-    * The frame must not escape `f` (its caches are gone after). */
+    * pairs without paying `materialize = true`'s extra
+    * materialization. Letting the frame escape `f` is a PERFORMANCE
+    * hazard, not a correctness one: after unpersist Spark simply
+    * recomputes the lineage, but the CSE barrier is gone, so jaccard
+    * and the minhash signatures are re-evaluated from scratch on
+    * every later action. */
   def withLshPairs[A](docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 12, numBands: Int = 4,
       minAgree: Int = 6)(f: DataFrame => A): A = {

@@ -34,6 +34,28 @@ class LlmSpec extends AnyFunSuite {
     assert(survivors.size == docs.count() - dropped.size)
   }
 
+  test("withLshPairs: loan result matches lshPairs, caches released after") {
+    // direct (lazy-contract) call FIRST: its caches legitimately stay
+    // pinned, so snapshot the persistent-RDD set after it and assert
+    // the loan adds nothing beyond that baseline
+    val direct = Dedup.lshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val loaned = Dedup.withLshPairs(docs, "doc_id", "text") { pairs =>
+      pairs.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(loaned == direct)
+    assert(loaned.nonEmpty)
+    // unpersist is async — poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty, s"withLshPairs leaked cached RDDs: $leaked")
+  }
+
   test("minhash signature: HOF, explode/groupBy, and native expression forms value-identical") {
     import spark.implicits._
     val texts = Seq((1L, "the quick brown fox jumps"),
@@ -316,6 +338,35 @@ class LlmSpec extends AnyFunSuite {
     val n = emb.count()
     assert(base.size == n && base.map(_._1).size == n)
     assert(base.exists(_._4) && base.exists(!_._4), "fixture yields a kept/dropped mix")
+  }
+
+  test("semDedup at realistic k≈√n: pair join keyed on cid, candidate volume bounded") {
+    // the paper's scaling rule: grow k with the corpus so clusters stay
+    // bounded (50k clusters at web scale). Here k = √n, the same ratio.
+    val n = emb.count()
+    val k = math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+      tau = 0.3, k = k, iters = 2)
+    // plan shape: the duplicate-pair join is an EQUI-join keyed on the
+    // cluster id — that key is what caps candidate volume at
+    // Σ cluster² instead of corpus²
+    val cidJoins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "cid")) => j
+    }
+    assert(cidJoins.nonEmpty, "pair join must be keyed on cid")
+    val rows = out.collect()
+    assert(rows.length == n, "every input row comes back exactly once")
+    val sizes = rows.groupBy(_.getAs[Long]("cid")).map(_._2.length.toLong).toSeq
+    assert(sizes.size > 1, "realistic k must actually partition the space")
+    // Σ cluster² — the pair-join candidate volume — must sit near the
+    // balanced n²/k bound, far under the corpus² a flat all-pairs scan
+    // would pay (8× slack absorbs fixture skew)
+    val sumSq = sizes.map(s => s * s).sum
+    assert(sumSq <= 8L * n * n / k,
+      s"candidate volume $sumSq vs bound ${8L * n * n / k} (n=$n k=$k)")
+    assert(rows.exists(_.getAs[Boolean]("kept")) &&
+      rows.exists(r => !r.getAs[Boolean]("kept")))
   }
 
   test("blocklist: one AC pass over fixture docs equals per-pattern contains; null text propagates") {
