@@ -369,6 +369,30 @@ class LlmSpec extends AnyFunSuite {
       rows.exists(r => !r.getAs[Boolean]("kept")))
   }
 
+  test("int8Quantize: codes in [-127,127], error under half a step, constant dim -> 0") {
+    import spark.implicits._
+    val v = Seq(
+      1L -> Array(0.0f, -1.0f, 5.0f, 2.5f),
+      2L -> Array(1.0f, 1.0f, 5.0f, -2.5f),
+      3L -> Array(0.5f, 3.0f, 5.0f, 0.0f)).toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(v, "vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[scala.collection.Seq[Int]]("codes"),
+          r.getAs[Double]("max_abs_err"))).toMap
+    assert(out.size == 3)
+    // per-dim ranges: d0 [0,1], d1 [-1,3], d2 constant 5, d3 [-2.5,2.5]
+    for ((_, (codes, err)) <- out) {
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes(2) == 0, "constant dim must encode to 0")
+      // affine over 254 steps: reconstruction error <= half a step of
+      // the widest range (5/254 here), with float-cast slack
+      assert(err <= 0.5 * 5.0 / 254.0 + 1e-6, s"err=$err")
+    }
+    // range endpoints hit the extreme codes
+    assert(out(1L)._1(0) == -127 && out(2L)._1(0) == 127)
+    assert(out(2L)._1(3) == -127 && out(1L)._1(3) == 127)
+  }
+
   test("blocklist: one AC pass over fixture docs equals per-pattern contains; null text propagates") {
     import spark.implicits._
     val pats = Seq("scan", "can", "slow join", "zebra")
