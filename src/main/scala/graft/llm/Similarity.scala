@@ -53,6 +53,29 @@ object Similarity {
   private def par(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
+  /** Nearest-centroid pick WITHOUT a window: the candidate rows (one
+    * per id × centroid, with similarity/distance in `__d`) collapse
+    * to the per-`ids` winner via ONE min_by/max_by hash aggregate.
+    * The tie-break (best `__d`, then LOWEST cid) is folded into the
+    * ordering key, so the winner is unique and bit-identical to the
+    * former `row_number() = 1` window — but the aggregate is MAP-SIDE
+    * COMBINABLE: the ×k candidates of one vector collapse locally
+    * before the exchange (they are produced consecutively by the
+    * broadcast cross join), so the shuffle moves one row per vector
+    * instead of k, with no sort. At corpus scale that is a k-fold
+    * shuffle-volume cut on every Lloyd round and assignment pass. */
+  private def pick1(cand: DataFrame, ids: Seq[String], keep: Seq[String],
+      maximize: Boolean): DataFrame = {
+    val key =
+      if (maximize) struct(col("__d"), (-col("cid")).as("__tb"))
+      else struct(col("__d"), col("cid").as("__tb"))
+    val value = struct((Seq("cid", "__d") ++ keep).map(col): _*)
+    val agg = if (maximize) max_by(value, key) else min_by(value, key)
+    cand.groupBy(ids.map(col): _*).agg(agg.as("__best"))
+      .select(ids.map(col) ++ (Seq("cid", "__d") ++ keep)
+        .map(f => col(s"__best.$f").as(f)): _*)
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries are broadcast (small side);
     * ranking is a per-query window top-k (TakeOrdered shape, no global
@@ -160,14 +183,11 @@ object Similarity {
       for (_ <- 1 to iters) {
         val c = broadcast(cents.select(col("cid"), col("c_emb"),
           norm(col("c_emb")).as("c_nrm")))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("__d").desc, col("cid").asc)
-        val assigned = corpus.repartition(par(corpus))
+        val assigned = pick1(corpus.repartition(par(corpus))
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
           .crossJoin(c)
-          .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") === 1)
+          .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+          Seq("vec_id"), Seq("embedding"), maximize = true)
         def mean(i: Int): Column =
           if (exactMeans)
             sum(element_at(col("embedding"), i + 1).cast("double")
@@ -211,14 +231,11 @@ object Similarity {
       exactMeans = true)
     val c = broadcast(cents.select(col("cid"), col("c_emb"),
       norm(col("c_emb")).as("c_nrm")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__d").desc, col("cid").asc)
-    val assigned = v.repartition(par(v))
+    val assigned = pick1(v.repartition(par(v))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .crossJoin(c)
-      .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+      .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+      Seq("vec_id"), Seq("embedding", "nrm"), maximize = true)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         col("__d").as("cent_cos"))
     val a = assigned.select(col("cid"), col("vec_id").as("ia"),
@@ -291,12 +308,9 @@ object Similarity {
           col("sv").as("c"))
       for (_ <- 1 to iters) {
         val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
-        val w = Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("__d").asc, col("cid").asc)
-        val assigned = subs.join(b, Seq("sub"))
-          .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c")))
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") === 1)
+        val assigned = pick1(subs.join(b, Seq("sub"))
+          .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c"))),
+          Seq("vec_id", "sub"), Seq("sv"), maximize = false)
         // per-element exact-decimal mean; a cell that loses every
         // member KEEPS its previous centroid (left join + coalesce) —
         // unlike kmeansCentroids' shrink-k behavior, PQ's flattened
@@ -329,14 +343,11 @@ object Similarity {
   def pqEncode(corpus: DataFrame, books: DataFrame, m: Int = 4,
       dims: Int = 64): DataFrame = {
     val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("__d").asc, col("cid").asc)
-    subVectors(corpus.repartition(par(corpus)), m, dims)
+    pick1(subVectors(corpus.repartition(par(corpus)), m, dims)
       .withColumn("xx", dot(col("sv"), col("sv")))
       .join(b, Seq("sub"))
-      .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+      .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c"))),
+      Seq("vec_id", "sub"), Nil, maximize = false)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
         x => x.getField("cid")).as("codes"))
@@ -395,20 +406,27 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
       .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
 
-    // corpus → nearest list (rank 1), queries → nprobe nearest lists;
-    // the row's own norm is computed once, not per centroid pair
-    def assign(df: DataFrame, idCol: String, embCol: String,
-        nrmCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__d").desc, col("cid").asc)
+    // corpus → nearest list (rank 1, windowless map-side-combinable
+    // pick), queries → nprobe nearest lists (window top-n); the row's
+    // own norm is computed once, not per centroid pair
+    def cand(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
       df.withColumn(nrmCol, norm(col(embCol)))
         .crossJoin(cents)
         .withColumn("__d",
           cosPre(col(embCol), col("c_emb"), col(nrmCol), col("c_nrm")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .drop("c_emb", "c_nrm", "__d", "__r")
-    }
+    def assign(df: DataFrame, idCol: String, embCol: String,
+        nrmCol: String, n: Int): DataFrame =
+      if (n == 1)
+        pick1(cand(df, embCol, nrmCol), Seq(idCol), Seq(embCol, nrmCol),
+          maximize = true).drop("__d")
+      else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("__d").desc, col("cid").asc)
+        cand(df, embCol, nrmCol)
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= n)
+          .drop("c_emb", "c_nrm", "__d", "__r")
+      }
 
     val assigned = assign(corpus.repartition(par(corpus))
       .select(col("vec_id"), col("embedding")), "vec_id", "embedding", "nrm", 1)
@@ -452,18 +470,24 @@ object Similarity {
     val cents = broadcast(corpus.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
       .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
-    def assign(df: DataFrame, idCol: String, embCol: String,
-        nrmCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__d").desc, col("cid").asc)
+    def cand(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
       df.withColumn(nrmCol, norm(col(embCol)))
         .crossJoin(cents)
         .withColumn("__d",
           cosPre(col(embCol), col("c_emb"), col(nrmCol), col("c_nrm")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .drop("c_emb", "c_nrm", "__d", "__r", nrmCol, embCol)
-    }
+    def assign(df: DataFrame, idCol: String, embCol: String,
+        nrmCol: String, n: Int): DataFrame =
+      if (n == 1)
+        pick1(cand(df, embCol, nrmCol), Seq(idCol), Nil, maximize = true)
+          .drop("__d")
+      else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("__d").desc, col("cid").asc)
+        cand(df, embCol, nrmCol)
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= n)
+          .drop("c_emb", "c_nrm", "__d", "__r", nrmCol, embCol)
+      }
     val books = pqTrain(corpus, m, ksub, iters, dims)
     val codes = pqEncode(corpus, books, m, dims)
     val assigned = assign(corpus.repartition(par(corpus))
@@ -509,14 +533,11 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
     val c = broadcast(cents.select(col("cid"), col("c_emb"),
       norm(col("c_emb")).as("c_nrm")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__d").desc, col("cid").asc)
-    corpus.repartition(par(corpus))
+    pick1(corpus.repartition(par(corpus))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .crossJoin(c)
-      .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+      .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+      Seq("vec_id"), Seq("embedding", "nrm"), maximize = true)
       .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexPath/assignments")
