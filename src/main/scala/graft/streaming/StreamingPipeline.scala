@@ -135,16 +135,18 @@ object StreamingPipeline {
   def startCorpusIngest(spark: SparkSession, landingDir: String,
       corpusDir: String, sigDir: String, checkpoint: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
-      threshold: Double = 0.5, availableNow: Boolean = true): StreamingQuery = {
+      threshold: Double = 0.5, availableNow: Boolean = true,
+      packDir: Option[String] = None, packTopN: Int = 8,
+      seqLen: Int = 128): StreamingQuery = {
     val raw = spark.readStream.schema(docSchema).parquet(landingDir)
     raw.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow() else
         Trigger.ProcessingTime("15 minutes"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         corpusIngestBatch(batch, corpusDir, sigDir, weights, defaultWeight,
-          threshold)
+          threshold, packDir, packTopN, seqLen, batchId)
       }
       .start()
   }
@@ -160,7 +162,9 @@ object StreamingPipeline {
     * (StreamingSpec pins a double-run). */
   private[streaming] def corpusIngestBatch(batch: DataFrame,
       corpusDir: String, sigDir: String, weights: Map[String, Double],
-      defaultWeight: Double, threshold: Double): Unit = {
+      defaultWeight: Double, threshold: Double,
+      packDir: Option[String] = None, packTopN: Int = 8,
+      seqLen: Int = 128, shardId: Long = 0L): Unit = {
     import graft.llm.{Corpus, Dedup, TextAnalysis}
     val spark = batch.sparkSession
     // mixture first (pure filter, cheapest), then C4 cleaning; the
@@ -208,6 +212,32 @@ object StreamingPipeline {
       try {
         if (survivors.count() > 0) {
           Sinks.appendWithAudit(survivors, corpusDir)
+          // training-shard prep tail (opt-in): per-source A-ES
+          // weighted sample of THIS epoch's deduped survivors (weight
+          // = clean char count — heavier docs win proportionally more
+          // often, deterministically), packed into fixed seqLen-token
+          // training sequences and appended under the epoch's shard
+          // id. Shard ids are the streaming epoch, so (shard_id,
+          // seq_id) is globally unique; a RETRIED epoch reaches this
+          // point with zero survivors (the exact-id anti-join above),
+          // so the pack append is as idempotent as the corpus append.
+          // ORDER MATTERS: this must run BEFORE the signature-store
+          // append below — `survivors` reads the store through the
+          // exact-id anti-join, and writing to the store triggers
+          // cache invalidation + recompute by path, under which the
+          // epoch's own fresh signatures would anti-join its
+          // survivors away (epoch-0 escapes only because the
+          // first-batch empty-store fallback never touches the path).
+          for (pd <- packDir) {
+            val picked = Corpus.weightedSample(
+              survivors.withColumn("__w",
+                length(col("clean_text")).cast("long")),
+              "source", "doc_id", "__w", packTopN)
+              .drop("__w", "aes_key")
+            Corpus.packSequences(picked, "doc_id", "clean_text", seqLen)
+              .withColumn("shard_id", lit(shardId))
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(pd)
+          }
           newSigs.join(dead, newSigs("id") === dead("doc_id"), "left_anti")
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
         }

@@ -56,6 +56,7 @@ class StreamingSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft-corpus-stream").toString
     val landing = s"$base/landing"; val corpus = s"$base/corpus"
     val sigs = s"$base/sigs"; val cp = s"$base/cp"
+    val packed = s"$base/packed"
     val weights = Map("keep" -> 1.0, "drop" -> 0.0)
     // three C4-surviving lines each (terminal punctuation, >= 3 words,
     // no javascript/lorem/braces); texts mutually dissimilar so the
@@ -65,7 +66,7 @@ class StreamingSpec extends AnyFunSuite {
     val text11 = "glaciers carve valleys over countless years.\nlibraries hold voices from distant ages!\ngardeners plant tulips beside stone walls?"
     def run(): Unit = {
       val q = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
-        sigs, cp, weights)
+        sigs, cp, weights, packDir = Some(packed), packTopN = 8, seqLen = 8)
       assert(q.awaitTermination(120000), "AvailableNow drain timed out")
     }
 
@@ -82,6 +83,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(out1.columns.contains("clean_text") && out1.columns.contains("insert_dt"))
     assert(spark.read.parquet(sigs).select("id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // training-shard tail: epoch-0 survivors weighted-sampled and
+    // packed into 8-token sequences under shard_id 0; segment tokens
+    // reassemble the full clean token stream of the sampled docs
+    val pack1 = spark.read.parquet(packed)
+    assert(pack1.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), pack1.collect().mkString("; "))
+    assert(pack1.select("shard_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    val totalToks1 = out1.select(
+      sum(size(split(trim(col("clean_text")), "\\s+"))).cast("long"))
+      .first().getLong(0)
+    assert(pack1.agg(sum("n_seg_tokens")).first().getLong(0) == totalToks1,
+      "packed segments must cover every sampled token exactly once")
+    assert(pack1.filter(col("n_seg_tokens") > 8).count() == 0)
+    val pack1Count = pack1.count()
 
     // batch 2: a near-dup of doc 1 must be dropped AGAINST THE STORE
     // (doc 1 is not in this batch), a new doc appended; the restart on
@@ -100,10 +116,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sigs).select("id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 11L),
       "signature store mirrors the corpus")
+    // epoch 1's survivor packs under its own shard id; epoch-0 shards
+    // untouched → (shard_id, seq_id) globally unique
+    val pack2 = spark.read.parquet(packed)
+    assert(pack2.filter(col("shard_id") === 1L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(11L), pack2.collect().mkString("; "))
+    assert(pack2.filter(col("shard_id") === 0L).count() == pack1Count)
 
     // nothing new landed: a catch-up run is a clean no-op
     run()
     assert(spark.read.parquet(corpus).count() == 3)
+    val packCountBeforeRetry = spark.read.parquet(packed).count()
 
     // RETRY idempotence: a crash between the corpus append and the
     // streaming commit re-executes the batch. Simulate the worst case
@@ -112,12 +135,15 @@ class StreamingSpec extends AnyFunSuite {
     // store must neutralize all of it — no duplicate doc_ids, no new
     // rows
     val q2 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
-      sigs, s"$base/cp-retry", weights)
+      sigs, s"$base/cp-retry", weights,
+      packDir = Some(packed), packTopN = 8, seqLen = 8)
     assert(q2.awaitTermination(120000))
     val out3 = spark.read.parquet(corpus)
     assert(out3.count() == 3 &&
       out3.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
       "re-executed batch must be a no-op: " + out3.collect().mkString("; "))
+    assert(spark.read.parquet(packed).count() == packCountBeforeRetry,
+      "a neutralized retry must not re-pack")
 
     // BACKFILL: a batch doc with an id SMALLER than its stored
     // near-dup — the store must win (doc 0 dies, stored doc 1 stays)
