@@ -574,6 +574,85 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Persisted IVF-PQ index (the production twin of [[ivfPqTopK]],
+    * same build-offline/serve-online pattern as [[buildIvfIndex]]):
+    * coarse seed centroids + trained PQ codebooks + the m-int code
+    * table written partitioned by list id, so a probe's scan reads
+    * only its `nprobe` list directories (directory pruning) and
+    * touches m ints per vector — the full corpus of embeddings is
+    * never stored in the index at all, which is the PQ memory story:
+    * the whole serving artifact is codes + two tiny broadcast
+    * tables. */
+  def buildIvfPqIndex(corpus: DataFrame, indexPath: String,
+      nlist: Int = 16, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      dims: Int = 64): Unit = {
+    val cents = corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    cents.write.mode("overwrite").parquet(s"$indexPath/coarse")
+    val books = pqTrain(corpus, m, ksub, iters, dims)
+    books.write.mode("overwrite").parquet(s"$indexPath/books")
+    val c = broadcast(cents
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+    val assigned = pick1(corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(c)
+      .withColumn("__d",
+        cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+      Seq("vec_id"), Nil, maximize = true)
+      .select(col("vec_id"), col("cid"))
+    pqEncode(corpus, books, m, dims).join(assigned, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("codes"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexPath/codes")
+  }
+
+  /** ANN over a persisted IVF-PQ index: value-identical to
+    * [[ivfPqTopK]] on the same corpus (asserted in LlmSpec), but the
+    * query run reads codes from the probed list directories only and
+    * rebuilds nothing. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 8, dims: Int = 64): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$indexPath/coarse")
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+    val books = spark.read.parquet(s"$indexPath/books")
+    val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
+    val lut = subVectors(
+      queries.select(col("vec_id"), col("embedding")), m, dims)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("xx", dot(col("sv"), col("sv")))
+      .join(b, Seq("sub"))
+      .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c")))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cid"), col("__d")))),
+        x => x.getField("__d")).as("lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .crossJoin(cents)
+      .withColumn("__d",
+        cosPre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("cid"))
+      .join(lut, Seq("query_id"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val scored = codes.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc +
+          element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1) + 1)))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the corpus
     * (`bits` sign bits → 2^bits buckets), self-join within buckets
     * only, verify with exact cosine ≥ `threshold`. The bucket join is

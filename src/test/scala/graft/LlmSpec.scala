@@ -327,6 +327,25 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("ivfPq index: persisted probe is value-identical to the in-memory run") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.buildIvfPqIndex(emb, idx, nlist = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getLong(2),
+        r.getAs[Double]("d2"))).toSet
+    val indexed = rows(Similarity.ivfPqTopKIndexed(spark, idx, queries,
+      k = 5, nprobe = 2))
+    val inMemory = rows(Similarity.ivfPqTopK(queries, emb, 5,
+      nlist = 16, nprobe = 2))
+    assert(indexed == inMemory,
+      s"onlyIndexed=${indexed -- inMemory}, onlyInMemory=${inMemory -- indexed}")
+    assert(indexed.nonEmpty)
+    // the stored code table holds m ints per vector, never embeddings
+    val codeCols = spark.read.parquet(s"$idx/codes").columns.toSet
+    assert(codeCols == Set("cid", "vec_id", "codes"), codeCols.toString)
+  }
+
   test("semDedup: planted clique keeps the most atypical member, loner untouched") {
     import spark.implicits._
     // 4-dim geometry: cluster A (seed id 0 = e1) holds a duplicate
