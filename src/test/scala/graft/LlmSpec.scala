@@ -1014,7 +1014,7 @@ class LlmSpec extends AnyFunSuite {
     // REORDERS canonically then composes the dot (U+1EA1 + U+0301);
     // the fi ligature is NFC-invariant (compatibility, not canonical);
     // C0/VT/DEL controls vanish; runs of whitespace collapse
-    val messy = "é が  ạ́\txyz ﬁ "
+    val messy = "é が  ạ́\tx\u0007y\u000Bz\u007F ﬁ "
     val out = graft.llm.TextAnalysis.normalizeText(
       spark, Seq((1L, messy), (2L, "plain ascii"), (3L, null: String))
         .toDF("doc_id", "text"), "doc_id", "text")
