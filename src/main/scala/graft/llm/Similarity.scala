@@ -177,27 +177,37 @@ object Similarity {
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     def run(): DataFrame = {
-      var cents = corpus.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"),
-          transform(col("embedding"), x => x.cast("double")).as("c_emb"))
-      for (_ <- 1 to iters) {
-        val c = broadcast(cents.select(col("cid"), col("c_emb"),
-          norm(col("c_emb")).as("c_nrm")))
-        val assigned = pick1(corpus.repartition(par(corpus))
-          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-          .crossJoin(c)
-          .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
-          Seq("vec_id"), Seq("embedding"), maximize = true)
-        def mean(i: Int): Column =
-          if (exactMeans)
-            sum(element_at(col("embedding"), i + 1).cast("double")
-              .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double") /
-              count(lit(1))
-          else avg(element_at(col("embedding"), i + 1).cast("double"))
-        cents = truncate(assigned.groupBy(col("cid"))
-          .agg(array((0 until dims).map(mean): _*).as("c_emb")))
-      }
-      cents
+      // one corpus pass TOTAL, not one per round: the prepped
+      // (vec_id, embedding, nrm) frame is persisted so every Lloyd
+      // round's eager truncation re-reads cached columnar blocks
+      // instead of re-scanning + re-projecting the corpus — at 100 TB
+      // this is the difference between iters corpus scans and one
+      // (the iteration itself only ever moves k-row centroid tables)
+      val prep = corpus.repartition(par(corpus))
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+        .persist()
+      try {
+        var cents = corpus.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+        for (_ <- 1 to iters) {
+          val c = broadcast(cents.select(col("cid"), col("c_emb"),
+            norm(col("c_emb")).as("c_nrm")))
+          val assigned = pick1(prep.crossJoin(c)
+            .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+            Seq("vec_id"), Seq("embedding"), maximize = true)
+          def mean(i: Int): Column =
+            if (exactMeans)
+              sum(element_at(col("embedding"), i + 1).cast("double")
+                .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double") /
+                count(lit(1))
+            else avg(element_at(col("embedding"), i + 1).cast("double"))
+          cents = truncate(assigned.groupBy(col("cid"))
+            .agg(array((0 until dims).map(mean): _*).as("c_emb")))
+        }
+        cents
+      } finally prep.unpersist(blocking = false)
     }
     checkpointDir match {
       case Some(dir) =>
@@ -297,12 +307,17 @@ object Similarity {
       checkpointDir: Option[String] = None): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val dsub = dims / m
+    // one corpus pass TOTAL (the kmeansCentroids rule): the subvector
+    // table feeds every Lloyd round's eager truncation — persist it so
+    // rounds re-read cached blocks instead of re-scanning the corpus
+    // and re-exploding the subvectors per round
     val subs = subVectors(corpus.repartition(par(corpus)), m, dims)
       .withColumn("xx", dot(col("sv"), col("sv")))
+      .persist()
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    def run(): DataFrame = {
+    def run(): DataFrame = try {
       var books = subs.filter(col("vec_id") < ksub)
         .select(col("sub"), col("vec_id").cast("int").as("cid"),
           col("sv").as("c"))
@@ -326,7 +341,7 @@ object Similarity {
             coalesce(col("cNew"), col("c")).as("c")))
       }
       books
-    }
+    } finally subs.unpersist(blocking = false)
     checkpointDir match {
       case Some(dir) =>
         Lineage.withCheckpointDir(corpus.sparkSession.sparkContext, dir)(run())
