@@ -372,6 +372,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(sideNames.contains(Set("query_id", "lut")), sideNames.toString)
   }
 
+  test("q132 bloom: probe is a codegen bitmap expression — no bit-row explode, no word join") {
+    val df = Queries.all.find(_.name == "q132_bloom_seen").get.run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the r8 probe exploded k=7 bit rows per window and broadcast-
+    // joined the (word_idx, word) sketch, then regrouped per (id, wh);
+    // the bitmap-expression probe must leave NO trace of that shape —
+    // the only join left is the exact ground-truth join on wh
+    assert(!plan.contains("word_idx") && !plan.contains("mask"),
+      plan.take(3000))
+    // the probe IS the BloomProbe expression (folded into the distinct
+    // aggregate's projection, so assert on the optimized plan's
+    // expression trees, not the physical plan string)
+    val probeFound = df.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.BloomProbe])) => p
+    }
+    assert(probeFound.nonEmpty, "BloomProbe expression missing from plan")
+  }
+
   test("q143 ivf-pq: ADC scoring sees only probed-list codes, equi-joined on cid") {
     val df = Queries.all.find(_.name == "q143_ivfpq_topk").get.run(spark, dir)
     val joins = df.queryExecution.optimizedPlan.collect {
