@@ -2403,10 +2403,56 @@ object QueriesLlm {
              string_agg(tok, ' ' ORDER BY i, j) AS bpe_text
       FROM flat GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** IVF ANN over a TRAINED index, fully hash-gated: q44 gates the
+    * training-free seed variant, q75 keeps the float-avg k-means path
+    * rows-only by design — this gate closes the gap by training with
+    * the exact-decimal means (the q134 discipline), so centroids,
+    * assignments, probes and the exact rescoring all replay in DuckDB
+    * and every double hash-matches. */
+  private val q145 = Q("q145_ivf_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.llm.Similarity.kmeansCentroids(emb, k = 8,
+        iters = 2, exactMeans = true)
+      graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        nlist = 8, nprobe = 2, centroids = Some(cents))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, emb AS c FROM v WHERE vec_id < 8),
+      a1 AS (${semAssign("v", "c0")}),
+      c1 AS (${semUpdate("a1")}),
+      a2 AS (${semAssign("v", "c1")}),
+      c2 AS (${semUpdate("a2")}),
+      af AS (${semAssign("v", "c2")}),
+      probed AS (
+        SELECT query_id, cid FROM (
+          SELECT q.vec_id AS query_id, x.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q.emb", "x.c")} DESC, x.cid ASC) AS r
+          FROM v q CROSS JOIN c2 x WHERE q.vec_id < 10)
+        WHERE r <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id,
+               ${duckCos("q.emb", "a.emb")} AS cos
+        FROM af a JOIN probed p USING (cid)
+        JOIN v q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id)
+      SELECT query_id, rank, vec_id, cos FROM (
+        SELECT query_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144)
+    q139, q140, q141, q142, q143, q144, q145)
 }
