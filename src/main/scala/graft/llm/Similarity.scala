@@ -302,22 +302,23 @@ object Similarity {
     * training run — codebooks, codes, ADC scores — bit-reproducible
     * and hash-gateable (q136). Seeds are the first `ksub` vectors'
     * subvectors (deterministic, engine-portable). */
-  def pqTrain(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
-      iters: Int = 2, dims: Int = 64,
-      checkpointDir: Option[String] = None): DataFrame = {
+  /** Prepped subvector table shared by PQ train and encode:
+    * (vec_id, sub, sv, xx). ONE corpus pass builds it; callers that
+    * run both stages persist it once. */
+  private def pqSubs(corpus: DataFrame, m: Int, dims: Int): DataFrame =
+    subVectors(corpus.repartition(par(corpus)), m, dims)
+      .withColumn("xx", dot(col("sv"), col("sv")))
+
+  /** Training body over an already-prepped (ideally persisted)
+    * subvector table — the caller owns the cache. */
+  private def pqTrainOnSubs(subs: DataFrame, m: Int, ksub: Int,
+      iters: Int, dims: Int, checkpointDir: Option[String]): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val dsub = dims / m
-    // one corpus pass TOTAL (the kmeansCentroids rule): the subvector
-    // table feeds every Lloyd round's eager truncation — persist it so
-    // rounds re-read cached blocks instead of re-scanning the corpus
-    // and re-exploding the subvectors per round
-    val subs = subVectors(corpus.repartition(par(corpus)), m, dims)
-      .withColumn("xx", dot(col("sv"), col("sv")))
-      .persist()
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    def run(): DataFrame = try {
+    def run(): DataFrame = {
       var books = subs.filter(col("vec_id") < ksub)
         .select(col("sub"), col("vec_id").cast("int").as("cid"),
           col("sv").as("c"))
@@ -341,12 +342,24 @@ object Similarity {
             coalesce(col("cNew"), col("c")).as("c")))
       }
       books
-    } finally subs.unpersist(blocking = false)
+    }
     checkpointDir match {
       case Some(dir) =>
-        Lineage.withCheckpointDir(corpus.sparkSession.sparkContext, dir)(run())
+        Lineage.withCheckpointDir(subs.sparkSession.sparkContext, dir)(run())
       case None => run()
     }
+  }
+
+  def pqTrain(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, dims: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // one corpus pass TOTAL (the kmeansCentroids rule): the subvector
+    // table feeds every Lloyd round's eager truncation — persist it so
+    // rounds re-read cached blocks instead of re-scanning the corpus
+    // and re-exploding the subvectors per round
+    val subs = pqSubs(corpus, m, dims).persist()
+    try pqTrainOnSubs(subs, m, ksub, iters, dims, checkpointDir)
+    finally subs.unpersist(blocking = false)
   }
 
   /** PQ-encode: each vector → `m` codebook ids (its nearest centroid
@@ -355,11 +368,10 @@ object Similarity {
     * in memory. Returns (vec_id, codes array<int> ordered by sub).
     * One broadcast join + one shuffle of (vec_id, sub, cid) rows —
     * the embeddings themselves never shuffle. */
-  def pqEncode(corpus: DataFrame, books: DataFrame, m: Int = 4,
-      dims: Int = 64): DataFrame = {
+  private def pqEncodeOnSubs(subs: DataFrame,
+      books: DataFrame): DataFrame = {
     val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
-    pick1(subVectors(corpus.repartition(par(corpus)), m, dims)
-      .withColumn("xx", dot(col("sv"), col("sv")))
+    pick1(subs
       .join(b, Seq("sub"))
       .withColumn("__d", l2ByDots(col("xx"), col("cc"), col("sv"), col("c"))),
       Seq("vec_id", "sub"), Nil, maximize = false)
@@ -367,6 +379,10 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
         x => x.getField("cid")).as("codes"))
   }
+
+  def pqEncode(corpus: DataFrame, books: DataFrame, m: Int = 4,
+      dims: Int = 64): DataFrame =
+    pqEncodeOnSubs(pqSubs(corpus, m, dims), books)
 
   /** PQ ANN top-k by asymmetric distance computation (ADC): the query
     * stays exact, the corpus is its codes, and each pair's
@@ -385,8 +401,13 @@ object Similarity {
     * ascending in sub — q136 hash-gates the full run. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
       ksub: Int = 8, iters: Int = 2, dims: Int = 64): DataFrame = {
-    val books = pqTrain(corpus, m, ksub, iters, dims)
-    val codes = pqEncode(corpus, books, m, dims)
+    // ONE subvector pass serves both training (eager rounds warm the
+    // cache) and encoding (lazy — the returned plan pins the cache,
+    // same contract as BloomFilter.seenWindowStats; sized
+    // corpus×m×(dsub doubles), LRU-evicted)
+    val subs = pqSubs(corpus, m, dims).persist()
+    val books = pqTrainOnSubs(subs, m, ksub, iters, dims, None)
+    val codes = pqEncodeOnSubs(subs, books)
     val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
     val lut = subVectors(
       queries.select(col("vec_id"), col("embedding")), m, dims)
@@ -503,8 +524,11 @@ object Similarity {
           .filter(col("__r") <= n)
           .drop("c_emb", "c_nrm", "__d", "__r", nrmCol, embCol)
       }
-    val books = pqTrain(corpus, m, ksub, iters, dims)
-    val codes = pqEncode(corpus, books, m, dims)
+    // shared subvector pass, as in [[pqTopK]] (train warms, encode
+    // pins)
+    val subs = pqSubs(corpus, m, dims).persist()
+    val books = pqTrainOnSubs(subs, m, ksub, iters, dims, None)
+    val codes = pqEncodeOnSubs(subs, books)
     val assigned = assign(corpus.repartition(par(corpus))
       .select(col("vec_id"), col("embedding")), "vec_id", "embedding", "nrm", 1)
     val listCodes = codes.join(assigned, Seq("vec_id"))
@@ -604,22 +628,27 @@ object Similarity {
     val cents = corpus.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     cents.write.mode("overwrite").parquet(s"$indexPath/coarse")
-    val books = pqTrain(corpus, m, ksub, iters, dims)
-    books.write.mode("overwrite").parquet(s"$indexPath/books")
-    val c = broadcast(cents
-      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
-    val assigned = pick1(corpus.repartition(par(corpus))
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      .crossJoin(c)
-      .withColumn("__d",
-        cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
-      Seq("vec_id"), Nil, maximize = true)
-      .select(col("vec_id"), col("cid"))
-    pqEncode(corpus, books, m, dims).join(assigned, Seq("vec_id"))
-      .select(col("cid"), col("vec_id"), col("codes"))
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$indexPath/codes")
+    // build is eager end-to-end, so the shared subvector pass is
+    // persisted for training AND encoding and released on exit
+    val subs = pqSubs(corpus, m, dims).persist()
+    try {
+      val books = pqTrainOnSubs(subs, m, ksub, iters, dims, None)
+      books.write.mode("overwrite").parquet(s"$indexPath/books")
+      val c = broadcast(cents
+        .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+      val assigned = pick1(corpus.repartition(par(corpus))
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+        .crossJoin(c)
+        .withColumn("__d",
+          cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+        Seq("vec_id"), Nil, maximize = true)
+        .select(col("vec_id"), col("cid"))
+      pqEncodeOnSubs(subs, books).join(assigned, Seq("vec_id"))
+        .select(col("cid"), col("vec_id"), col("codes"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$indexPath/codes")
+    } finally subs.unpersist(blocking = false)
   }
 
   /** ANN over a persisted IVF-PQ index: value-identical to
