@@ -173,45 +173,56 @@ object Similarity {
     // Lineage.withCheckpointDir) — every checkpoint is eager, so all
     // writes land inside the scope and the session's own setting is
     // back in place when this returns.
+    // one corpus pass TOTAL, not one per round: the prepped
+    // (vec_id, embedding, nrm) frame is persisted so every Lloyd
+    // round's eager truncation re-reads cached columnar blocks
+    // instead of re-scanning + re-projecting the corpus — at 100 TB
+    // this is the difference between iters corpus scans and one
+    // (the iteration itself only ever moves k-row centroid tables)
+    val prep = kmeansPrep(corpus).persist()
+    try kmeansOnPrep(prep, k, iters, dims, checkpointDir, exactMeans)
+    finally prep.unpersist(blocking = false)
+  }
+
+  /** Prepped (vec_id, embedding, nrm) frame shared by k-means rounds
+    * and any caller-side assignment pass. */
+  private def kmeansPrep(corpus: DataFrame): DataFrame =
+    corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+
+  /** Lloyd's body over an already-prepped (ideally persisted) frame —
+    * the caller owns the cache (the [[pqTrainOnSubs]] contract). */
+  private def kmeansOnPrep(prep: DataFrame, k: Int, iters: Int,
+      dims: Int, checkpointDir: Option[String],
+      exactMeans: Boolean): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     def run(): DataFrame = {
-      // one corpus pass TOTAL, not one per round: the prepped
-      // (vec_id, embedding, nrm) frame is persisted so every Lloyd
-      // round's eager truncation re-reads cached columnar blocks
-      // instead of re-scanning + re-projecting the corpus — at 100 TB
-      // this is the difference between iters corpus scans and one
-      // (the iteration itself only ever moves k-row centroid tables)
-      val prep = corpus.repartition(par(corpus))
-        .select(col("vec_id"), col("embedding"),
-          norm(col("embedding")).as("nrm"))
-        .persist()
-      try {
-        var cents = corpus.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"),
-            transform(col("embedding"), x => x.cast("double")).as("c_emb"))
-        for (_ <- 1 to iters) {
-          val c = broadcast(cents.select(col("cid"), col("c_emb"),
-            norm(col("c_emb")).as("c_nrm")))
-          val assigned = pick1(prep.crossJoin(c)
-            .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
-            Seq("vec_id"), Seq("embedding"), maximize = true)
-          def mean(i: Int): Column =
-            if (exactMeans)
-              sum(element_at(col("embedding"), i + 1).cast("double")
-                .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double") /
-                count(lit(1))
-            else avg(element_at(col("embedding"), i + 1).cast("double"))
-          cents = truncate(assigned.groupBy(col("cid"))
-            .agg(array((0 until dims).map(mean): _*).as("c_emb")))
-        }
-        cents
-      } finally prep.unpersist(blocking = false)
+      var cents = prep.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+      for (_ <- 1 to iters) {
+        val c = broadcast(cents.select(col("cid"), col("c_emb"),
+          norm(col("c_emb")).as("c_nrm")))
+        val assigned = pick1(prep.crossJoin(c)
+          .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+          Seq("vec_id"), Seq("embedding"), maximize = true)
+        def mean(i: Int): Column =
+          if (exactMeans)
+            sum(element_at(col("embedding"), i + 1).cast("double")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double") /
+              count(lit(1))
+          else avg(element_at(col("embedding"), i + 1).cast("double"))
+        cents = truncate(assigned.groupBy(col("cid"))
+          .agg(array((0 until dims).map(mean): _*).as("c_emb")))
+      }
+      cents
     }
     checkpointDir match {
       case Some(dir) =>
-        Lineage.withCheckpointDir(corpus.sparkSession.sparkContext, dir)(run())
+        Lineage.withCheckpointDir(prep.sparkSession.sparkContext, dir)(run())
       case None => run()
     }
   }
@@ -237,12 +248,15 @@ object Similarity {
       tau: Double, k: Int = 8, iters: Int = 2, dims: Int = 64,
       checkpointDir: Option[String] = None): DataFrame = {
     val v = vectors.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val cents = kmeansCentroids(v, k, iters, dims, checkpointDir,
+    // one prep pass serves training (eager rounds warm the cache) AND
+    // the final assignment (lazy — the returned plan pins the cache,
+    // the pqTopK/seenWindowStats contract)
+    val prep = kmeansPrep(v).persist()
+    val cents = kmeansOnPrep(prep, k, iters, dims, checkpointDir,
       exactMeans = true)
     val c = broadcast(cents.select(col("cid"), col("c_emb"),
       norm(col("c_emb")).as("c_nrm")))
-    val assigned = pick1(v.repartition(par(v))
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val assigned = pick1(prep
       .crossJoin(c)
       .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
       Seq("vec_id"), Seq("embedding", "nrm"), maximize = true)
