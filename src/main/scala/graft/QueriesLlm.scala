@@ -2449,10 +2449,69 @@ object QueriesLlm {
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** BM25 ranked retrieval over the document corpus — the
+    * decontamination-by-retrieval primitive. Query terms are pruned
+    * into the postings BEFORE the tf aggregate (the one shuffle
+    * carries only matching postings); idf/avgdl arithmetic is
+    * mirrored expression-for-expression in the oracle and the per-doc
+    * score uses the exact-decimal sum, so every double hash-matches.
+    * Top-10 per query, doc_id tiebreak. */
+  private val q146 = Q("q146_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "dup key scan"), (2L, "hash join merge"),
+        (3L, "stream window sort the")).toDF("query_id", "query_text")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), queries,
+          "doc_id", "text", k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q(query_id, query_text) AS (VALUES
+        (CAST(1 AS BIGINT), 'dup key scan'),
+        (CAST(2 AS BIGINT), 'hash join merge'),
+        (CAST(3 AS BIGINT), 'stream window sort the')),
+      qt AS (SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(lower(query_text)), '\s+'))
+                 AS term
+             FROM q),
+      base AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+               FROM documents),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      toks AS (SELECT doc_id, unnest(t) AS term FROM base),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM toks JOIN (SELECT DISTINCT term FROM qt) USING (term)
+             GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE)))) AS c
+        FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats),
+      scored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM contrib GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, score, n_terms FROM (
+        SELECT query_id, doc_id, score, n_terms,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145)
+    q139, q140, q141, q142, q143, q144, q145, q146)
 }

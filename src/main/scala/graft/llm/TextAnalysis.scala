@@ -94,6 +94,70 @@ object TextAnalysis {
       .withColumn("n_docs", lit(n))
   }
 
+  /** BM25 ranked retrieval (Robertson et al., Okapi BM25): top-k
+    * documents per query, the data-pipeline staple for
+    * decontamination-by-retrieval and targeted corpus inspection.
+    *
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (the "+1" Lucene
+    * variant — idf stays positive even for df > N/2).
+    *
+    * Scale shape: the query-term list is tiny and broadcast, and the
+    * postings are pruned to query terms BEFORE the per-(doc, term)
+    * count aggregate, so the one token-keyed shuffle carries only rows
+    * whose term appears in some query — at 100 TB the shuffle volume
+    * is O(matching postings), not O(corpus tokens). df/avgdl corpus
+    * stats ride one scalar aggregate + broadcast joins; the final
+    * per-query top-k is a window over the (small) matched-candidate
+    * set. Per-doc scores use the exact-decimal sum pattern
+    * ([[graft.functions.GraftFunctions.dsum]]) so parallel partial
+    * aggregation is bit-deterministic. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val qTerms = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("query_text")))).as("term"))
+    val qTermSet = qTerms.select("term").distinct()
+    val base = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // Prune to query terms BEFORE the aggregate: the shuffle carries
+    // only matching postings. dl is functionally dependent on doc_id,
+    // so it rides the grouping key instead of a second join.
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qTermSet), Seq("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double")
+      + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom
+    val scored = tf
+      .join(broadcast(dfTab), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("n_terms"))
+  }
+
   /** Corpus bigram counts: consecutive token pairs via an index zip —
     * a narrow map + one count aggregate (the language-model data-prep
     * staple). */

@@ -694,6 +694,39 @@ class LlmSpec extends AnyFunSuite {
     assert(got((2L, "c")) == ((1L, 1L, 2L)))
   }
 
+  test("bm25: rare-term match outranks common-term match, k bound holds") {
+    import spark.implicits._
+    // 'rare' appears in one doc, 'common' in all four; BM25's idf must
+    // rank the rare-term hit first for a query containing both.
+    val corpus = Seq(
+      (1L, "rare common filler words here"),
+      (2L, "common filler words here again"),
+      (3L, "common words and more common words"),
+      (4L, "common filler")).toDF("doc_id", "text")
+    val queries = Seq((1L, "rare common")).toDF("query_id", "query_text")
+    val got = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", k = 3)
+      .orderBy("rank").collect()
+    assert(got.length == 3, "k bound")
+    assert(got.head.getAs[Long]("doc_id") == 1L,
+      "rare-term doc must rank first")
+    assert(got.head.getAs[Long]("n_terms") == 2L)
+    assert(got.map(_.getAs[Double]("score")).sliding(2)
+      .forall(p => p(0) >= p(1)), "scores descend with rank")
+    assert(got.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("bm25: shorter doc outranks longer at equal tf (length norm)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "target alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "target alpha beta")).toDF("doc_id", "text")
+    val queries = Seq((1L, "target")).toDF("query_id", "query_text")
+    val got = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", k = 2)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("doc_id") == 2L,
+      "shorter doc wins at equal tf")
+  }
+
   test("bigrams: consecutive pairs only, single-token docs contribute none") {
     import spark.implicits._
     val docs = Seq(("x y z"), ("x y"), ("solo")).toDF("text")

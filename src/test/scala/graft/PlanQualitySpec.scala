@@ -416,4 +416,36 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("q146 bm25: postings prune to query terms below the tf aggregate, all joins broadcast") {
+    val df = Queries.all.find(_.name == "q146_bm25").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // every join in the pipeline (query-term prune, df attach, query
+    // attach, corpus-stats attach) carries a tiny side — a
+    // SortMergeJoin would mean the corpus-sized postings shuffled for
+    // something broadcastable at any scale
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the term prune must sit BELOW the (doc, term) count aggregate —
+    // structurally: the tf Aggregate's subtree contains a term-keyed
+    // Join which in turn sits above the postings explode, so the one
+    // postings shuffle carries only matching terms
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
+    val tfAgg = df.queryExecution.optimizedPlan.collectFirst {
+      case a: Aggregate
+        if a.groupingExpressions.exists(_.references.exists(_.name == "term"))
+          && a.groupingExpressions.exists(_.references.exists(_.name == "doc_id")) => a
+    }
+    assert(tfAgg.isDefined, df.queryExecution.optimizedPlan.toString.take(3000))
+    val prune = tfAgg.get.collectFirst {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "term")) => j
+    }
+    assert(prune.isDefined,
+      s"term prune join must sit below the tf aggregate\n${tfAgg.get.toString.take(3000)}")
+    assert(prune.get.collectFirst { case g: Generate => g }.isDefined,
+      s"postings explode must feed the prune join\n${prune.get.toString.take(3000)}")
+  }
 }
