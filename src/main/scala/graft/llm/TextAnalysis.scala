@@ -298,11 +298,21 @@ object TextAnalysis {
     // parallelism floor (the lshPairs rule): tokenize/explode feeds
     // every downstream aggregate and must not serialize onto one core
     // behind an unsplittable input file
+    //
+    // Cache lifecycle (the seenWindowStats contract): the tokenized
+    // frame feeds THREE consumers (vocab count, unigram counts, the
+    // bigram stream used twice) — without a persist the regex
+    // tokenization re-runs per consumer. The eager vocab count below
+    // warms the cache; the returned lazy plan pins it. Spill-safe at
+    // scale (MEMORY_AND_DISK default) and strictly less work than
+    // re-tokenizing the corpus three times.
     val base = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), toks.as("toks"))
+      .persist()
     val uni = base.select(explode(col("toks")).as("a"))
       .groupBy("a").agg(count(lit(1)).as("ca"))
-    val vocab = uni.count() // V: driver scalar, one small job
+      .persist()
+    val vocab = uni.count() // V: driver scalar; warms base + uni caches
     val docBigrams = base.select(col(idCol), explode(
         zip_with(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
           slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
