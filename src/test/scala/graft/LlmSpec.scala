@@ -715,6 +715,23 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("score") > 0.0))
   }
 
+  test("bm25: out-of-vocabulary terms contribute nothing; all-OOV query returns no rows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val queries = Seq(
+      (1L, "alpha zzz_unseen"), (2L, "qqq_unseen zzz_unseen"))
+      .toDF("query_id", "query_text")
+    val got = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", k = 5)
+      .collect()
+    // query 1: only 'alpha' matches (doc 1); the unseen term adds no
+    // score and no candidate. query 2: nothing matches → zero rows,
+    // not a null-scored explosion.
+    assert(got.forall(_.getAs[Long]("query_id") == 1L))
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(got.head.getAs[Long]("n_terms") == 1L)
+  }
+
   test("bm25: shorter doc outranks longer at equal tf (length norm)") {
     import spark.implicits._
     val corpus = Seq(
