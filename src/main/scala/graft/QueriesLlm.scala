@@ -2484,7 +2484,7 @@ object QueriesLlm {
       tf AS (SELECT doc_id, term, COUNT(*) AS tf
              FROM toks JOIN (SELECT DISTINCT term FROM qt) USING (term)
              GROUP BY 1, 2),
-      dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       contrib AS (
         SELECT qt.query_id, tf.doc_id,
                ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)

@@ -134,8 +134,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(qTermSet), Seq("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are unique per (doc_id, term) by construction (they ARE
+    // the group keys), so df = plain count — no distinct-agg state
     val dfTab = tf.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df").cast("double")
       + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
