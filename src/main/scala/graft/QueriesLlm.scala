@@ -381,9 +381,8 @@ object QueriesLlm {
   private val q75 = Q("q75_ivf_kmeans",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 1)
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
-        nlist = 16, nprobe = 2, centroids = Some(cents))
+      Similarity.ivfTrainedTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        nlist = 16, nprobe = 2, iters = 1, exactMeans = false)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
@@ -2412,10 +2411,8 @@ object QueriesLlm {
   private val q145 = Q("q145_ivf_trained",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = graft.llm.Similarity.kmeansCentroids(emb, k = 8,
-        iters = 2, exactMeans = true)
-      graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
-        nlist = 8, nprobe = 2, centroids = Some(cents))
+      graft.llm.Similarity.ivfTrainedTopK(emb.filter(col("vec_id") < 10),
+          emb, 5, nlist = 8, nprobe = 2, iters = 2, exactMeans = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },

@@ -447,42 +447,56 @@ object Similarity {
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None): DataFrame =
     // training-free default: the first `nlist` corpus vectors seed the
     // lists; pass kmeansCentroids(...) output for a trained index —
-    // the query plan below is identical either way
+    // the query plan is identical either way
+    ivfTopKOnPrep(queries, kmeansPrep(corpus), k, nlist, nprobe, centroids)
+
+  /** Trained-IVF ANN over ONE corpus prep: calling [[kmeansCentroids]]
+    * then [[ivfTopK]] back-to-back preps (repartition + norm) the same
+    * corpus twice — here training's eager Lloyd rounds warm a
+    * persisted prep that the lazy probe plan pins (the semDedup cache
+    * contract), so the corpus is scanned and normed once for
+    * train + assign. Bit-identical to the two-call composition. */
+  def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 2, iters: Int = 2, dims: Int = 64,
+      exactMeans: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val prep = kmeansPrep(corpus).persist()
+    val cents = kmeansOnPrep(prep, nlist, iters, dims, checkpointDir,
+      exactMeans)
+    ivfTopKOnPrep(queries, prep, k, nlist, nprobe, Some(cents))
+  }
+
+  /** [[ivfTopK]] body over an already-prepped (vec_id, embedding, nrm)
+    * frame — the corpus-side norm rides the prep instead of being
+    * recomputed per call. */
+  private def ivfTopKOnPrep(queries: DataFrame, prep: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, centroids: Option[DataFrame]): DataFrame = {
     val cents = broadcast(centroids.getOrElse(
-      corpus.filter(col("vec_id") < nlist)
+      prep.filter(col("vec_id") < nlist)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
       .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
 
     // corpus → nearest list (rank 1, windowless map-side-combinable
-    // pick), queries → nprobe nearest lists (window top-n); the row's
+    // pick), queries → nprobe nearest lists (window top-n); each row's
     // own norm is computed once, not per centroid pair
-    def cand(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
-      df.withColumn(nrmCol, norm(col(embCol)))
-        .crossJoin(cents)
+    val assigned = pick1(prep.crossJoin(cents)
         .withColumn("__d",
-          cosPre(col(embCol), col("c_emb"), col(nrmCol), col("c_nrm")))
-    def assign(df: DataFrame, idCol: String, embCol: String,
-        nrmCol: String, n: Int): DataFrame =
-      if (n == 1)
-        pick1(cand(df, embCol, nrmCol), Seq(idCol), Seq(embCol, nrmCol),
-          maximize = true).drop("__d")
-      else {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("__d").desc, col("cid").asc)
-        cand(df, embCol, nrmCol)
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= n)
-          .drop("c_emb", "c_nrm", "__d", "__r")
-      }
-
-    val assigned = assign(corpus.repartition(par(corpus))
-      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", "nrm", 1)
-    val probed = assign(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", "q_nrm", nprobe)
+          cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+      Seq("vec_id"), Seq("embedding", "nrm"), maximize = true).drop("__d")
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_nrm", norm(col("q_emb")))
+      .crossJoin(cents)
+      .withColumn("__d",
+        cosPre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .withColumn("__r", row_number().over(w0))
+      .filter(col("__r") <= nprobe)
+      .drop("c_emb", "c_nrm", "__d", "__r")
 
     val scored = assigned.join(probed, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -582,18 +596,23 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, indexPath: String, k: Int = 16,
       iters: Int = 2, dims: Int = 64): Unit = {
-    val cents = kmeansCentroids(corpus, k, iters, dims)
-    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val c = broadcast(cents.select(col("cid"), col("c_emb"),
-      norm(col("c_emb")).as("c_nrm")))
-    pick1(corpus.repartition(par(corpus))
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .crossJoin(c)
-      .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
-      Seq("vec_id"), Seq("embedding", "nrm"), maximize = true)
-      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$indexPath/assignments")
+    // one prep for training + assignment; both consumers are eager
+    // writes, so the cache is released on return (no lazy-escape
+    // hazard here)
+    val prep = kmeansPrep(corpus).persist()
+    try {
+      val cents = kmeansOnPrep(prep, k, iters, dims, None,
+        exactMeans = false)
+      cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+      val c = broadcast(cents.select(col("cid"), col("c_emb"),
+        norm(col("c_emb")).as("c_nrm")))
+      pick1(prep.crossJoin(c)
+        .withColumn("__d", cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+        Seq("vec_id"), Seq("embedding", "nrm"), maximize = true)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$indexPath/assignments")
+    } finally prep.unpersist(blocking = false)
   }
 
   /** ANN over a persisted index: queries probe their `nprobe` nearest
