@@ -2505,10 +2505,76 @@ object QueriesLlm {
         FROM scored)
       WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** Trained-coarse IVF-PQ — the production ANN composition, fully
+    * hash-gated: exact-decimal k-means trains the coarse quantizer
+    * (the q134/q145 CTE chain) AND product quantization trains the
+    * codebooks (the q143 CTE chain); ADC scoring runs only within
+    * probed lists. Every double — centroids, codebooks, codes, LUTs,
+    * ADC folds — replays in DuckDB and hash-matches. */
+  private val q147 = Q("q147_ivfpq_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfPqTrainedTopK(emb.filter(col("vec_id") < 10),
+          emb, 5, nlist = 8, nprobe = 2, m = 4, ksub = 8,
+          pqIters = 2, coarseIters = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, emb AS c FROM v WHERE vec_id < 8),
+      ka1 AS (${semAssign("v", "c0")}),
+      c1 AS (${semUpdate("ka1")}),
+      ka2 AS (${semAssign("v", "c1")}),
+      c2 AS (${semUpdate("ka2")}),
+      kaf AS (${semAssign("v", "c2")}),
+      subs AS (
+        SELECT vec_id, sub, emb[sub*16 + 1 : sub*16 + 16] AS sv
+        FROM v, generate_series(0, 3) AS g(sub)),
+      b0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sv AS c
+             FROM subs WHERE vec_id < 8),
+      pa1 AS (${pqAssign("subs", "b0")}),
+      b1 AS (${pqUpdate("b0", "pa1")}),
+      pa2 AS (${pqAssign("subs", "b1")}),
+      b2 AS (${pqUpdate("b1", "pa2")}),
+      paf AS (${pqAssign("subs", "b2")}),
+      pqcodes AS (SELECT vec_id, list(cid ORDER BY sub) AS codes
+                  FROM paf GROUP BY vec_id),
+      lut AS (
+        SELECT query_id, list(d2 ORDER BY sub, cid) AS lut FROM (
+          SELECT q.vec_id AS query_id, b.sub, b.cid,
+                 ${pqD2("q.sv", "b.c", 16)} AS d2
+          FROM subs q JOIN b2 b USING (sub) WHERE q.vec_id < 10)
+        GROUP BY query_id),
+      probed AS (
+        SELECT query_id, cid FROM (
+          SELECT q.vec_id AS query_id, x.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q.emb", "x.c")} DESC, x.cid ASC) AS r
+          FROM v q CROSS JOIN c2 x WHERE q.vec_id < 10)
+        WHERE r <= 2),
+      scored AS (
+        SELECT p.query_id, cd.vec_id,
+               list_sum(list_transform(generate_series(0, 3), s ->
+                 l.lut[s*8 + cd.codes[s+1] + 1])) AS d2
+        FROM pqcodes cd
+        JOIN kaf a ON cd.vec_id = a.vec_id
+        JOIN probed p ON p.cid = a.cid
+        JOIN lut l ON l.query_id = p.query_id
+        WHERE cd.vec_id <> p.query_id)
+      SELECT query_id, rank, vec_id, d2 FROM (
+        SELECT query_id, vec_id, d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2 ASC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }

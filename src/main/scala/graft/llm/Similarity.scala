@@ -530,35 +530,49 @@ object Similarity {
     * the q142 oracle replays the entire run and hash-matches. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2, m: Int = 4, ksub: Int = 8,
-      iters: Int = 2, dims: Int = 64): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      iters: Int = 2, dims: Int = 64,
+      centroids: Option[DataFrame] = None): DataFrame =
+    ivfPqTopKOnPrep(queries, kmeansPrep(corpus), k, nlist, nprobe, m,
+      ksub, iters, dims, centroids)
+
+  /** Trained-coarse IVF-PQ: the production composition — exact-decimal
+    * k-means trains the coarse quantizer AND product quantization
+    * trains the codebooks, over ONE persisted corpus prep (coarse
+    * training's eager rounds warm it; the subvector split, corpus
+    * assignment, and probe plan all pin it). Bit-identical to
+    * training the coarse quantizer separately and passing it via
+    * `centroids`. */
+  def ivfPqTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 8,
+      pqIters: Int = 2, coarseIters: Int = 2, dims: Int = 64): DataFrame = {
+    val prep = kmeansPrep(corpus).persist()
+    val cents = kmeansOnPrep(prep, nlist, coarseIters, dims, None,
+      exactMeans = true)
+    ivfPqTopKOnPrep(queries, prep, k, nlist, nprobe, m, ksub, pqIters,
+      dims, Some(cents))
+  }
+
+  /** [[ivfPqTopK]] body over an already-prepped (vec_id, embedding,
+    * nrm) frame: the coarse assignment reuses the prep's norm, and the
+    * PQ subvector split derives from the same frame (prep already
+    * carries the parallelism floor). */
+  private def ivfPqTopKOnPrep(queries: DataFrame, prep: DataFrame,
+      k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int, iters: Int,
+      dims: Int, centroids: Option[DataFrame]): DataFrame = {
+    val cents = broadcast(centroids.getOrElse(
+      prep.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
       .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
-    def cand(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
-      df.withColumn(nrmCol, norm(col(embCol)))
-        .crossJoin(cents)
-        .withColumn("__d",
-          cosPre(col(embCol), col("c_emb"), col(nrmCol), col("c_nrm")))
-    def assign(df: DataFrame, idCol: String, embCol: String,
-        nrmCol: String, n: Int): DataFrame =
-      if (n == 1)
-        pick1(cand(df, embCol, nrmCol), Seq(idCol), Nil, maximize = true)
-          .drop("__d")
-      else {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("__d").desc, col("cid").asc)
-        cand(df, embCol, nrmCol)
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= n)
-          .drop("c_emb", "c_nrm", "__d", "__r", nrmCol, embCol)
-      }
     // shared subvector pass, as in [[pqTopK]] (train warms, encode
-    // pins)
-    val subs = pqSubs(corpus, m, dims).persist()
+    // pins); prep already carries the parallelism floor
+    val subs = subVectors(prep, m, dims)
+      .withColumn("xx", dot(col("sv"), col("sv"))).persist()
     val books = pqTrainOnSubs(subs, m, ksub, iters, dims, None)
     val codes = pqEncodeOnSubs(subs, books)
-    val assigned = assign(corpus.repartition(par(corpus))
-      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", "nrm", 1)
+    val assigned = pick1(prep.crossJoin(cents)
+        .withColumn("__d",
+          cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+      Seq("vec_id"), Nil, maximize = true).drop("__d")
     val listCodes = codes.join(assigned, Seq("vec_id"))
     val b = broadcast(books.withColumn("cc", dot(col("c"), col("c"))))
     val lut = subVectors(
@@ -571,9 +585,17 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("cid"), col("__d")))),
         x => x.getField("__d")).as("lut"))
-    val probed = assign(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", "q_nrm", nprobe)
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_nrm", norm(col("q_emb")))
+      .crossJoin(cents)
+      .withColumn("__d",
+        cosPre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .withColumn("__r", row_number().over(w0))
+      .filter(col("__r") <= nprobe)
+      .drop("c_emb", "c_nrm", "__d", "__r", "q_nrm", "q_emb")
       .join(lut, Seq("query_id"))
     val scored = listCodes.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))

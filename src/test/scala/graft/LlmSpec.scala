@@ -315,6 +315,20 @@ class LlmSpec extends AnyFunSuite {
     assert(fused == twoCall)
   }
 
+  test("ivfPqTrainedTopK: trained-coarse fusion equals ivfPqTopK given the same centroids") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 2,
+      exactMeans = true)
+    val composed = key(Similarity.ivfPqTopK(queries, emb, 5, nlist = 8,
+      nprobe = 2, centroids = Some(cents)).collect())
+    val fused = key(Similarity.ivfPqTrainedTopK(queries, emb, 5, nlist = 8,
+      nprobe = 2).collect())
+    assert(fused == composed)
+  }
+
   test("ivfPqTopK: k rows per query, results within probed lists, nonzero recall") {
     val queries = emb.filter(col("vec_id") < 5)
     val out = Similarity.ivfPqTopK(queries, emb, 5, nlist = 16, nprobe = 4)
