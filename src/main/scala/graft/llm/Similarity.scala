@@ -541,15 +541,31 @@ object Similarity {
     * training's eager rounds warm it; the subvector split, corpus
     * assignment, and probe plan all pin it). Bit-identical to
     * training the coarse quantizer separately and passing it via
-    * `centroids`. */
+    * `centroids`.
+    *
+    * The two trainings are INDEPENDENT job chains (coarse reads prep,
+    * PQ reads the subvector table), so they are submitted from two
+    * driver threads and run concurrently — each chain is a sequence
+    * of small eager rounds (k-row aggregates + checkpoints) whose
+    * scheduling/barrier latency the other chain hides. Results are
+    * order-independent: concurrent first materialization of the
+    * shared caches is block-locked by Spark, and each chain's
+    * determinism is internal to it. */
   def ivfPqTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 8,
       pqIters: Int = 2, coarseIters: Int = 2, dims: Int = 64): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val prep = kmeansPrep(corpus).persist()
-    val cents = kmeansOnPrep(prep, nlist, coarseIters, dims, None,
-      exactMeans = true)
-    ivfPqTopKOnPrep(queries, prep, k, nlist, nprobe, m, ksub, pqIters,
-      dims, Some(cents))
+    val subs = pqPrepSubs(prep, m, dims).persist()
+    val centsF = Future(kmeansOnPrep(prep, nlist, coarseIters, dims,
+      None, exactMeans = true))
+    val booksF = Future(pqTrainOnSubs(subs, m, ksub, pqIters, dims, None))
+    val cents = Await.result(centsF, Duration.Inf)
+    val books = Await.result(booksF, Duration.Inf)
+    ivfPqScore(queries, prep, subs, books,
+      resolveCents(prep, nlist, Some(cents)), k, nprobe, m, ksub, dims)
   }
 
   /** [[ivfPqTopK]] body over an already-prepped (vec_id, embedding,
@@ -559,15 +575,35 @@ object Similarity {
   private def ivfPqTopKOnPrep(queries: DataFrame, prep: DataFrame,
       k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int, iters: Int,
       dims: Int, centroids: Option[DataFrame]): DataFrame = {
-    val cents = broadcast(centroids.getOrElse(
+    // shared subvector pass, as in [[pqTopK]] (train warms, encode
+    // pins); prep already carries the parallelism floor
+    val subs = pqPrepSubs(prep, m, dims).persist()
+    val books = pqTrainOnSubs(subs, m, ksub, iters, dims, None)
+    ivfPqScore(queries, prep, subs, books,
+      resolveCents(prep, nlist, centroids), k, nprobe, m, ksub, dims)
+  }
+
+  /** Broadcast (cid, c_emb, c_nrm) coarse-centroid table — from the
+    * caller's trained centroids or the first-`nlist` seeds. */
+  private def resolveCents(prep: DataFrame, nlist: Int,
+      centroids: Option[DataFrame]): DataFrame =
+    broadcast(centroids.getOrElse(
       prep.filter(col("vec_id") < nlist)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
       .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
-    // shared subvector pass, as in [[pqTopK]] (train warms, encode
-    // pins); prep already carries the parallelism floor
-    val subs = subVectors(prep, m, dims)
-      .withColumn("xx", dot(col("sv"), col("sv"))).persist()
-    val books = pqTrainOnSubs(subs, m, ksub, iters, dims, None)
+
+  /** Prepped (vec_id, sub, sv, xx) subvector table from an
+    * already-prepped frame (no extra repartition). */
+  private def pqPrepSubs(prep: DataFrame, m: Int, dims: Int): DataFrame =
+    subVectors(prep, m, dims)
+      .withColumn("xx", dot(col("sv"), col("sv")))
+
+  /** Scoring tail shared by [[ivfPqTopKOnPrep]] and
+    * [[ivfPqTrainedTopK]]: encode, assign corpus to lists, build
+    * per-query LUTs, probe, ADC-score within probed lists, rank. */
+  private def ivfPqScore(queries: DataFrame, prep: DataFrame,
+      subs: DataFrame, books: DataFrame, cents: DataFrame, k: Int,
+      nprobe: Int, m: Int, ksub: Int, dims: Int): DataFrame = {
     val codes = pqEncodeOnSubs(subs, books)
     val assigned = pick1(prep.crossJoin(cents)
         .withColumn("__d",
