@@ -2571,10 +2571,90 @@ object QueriesLlm {
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Johnson–Lindenstrauss ±1 random projection (Similarity.jlProject,
+    * 64→16): the embedding-compression step ahead of ANN / k-means /
+    * SemDeDup — at 100 TB it cuts every downstream vector shuffle and
+    * cache 4× while the JL lemma bounds distance distortion. The
+    * Rademacher (not Gaussian) matrix keeps the arithmetic
+    * transcendental-free, so the oracle replays the identical
+    * ascending-dim fold (list_sum's in-order double fold — the q56
+    * dot-product precedent) against the SAME md5-derived sign values,
+    * and every projected double hash-matches. */
+  private val q148 = Q("q148_jl_project",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Similarity.jlProject(col("embedding"), 16, 64)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("p"))
+      .orderBy("vec_id", "j"),
+    Some {
+      val signs = (0 until 16).map(j =>
+        "[" + (0 until 64).map(d => Similarity.jlSign(j, d)).mkString(",") +
+          "]").mkString("[", ",\n        ", "]")
+      s"""
+      WITH s(m) AS (SELECT $signs),
+      g AS (SELECT unnest(generate_series(0, 15)) AS j)
+      SELECT e.vec_id, CAST(g.j AS BIGINT) AS j,
+             list_sum(list_transform(generate_series(1, 64), i ->
+               CAST(e.embedding[i] AS DOUBLE) * s.m[g.j + 1][i]))
+               / sqrt(CAST(16 AS DOUBLE)) AS p
+      FROM embeddings e CROSS JOIN g CROSS JOIN s
+      ORDER BY vec_id, j"""
+    })
+
+  /** CCNet perplexity tiers (TextAnalysis.perplexityTiers): the
+    * head/middle/tail per-language quality partition CCNet ships —
+    * train on head, mine middle, drop tail. Composes the q125 bigram-LM
+    * replay with an NTILE(3) per language; NULLS LAST is explicit on
+    * both engines (Spark's ASC default is nulls-FIRST, DuckDB's
+    * nulls-LAST), ties break on doc id, so tier assignment is
+    * deterministic and the whole composition hash-gates. The ntile is
+    * the exact gate semantics; the 100 TB swap-in is
+    * perplexityTiersApprox (broadcast approx-quantile thresholds, no
+    * per-language sort), ScalaTest-pinned to ≥95% fixture agreement. */
+  private val q149 = Q("q149_ppl_tiers",
+    (s, dir) => graft.llm.TextAnalysis.perplexityTiers(
+      t(s, dir, "documents"), "doc_id", "text", "lang", nTiers = 3)
+      .orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (
+        SELECT unnest(t) AS a FROM arr),
+      ca AS (SELECT a, COUNT(*) AS ca FROM uni GROUP BY 1),
+      v AS (SELECT COUNT(*) AS v FROM ca),
+      dbg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i])) AS a,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i + 1])) AS b
+        FROM arr),
+      cab AS (SELECT a, b, COUNT(*) AS cab FROM dbg GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id,
+               exp(CAST(SUM(CAST((-ln(CAST(cab.cab + 1 AS DOUBLE)
+                 / (ca.ca + v.v))) AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*)) AS perplexity
+        FROM dbg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+        GROUP BY doc_id),
+      tiers AS (
+        SELECT d.doc_id AS doc_id, d.lang AS lang, s.perplexity AS perplexity,
+               CAST(NTILE(3) OVER (PARTITION BY d.lang
+                 ORDER BY s.perplexity ASC NULLS LAST, d.doc_id ASC)
+                 AS BIGINT) AS tier
+        FROM documents d LEFT JOIN scored s USING (doc_id))
+      SELECT doc_id, lang, perplexity, tier,
+             CASE WHEN tier = 1 THEN 'head'
+                  WHEN tier = 3 THEN 'tail'
+                  ELSE 'middle' END AS tier_label
+      FROM tiers ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }

@@ -131,6 +131,40 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss random projection: shrink an embedding to
+    * `outDims` dimensions against a deterministic ±1 (Rademacher)
+    * matrix, scaled by 1/sqrt(outDims) so expected squared norm — and
+    * pairwise squared distances, the JL lemma — are preserved.
+    *
+    * This is the embedding-compression step BEFORE the index: at
+    * 100 TB a 64→16 projection cuts every downstream ANN / k-means /
+    * SemDeDup shuffle and cache by 4× while keeping neighbor structure
+    * (distance distortion concentrates at ~1/sqrt(outDims)). A narrow
+    * per-row map — zero shuffle — backed by the native codegen
+    * expression [[graft.functions.JlProject]]; ±1 entries (Achlioptas
+    * 2003) rather than Gaussians keep the arithmetic
+    * transcendental-free, so the DuckDB oracle replays the identical
+    * fold and the operator hash-gates (q148). */
+  def jlProject(emb: Column, outDims: Int = 16, dims: Int = 64): Column =
+    graft.functions.JlProject.column(emb, outDims, dims)
+
+  /** The flat Column formulation of [[jlProject]], kept as the
+    * reference implementation the native expression is pinned against
+    * (and the shape the DuckDB oracle mirrors term by term). */
+  def jlProjectFlat(emb: Column, outDims: Int = 16, dims: Int = 64): Column = {
+    val comps = (0 until outDims).map { j =>
+      (0 until dims).map(d =>
+        element_at(emb, d + 1).cast("double") * lit(jlSign(j, d)))
+        .reduce(_ + _) / lit(math.sqrt(outDims.toDouble))
+    }
+    when(emb.isNull, lit(null)).otherwise(array(comps: _*))
+  }
+
+  /** Deterministic ±1 JL matrix entry — delegates to the native
+    * expression's single source of truth (oracle SQL inlines these). */
+  def jlSign(j: Int, d: Int): Double =
+    graft.functions.JlProjectHelper.jlSign(j, d)
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest
     * "centroid" (training-free variant: the first `nlist` corpus
     * vectors serve as seeds — a real build swaps in k-means centroids

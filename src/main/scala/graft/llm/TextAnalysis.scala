@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines
@@ -343,6 +344,66 @@ object TextAnalysis {
       .withColumn("perplexity", exp(col("avg_neg_logprob")))
       .withColumn("perplexity_flagged",
         coalesce(col("perplexity") > flagAbove, lit(false)))
+  }
+
+  /** CCNet perplexity tiers (Wenzek et al. 2020): per-language
+    * head/middle/tail quality buckets by LM perplexity — the corpus
+    * partitioning CCNet ships (train on head, mine middle, drop tail).
+    * Composes [[lmPerplexity]] with an `ntile(nTiers)` window per
+    * language; docs too short to score (NULL perplexity) sort LAST
+    * within their language (explicitly on both engines — Spark's ASC
+    * default is nulls-first, DuckDB's is nulls-last) and land in the
+    * tail, ties break on doc id, so the assignment is deterministic
+    * and hash-gates (q149).
+    *
+    * Scale shape: the ntile is a per-language sort — exact, and the
+    * right gate semantics, but a total sort of each language partition.
+    * At 100 TB swap in [[perplexityTiersApprox]]: approx-percentile
+    * THRESHOLDS (one aggregate pass, t-digest state) broadcast into a
+    * narrow comparison — no sort, no per-language skew, at the cost of
+    * boundary-epsilon tier assignment (ScalaTest-gated agreement ≥95%
+    * vs exact on the fixture). */
+  def perplexityTiers(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      nTiers: Int = 3): org.apache.spark.sql.DataFrame = {
+    val scored = lmPerplexity(docs, idCol, textCol)
+      .select(col(idCol), col("perplexity"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("perplexity").asc_nulls_last, col(idCol).asc)
+    docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("tier", ntile(nTiers).over(w).cast("long"))
+      .withColumn("tier_label",
+        when(col("tier") === 1, lit("head"))
+          .when(col("tier") === nTiers, lit("tail"))
+          .otherwise(lit("middle")))
+  }
+
+  /** The 100 TB form of [[perplexityTiers]]: per-language approximate
+    * perplexity thresholds (one `percentile_approx` aggregate — a
+    * handful of rows) broadcast-joined back and compared — a narrow
+    * map instead of a per-language total sort. Tier boundaries move by
+    * the sketch's epsilon; everything else matches the exact form. */
+  def perplexityTiersApprox(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      nTiers: Int = 3): org.apache.spark.sql.DataFrame = {
+    val scored = docs.select(col(idCol), col(langCol))
+      .join(lmPerplexity(docs, idCol, textCol)
+        .select(col(idCol), col("perplexity")), Seq(idCol))
+    val qs = (1 until nTiers).map(_.toDouble / nTiers)
+    val cuts = scored.groupBy(col(langCol))
+      .agg(percentile_approx(col("perplexity"),
+        array(qs.map(lit): _*), lit(10000)).as("cuts"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("tier",
+        when(col("perplexity").isNull, lit(nTiers.toLong))
+          .otherwise(aggregate(col("cuts"), lit(1L),
+            (acc, c) => acc + when(col("perplexity") > c, 1L).otherwise(0L))))
+      .withColumn("tier_label",
+        when(col("tier") === 1, lit("head"))
+          .when(col("tier") === nTiers, lit("tail"))
+          .otherwise(lit("middle")))
+      .drop("cuts")
   }
 
   /** URL canonicalization (the key step of URL-level dedup in web

@@ -1117,4 +1117,79 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "normalizeText must be zero-shuffle")
     assert(plan.contains("*("), "normalizeText must stay in whole-stage codegen")
   }
+
+  test("jlProject: native ≡ flat bit-for-bit, norms preserved, null semantics, zero-shuffle") {
+    import spark.implicits._
+    val nat = emb.select(col("vec_id"),
+      Similarity.jlProject(col("embedding")).as("p"))
+    val flat = emb.select(col("vec_id"),
+      Similarity.jlProjectFlat(col("embedding")).as("pf"))
+    val rows = nat.join(flat, Seq("vec_id")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[Double](1); val b = r.getSeq[Double](2)
+      assert(a.length == 16 && b.length == 16)
+      a.indices.foreach(i => assert(
+        java.lang.Double.doubleToLongBits(a(i)) ==
+          java.lang.Double.doubleToLongBits(b(i)),
+        s"vec ${r.getLong(0)} component $i: ${a(i)} vs ${b(i)}"))
+    }
+    // JL lemma: E[||proj||²] = ||x||² — the corpus-mean ratio
+    // concentrates hard (per-vector std ≈ sqrt(2/16) ≈ 0.35, mean over
+    // the fixture ≈ ±0.02), so [0.9, 1.1] is a 5-sigma-wide gate
+    val ratio = emb.select(
+      (Similarity.dot(Similarity.jlProject(col("embedding")),
+        Similarity.jlProject(col("embedding"))) /
+        Similarity.dot(col("embedding"), col("embedding"))).as("r"))
+      .agg(avg("r")).head.getDouble(0)
+    assert(ratio > 0.9 && ratio < 1.1, s"mean norm ratio $ratio")
+    // null array → null; short array → non-null array of null components
+    val edge = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val e = edge.select(col("vec_id"),
+      Similarity.jlProject(col("embedding")).as("p")).orderBy("vec_id").collect()
+    assert(e(0).getSeq[Any](1).forall(_ == null), "short array poisons components")
+    assert(e(1).isNullAt(1), "null array → null projection")
+    // narrow scan rider: compression before ANN must not cost a shuffle
+    val plan = nat.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "jlProject must be zero-shuffle")
+  }
+
+  test("perplexity tiers: per-language thirds ordered by perplexity; approx form agrees") {
+    import spark.implicits._
+    val exact = TextAnalysis.perplexityTiers(docs, "doc_id", "text", "lang")
+      .persist()
+    // tier sizes within a language differ by ≤ 1 (ntile contract)
+    val sizes = exact.groupBy("lang", "tier").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      .collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getAs[Long]("spread") <= 1L))
+    // monotone: every head perplexity ≤ every middle ≤ every tail (per lang)
+    val bounds = exact.filter(col("perplexity").isNotNull)
+      .groupBy("lang").agg(
+        max(when(col("tier") === 1, col("perplexity"))).as("h_max"),
+        min(when(col("tier") === 2, col("perplexity"))).as("m_min"),
+        max(when(col("tier") === 2, col("perplexity"))).as("m_max"),
+        min(when(col("tier") === 3, col("perplexity"))).as("t_min"))
+      .collect()
+    bounds.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2), s"head>middle in ${r.getString(0)}")
+      assert(r.getDouble(3) <= r.getDouble(4), s"middle>tail in ${r.getString(0)}")
+    }
+    // a doc too short to score lands in the tail (NULLS LAST), never head
+    val planted = docs.select(col("doc_id"), col("text"), col("lang"))
+      .union(Seq((100000L, "solo", docs.select("lang").head.getString(0)))
+        .toDF("doc_id", "text", "lang"))
+    val shortDoc = TextAnalysis.perplexityTiers(planted, "doc_id", "text", "lang")
+      .filter(col("doc_id") === 100000L).head
+    assert(shortDoc.isNullAt(2) && shortDoc.getAs[String]("tier_label") == "tail")
+    // the 100 TB swap-in: approx-threshold assignment agrees ≥ 95%
+    val approx = TextAnalysis.perplexityTiersApprox(docs, "doc_id", "text", "lang")
+      .select(col("doc_id"), col("tier").as("ta"))
+    val agree = exact.select(col("doc_id"), col("tier")).join(approx, Seq("doc_id"))
+      .agg(avg(when(col("tier") === col("ta"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    exact.unpersist(blocking = false)
+    assert(agree >= 0.95, s"approx/exact tier agreement $agree")
+  }
 }
