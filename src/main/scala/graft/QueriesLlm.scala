@@ -2651,10 +2651,71 @@ object QueriesLlm {
                   ELSE 'middle' END AS tier_label
       FROM tiers ORDER BY doc_id"""))
 
+  /** JL-compressed ANN (Similarity.jlTopK): candidates by projected
+    * unit-vector L2 (32-term dots instead of 64), exact full-width
+    * cosine rescore of the top-100, top-5 returned. outDims = 32 is
+    * sized to the fixture's small neighbor gap (see the operator's
+    * scaladoc). Deterministic end-to-end (±1 matrix, ascending folds,
+    * id tie-breaks) so candidate ranking AND rescore replay in DuckDB
+    * and hash-match. */
+  private val q150 = Q("q150_jl_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.jlTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        cands = 100, outDims = 32)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val signs = (0 until 32).map(j =>
+        "[" + (0 until 64).map(d => Similarity.jlSign(j, d)).mkString(",") +
+          "]").mkString("[", ",\n        ", "]")
+      def dotP(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, 32), i -> $a[i] * $b[i]))"
+      s"""
+      WITH s(m) AS (SELECT $signs),
+      p AS (
+        SELECT vec_id, list(pj ORDER BY j) AS p FROM (
+          SELECT e.vec_id, g.j,
+                 list_sum(list_transform(generate_series(1, 64), i ->
+                   (CAST(e.embedding[i] AS DOUBLE) / e.nrm) * s.m[g.j + 1][i]))
+                   / sqrt(CAST(32 AS DOUBLE)) AS pj
+          FROM (SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                    AS nrm
+                FROM embeddings) e
+          CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) g
+          CROSS JOIN s)
+        GROUP BY vec_id),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   (${dotP("q.p", "q.p")} + ${dotP("c.p", "c.p")}
+                     - 2.0 * ${dotP("q.p", "c.p")}) ASC,
+                   c.vec_id ASC) AS r
+          FROM p q JOIN p c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        WHERE r <= 100),
+      res AS (
+        SELECT cd.query_id, cd.vec_id,
+               ${duckCos("qe.embedding", "ce.embedding")} AS cos
+        FROM cand cd
+        JOIN embeddings qe ON qe.vec_id = cd.query_id
+        JOIN embeddings ce ON ce.vec_id = cd.vec_id)
+      SELECT query_id, rank, vec_id, cos FROM (
+        SELECT query_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM res)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

@@ -165,6 +165,63 @@ object Similarity {
   def jlSign(j: Int, d: Int): Double =
     graft.functions.JlProjectHelper.jlSign(j, d)
 
+  /** JL-compressed ANN: candidate generation in the projected space,
+    * exact rescore in the original — the classic reduce-then-rerank
+    * composition that makes [[jlProject]] a working search path.
+    *
+    * Candidates are the `cands` nearest corpus vectors per query by
+    * squared L2 in the projected space (L2 on UNIT vectors = 2 − 2·cos,
+    * so candidate order tracks the cosine ground truth up to JL noise);
+    * survivors are re-scored with the full-width exact cosine and the
+    * top `k` returned. `outDims` is the quality/width knob: per-pair
+    * distance noise ~ 1/sqrt(outDims), so size it to the corpus's
+    * neighbor gap — the fixture's true neighbors sit at cos ≈ 0.32
+    * against a ≈ 0 background, which needs outDims = 32 (2× width cut,
+    * recall 0.86 at cands = 100); a real embedding corpus with top-1
+    * cos ≥ 0.7 sustains 16 or 8. The projection is a narrow map on
+    * BOTH sides and candidate scoring folds `outDims`-term dots
+    * instead of 64; at 100 TB it stacks under any bucketed index
+    * (project first, then IVF/LSH the projected space) rather than
+    * replacing one. Everything is deterministic (±1 matrix, ascending
+    * folds, id tie-breaks), so the whole pipeline — projection,
+    * candidate ranking, rescore — hash-gates against a DuckDB replay
+    * (q150). */
+  def jlTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cands: Int = 100, outDims: Int = 32, dims: Int = 64): DataFrame = {
+    // project the UNIT vector, not the raw embedding: ground truth is
+    // cosine, and on unit vectors projected L2² = 2 − 2·cos(+JL noise)
+    // — monotone in the target metric. Projecting raw vectors ranks by
+    // raw L2, which disagrees with cosine wherever norms vary (recall
+    // collapsed to 0.2 on the fixture before this).
+    def unitP(emb: Column): Column =
+      jlProject(transform(emb, x => x.cast("double") / norm(emb)),
+        outDims, dims)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      unitP(col("embedding")).as("q_p"),
+      norm(col("embedding")).as("q_nrm")))
+    val c = corpus.repartition(par(corpus))
+      .select(col("vec_id"), col("embedding"),
+        unitP(col("embedding")).as("c_p"),
+        norm(col("embedding")).as("c_nrm"))
+    val scored = c.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("d2",
+        dot(col("q_p"), col("q_p")) + dot(col("c_p"), col("c_p"))
+          - lit(2.0) * dot(col("q_p"), col("c_p")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    val rescored = scored.withColumn("__r", row_number().over(wc))
+      .filter(col("__r") <= cands)
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm"))
+          .as("cos"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest
     * "centroid" (training-free variant: the first `nlist` corpus
     * vectors serve as seeds — a real build swaps in k-means centroids
