@@ -879,6 +879,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
   }
 
+  /** Incremental IVF index maintenance: assign a batch of NEW vectors
+    * to the index's EXISTING centroids and append them to the
+    * partitioned assignment table — no retrain, no rewrite of what's
+    * already there. This is how a production vector index absorbs a
+    * daily ingest at 100 TB: the append touches only the new batch
+    * (one broadcast of the k-row centroid table, one narrow assignment
+    * pass, one partitioned write), while a rebuild would re-scan the
+    * whole corpus. Centroids drift as the distribution shifts —
+    * re-train on a schedule (rebuild) when probe recall degrades; in
+    * between, appended batches are served identically to built ones
+    * (LlmSpec pins build(half)+append(half) ≡ build-on-full with the
+    * same centroids, value-for-value). */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, indexPath: String, dims: Int = 64): Unit = {
+    val cents = broadcast(spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+    val prep = kmeansPrep(newVectors)
+    pick1(prep.crossJoin(cents)
+      .withColumn("__d",
+        cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+      Seq("vec_id"), Seq("embedding", "nrm"), maximize = true)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$indexPath/assignments")
+  }
+
+  /** Incremental IVF-PQ index maintenance ([[appendToIvfIndex]] for
+    * the compressed index): encode the new batch with the STORED
+    * codebooks, assign to the STORED coarse centroids, append codes to
+    * the probed-list layout. Quantizers are frozen between rebuilds —
+    * the standard IVFADC serving pattern (codebook drift, like
+    * centroid drift, is a scheduled-retrain concern, not a per-batch
+    * one). */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, indexPath: String, m: Int = 4,
+      ksub: Int = 8, dims: Int = 64): Unit = {
+    val books = spark.read.parquet(s"$indexPath/books")
+    val c = broadcast(spark.read.parquet(s"$indexPath/coarse")
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+    val subs = pqSubs(newVectors, m, dims).persist()
+    try {
+      val assigned = pick1(newVectors.repartition(par(newVectors))
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+        .crossJoin(c)
+        .withColumn("__d",
+          cosPre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))),
+        Seq("vec_id"), Nil, maximize = true)
+        .select(col("vec_id"), col("cid"))
+      pqEncodeOnSubs(subs, books).join(assigned, Seq("vec_id"))
+        .select(col("cid"), col("vec_id"), col("codes"))
+        .write.mode("append").partitionBy("cid")
+        .parquet(s"$indexPath/codes")
+    } finally subs.unpersist(blocking = false)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the corpus
     * (`bits` sign bits → 2^bits buckets), self-join within buckets
     * only, verify with exact cosine ≥ `threshold`. The bucket join is

@@ -1155,6 +1155,61 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "jlProject must be zero-shuffle")
   }
 
+  test("incremental IVF append: build(half)+append(rest) ≡ one-shot assignment on the same centroids") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    Similarity.buildIvfIndex(first, idx, k = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, rest, idx)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.ivfTopKIndexed(spark, idx, queries, 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // reference: in-memory IVF over the FULL corpus against the
+    // STORED (first-half-trained) centroids — appended batches must be
+    // served exactly as if they had been in the build
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val ref = Similarity.ivfTopK(queries, emb, 5, nlist = 8, nprobe = 3,
+      centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == ref, s"onlyIdx=${got -- ref}, onlyRef=${ref -- got}")
+    // the append really landed in the partitioned layout (no rewrite
+    // of the build's rows, both halves present)
+    val stored = spark.read.parquet(s"$idx/assignments")
+    assert(stored.count() == emb.count())
+  }
+
+  test("incremental IVF-PQ append: stored-codebook encoding, appended duplicate searchable at the ADC floor") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val first = emb.filter(col("vec_id") < 250)
+    Similarity.buildIvfPqIndex(first, idx, nlist = 16)
+    // appended batch: the rest of the corpus plus a planted exact copy
+    // of query 3 under a fresh id
+    val dup = emb.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val rest = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 250).unionByName(dup)
+    Similarity.appendToIvfPqIndex(spark, rest, idx)
+    // encoding parity: appended codes are exactly pqEncode under the
+    // STORED books — the frozen-quantizer contract
+    val books = spark.read.parquet(s"$idx/books")
+    val expected = Similarity.pqEncode(rest, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val storedCodes = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") >= 250).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Int]]("codes")))
+    assert(storedCodes.nonEmpty && storedCodes.length == expected.size)
+    storedCodes.foreach { case (id, codes) =>
+      assert(codes == expected(id), s"codes drifted for appended vec $id") }
+    // the appended exact copy shares query 3's codes and list, so it
+    // must surface at rank 1 with the ADC floor distance
+    val queries = emb.filter(col("vec_id") === 3L)
+    val top = Similarity.ivfPqTopKIndexed(spark, idx, queries, k = 3,
+      nprobe = 2).orderBy("rank").collect()
+    assert(top.head.getLong(2) == 10003L,
+      s"appended duplicate not at rank 1: ${top.map(_.getLong(2)).mkString(",")}")
+    assert(top.head.getDouble(3) == top.map(_.getDouble(3)).min)
+  }
+
   test("jlTopK: reduce-then-rerank recall vs exact; rescored cosines are exact") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, 5)
