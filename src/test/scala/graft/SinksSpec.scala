@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
 
 import graft.sinks.Sinks
 import graft.catalog.DefaultRegistry
@@ -119,5 +120,47 @@ class SinksSpec extends AnyFunSuite {
       assert(msg.contains(".dot-led line")) // dot-stuffing round-trips
       assert(msg.contains("line3"))
     } finally server.close()
+  }
+
+  test("compactParquet: small files merged, rows intact, second run no-ops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(64).write.parquet(dir)
+    def pqFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(pqFiles == 64)
+    val (before, after) = graft.sinks.Layout.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(before == 64 && after == 1 && pqFiles == 1, s"$before -> $after")
+    // content survived the swap bit-for-bit
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back == (1 to 5000).map(i => (i.toLong, s"row$i")).toSet)
+    // idempotent: already at target → untouched
+    assert(graft.sinks.Layout.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30) == ((1, 1)))
+    // no staging debris left behind
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(parent.toSeq == Seq("t"), parent.mkString(","))
+  }
+
+  test("writeClustered: per-file key ranges are disjoint (min/max stats prune)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cluster").toString + "/t"
+    // write in hash-scrambled order — clustering must UNDO this
+    val df = (1 to 10000).map(i => (i.toLong * 2654435761L % 100003, i))
+      .toDF("k", "v")
+    graft.sinks.Layout.writeClustered(df, dir, Seq("k"), numFiles = 8)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length == 8, s"${perFile.length} files")
+    assert(perFile.map(_._3).sum == 10000L)
+    // intervals strictly ordered: file i's max < file i+1's min
+    perFile.sliding(2).foreach { case Array((_, hi, _), (lo, _, _)) =>
+      assert(hi < lo, s"overlapping file ranges: $hi >= $lo")
+    case _ => }
   }
 }
