@@ -879,6 +879,51 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
   }
 
+  /** Filtered ANN over a persisted IVF index: top-k among the vectors
+    * in `allowed` only — the vector-search + metadata-predicate shape
+    * every production system needs (search within a tenant, a language,
+    * a license class). The filter is a semi-join on the assignment
+    * stream BEFORE pair scoring, so disallowed vectors never reach the
+    * rescore; because nearest-centroid assignment is per-vector,
+    * filtering commutes with indexing and the result is EXACTLY
+    * `ivfTopK` over the pre-filtered corpus under the same centroids
+    * (LlmSpec pins the equivalence). `allowed` is a (vec_id) frame —
+    * broadcast when it's a small allowlist, shuffle-joined when it's
+    * itself corpus-scale (Spark picks by size; at 100 TB a
+    * tenant/language predicate is usually a column you'd instead bake
+    * into the index layout as a partition key — this is the ad-hoc
+    * path). Recall caveat is the standard one: k-of-list AFTER
+    * filtering means sparse allowlists want a higher nprobe. */
+  def ivfTopKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, allowed: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid"), col("c_emb"), norm(col("c_emb")).as("c_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .crossJoin(cents)
+      .withColumn("__d",
+        cosPre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .drop("c_emb", "c_nrm", "__d", "__r")
+    val assigned = spark.read.parquet(s"$indexPath/assignments")
+      .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val scored = assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))
+          .as("cos"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Incremental IVF index maintenance: assign a batch of NEW vectors
     * to the index's EXISTING centroids and append them to the
     * partitioned assignment table — no retrain, no rewrite of what's

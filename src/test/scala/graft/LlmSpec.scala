@@ -1178,6 +1178,28 @@ class LlmSpec extends AnyFunSuite {
     assert(stored.count() == emb.count())
   }
 
+  test("filtered ANN: indexed top-k within an allowlist ≡ IVF over the pre-filtered corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-filt").toString
+    Similarity.buildIvfIndex(emb, idx, k = 8, iters = 2)
+    val allowed = emb.filter(col("label") === 1).select(col("vec_id"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.ivfTopKIndexedFiltered(spark, idx, queries,
+      allowed, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    // every hit is allowed
+    val allowSet = allowed.collect().map(_.getLong(0)).toSet
+    assert(got.forall(t => allowSet.contains(t._3)))
+    // per-vector assignment commutes with filtering: identical to
+    // in-memory IVF over the filtered corpus under the same centroids
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val ref = Similarity.ivfTopK(queries,
+      emb.join(allowed, Seq("vec_id"), "left_semi"), 5, nlist = 8,
+      nprobe = 3, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == ref, s"onlyIdx=${got -- ref}, onlyRef=${ref -- got}")
+  }
+
   test("incremental IVF-PQ append: stored-codebook encoding, appended duplicate searchable at the ADC floor") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
     val first = emb.filter(col("vec_id") < 250)
