@@ -2712,10 +2712,42 @@ object QueriesLlm {
       WHERE rank <= 5 ORDER BY query_id, rank"""
     })
 
+  /** Temperature-scaled source mixture (Corpus.temperatureMixture,
+    * the XLM-R/mT5 α-sampling rule): per-source mass ∝ n_s^α via
+    * exp(α·ln n) — the shared-libm pair q125 pins — with the mass
+    * total through the exact-decimal sum, so per-source targets and
+    * the md5-rank selection replay bit-identically in DuckDB. */
+  private val q151 = Q("q151_temp_mixture",
+    (s, dir) => graft.llm.Corpus.temperatureMixture(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", alpha = 0.5, totalDocs = 300)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM documents GROUP BY source),
+      w AS (SELECT source, n_src,
+              exp(0.5 * ln(CAST(n_src AS DOUBLE))) AS w
+            FROM c),
+      t AS (SELECT ${dsumSql("w", 12)} AS tw FROM w),
+      tgt AS (
+        SELECT source,
+               LEAST(n_src, CAST(ceil(300.0 * (w / tw)) AS BIGINT)) AS tgt
+        FROM w CROSS JOIN t),
+      r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT r.doc_id, r.source FROM r JOIN tgt USING (source)
+      WHERE rk <= tgt ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q151)
 }

@@ -58,6 +58,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == keptIds)
   }
 
+  test("temperatureMixture: α=1 keeps natural shares, α→0 flattens, caps at source size") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val n = docs.count()
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def shares(alpha: Double, total: Long): Map[String, Long] =
+      Corpus.temperatureMixture(docs, "source", "doc_id", alpha, total)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 1: targets ∝ n_s (ceil'd) — natural proportions within 1 doc
+    val nat = shares(1.0, 200)
+    bySrc.foreach { case (s, ns) =>
+      val expect = math.ceil(200.0 * ns / n).toLong
+      assert(math.abs(nat(s) - expect) <= 1, s"$s: ${nat(s)} vs $expect") }
+    // α = 0.5 flattens — assert on a deliberately skewed corpus (the
+    // fixture's sources are near-uniform, so its flattening shift is
+    // sub-1-doc): 300 A docs vs 20 B docs, budget 100. α=1 gives B
+    // ceil(100·20/320)=7; α=0.5 gives B 100·√20/(√300+√20)≈21.
+    val skewed = ((1 to 300).map(i => (i.toLong, "A")) ++
+      (301 to 320).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    def skewShare(alpha: Double): Long =
+      Corpus.temperatureMixture(skewed, "source", "doc_id", alpha, 100)
+        .filter(col("source") === "B").count()
+    assert(skewShare(0.5) > skewShare(1.0),
+      s"flattening failed: ${skewShare(0.5)} !> ${skewShare(1.0)}")
+    // budget beyond the corpus: capped at source size, nothing invented
+    val all = shares(0.5, n * 10)
+    assert(all == bySrc, s"$all vs $bySrc")
+    // deterministic under repartition
+    val a = Corpus.temperatureMixture(docs.repartition(13), "source",
+      "doc_id", 0.5, 200).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.temperatureMixture(docs, "source", "doc_id", 0.5, 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("pii redaction replaces emails, urls and digit runs") {
     val out = Seq(
       "mail me at a.b@example.com or see https://x.io/path?q=1 ref 123456")
