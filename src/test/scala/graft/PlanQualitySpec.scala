@@ -448,4 +448,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(prune.get.collectFirst { case g: Generate => g }.isDefined,
       s"postings explode must feed the prune join\n${prune.get.toString.take(3000)}")
   }
+
+  test("q150: jlTopK candidate scoring broadcasts the query side, no sort-merge join") {
+    val plan = physical("q150_jl_topk")
+    // the Q×N candidate scan must be a broadcast nested-loop against
+    // the tiny query table — a SortMergeJoin here would shuffle the
+    // corpus for 10 queries
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // both sides project through the native expression, not the
+    // 2,048-node flat fold
+    assert(plan.contains("jl_project"), plan.take(3000))
+  }
 }
