@@ -469,11 +469,96 @@ object Queries {
     (s, dir) => planner.compile(s, dir, q113Req).df,
     Some(planner.renderSql(q113Req, withDescriptions = false)))
 
+  /** Incremental metric maintenance ([[graft.planner.MetricState]]):
+    * the fact is split at a time boundary, each half folded into
+    * mergeable partial state SEPARATELY (as ingest batches would be),
+    * the states merged and finalized — and the result must equal a
+    * one-shot aggregate over all rows, which is exactly what the
+    * oracle computes. Refresh cost at 100 TB: O(delta batch) + a
+    * state-cardinality merge shuffle, vs the reference's O(history)
+    * recompute per 15-min cron tick. Exact-decimal partials make the
+    * merge order (batch boundaries, AQE) immaterial to the hash. */
+  private val q152 = {
+    import graft.planner.MetricState
+    val dims = Seq("event_type", "day")
+    val ms = Seq(MetricState.Measure("value", "value"))
+    Q("q152_incr_metrics",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          to_date(col("ts")).as("day"), col("value"))
+        val cut = to_date(lit("2024-01-16"))
+        val stateA = MetricState.buildState(ev.filter(col("day") < cut), dims, ms)
+        val stateB = MetricState.buildState(ev.filter(col("day") >= cut), dims, ms)
+        MetricState.render(MetricState.mergeStates(Seq(stateA, stateB)))
+          .orderBy("event_type", "day")
+      },
+      Some(MetricState.renderSql(
+        "(SELECT event_type, CAST(ts AS DATE) AS day, value FROM events) e",
+        dims, ms)))
+  }
+
+  /** Z-order (Morton) clustering key ([[graft.operators.ZOrderLayout]],
+    * the key `clusteredWrite` sorts files by): normalize both keys to
+    * 4-bit ranks against their observed domains, interleave the bits.
+    * The gate emits the per-cell histogram with each cell's key
+    * bounds — pinning the exact normalize/interleave arithmetic. The
+    * normalize chain is IEEE ops only (sub/div/mul/floor, each
+    * correctly rounded and identical across engines — the q125
+    * contract), so the oracle derives the same domains from the same
+    * rows and replays it bit-for-bit with `>> & <<`. ScaleToolsSpec
+    * holds the file-skipping assertion (per-file min/max spans stay
+    * narrow on BOTH dimensions; single-key sort leaves the second
+    * wide open). */
+  private val q153 = {
+    import graft.operators.ZOrderLayout
+    val bits = 4
+    Q("q153_zorder",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val (z, _) = ZOrderLayout.zvalueWithStats(
+          li, Seq("l_orderkey", "l_partkey"), bits)
+        li.withColumn("zval", z)
+          .groupBy("zval")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+            min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+          .orderBy("zval")
+      },
+      Some {
+        // normalize(c, lo, hi) = clamp(floor((c - lo) / span * maxV))
+        // — keep in lockstep with ZOrderLayout.normalize/interleave.
+        val maxV = (1L << bits) - 1
+        def norm(c: String, lo: String, hi: String) =
+          s"""LEAST(GREATEST(CAST(floor((CAST($c AS DOUBLE) - $lo)
+             | / GREATEST($hi - $lo, 2.2250738585072014e-308)
+             | * $maxV) AS BIGINT), 0), $maxV)""".stripMargin.replace("\n", "")
+        // interleave: result bit (b*2 + c) = bit b of column c
+        // (c=0 → l_orderkey even bits, c=1 → l_partkey odd bits)
+        val z = (for { b <- 0 until bits; c <- 0 to 1 } yield
+          s"(((n${c} >> $b) & 1) << ${b * 2 + c})").mkString("(", " | ", ")")
+        s"""
+        WITH s AS (SELECT CAST(min(l_orderkey) AS DOUBLE) AS alo,
+                          CAST(max(l_orderkey) AS DOUBLE) AS ahi,
+                          CAST(min(l_partkey) AS DOUBLE) AS blo,
+                          CAST(max(l_partkey) AS DOUBLE) AS bhi
+                   FROM lineitem),
+        nrm AS (SELECT l_orderkey, l_partkey,
+                       ${norm("l_orderkey", "s.alo", "s.ahi")} AS n0,
+                       ${norm("l_partkey", "s.blo", "s.bhi")} AS n1
+                FROM lineitem CROSS JOIN s)
+        SELECT $z AS zval, CAST(count(*) AS BIGINT) AS n_rows,
+               min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+               min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+        FROM nrm
+        GROUP BY 1 ORDER BY zval"""
+      })
+  }
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89, q98, q110, q111, q113) ++
+      q71, q80, q89, q98, q110, q111, q113, q152, q153) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,120 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental metric maintenance: mergeable partial-aggregate state.
+  *
+  * The reference recomputes every metric from the full fact table on a
+  * 15-minute cron (helix-flow/dags/omni/transactions_dag.py:66 re-runs
+  * the whole SELECT each tick). At 100 TB that is an O(history) scan
+  * per refresh. The standard warehouse answer is a materialized
+  * aggregate maintained incrementally: keep per-(dims, grain) PARTIAL
+  * states that form a commutative monoid, fold each new delta batch
+  * into the state, and finalize only at read time. Refresh cost becomes
+  * O(delta) + a merge shuffle of STATE size (= group cardinality, not
+  * row count); the daily fact partition is scanned exactly once ever.
+  *
+  * Representable measures are the mergeable five of the metric surface
+  * (M1): sum / count / avg (derived) / min / max. Percentile metrics
+  * are NOT exactly mergeable — the engine keeps those on the recompute
+  * path (q123), or approximately via the quantile sketches in
+  * `llm.Sketches`. Distinct counts merge via HLL sketches (q7a) with
+  * the same state-table shape.
+  *
+  * Determinism (oracle- and AQE-safe): the sum partial is an exact
+  * DECIMAL(30,6) — associative, so ANY merge order (batch boundaries,
+  * shuffle order, AQE re-plans) yields bit-identical state; avg is
+  * finalized as one IEEE double division at render. This mirrors
+  * [[graft.functions.GraftFunctions.dsum]]/davg.
+  *
+  * State-column convention (merge is schema-derivable, so a state
+  * parquet table read back cold still merges): for measure `m`,
+  * columns `m__psum` DECIMAL(30,6), `m__pcnt` BIGINT, `m__pmin`,
+  * `m__pmax` (source type). Any column without the `__p` infix is a
+  * grouping dimension.
+  */
+object MetricState {
+
+  /** A measure to maintain: output name + input expression (SQL). */
+  final case class Measure(name: String, expr: String)
+
+  private val scale = 6
+
+  private def partialCols(m: Measure): Seq[Column] = {
+    val e = expr(m.expr)
+    Seq(
+      sum(e.cast(DecimalType(30, scale))).as(s"${m.name}__psum"),
+      count(e).as(s"${m.name}__pcnt"),
+      min(e).as(s"${m.name}__pmin"),
+      max(e).as(s"${m.name}__pmax"))
+  }
+
+  /** Aggregate a delta batch into partial state: one partial+final hash
+    * aggregate on the dims — the only scan this batch will ever get. */
+  def buildState(delta: DataFrame, dims: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    val aggs = measures.flatMap(partialCols)
+    delta.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge state frames (prior state ∪ new-batch states) by re-folding
+    * the monoid: sum of sums, sum of counts, min of mins, max of maxes.
+    * Measure/dim structure is derived from the schema, so this works on
+    * state tables read back from parquet. The shuffle moves state rows
+    * (group cardinality), never fact rows. */
+  def mergeStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state frame")
+    val u = states.reduce(_.unionByName(_))
+    val dims = u.schema.fieldNames.filterNot(_.contains("__p")).toSeq
+    val aggs = u.schema.fieldNames.filter(_.contains("__p")).toSeq.map { c =>
+      val agg =
+        if (c.endsWith("__psum") || c.endsWith("__pcnt")) sum(col(c))
+        else if (c.endsWith("__pmin")) min(col(c))
+        else max(col(c))
+      agg.cast(u.schema(c).dataType).as(c)
+    }
+    u.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Finalize state into metric values: sum→double, count, min, max,
+    * avg = exact-decimal sum ÷ count (single IEEE division — the davg
+    * contract). Groups whose count is 0 (all-null measure) render
+    * null sum/avg, matching a direct aggregate over the raw rows. */
+  def render(state: DataFrame): DataFrame = {
+    val dims = state.schema.fieldNames.filterNot(_.contains("__p")).toSeq
+    val ms = state.schema.fieldNames.filter(_.endsWith("__psum")).toSeq
+      .map(_.stripSuffix("__psum"))
+    val cols = dims.map(col) ++ ms.flatMap { m =>
+      val psum = col(s"${m}__psum"); val pcnt = col(s"${m}__pcnt")
+      Seq(
+        when(pcnt > 0, psum.cast("double")).as(s"${m}_sum"),
+        pcnt.as(s"${m}_count"),
+        col(s"${m}__pmin").as(s"${m}_min"),
+        col(s"${m}__pmax").as(s"${m}_max"),
+        when(pcnt > 0, psum.cast("double") / pcnt).as(s"${m}_avg"))
+    }
+    state.select(cols: _*)
+  }
+
+  /** DuckDB-oracle SQL for [[render]] over the RAW rows — the
+    * full-recompute equivalent an incremental refresh must equal.
+    * Keep in lockstep with buildState/render. */
+  def renderSql(table: String, dims: Seq[String], measures: Seq[Measure],
+      where: String = "TRUE"): String = {
+    val items = measures.map { m =>
+      val e = m.expr
+      s"""CAST(SUM(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE) AS ${m.name}_sum,
+         |  CAST(COUNT($e) AS BIGINT) AS ${m.name}_count,
+         |  MIN($e) AS ${m.name}_min, MAX($e) AS ${m.name}_max,
+         |  CAST(SUM(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE) / COUNT($e) AS ${m.name}_avg"""
+        .stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT ${dims.mkString(", ")},
+       |  $items
+       |FROM $table WHERE $where
+       |GROUP BY ${dims.mkString(", ")}
+       |ORDER BY ${dims.mkString(", ")}""".stripMargin
+  }
+}
