@@ -52,10 +52,17 @@ object MetricState {
   }
 
   /** Aggregate a delta batch into partial state: one partial+final hash
-    * aggregate on the dims — the only scan this batch will ever get. */
+    * aggregate on the dims — the only scan this batch will ever get.
+    * `distincts` adds mergeable APPROXIMATE distinct counts as HLL
+    * sketch partials (`m__phll` BINARY; Apache DataSketches via
+    * Spark's hll_sketch_agg): exact distinct is the one aggregate with
+    * no bounded mergeable state, and the sketch union is the standard
+    * trade — estimate error ~1/sqrt(2^lgK), state bytes fixed. */
   def buildState(delta: DataFrame, dims: Seq[String],
-      measures: Seq[Measure]): DataFrame = {
-    val aggs = measures.flatMap(partialCols)
+      measures: Seq[Measure], distincts: Seq[Measure] = Nil): DataFrame = {
+    val aggs = measures.flatMap(partialCols) ++ distincts.map(m =>
+      hll_sketch_agg(expr(m.expr)).as(s"${m.name}__phll"))
+    require(aggs.nonEmpty, "at least one measure or distinct required")
     delta.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -72,6 +79,7 @@ object MetricState {
       val agg =
         if (c.endsWith("__psum") || c.endsWith("__pcnt")) sum(col(c))
         else if (c.endsWith("__pmin")) min(col(c))
+        else if (c.endsWith("__phll")) hll_union_agg(col(c))
         else max(col(c))
       agg.cast(u.schema(c).dataType).as(c)
     }
@@ -86,6 +94,8 @@ object MetricState {
     val dims = state.schema.fieldNames.filterNot(_.contains("__p")).toSeq
     val ms = state.schema.fieldNames.filter(_.endsWith("__psum")).toSeq
       .map(_.stripSuffix("__psum"))
+    val ds = state.schema.fieldNames.filter(_.endsWith("__phll")).toSeq
+      .map(_.stripSuffix("__phll"))
     val cols = dims.map(col) ++ ms.flatMap { m =>
       val psum = col(s"${m}__psum"); val pcnt = col(s"${m}__pcnt")
       Seq(
@@ -94,7 +104,8 @@ object MetricState {
         col(s"${m}__pmin").as(s"${m}_min"),
         col(s"${m}__pmax").as(s"${m}_max"),
         when(pcnt > 0, psum.cast("double") / pcnt).as(s"${m}_avg"))
-    }
+    } ++ ds.map(m =>
+      hll_sketch_estimate(col(s"${m}__phll")).as(s"${m}_approx_distinct"))
     state.select(cols: _*)
   }
 

@@ -245,6 +245,97 @@ object StreamingPipeline {
     } finally newSigs.unpersist(blocking = false)
   }
 
+  /** Raw event schema as landed by the source (the `events` fixture
+    * shape). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** STREAMING incremental metric maintenance: file-landed event
+    * stream → per-batch [[graft.planner.MetricState]] partial build →
+    * merge into a versioned parquet state table. The streaming twin of
+    * the batch q152 path — each micro-batch is one ingest delta, the
+    * state table holds (dims, grain)-cardinality rows, and
+    * [[currentMetrics]] renders the finalized values on demand.
+    *
+    * Idempotence without transactions: each epoch writes the FULL
+    * merged state to `stateDir/v=<batchId>` with overwrite. A batch
+    * re-executed after a crash rewrites the same version directory
+    * with the same content (prior version + same input batch, and
+    * exact-decimal partials make the fold deterministic), so replay is
+    * a no-op — the version-by-batchId trick that makes a
+    * non-transactional store exactly-once. Older versions are pruned
+    * after commit (crash between write and prune leaves only extra
+    * history, never a wrong answer).
+    *
+    * Scale shape: the batch scan is the only row-grain work; the merge
+    * reads the prior state (group-cardinality) and shuffles state rows
+    * only. At 100 TB the state table is orders of magnitude smaller
+    * than one day's facts — the rewrite-per-epoch cost is the state
+    * size, and a deployment where even that dominates shards the state
+    * write by a dims prefix. */
+  def startMetricStateIngest(spark: SparkSession, landingDir: String,
+      stateDir: String, checkpoint: String,
+      dims: Seq[String], measures: Seq[graft.planner.MetricState.Measure],
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.schema(eventSchema).parquet(landingDir)
+    raw.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else
+        Trigger.ProcessingTime("15 minutes"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        metricStateBatch(batch, stateDir, dims, measures, batchId)
+      }
+      .start()
+  }
+
+  /** Per-epoch metric-state fold (graft-visible so the spec can
+    * drive single batches and replay them). */
+  private[graft] def metricStateBatch(batch: DataFrame,
+      stateDir: String, dims: Seq[String],
+      measures: Seq[graft.planner.MetricState.Measure],
+      batchId: Long): Unit = {
+    import graft.planner.MetricState
+    val spark = batch.sparkSession
+    val prepped = batch.withColumn("day", to_date(col("ts")))
+    val delta = MetricState.buildState(prepped, dims, measures)
+    val prior = stateVersions(spark, stateDir).filter(_ < batchId)
+      .sorted.lastOption
+      .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+    val merged = prior.map(p => MetricState.mergeStates(Seq(p, delta)))
+      .getOrElse(MetricState.mergeStates(Seq(delta)))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    // prune everything but the two newest committed versions
+    val keep = stateVersions(spark, stateDir).sorted.takeRight(2).toSet
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    stateVersions(spark, stateDir).filterNot(keep).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)
+    }
+  }
+
+  private def stateVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** Finalized metric values from the newest committed state version —
+    * the read side of [[startMetricStateIngest]]. */
+  def currentMetrics(spark: SparkSession, stateDir: String): DataFrame = {
+    val vs = stateVersions(spark, stateDir)
+    require(vs.nonEmpty, s"no committed state under $stateDir")
+    graft.planner.MetricState.render(
+      spark.read.parquet(s"$stateDir/v=${vs.max}"))
+  }
+
   /** Event-time windowed aggregation with a watermark: 5-minute tumbling
     * windows on the events-stream shape. Late data beyond 10 minutes is
     * dropped and state is bounded — the 100 TB-safe default. */

@@ -66,6 +66,61 @@ class MetricStateSpec extends AnyFunSuite {
     assert(ab == ba)
   }
 
+  test("streaming fold: two ingest epochs land on the one-shot answer; replay is a no-op") {
+    import graft.streaming.StreamingPipeline
+    val base = Files.createTempDirectory("graft-mstream").toString
+    val landing = s"$base/landing"; val state = s"$base/state"; val cp = s"$base/cp"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cut = to_date(lit("2024-01-16"))
+
+    // epoch 1: first half of the month
+    ev.filter(to_date(col("ts")) < cut).write.parquet(landing)
+    val q1 = StreamingPipeline.startMetricStateIngest(
+      spark, landing, state, cp, dims, ms)
+    assert(q1.awaitTermination(120000), "epoch-1 drain timed out")
+    // epoch 2: the rest, same checkpoint -> new batch id
+    ev.filter(to_date(col("ts")) >= cut).write.mode("append").parquet(landing)
+    val q2 = StreamingPipeline.startMetricStateIngest(
+      spark, landing, state, cp, dims, ms)
+    assert(q2.awaitTermination(120000), "epoch-2 drain timed out")
+
+    val streamed = StreamingPipeline.currentMetrics(spark, state)
+      .orderBy("event_type", "day").collect().toSeq
+    assert(streamed == oneShot)
+
+    // crash-replay: re-execute the LAST epoch with the same batch id —
+    // the versioned overwrite must leave the answer unchanged
+    val lastBatch = ev.filter(to_date(col("ts")) >= cut)
+    StreamingPipeline.metricStateBatch(lastBatch, state, dims, ms, batchId = 1L)
+    val replayed = StreamingPipeline.currentMetrics(spark, state)
+      .orderBy("event_type", "day").collect().toSeq
+    assert(replayed == oneShot)
+  }
+
+  test("HLL distinct partial: batch-merged estimate equals one-shot, within 2% of exact") {
+    val ev = events.withColumn("uid", col("value").cast("long") % 500)
+    val dd = Seq(MetricState.Measure("uid", "uid"))
+    val grp = Seq("event_type")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect()
+        .map(r => r.getString(0) -> r.getAs[Number](r.length - 1).longValue).toSeq
+    val one = est(MetricState.render(MetricState.buildState(ev, grp, Nil, dd)))
+    val batches = Seq(ev.filter(col("value") < 50),
+      ev.filter(col("value") >= 50))
+    val merged = est(MetricState.render(MetricState.mergeStates(
+      batches.map(b => MetricState.buildState(b, grp, Nil, dd)))))
+    assert(merged == one, "sketch union must be split-invariant here")
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("uid")).as("d"))
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, e) =>
+      val x = exact(k)
+      assert(math.abs(e - x).toDouble / x <= 0.02, s"$k: est $e exact $x")
+    }
+  }
+
   test("merge plan shuffles state rows only: one aggregate over the union, no join") {
     val ev = events
     val a = MetricState.buildState(ev.filter(col("value") < 100), dims, ms)
