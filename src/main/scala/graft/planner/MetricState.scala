@@ -40,6 +40,20 @@ object MetricState {
   /** A measure to maintain: output name + input expression (SQL). */
   final case class Measure(name: String, expr: String)
 
+  /** A percentile measure: maintained as a fixed-width histogram
+    * partial over [lo, hi) — [[graft.llm.HistogramSketch]]'s counters
+    * carried as `histBins` per-bucket count columns in the state row,
+    * merged by plain addition, finalized with the same left-edge /
+    * ceil(p·n) read-out contract. `lo`/`hi` must stay constant across
+    * batches (a domain change is a state rebuild, as with any
+    * fixed-width sketch). */
+  final case class Hist(name: String, expr: String, lo: Double, hi: Double,
+      ps: Seq[(String, Double)] = Seq(("p50", 0.5), ("p95", 0.95)))
+
+  /** Bucket count for histogram partials: error ≤ (hi−lo)/32 per
+    * estimate, 32 longs of state per (dims, measure). */
+  val histBins = 32
+
   private val scale = 6
 
   private def partialCols(m: Measure): Seq[Column] = {
@@ -59,10 +73,17 @@ object MetricState {
     * no bounded mergeable state, and the sketch union is the standard
     * trade — estimate error ~1/sqrt(2^lgK), state bytes fixed. */
   def buildState(delta: DataFrame, dims: Seq[String],
-      measures: Seq[Measure], distincts: Seq[Measure] = Nil): DataFrame = {
+      measures: Seq[Measure], distincts: Seq[Measure] = Nil,
+      hists: Seq[Hist] = Nil): DataFrame = {
     val aggs = measures.flatMap(partialCols) ++ distincts.map(m =>
-      hll_sketch_agg(expr(m.expr)).as(s"${m.name}__phll"))
-    require(aggs.nonEmpty, "at least one measure or distinct required")
+      hll_sketch_agg(expr(m.expr)).as(s"${m.name}__phll")) ++
+      hists.flatMap { h =>
+        val b = graft.llm.HistogramSketch.bucketOf(
+          expr(h.expr), h.lo, h.hi, histBins)
+        (0 until histBins).map(i =>
+          sum(when(b === i, 1L).otherwise(0L)).as(f"${h.name}__ph$i%02d"))
+      }
+    require(aggs.nonEmpty, "at least one measure, distinct or hist required")
     delta.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -75,11 +96,13 @@ object MetricState {
     require(states.nonEmpty, "mergeStates needs at least one state frame")
     val u = states.reduce(_.unionByName(_))
     val dims = u.schema.fieldNames.filterNot(_.contains("__p")).toSeq
+    val histCol = "__ph\\d+$".r
     val aggs = u.schema.fieldNames.filter(_.contains("__p")).toSeq.map { c =>
       val agg =
         if (c.endsWith("__psum") || c.endsWith("__pcnt")) sum(col(c))
         else if (c.endsWith("__pmin")) min(col(c))
         else if (c.endsWith("__phll")) hll_union_agg(col(c))
+        else if (histCol.findFirstIn(c).isDefined) sum(col(c))
         else max(col(c))
       agg.cast(u.schema(c).dataType).as(c)
     }
@@ -90,7 +113,15 @@ object MetricState {
     * avg = exact-decimal sum ÷ count (single IEEE division — the davg
     * contract). Groups whose count is 0 (all-null measure) render
     * null sum/avg, matching a direct aggregate over the raw rows. */
-  def render(state: DataFrame): DataFrame = {
+  def render(state: DataFrame): DataFrame = render(state, Nil)
+
+  /** Finalize with percentile read-outs for the given [[Hist]]
+    * measures (the lo/hi/ps configuration is not recoverable from the
+    * state schema, so callers re-supply it — as with any sketch, the
+    * build parameters are part of the table contract). The estimate is
+    * [[graft.llm.HistogramSketch]]'s exactly: left edge of the first
+    * bucket whose cumulative count reaches ceil(p·n). */
+  def render(state: DataFrame, hists: Seq[Hist]): DataFrame = {
     val dims = state.schema.fieldNames.filterNot(_.contains("__p")).toSeq
     val ms = state.schema.fieldNames.filter(_.endsWith("__psum")).toSeq
       .map(_.stripSuffix("__psum"))
@@ -105,7 +136,19 @@ object MetricState {
         col(s"${m}__pmax").as(s"${m}_max"),
         when(pcnt > 0, psum.cast("double") / pcnt).as(s"${m}_avg"))
     } ++ ds.map(m =>
-      hll_sketch_estimate(col(s"${m}__phll")).as(s"${m}_approx_distinct"))
+      hll_sketch_estimate(col(s"${m}__phll")).as(s"${m}_approx_distinct")) ++
+      hists.flatMap { h =>
+        val phs = (0 until histBins).map(i => col(f"${h.name}__ph$i%02d"))
+        val n = phs.reduce(_ + _)
+        val width = (h.hi - h.lo) / histBins
+        h.ps.map { case (pname, p) =>
+          val target = ceil(lit(p) * n)
+          val cums = phs.scanLeft(lit(0L): Column)(_ + _).drop(1)
+          coalesce(cums.zipWithIndex.map { case (cum, i) =>
+            when(cum >= target, lit(h.lo) + lit(width) * lit(i))
+          }: _*).as(s"${h.name}_$pname")
+        }
+      }
     state.select(cols: _*)
   }
 

@@ -121,6 +121,29 @@ class MetricStateSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram percentile partials: batch-merged read-out equals HistogramSketch") {
+    val ev = events
+    val h = MetricState.Hist("value", "value", 0.0, 1000.0)
+    val grp = Seq("event_type")
+    val batches = Seq(
+      ev.filter(col("day") < to_date(lit("2024-01-10"))),
+      ev.filter(col("day") >= to_date(lit("2024-01-10"))
+        && col("day") < to_date(lit("2024-01-20"))),
+      ev.filter(col("day") >= to_date(lit("2024-01-20"))))
+    val merged = MetricState.render(
+      MetricState.mergeStates(batches.map(b =>
+        MetricState.buildState(b, grp, Nil, Nil, Seq(h)))), Seq(h))
+      .orderBy("event_type")
+      .select("event_type", "value_p50", "value_p95").collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val ref = graft.llm.HistogramSketch.estimate(ev, "value", "event_type",
+      0.0, 1000.0, MetricState.histBins, Seq(("p50", 0.5), ("p95", 0.95)))
+      .orderBy("grp").collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(merged == ref,
+      "incremental histogram partials must reproduce the one-shot sketch exactly")
+  }
+
   test("merge plan shuffles state rows only: one aggregate over the union, no join") {
     val ev = events
     val a = MetricState.buildState(ev.filter(col("value") < 100), dims, ms)
