@@ -464,13 +464,38 @@ object TextAnalysis {
     // file, and shuffling full text bytes to parallelize a regex pass
     // costs more than it buys. (Contrast substringStats, whose md5
     // volume is ~token-count and does justify the floor.)
+    // The per-line work runs in the ONE-PASS native kernel
+    // (graft.functions.C4LineStats); [[c4StatsColumns]] is the pinned
+    // built-in-only reference formulation (LlmSpec asserts equality).
+    // The struct lands in its own projection so the kernel runs once
+    // per row, not once per referencing output column (CollapseProject
+    // refuses to inline non-cheap expressions referenced repeatedly).
+    val st = graft.functions.C4LineStats.column(
+      docs.sparkSession, col(textCol), minWords)
+    docs.select(col(idCol), st.as("__s")).select(
+      col(idCol),
+      col("__s.n_lines").cast("long").as("n_lines"),
+      col("__s.n_kept").cast("long").as("n_kept_lines"),
+      (col("__s.n_kept").cast("double") / col("__s.n_lines")).as("kept_frac"),
+      col("__s.has_lorem").as("has_lorem_ipsum"),
+      col("__s.has_brace").as("has_brace"),
+      (!col("__s.has_lorem") && !col("__s.has_brace") &&
+        col("__s.n_kept") >= minKeptLines).as("c4_kept"),
+      col("__s.clean_chars").cast("long").as("clean_chars"))
+  }
+
+  /** Built-ins-only [[c4Stats]] (the pre-kernel formulation, kept as
+    * the pinned semantic reference — LlmSpec asserts the native kernel
+    * reproduces it bit-for-bit). Walks the text ~5×: page probes, the
+    * line split, then per line trim+regex, trim+split, lower+contains,
+    * and a third trim in the clean-chars join. */
+  def c4StatsColumns(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minWords: Int = 3, minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
     // STAGED projections: the filtered line array is referenced by
     // four output columns, and a Column expression referenced N times
-    // is evaluated N times — re-running the per-line regex filter per
-    // reference. Materializing `__kept` in its own projection runs it
-    // once per row (CollapseProject refuses to inline non-cheap
-    // expressions referenced more than once, so the stage survives
-    // optimization).
+    // is evaluated N times — materializing `__kept` in its own
+    // projection runs the per-line regex filter once per row.
     val keepLine = (l: Column) =>
       trim(l).rlike("[.!?\"]$") &&
         size(split(trim(l), "\\s+")) >= minWords &&

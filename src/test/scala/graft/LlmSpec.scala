@@ -868,6 +868,28 @@ class LlmSpec extends AnyFunSuite {
       "the cat sat down.\nthe dog ran fast!\nbirds can fly high?")
   }
 
+  test("c4 native kernel reproduces the Column formulation bit-for-bit (incl. edges)") {
+    import spark.implicits._
+    val edge = Seq(
+      (10L, "plain clean line here.\nsecond good line too!\na third one, yes?"),
+      (11L, ""),                                   // empty page -> 1 empty line
+      (12L, "trailing newline keeps empty.\n"),    // split keeps trailing ""
+      (13L, "  padded with spaces.  \n\ttab-led line stays untrimmed.\n"),
+      (14L, "ends with CR.\r\nwindows line two!\r"), // \r survives trim
+      (15L, "café résumé voilà.\nJAVASCRIPT upper gets lowered.\nunicode 世界 line kept?"),
+      (16L, "one.\n\n\nthree.\nfive words make this fine."),
+      (17L, "a.\nb!\nc?"),                          // kept lines below minWords
+      (18L, "\"quoted line passes here.\"\n'single quotes do not pass'")
+    ).toDF("doc_id", "text")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(200).union(edge.toDF())
+    val native = TextAnalysis.c4Stats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val cols = TextAnalysis.c4StatsColumns(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(native == cols)
+  }
+
   test("lm perplexity: hand-computed bigram LM on a tiny corpus; short docs kept") {
     import spark.implicits._
     val d = Seq(
