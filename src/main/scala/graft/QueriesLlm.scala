@@ -2743,11 +2743,88 @@ object QueriesLlm {
       SELECT r.doc_id, r.source FROM r JOIN tgt USING (source)
       WHERE rk <= tgt ORDER BY doc_id"""))
 
+  /** KMV bottom-k distinct sketch with INTERSECTION estimates
+    * (graft.llm.KmvSketch): the set-overlap primitive HLL registers
+    * cannot answer. Per returnflag the sketch is the k smallest
+    * md5-60bit hashes of the distinct partkey set (deterministic — no
+    * RNG, no engine-private digest), so the DuckDB oracle rebuilds the
+    * identical sketches via a bottom-k window and every estimate —
+    * per-set cardinality, union, and the Jaccard-scaled intersection —
+    * hash-matches bit-for-bit. The library path is the bounded
+    * [[graft.llm.KmvSketch.KmvAggregator]] (≤ k longs of state,
+    * map-side combinable); at sf0.001 the sets are under k and both
+    * engines take the exact branch, at sf0.01+ the estimator branch. */
+  private val q154 = Q("q154_kmv_overlap",
+    (s, dir) => {
+      import graft.llm.KmvSketch._
+      val d = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"), col("l_partkey").as("key"))
+        .distinct()
+      val sk = d.select(col("f"), hash60(col("key")).as("h"))
+        .groupBy("f").agg(kmvAgg(col("h")).as("sk"))
+      val pairs = sk.as("a").join(sk.as("b"), col("a.f") < col("b.f"))
+        .select(col("a.f").as("fa"), col("b.f").as("fb"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+      val est = pairs.select(col("fa"), col("fb"),
+        estimate(col("ska")).as("kmv_a"),
+        estimate(col("skb")).as("kmv_b"),
+        estimate(unionSketch(col("ska"), col("skb"))).as("kmv_union"),
+        intersectEstimate(col("ska"), col("skb")).as("kmv_inter"))
+      val interExact = d.as("x")
+        .join(d.as("y"), col("x.key") === col("y.key") && col("x.f") < col("y.f"))
+        .groupBy(col("x.f").as("fa"), col("y.f").as("fb"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      est.join(interExact, Seq("fa", "fb")).orderBy("fa", "fb")
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT l_returnflag AS f, l_partkey AS key FROM lineitem),
+      h AS (SELECT f, ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h60 FROM d),
+      r AS (SELECT f, h60, row_number() OVER (PARTITION BY f ORDER BY h60) AS rn FROM h),
+      sk AS (SELECT f, h60, rn FROM r WHERE rn <= 256),
+      card AS (SELECT f, count(*) AS m,
+                      max(CASE WHEN rn = 256 THEN h60 END) AS kth
+               FROM sk GROUP BY f),
+      est AS (SELECT f, CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                             ELSE 255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                        END AS d_est
+              FROM card),
+      pr AS (SELECT a.f AS fa, b.f AS fb FROM card a JOIN card b ON a.f < b.f),
+      u0 AS (SELECT p.fa, p.fb, s.h60 FROM pr p JOIN sk s ON s.f = p.fa
+             UNION
+             SELECT p.fa, p.fb, s.h60 FROM pr p JOIN sk s ON s.f = p.fb),
+      ur AS (SELECT fa, fb, h60,
+                    row_number() OVER (PARTITION BY fa, fb ORDER BY h60) AS rn
+             FROM u0),
+      uk AS (SELECT fa, fb, h60, rn FROM ur WHERE rn <= 256),
+      uc AS (SELECT fa, fb, count(*) AS m,
+                    max(CASE WHEN rn = 256 THEN h60 END) AS kth
+             FROM uk GROUP BY 1, 2),
+      ue AS (SELECT fa, fb, m, CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                                    ELSE 255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                               END AS u_est
+             FROM uc),
+      x AS (SELECT u.fa, u.fb, count(*) AS nx FROM uk u
+            JOIN sk a ON a.f = u.fa AND a.h60 = u.h60
+            JOIN sk b ON b.f = u.fb AND b.h60 = u.h60
+            GROUP BY 1, 2),
+      ie AS (SELECT ue.fa, ue.fb, ue.u_est,
+                    (CAST(COALESCE(x.nx, 0) AS DOUBLE) / ue.m) * ue.u_est AS kmv_inter
+             FROM ue LEFT JOIN x ON x.fa = ue.fa AND x.fb = ue.fb),
+      nxact AS (SELECT a.f AS fa, b.f AS fb, CAST(count(*) AS BIGINT) AS n_inter_exact
+                FROM d a JOIN d b ON a.key = b.key AND a.f < b.f GROUP BY 1, 2)
+      SELECT ie.fa, ie.fb, ea.d_est AS kmv_a, eb.d_est AS kmv_b,
+             ie.u_est AS kmv_union, ie.kmv_inter, nxact.n_inter_exact
+      FROM ie
+      JOIN est ea ON ea.f = ie.fa
+      JOIN est eb ON eb.f = ie.fb
+      JOIN nxact ON nxact.fa = ie.fa AND nxact.fb = ie.fb
+      ORDER BY ie.fa, ie.fb"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151)
+    q151, q154)
 }
