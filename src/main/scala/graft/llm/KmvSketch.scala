@@ -88,6 +88,30 @@ object KmvSketch {
   def kmvAgg(hashed: Column, k: Int = DefaultK): Column =
     udaf(new KmvAggregator(k), Encoders.scalaLong).apply(hashed)
 
+  /** Merge aggregator over ALREADY-BUILT sketches (e.g. the per-batch
+    * partials of an incremental state table): same bounded buffer,
+    * input rows are sketch arrays instead of hashes. */
+  class KmvMergeAggregator(k: Int = DefaultK)
+    extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    private val base = new KmvAggregator(k)
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], sk: Seq[Long]): Array[Long] =
+      base.merge(b, if (sk == null) Array.emptyLongArray else sk.toArray)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      base.merge(x, y)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Sketch-merge aggregation column over a sketch-array column. */
+  def kmvMergeAgg(sketches: Column, k: Int = DefaultK): Column =
+    udaf(new KmvMergeAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(sketches)
+
   /** Distinct estimate from a sketch: exact size below k, else
     * (k−1)·2^60 / h_(k). */
   def estimate(sk: Column, k: Int = DefaultK): Column =

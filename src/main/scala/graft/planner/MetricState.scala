@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.DecimalType
   * Representable measures are the mergeable five of the metric surface
   * (M1): sum / count / avg (derived) / min / max. Percentile metrics
   * are NOT exactly mergeable — the engine keeps those on the recompute
-  * path (q123), or approximately via the quantile sketches in
-  * `llm.Sketches`. Distinct counts merge via HLL sketches (q7a) with
-  * the same state-table shape.
+  * path (q123), or approximately as [[Hist]] histogram partials here.
+  * Distinct counts merge as HLL sketch partials (union/estimate only)
+  * or as [[graft.llm.KmvSketch]] bottom-k partials — same state-table
+  * shape, and KMV state additionally answers OVERLAP questions between
+  * any two state rows or state tables ("users active in BOTH periods")
+  * via `KmvSketch.intersectEstimate`, with no raw-data access.
   *
   * Determinism (oracle- and AQE-safe): the sum partial is an exact
   * DECIMAL(30,6) — associative, so ANY merge order (batch boundaries,
@@ -74,9 +77,11 @@ object MetricState {
     * trade — estimate error ~1/sqrt(2^lgK), state bytes fixed. */
   def buildState(delta: DataFrame, dims: Seq[String],
       measures: Seq[Measure], distincts: Seq[Measure] = Nil,
-      hists: Seq[Hist] = Nil): DataFrame = {
+      hists: Seq[Hist] = Nil, kmvDistincts: Seq[Measure] = Nil): DataFrame = {
     val aggs = measures.flatMap(partialCols) ++ distincts.map(m =>
       hll_sketch_agg(expr(m.expr)).as(s"${m.name}__phll")) ++
+      kmvDistincts.map(m => graft.llm.KmvSketch.kmvAgg(
+        graft.llm.KmvSketch.hash60(expr(m.expr))).as(s"${m.name}__pkmv")) ++
       hists.flatMap { h =>
         val b = graft.llm.HistogramSketch.bucketOf(
           expr(h.expr), h.lo, h.hi, histBins)
@@ -102,6 +107,7 @@ object MetricState {
         if (c.endsWith("__psum") || c.endsWith("__pcnt")) sum(col(c))
         else if (c.endsWith("__pmin")) min(col(c))
         else if (c.endsWith("__phll")) hll_union_agg(col(c))
+        else if (c.endsWith("__pkmv")) graft.llm.KmvSketch.kmvMergeAgg(col(c))
         else if (histCol.findFirstIn(c).isDefined) sum(col(c))
         else max(col(c))
       agg.cast(u.schema(c).dataType).as(c)
@@ -137,6 +143,10 @@ object MetricState {
         when(pcnt > 0, psum.cast("double") / pcnt).as(s"${m}_avg"))
     } ++ ds.map(m =>
       hll_sketch_estimate(col(s"${m}__phll")).as(s"${m}_approx_distinct")) ++
+      state.schema.fieldNames.filter(_.endsWith("__pkmv")).toSeq
+        .map(_.stripSuffix("__pkmv")).map(m =>
+          graft.llm.KmvSketch.estimate(col(s"${m}__pkmv"))
+            .as(s"${m}_kmv_distinct")) ++
       hists.flatMap { h =>
         val phs = (0 until histBins).map(i => col(f"${h.name}__ph$i%02d"))
         val n = phs.reduce(_ + _)

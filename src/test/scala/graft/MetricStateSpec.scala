@@ -144,6 +144,42 @@ class MetricStateSpec extends AnyFunSuite {
       "incremental histogram partials must reproduce the one-shot sketch exactly")
   }
 
+  test("KMV partials: merged state sketch equals one-shot; cross-period overlap from state alone") {
+    import graft.llm.KmvSketch
+    val ev = events.withColumn("uid", col("value").cast("long") % 300)
+    val kd = Seq(MetricState.Measure("uid", "uid"))
+    val grp = Seq("event_type")
+    val cut = to_date(lit("2024-01-16"))
+    val a = MetricState.buildState(ev.filter(col("day") < cut), grp, Nil, Nil, Nil, kd)
+    val b = MetricState.buildState(ev.filter(col("day") >= cut), grp, Nil, Nil, Nil, kd)
+    // split-invariance: merged sketch state == one-shot sketch state
+    val merged = MetricState.mergeStates(Seq(a, b))
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toSeq
+    val oneShotK = MetricState.buildState(ev, grp, Nil, Nil, Nil, kd)
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toSeq
+    assert(merged == oneShotK)
+    // the question plain state tables cannot answer: per event_type,
+    // uids active in BOTH halves of the month — straight off the two
+    // period-state sketches, no raw rows
+    val overlap = a.select(col("event_type"), col("uid__pkmv").as("ska"))
+      .join(b.select(col("event_type"), col("uid__pkmv").as("skb")), "event_type")
+      .select(col("event_type"),
+        KmvSketch.intersectEstimate(col("ska"), col("skb")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = ev.filter(col("day") < cut).select(col("event_type"), col("uid"))
+      .distinct().as("x")
+      .join(ev.filter(col("day") >= cut).select(col("event_type"), col("uid"))
+        .distinct().as("y"), Seq("event_type", "uid"))
+      .groupBy("event_type").agg(countDistinct(col("uid")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, x) =>
+      val e = overlap(k)
+      assert(math.abs(e - x) / x <= 0.25, s"$k: overlap est $e exact $x")
+    }
+  }
+
   test("merge plan shuffles state rows only: one aggregate over the union, no join") {
     val ev = events
     val a = MetricState.buildState(ev.filter(col("value") < 100), dims, ms)
