@@ -554,11 +554,94 @@ object Queries {
       })
   }
 
+  /** dbt-style generic data tests ([[graft.ops.DataChecks]]): the
+    * schema-test surface a dbt project declares per model — not_null,
+    * accepted_values, unique, relationships — with dbt's exact failure
+    * semantics. The fixture exercises both outcomes: o_orderstatus
+    * against {O,F} FAILS on every 'P' row (a real nonzero count, not a
+    * vacuous all-green run); keys and references pass. Per-table
+    * not_null+accepted fold into ONE aggregate scan; unique is one
+    * hash agg on the key; relationships one keys-only anti join. */
+  private val q155 = {
+    import graft.ops.DataChecks._
+    Q("q155_data_checks",
+      (s, dir) => {
+        val orders = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+        val cust = t(s, dir, "customer"); val ev = t(s, dir, "events")
+        suite(Seq(
+          tableChecks(orders, "orders",
+            notNullCols = Seq("o_orderkey", "o_custkey"),
+            accepted = Map("o_orderstatus" -> Seq("O", "F"))),
+          tableChecks(li, "lineitem", notNullCols = Seq("l_quantity"),
+            accepted = Map("l_returnflag" -> Seq("A", "N", "R"))),
+          unique(orders, "orders", Seq("o_orderkey")),
+          unique(li, "lineitem", Seq("l_orderkey", "l_linenumber")),
+          unique(ev, "events", Seq("event_id")),
+          relationships(li, "lineitem", "l_orderkey", orders, "o_orderkey"),
+          relationships(orders, "orders", "o_custkey", cust, "c_custkey"),
+          relationships(ev, "events", "user_id", cust, "c_custkey")))
+      },
+      Some("""
+        SELECT tbl, chk, target, failures, failures = 0 AS pass FROM (
+          SELECT 'orders' AS tbl, 'not_null' AS chk, 'o_orderkey' AS target,
+                 CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS failures
+          FROM orders
+          UNION ALL
+          SELECT 'orders', 'not_null', 'o_custkey',
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'orders', 'accepted_values', 'o_orderstatus',
+                 CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN ('O', 'F')
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem', 'not_null', 'l_quantity',
+                 CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem', 'accepted_values', 'l_returnflag',
+                 CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                                AND l_returnflag NOT IN ('A', 'N', 'R')
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'orders', 'unique', 'o_orderkey',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+          UNION ALL
+          SELECT 'lineitem', 'unique', 'l_orderkey,l_linenumber',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                GROUP BY 1, 2 HAVING COUNT(*) > 1)
+          UNION ALL
+          SELECT 'events', 'unique', 'event_id',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT event_id FROM events GROUP BY 1 HAVING COUNT(*) > 1)
+          UNION ALL
+          SELECT 'lineitem', 'relationships', 'l_orderkey -> o_orderkey',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL
+          SELECT 'orders', 'relationships', 'o_custkey -> c_custkey',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          UNION ALL
+          SELECT 'events', 'relationships', 'user_id -> c_custkey',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        ORDER BY tbl, chk, target"""))
+  }
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89, q98, q110, q111, q113, q152, q153) ++
+      q71, q80, q89, q98, q110, q111, q113, q152, q153, q155) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
