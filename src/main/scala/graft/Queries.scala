@@ -637,11 +637,73 @@ object Queries {
         ORDER BY tbl, chk, target"""))
   }
 
+  /** dbt snapshots — SCD Type 2 `check` strategy
+    * ([[graft.ops.Scd2]]): a per-customer order-volume tier dimension
+    * snapshotted at mid-1995, then folded with the end-of-history
+    * state. Tier changes close the open version and insert a new one;
+    * unchanged tiers keep their ORIGINAL row including the stale
+    * untracked n_orders payload (exactly dbt's check-strategy
+    * behavior — only check_cols drive versioning); customers first
+    * seen later insert fresh open versions. `asOf` timestamps are
+    * explicit, so the whole two-run history replays deterministically
+    * in DuckDB. Merge joins open ⋈ delta (current-cardinality both
+    * sides); closed history passes through untouched. */
+  private val q156 = {
+    import graft.ops.Scd2
+    def tiers(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        when(col("n_orders") >= 10, "high")
+          .when(col("n_orders") >= 5, "mid").otherwise("low").as("tier"),
+        col("n_orders"))
+    Q("q156_scd2_snapshot",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val s1 = tiers(orders.filter(
+          col("o_orderdate") < lit("1995-07-01").cast("timestamp")))
+        val s2 = tiers(orders)
+        val snap0 = Scd2.initial(s1, lit("1995-07-01"))
+        val snap1 = Scd2.apply(snap0, s2, "o_custkey", Seq("tier"),
+          lit("1998-12-31"))
+        snap1.select("o_custkey", "tier", "n_orders", "valid_from", "valid_to")
+          .orderBy("o_custkey", "valid_from")
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CASE WHEN COUNT(*) >= 10 THEN 'high'
+                      WHEN COUNT(*) >= 5 THEN 'mid' ELSE 'low' END AS tier
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+          GROUP BY 1),
+        s2 AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CASE WHEN COUNT(*) >= 10 THEN 'high'
+                      WHEN COUNT(*) >= 5 THEN 'mid' ELSE 'low' END AS tier
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, tier, n_orders, valid_from, valid_to FROM (
+          SELECT s1.o_custkey, s1.tier, s1.n_orders,
+                 TIMESTAMP '1995-07-01 00:00:00' AS valid_from,
+                 CAST(NULL AS TIMESTAMP) AS valid_to
+          FROM s1 JOIN s2 USING (o_custkey) WHERE s1.tier = s2.tier
+          UNION ALL
+          SELECT s1.o_custkey, s1.tier, s1.n_orders,
+                 TIMESTAMP '1995-07-01 00:00:00',
+                 TIMESTAMP '1998-12-31 00:00:00'
+          FROM s1 JOIN s2 USING (o_custkey) WHERE s1.tier <> s2.tier
+          UNION ALL
+          SELECT s2.o_custkey, s2.tier, s2.n_orders,
+                 TIMESTAMP '1998-12-31 00:00:00', CAST(NULL AS TIMESTAMP)
+          FROM s2 LEFT JOIN s1 USING (o_custkey)
+          WHERE s1.o_custkey IS NULL OR s1.tier <> s2.tier)
+        ORDER BY o_custkey, valid_from"""))
+  }
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89, q98, q110, q111, q113, q152, q153, q155) ++
+      q71, q80, q89, q98, q110, q111, q113, q152, q153, q155, q156) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
