@@ -699,11 +699,57 @@ object Queries {
         ORDER BY o_custkey, valid_from"""))
   }
 
+  /** dbt incremental `merge` materialization ([[graft.ops.Upsert]]):
+    * a per-customer rollup maintained incrementally — the delta
+    * recomputes ONLY the customers the new period touched, and those
+    * rows REPLACE their target rows (MERGE-INTO semantics) while
+    * untouched customers survive from the prior build. The result
+    * must equal what it replaces at 1/Nth the cost: full-history
+    * values for touched keys, prior values elsewhere. One key-shuffle
+    * anti join whose build side is the delta's key set
+    * (delta-sized → broadcastable in the normal incremental case). */
+  private val q157 = {
+    import graft.ops.Upsert
+    Q("q157_incremental_merge",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val cut = lit("1995-07-01").cast("timestamp")
+        def rollup(df: DataFrame): DataFrame = df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            max("o_orderdate").as("last_order"))
+        val target = rollup(orders.filter(col("o_orderdate") < cut))
+        val touched = orders.filter(col("o_orderdate") >= cut)
+          .select("o_custkey").distinct()
+        val delta = rollup(orders.join(touched, Seq("o_custkey")))
+        Upsert.merge(target, delta, Seq("o_custkey")).orderBy("o_custkey")
+      },
+      Some("""
+        WITH touched AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'),
+        full_agg AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 max(o_orderdate) AS last_order
+          FROM orders GROUP BY 1),
+        pre_agg AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 max(o_orderdate) AS last_order
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00' GROUP BY 1)
+        SELECT o_custkey, n_orders, last_order FROM (
+          SELECT p.o_custkey, p.n_orders, p.last_order FROM pre_agg p
+          WHERE p.o_custkey NOT IN (SELECT o_custkey FROM touched)
+          UNION ALL
+          SELECT f.o_custkey, f.n_orders, f.last_order
+          FROM full_agg f JOIN touched t USING (o_custkey))
+        ORDER BY o_custkey"""))
+  }
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89, q98, q110, q111, q113, q152, q153, q155, q156) ++
+      q71, q80, q89, q98, q110, q111, q113, q152, q153, q155, q156, q157) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
