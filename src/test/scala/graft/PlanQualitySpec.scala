@@ -460,4 +460,36 @@ class PlanQualitySpec extends AnyFunSuite {
     // 2,048-node flat fold
     assert(plan.contains("jl_project"), plan.take(3000))
   }
+
+  test("q157 merge: anti join broadcasts the delta key set — target never shuffles") {
+    val plan = physical("q157_incremental_merge")
+    // the incremental case: delta keys are the SMALL side; a
+    // SortMergeJoin LeftAnti here would shuffle the whole target per
+    // increment
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    val anti = plan.linesIterator.filter(_.contains("LeftAnti")).mkString("\n")
+    assert(anti.contains("Broadcast"), anti)
+  }
+
+  test("q155 data checks: per-table value checks share one scan per table") {
+    val plan = physical("q155_data_checks")
+    // 4 tables feed 11 checks; value checks fold per table, unique=3,
+    // relationships=3 → orders appears in: tableChecks(1) + unique(1)
+    // + relationships child(1) + relationships parent(1) = 4 scans max
+    val ordersScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("orders"))
+    assert(ordersScans <= 4, s"orders scanned $ordersScans times")
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans <= 3, s"lineitem scanned $lineitemScans times")
+  }
+
+  test("q153 zorder: single aggregate over the scan — no join, no extra exchange") {
+    val plan = physical("q153_zorder")
+    assert(!plan.contains("Join"), plan.take(2000))
+    // one shuffle: the zval groupBy; the stats pass ran at plan-build
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges\n${plan.take(2000)}")
+  }
 }
