@@ -90,4 +90,24 @@ object DataChecks {
     require(checks.nonEmpty, "empty check suite")
     checks.reduce(_.unionByName(_)).orderBy("tbl", "chk", "target")
   }
+
+  /** dbt source freshness: compare MAX(loaded-at) to an explicit
+    * `asOf` (dbt uses the invocation time; passing it in keeps runs
+    * replayable) against warn/error staleness windows. A footer-only
+    * MAX on a block-sorted or partitioned table — the same O(metadata)
+    * read as the ingest watermark. Returns one row:
+    * (tbl, max_loaded_at, lag_seconds, status ∈ pass|warn|error). */
+  def freshness(df: DataFrame, table: String, loadedAtCol: String,
+      asOf: Column, warnAfterSec: Long, errorAfterSec: Long): DataFrame = {
+    require(warnAfterSec <= errorAfterSec, "warn window must be <= error window")
+    df.agg(max(col(loadedAtCol)).as("max_loaded_at"))
+      .select(lit(table).as("tbl"), col("max_loaded_at"),
+        (asOf.cast("timestamp").cast("long") -
+          col("max_loaded_at").cast("long")).as("lag_seconds"))
+      .withColumn("status",
+        when(col("max_loaded_at").isNull || col("lag_seconds") > errorAfterSec,
+          "error")
+          .when(col("lag_seconds") > warnAfterSec, "warn")
+          .otherwise("pass"))
+  }
 }

@@ -63,6 +63,24 @@ class DataChecksSpec extends AnyFunSuite {
     assert(scans <= 1, s"expected a single scan, plan had $scans")
   }
 
+  test("source freshness: pass/warn/error windows and the empty-source case") {
+    import spark.implicits._
+    def ev(ts: String) = Seq(Tuple1(java.sql.Timestamp.valueOf(ts)))
+      .toDF("loaded_at")
+    val asOf = lit("2024-01-01 12:00:00")
+    def status(df: org.apache.spark.sql.DataFrame) =
+      DataChecks.freshness(df, "t", "loaded_at", asOf,
+        warnAfterSec = 3600, errorAfterSec = 86400)
+        .collect().head
+    assert(status(ev("2024-01-01 11:30:00")).getString(3) == "pass")
+    val w = status(ev("2024-01-01 09:00:00"))
+    assert(w.getString(3) == "warn" && w.getLong(2) == 3 * 3600)
+    assert(status(ev("2023-12-30 00:00:00")).getString(3) == "error")
+    // a source that never loaded anything is an error, not a pass
+    val empty = Seq.empty[Tuple1[java.sql.Timestamp]].toDF("loaded_at")
+    assert(status(empty).getString(3) == "error")
+  }
+
   test("empty table: zero failures, not nulls") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "status")
