@@ -745,11 +745,59 @@ object Queries {
         ORDER BY o_custkey"""))
   }
 
+  /** Blocked fuzzy-match JOIN across two tables
+    * ([[graft.operators.FuzzyJoin]], record linkage): left = 24-char
+    * document-name prefixes, right = deterministically corrupted
+    * variants (1 deletion for doc_id%3=0, 2 deletions for %3=1,
+    * reversed — far — otherwise). The engine blocks with the q-gram
+    * count filter (multiset Σ min counts vs the Gravano bound + length
+    * filter) and verifies survivors with exact levenshtein; the ORACLE
+    * is the brute-force cross product, so the hash-match PROVES the
+    * blocking loses no true pair within maxDist — the lemma holding on
+    * real data, not just in the comment. */
+  private val q158 = {
+    import graft.operators.FuzzyJoin
+    val corrupt = """
+      CASE
+        WHEN doc_id % 3 = 0 THEN concat(
+          substring(nm, 1, doc_id % 20 + 1), substring(nm, doc_id % 20 + 3))
+        WHEN doc_id % 3 = 1 THEN concat(
+          substring(concat(substring(nm, 1, doc_id % 15 + 1),
+                           substring(nm, doc_id % 15 + 3)), 1, doc_id % 7 + 1),
+          substring(concat(substring(nm, 1, doc_id % 15 + 1),
+                           substring(nm, doc_id % 15 + 3)), doc_id % 7 + 3))
+        ELSE reverse(nm)
+      END"""
+    Q("q158_fuzzy_join",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), expr("substring(lower(trim(text)), 1, 24)").as("nm"))
+        val left = base.select(col("doc_id").as("id_a"), col("nm").as("name_a"))
+        val right = base.select(col("doc_id").as("id_b"),
+          expr(corrupt).as("name_b"))
+        FuzzyJoin.join(left, "id_a", "name_a", right, "id_b", "name_b",
+          maxDist = 2, q = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, substring(lower(trim(text)), 1, 24) AS nm
+          FROM documents),
+        a AS (SELECT doc_id AS id_a, nm AS name_a FROM base),
+        b AS (SELECT doc_id AS id_b, $corrupt AS name_b FROM base)
+        SELECT id_a, id_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+        FROM a CROSS JOIN b
+        WHERE levenshtein(name_a, name_b) <= 2
+        ORDER BY id_a, id_b"""))
+  }
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
-      q71, q80, q89, q98, q110, q111, q113, q152, q153, q155, q156, q157) ++
+      q71, q80, q89, q98, q110, q111, q113, q152, q153, q155, q156, q157,
+      q158) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** Blocked fuzzy join: the q-gram blocking must lose NO pair within
+  * maxDist (lemma safety, incl. multiset gram counts and short
+  * strings) and the verify must bound exactly at the threshold. */
+class FuzzyJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def brute(l: Seq[(Long, String)], r: Seq[(Long, String)], d: Int) = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for { (ia, a) <- l; (ib, b) <- r; dd = lev(a, b) if dd <= d }
+      yield (ia, ib, dd.toLong)).sorted
+  }
+
+  private def run(l: Seq[(Long, String)], r: Seq[(Long, String)], d: Int,
+      q: Int = 3) = {
+    import spark.implicits._
+    FuzzyJoin.join(l.toDF("id_a", "ta"), "id_a", "ta",
+      r.toDF("id_b", "tb"), "id_b", "tb", maxDist = d, q = q)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSeq.sorted
+  }
+
+  test("exact threshold: pairs at maxDist kept, at maxDist+1 dropped") {
+    val l = Seq(1L -> "warehouse", 2L -> "streaming")
+    val r = Seq(10L -> "warehouze",      // 1 sub
+      11L -> "warehousing",              // 3 edits from warehouse
+      12L -> "streamin",                 // 1 del
+      13L -> "steaming")                 // 1 del
+    val got = run(l, r, d = 2)
+    assert(got == brute(l, r, 2))
+    assert(got.contains((1L, 10L, 1L)) && got.contains((2L, 12L, 1L))
+      && got.contains((2L, 13L, 1L)))
+    assert(!got.exists { case (a, b, _) => (a, b) == ((1L, 11L)) })
+  }
+
+  test("multiset gram counts: repeated-gram strings match brute force") {
+    // distinct-set intersection would undercount shared grams here
+    val l = Seq(1L -> "aaaaaaaaaa", 2L -> "abababab", 3L -> "aaabaaab")
+    val r = Seq(10L -> "aaaaaaaaab", 11L -> "abababab", 12L -> "aaabaaab",
+      13L -> "aaaaaaaa", 14L -> "bbbbbbbbbb")
+    assert(run(l, r, d = 2) == brute(l, r, 2))
+  }
+
+  test("short strings (below q) are not lost, on either side") {
+    val l = Seq(1L -> "ab", 2L -> "warehouse", 3L -> "")
+    val r = Seq(10L -> "a", 11L -> "abc", 12L -> "wx", 13L -> "")
+    assert(run(l, r, d = 2) == brute(l, r, 2))
+    // symmetric: long-left vs short-right near the boundary
+    val l2 = Seq(1L -> "abcd")
+    val r2 = Seq(10L -> "ab")
+    assert(run(l2, r2, d = 2) == brute(l2, r2, 2))
+  }
+
+  test("fixture-scale equivalence with brute force (random-ish corpus)") {
+    import spark.implicits._
+    val words = Seq("metric", "stream", "vector", "shard", "corpus", "tokens")
+    val l = (0 until 60).map(i =>
+      i.toLong -> s"${words(i % 6)}_${words((i / 6) % 6)}_$i")
+    val r = (0 until 60).map { i =>
+      val base = s"${words(i % 6)}_${words((i / 6) % 6)}_$i"
+      i.toLong + 100 -> (if (i % 2 == 0) base.drop(1) else base.reverse)
+    }
+    assert(run(l, r, d = 2) == brute(l, r, 2))
+  }
+}
