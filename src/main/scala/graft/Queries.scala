@@ -792,12 +792,127 @@ object Queries {
         ORDER BY id_a, id_b"""))
   }
 
+  /** Linear gap interpolation over a date spine: sparse daily metric
+    * (high-value events only) densified to every (type, day) cell,
+    * interior gaps filled by linear interpolation between the
+    * neighboring present days, leading/trailing gaps left null. The
+    * neighbor search is two windows (max/min of the present-day
+    * column — null-skipping by SQL semantics, no IGNORE NULLS
+    * dialect dependence) + two joins back to the actuals; state per
+    * partition is one row, movement is spine-cardinality. */
+  private val q159 = Q("q159_interpolate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val act = t(s, dir, "events")
+        .filter(col("value") > 200)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("v"))
+      val days = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("day"))
+      val spine = act.select("event_type").distinct().crossJoin(days)
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val j = spine.join(act, Seq("event_type", "day"), "left")
+        .withColumn("pd", max(when(col("v").isNotNull, col("day")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nd", min(when(col("v").isNotNull, col("day")))
+          .over(w.rowsBetween(0, Window.unboundedFollowing)))
+      val p = act.select(col("event_type"), col("day").as("pd"), col("v").as("pv"))
+      val n = act.select(col("event_type"), col("day").as("nd"), col("v").as("nv"))
+      j.join(p, Seq("event_type", "pd"), "left")
+        .join(n, Seq("event_type", "nd"), "left")
+        .select(col("event_type"), col("day"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double")))
+            .as("value_filled"),
+          (col("v").isNull && col("pv").isNotNull && col("nv").isNotNull)
+            .as("interpolated"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""
+      WITH act AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ${dsumSql("value")} AS v
+        FROM events WHERE value > 200 GROUP BY 1, 2),
+      days AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                 DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+      spine AS (SELECT t.event_type, d.day
+                FROM (SELECT DISTINCT event_type FROM act) t
+                CROSS JOIN days d),
+      j AS (
+        SELECT s.event_type, s.day, a.v,
+               max(CASE WHEN a.v IS NOT NULL THEN s.day END)
+                 OVER (PARTITION BY s.event_type ORDER BY s.day
+                       ROWS UNBOUNDED PRECEDING) AS pd,
+               min(CASE WHEN a.v IS NOT NULL THEN s.day END)
+                 OVER (PARTITION BY s.event_type ORDER BY s.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM spine s LEFT JOIN act a USING (event_type, day))
+      SELECT j.event_type, j.day,
+             CASE WHEN j.v IS NOT NULL THEN j.v
+                  WHEN p.v IS NOT NULL AND n.v IS NOT NULL THEN
+                    p.v + (n.v - p.v) *
+                      (CAST(j.day - j.pd AS DOUBLE) / CAST(j.nd - j.pd AS DOUBLE))
+                  ELSE NULL END AS value_filled,
+             (j.v IS NULL AND p.v IS NOT NULL AND n.v IS NOT NULL)
+               AS interpolated
+      FROM j
+      LEFT JOIN act p ON p.event_type = j.event_type AND p.day = j.pd
+      LEFT JOIN act n ON n.event_type = j.event_type AND n.day = j.nd
+      ORDER BY j.event_type, j.day"""))
+
+  /** Retention cohort matrix: users grouped by FIRST-activity week,
+    * tracked by distinct activity across subsequent weeks; retention =
+    * actives / cohort size (every member is active in week 0 by
+    * construction, so the size is the matrix diagonal). Two key-grain
+    * aggregates + a cohort-cardinality join — the standard cohort
+    * analysis every analytics engine ships. */
+  private val q160 = Q("q160_retention_cohorts",
+    (s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val mat = uw.join(cohort, Seq("user_id"))
+        .groupBy("cohort_wk", "wk")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val size = mat.filter(col("wk") === col("cohort_wk"))
+        .select(col("cohort_wk"), col("n_active").as("cohort_size"))
+      mat.join(size, Seq("cohort_wk"))
+        .select(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_n"),
+          col("n_active"), col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+        .orderBy("cohort_wk", "week_n")
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+      mat AS (
+        SELECT c.cohort_wk, u.wk, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+               AS n_active
+        FROM uw u JOIN cohort c USING (user_id)
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_wk, n_active AS cohort_size FROM mat
+             WHERE wk = cohort_wk)
+      SELECT m.cohort_wk,
+             CAST((m.wk - m.cohort_wk) / 7 AS BIGINT) AS week_n,
+             m.n_active, s.cohort_size,
+             CAST(m.n_active AS DOUBLE) / s.cohort_size AS retention
+      FROM mat m JOIN sz s USING (cohort_wk)
+      ORDER BY m.cohort_wk, week_n"""))
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
       q71, q80, q89, q98, q110, q111, q113, q152, q153, q155, q156, q157,
-      q158) ++
+      q158, q159, q160) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
