@@ -907,12 +907,105 @@ object Queries {
       FROM mat m JOIN sz s USING (cohort_wk)
       ORDER BY m.cohort_wk, week_n"""))
 
+  /** Ordered funnel levels (view → click → signup → purchase), greedy
+    * earliest-chain semantics: t1 = first view, each later step = its
+    * first occurrence strictly after the previous step; level = chain
+    * length completed. Four key-grain min-aggregates chained by
+    * broadcast-size joins — each stage's input is user-cardinality,
+    * the fact is scanned once per step with the step predicate pushed
+    * down. (The q113 conversion metric is the 2-step windowed variant;
+    * this is the N-step level readout.) */
+  private val q161 = Q("q161_funnel_levels",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+      def step(prev: DataFrame, prevT: String, typ: String, out: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevT))
+          .groupBy("user_id")
+          .agg(min("ts").as(out))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = step(s1, "t1", "click", "t2")
+      val s3 = step(s2, "t2", "signup", "t3")
+      val s4 = step(s3, "t3", "purchase", "t4")
+      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+        .join(s4.select("user_id", "t4"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+            + when(col("t3").isNotNull, 1).otherwise(0)
+            + when(col("t4").isNotNull, 1).otherwise(0)).cast("long")
+            .as("funnel_level"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'signup' AND e.ts > s2.t2 GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(e.ts) AS t4
+             FROM events e JOIN s3 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+      SELECT s1.user_id,
+             CAST(1 + (s2.user_id IS NOT NULL)::INT
+                    + (s3.user_id IS NOT NULL)::INT
+                    + (s4.user_id IS NOT NULL)::INT AS BIGINT)
+               AS funnel_level
+      FROM s1
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      LEFT JOIN s4 USING (user_id)
+      ORDER BY user_id"""))
+
+  /** Event-transition matrix (path analysis): per-user time-ordered
+    * event stream, count each (event_type → next event_type) pair plus
+    * the share among transitions leaving the source state. One window
+    * pass (lead over user_id, ts — the q9/q38 shuffle key) + one
+    * small aggregate; the matrix is |types|² rows at any data size. */
+  private val q162 = Q("q162_event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val m = steps.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val out = m.groupBy("from_type").agg(sum("n").as("n_out"))
+      m.join(out, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_out")).as("share"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH steps AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+        FROM events),
+      m AS (SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      o AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+            FROM m GROUP BY 1)
+      SELECT m.from_type, m.to_type, m.n,
+             CAST(m.n AS DOUBLE) / o.n_out AS share
+      FROM m JOIN o USING (from_type)
+      ORDER BY m.from_type, m.to_type"""))
+
   // =====================================================================
 
   val all: Seq[Q] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q7a, q8, q11, q12, q13, q14, q15, q16,
       q71, q80, q89, q98, q110, q111, q113, q152, q153, q155, q156, q157,
-      q158, q159, q160) ++
+      q158, q159, q160, q161, q162) ++
       QueriesLlm.all ++ QueriesSql.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
