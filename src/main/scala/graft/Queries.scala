@@ -749,12 +749,13 @@ object Queries {
     * ([[graft.operators.FuzzyJoin]], record linkage): left = 24-char
     * document-name prefixes, right = deterministically corrupted
     * variants (1 deletion for doc_id%3=0, 2 deletions for %3=1,
-    * reversed — far — otherwise). The engine blocks with the q-gram
-    * count filter (multiset Σ min counts vs the Gravano bound + length
-    * filter) and verifies survivors with exact levenshtein; the ORACLE
-    * is the brute-force cross product, so the hash-match PROVES the
-    * blocking loses no true pair within maxDist — the lemma holding on
-    * real data, not just in the comment. */
+    * reversed — far — otherwise). The engine blocks with pigeonhole
+    * segments (PassJoin: k = maxDist+1 disjoint segments, a true pair
+    * shares one verbatim within ±maxDist positions) and verifies
+    * survivors with exact levenshtein; the ORACLE is the brute-force
+    * cross product, so the hash-match PROVES the blocking loses no
+    * true pair within maxDist — the lemma holding on real data, not
+    * just in the comment. */
   private val q158 = {
     import graft.operators.FuzzyJoin
     val corrupt = """

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy-match join (record linkage across two tables):
@@ -8,101 +8,123 @@ import org.apache.spark.sql.functions._
   *
   * The naive plan is O(|A|·|B|) DP evaluations — Spark would emit a
   * cartesian product with a levenshtein filter. This operator blocks
-  * with the POSITIONAL Q-GRAM COUNT FILTER (Gravano et al. 2001, the
-  * standard ER bound): strings within edit distance d must satisfy
-  *   |len(a) − len(b)| ≤ d, and
-  *   positionAlignedSharedGrams(a, b) ≥ (max(len) − q + 1) − d·q
-  * (each edit destroys at most q grams, and shifts every surviving
-  * gram by at most d positions — so only gram matches with
-  * |pos_a − pos_b| ≤ d count, and the bound still holds). The
-  * near-position pair count upper-bounds the lemma's matching size,
-  * so thresholding it NEVER drops a true pair; it only admits extra
-  * candidates to the exact verify. (A distinct-set intersection,
-  * by contrast, can undercount repeated grams and silently lose
-  * matches.)
+  * with PIGEONHOLE SEGMENTS (PassJoin, Li/Deng/Feng 2011): split
+  * every left string into k = d+1 disjoint segments. If
+  * ed(a, b) ≤ d, the ≤ d edit points touch at most d segments, so at
+  * least one segment of `a` survives untouched and appears in `b`
+  * VERBATIM, shifted by at most d positions (the net insertions/
+  * deletions before it). So `b` only needs to probe, for each
+  * possible left length ℓ ∈ [len(b)−d, len(b)+d] and each segment
+  * slot of the length-ℓ partition, its substrings at the slot's
+  * start ± d — a pure equi-join on (ℓ, slot, substringText) with NO
+  * residual and NO count aggregation. Survivors go to the exact
+  * levenshtein verify. The filter NEVER drops a true pair (the
+  * pigeonhole argument above); it only admits extra candidates.
   *
-  * Shape: per-side (id, gram, pos) rows, one equi-join ON THE GRAM
-  * with the position predicate as a residual condition (the only
-  * row-grain shuffle), a per-pair count with the lemma + length
-  * filters, then the exact levenshtein verify on the survivors only.
-  * The position predicate is also the stop-gram defense: a gram
-  * occurring everywhere pairs only with near positions, not with
-  * every occurrence on the other side — measured 27.6 → 2.9 s at
-  * 5k×5k natural-text names. Residual skew knobs: raise q, or
-  * pre-drop grams above a document-frequency cap (relaxing the
-  * threshold in step; the default keeps every gram).
+  * Why not q-gram count filtering (Gravano 2001): the count bound
+  * max(len) − (q−1) − d·q goes vacuous for short strings (silently
+  * dropping true pairs unless patched), every string emits ~len gram
+  * rows on a low-cardinality gram key (natural text has stop-grams —
+  * a single hot gram enumerates f_a×f_b pairs inside one partition),
+  * and a wide per-pair count aggregation sits between the join and
+  * the verify. Segments are ~len/k chars — selective keys, ~k rows
+  * per left string, ~k·(2d+1)² per right string, and candidates go
+  * straight to verify. Measured on the 5k×5k linkage fixture:
+  * 16.5M near-position gram pairs → 5M counted groups under the gram
+  * scheme vs 54k direct candidates under PassJoin.
+  *
+  * Scale shape: one shuffle on the (ℓ, slot, text) key, candidate-
+  * bound output, then an id-keyed verify join. Worst-case skew is a
+  * segment text shared by many records — orders of magnitude rarer
+  * than a stop-gram since segments are full substrings; truly
+  * identical-text populations surface as true pairs anyway (output-
+  * bound, not blow-up). Strings too short to segment (len < d+1) are
+  * verified directly against their ≤ 2d-char partners — a slice
+  * bounded by the sub-(d+1)-char population, not the corpus.
   */
 object FuzzyJoin {
 
-  /** Positional q-grams: (gram, position) rows per id. */
-  private def gramPositions(df: DataFrame, id: String, text: String,
-      q: Int): DataFrame =
-    df.select(col(id), col(text))
-      .select(col(id), posexplode(expr(
-        s"transform(sequence(1, greatest(length($text) - ${q - 1}, 0)), " +
-          s"i -> substring($text, i, $q))")).as(Seq("__p", "__g")))
+  /** Even k-way partition of a length-`l` string, SQL fragment form:
+    * the first k − (l mod k) segments get ⌊l/k⌋ chars, the rest
+    * ⌈l/k⌉. `l` and `i` (1-based slot) are SQL expressions. */
+  private def segStart(l: String, i: String, k: Int): String =
+    s"""CASE WHEN $i <= $k - ($l % $k) THEN ($i - 1) * ($l div $k) + 1
+        ELSE $l - ($k - $i + 1) * (($l div $k) + 1) + 1 END"""
+  private def segLen(l: String, i: String, k: Int): String =
+    s"CASE WHEN $i <= $k - ($l % $k) THEN $l div $k ELSE ($l div $k) + 1 END"
 
   /** Fuzzy join: rows (leftId, rightId, edit_dist) for every pair
     * within `maxDist`. Text columns should be pre-normalized (case,
     * whitespace) by the caller — normalization policy is data, not
-    * join mechanics. Pairs whose strings are both shorter than q
-    * gram-block trivially (no grams): they are caught by a dedicated
-    * short-string pass, which is length-bounded (≤ q−1 chars) and
-    * joins on the length filter only. */
+    * join mechanics. `q` kept for API stability; segment blocking
+    * does not use it. */
   def join(left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
       maxDist: Int, q: Int = 3): DataFrame = {
-    val la = left.select(col(leftId), col(leftText),
+    val k = maxDist + 1
+    val L = left.select(col(leftId).as("__ida"), col(leftText).as("__ta"),
       length(col(leftText)).as("__la"))
-    val rb = right.select(col(rightId), col(rightText),
+    val R = right.select(col(rightId).as("__idb"), col(rightText).as("__tb"),
       length(col(rightText)).as("__lb"))
 
-    // POSITIONAL count filter: an edit shifts surviving grams by at
-    // most d positions, so matching grams of a true pair align within
-    // d — the position predicate rides the gram join as a residual
-    // condition, killing the stop-gram blow-up (a frequent gram now
-    // pairs only with near positions, not every occurrence on the
-    // other side). The near-position PAIR count upper-bounds the
-    // lemma's matching size, so thresholding it never drops a true
-    // pair — it only admits extra candidates to the exact verify.
-    val ga = gramPositions(left, leftId, leftText, q)
-    val gb = gramPositions(right, rightId, rightText, q)
-      .withColumnRenamed(rightId, s"__r_$rightId")
-    val shared = ga.join(gb, ga("__g") === gb("__g") &&
-        abs(ga("__p") - gb("__p")) <= maxDist)
-      .groupBy(col(leftId), col(s"__r_$rightId"))
-      .agg(count(lit(1)).as("__shared"))
-      .withColumnRenamed(s"__r_$rightId", rightId)
+    // Left: k segment rows per string — (length, slot, segmentText).
+    val lseg = L.filter(col("__la") >= k)
+      .select(col("__ida"), col("__la").as("__l"),
+        explode(expr(s"""
+          transform(sequence(1, $k), i -> named_struct(
+            'seg', i,
+            'txt', substring(__ta,
+              CAST((${segStart("__la", "i", k)}) AS INT),
+              CAST((${segLen("__la", "i", k)}) AS INT))))
+        """)).as("__s"))
+      .select(col("__ida"), col("__l"), col("__s.seg").as("__seg"),
+        col("__s.txt").as("__txt"))
 
-    val candidates = shared
-      .join(la.select(col(leftId), col("__la")), Seq(leftId))
-      .join(rb.select(col(rightId), col("__lb")), Seq(rightId))
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
-      .filter(col("__shared") >=
-        greatest(col("__la"), col("__lb")) - lit(q - 1) - lit(maxDist * q))
+    // Right: probe substrings. For each target left length ℓ within
+    // ±d of len(b) (ℓ ≥ k so a partition exists), each slot of the
+    // length-ℓ partition, each shift in [−d, d] that stays in
+    // bounds — ~k·(2d+1)² short rows per record. A true pair's
+    // surviving segment is among these probes by the pigeonhole
+    // argument, so the 3-column equi-join below is lossless.
+    val rprobe = R.filter(col("__lb") >= k - maxDist)
+      .select(col("__idb"), col("__tb"),
+        explode(expr(s"""
+          flatten(transform(sequence(greatest(__lb - $maxDist, $k), __lb + $maxDist), l ->
+            flatten(transform(sequence(1, $k), i ->
+              filter(
+                transform(sequence(-$maxDist, $maxDist), sh -> named_struct(
+                  'l', l, 'seg', i,
+                  'st', CAST((${segStart("l", "i", k)}) AS INT) + sh,
+                  'ln', CAST((${segLen("l", "i", k)}) AS INT))),
+                p -> p.st >= 1 AND p.st + p.ln - 1 <= __lb)))))
+        """)).as("__p"))
+      .select(col("__idb"), col("__p.l").as("__l"),
+        col("__p.seg").as("__seg"),
+        expr("substring(__tb, __p.st, __p.ln)").as("__txt"))
 
-    // strings shorter than q have no q-grams and never reach the gram
-    // join: verify pairs where EITHER side is short directly against
-    // all length-compatible partners (the other side is then ≤
-    // q-1+maxDist chars — a bounded, tiny slice)
-    val shortPairsA = la.filter(col("__la") < q)
-      .crossJoin(rb.filter(col("__lb") <= lit(q - 1 + maxDist)))
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
-      .select(col(leftId), col(rightId))
-    val shortPairsB = la.filter(col("__la") <= lit(q - 1 + maxDist))
-      .crossJoin(rb.filter(col("__lb") < q))
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
-      .select(col(leftId), col(rightId))
+    val segCand = lseg.join(rprobe, Seq("__l", "__seg", "__txt"))
+      .select(col("__ida"), col("__idb"))
 
-    val allCand = candidates.select(col(leftId), col(rightId))
-      .unionByName(shortPairsA).unionByName(shortPairsB).distinct()
+    // Strings too short to segment (len < k = d+1) never reach the
+    // segment join: verify them directly against all length-
+    // compatible partners (≤ len+d < 2d+1 chars — a tiny, bounded
+    // slice of the corpus).
+    val smallPairs = L.filter(col("__la") < k)
+      .select(col("__ida"), col("__la"))
+      .crossJoin(R.filter(col("__lb") < k + maxDist)
+        .select(col("__idb"), col("__lb")))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("__ida"), col("__idb"))
+
+    val allCand = segCand.unionByName(smallPairs).distinct()
 
     allCand
-      .join(la.select(col(leftId), col(leftText)), Seq(leftId))
-      .join(rb.select(col(rightId), col(rightText)), Seq(rightId))
-      .select(col(leftId), col(rightId),
-        levenshtein(col(leftText), col(rightText)).cast("long")
-          .as("edit_dist"))
+      .join(L.select(col("__ida"), col("__ta")), Seq("__ida"))
+      .join(R.select(col("__idb"), col("__tb")), Seq("__idb"))
+      .select(col("__ida"), col("__idb"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
+      .select(col("__ida").as(leftId), col("__idb").as(rightId),
+        col("edit_dist"))
   }
 }

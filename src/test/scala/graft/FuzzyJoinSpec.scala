@@ -64,6 +64,28 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(run(l2, r2, d = 2) == brute(l2, r2, 2))
   }
 
+  test("vacuous-bound window [q, q-1+d*q]: zero-shared-gram pairs kept") {
+    // max(len) <= q-1+d*q makes the Gravano bound <= 0: a true pair
+    // may share NO q-gram. "abcd"/"axcd" (q=3, d=1) share no 3-gram
+    // yet are 1 edit apart — the r10-confirmed recall hole.
+    val l = Seq(1L -> "abcd")
+    val r = Seq(10L -> "axcd")
+    assert(run(l, r, d = 1) == brute(l, r, 1))
+    assert(run(l, r, d = 1).nonEmpty)
+    // d=2, q=3: window reaches length 8; two spread-out edits kill
+    // every shared 3-gram
+    val l2 = Seq(1L -> "abcdefgh")
+    val r2 = Seq(10L -> "abXdeYgh")
+    assert(run(l2, r2, d = 2) == brute(l2, r2, 2))
+    assert(run(l2, r2, d = 2).nonEmpty)
+    // mixed corpus straddling the window boundary, incl. non-matches
+    val l3 = Seq(1L -> "abcd", 2L -> "abcdefgh", 3L -> "abcdefghi",
+      4L -> "xyzq", 5L -> "ab")
+    val r3 = Seq(10L -> "axcd", 11L -> "abXdeYgh", 12L -> "abcdeZghi",
+      13L -> "qqqq", 14L -> "axc", 15L -> "abcdefgh")
+    assert(run(l3, r3, d = 2) == brute(l3, r3, 2))
+  }
+
   test("fixture-scale equivalence with brute force (random-ish corpus)") {
     import spark.implicits._
     val words = Seq("metric", "stream", "vector", "shard", "corpus", "tokens")

@@ -109,6 +109,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("q158 fuzzy join: segment blocking is a 3-column equi-key, no count agg") {
+    val plan = physical("q158_fuzzy_join")
+    // the PassJoin block must shuffle on the full (length, slot,
+    // segmentText) key — a lower-arity key (e.g. gram-only) re-opens
+    // the stop-gram skew hazard where one hot key enumerates f_a×f_b
+    // pairs inside a single partition
+    val hasCompositeKey = plan.split("Exchange hashpartitioning\\(").drop(1)
+      .exists { s =>
+        val keys = s.split("\\), \\[")(0)
+        keys.contains("__l") && keys.contains("__seg") && keys.contains("__txt")
+      }
+    assert(hasCompositeKey, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q56 embedding near-dup: the two self-join sides reuse one exchange") {
     val df = Queries.all.find(_.name == "q56_embed_neardup").get.run(spark, dir)
     df.collect()
