@@ -21,17 +21,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object HistogramSketch {
 
-  /** Clamped equal-width bucket index for `v` over [lo, hi). */
+  /** Clamped equal-width bucket index for `v` over [lo, hi); NULL in,
+    * NULL out. (greatest/least skip nulls, so without the guard a null
+    * value would silently land in bucket 0 — a fabricated observation
+    * at `lo`; percentile semantics ignore nulls.) */
   def bucketOf(v: Column, lo: Double, hi: Double, bins: Int): Column =
-    least(greatest(
+    when(v.isNotNull, least(greatest(
       floor((v.cast("double") - lit(lo)) * bins / (hi - lo)).cast("long"),
-      lit(0L)), lit(bins - 1L))
+      lit(0L)), lit(bins - 1L)))
 
   /** Sketch state: (group, bucket, cnt) — the thing you would persist
-    * or merge across incremental batches (counts add). */
+    * or merge across incremental batches (counts add). Null values are
+    * not observations: excluded here, so `n` at read-out is the
+    * non-null count, as with any SQL percentile. */
   def build(df: DataFrame, valueCol: String, grpCol: String,
       lo: Double, hi: Double, bins: Int): DataFrame =
-    df.groupBy(col(grpCol).as("grp"),
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"),
         bucketOf(col(valueCol), lo, hi, bins).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 

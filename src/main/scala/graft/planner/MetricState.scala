@@ -34,9 +34,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * State-column convention (merge is schema-derivable, so a state
   * parquet table read back cold still merges): for measure `m`,
-  * columns `m__psum` DECIMAL(30,6), `m__pcnt` BIGINT, `m__pmin`,
-  * `m__pmax` (source type). Any column without the `__p` infix is a
-  * grouping dimension.
+  * columns `m__psum` DECIMAL(38,6) (inputs cast to DECIMAL(30,6); the
+  * sum keeps Spark's widened precision, and merges pin it — never
+  * narrow back, an overflowing narrow is NULL under non-ANSI),
+  * `m__pcnt` BIGINT, `m__pmin`, `m__pmax` (source type). Any column
+  * without the `__p` infix is a grouping dimension.
   */
 object MetricState {
 
@@ -103,14 +105,24 @@ object MetricState {
     val dims = u.schema.fieldNames.filterNot(_.contains("__p")).toSeq
     val histCol = "__ph\\d+$".r
     val aggs = u.schema.fieldNames.filter(_.contains("__p")).toSeq.map { c =>
-      val agg =
-        if (c.endsWith("__psum") || c.endsWith("__pcnt")) sum(col(c))
-        else if (c.endsWith("__pmin")) min(col(c))
-        else if (c.endsWith("__phll")) hll_union_agg(col(c))
-        else if (c.endsWith("__pkmv")) graft.llm.KmvSketch.kmvMergeAgg(col(c))
-        else if (histCol.findFirstIn(c).isDefined) sum(col(c))
-        else max(col(c))
-      agg.cast(u.schema(c).dataType).as(c)
+      if (c.endsWith("__psum"))
+        // pin the sum to the WIDEST decimal, never the input column's
+        // type: a state table whose __psum landed as DECIMAL(30,6)
+        // (older writer, external tool) would otherwise have the
+        // widened DECIMAL(38,6) sum cast back down — under non-ANSI
+        // semantics an overflowing cast returns NULL, silently
+        // corrupting the merged state instead of failing
+        sum(col(c)).cast(DecimalType(38, scale)).as(c)
+      else {
+        val agg =
+          if (c.endsWith("__pcnt")) sum(col(c))
+          else if (c.endsWith("__pmin")) min(col(c))
+          else if (c.endsWith("__phll")) hll_union_agg(col(c))
+          else if (c.endsWith("__pkmv")) graft.llm.KmvSketch.kmvMergeAgg(col(c))
+          else if (histCol.findFirstIn(c).isDefined) sum(col(c))
+          else max(col(c))
+        agg.cast(u.schema(c).dataType).as(c)
+      }
     }
     u.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -154,9 +166,12 @@ object MetricState {
         h.ps.map { case (pname, p) =>
           val target = ceil(lit(p) * n)
           val cums = phs.scanLeft(lit(0L): Column)(_ + _).drop(1)
-          coalesce(cums.zipWithIndex.map { case (cum, i) =>
+          // n = 0 (all-null group): every cum >= the zero target, so
+          // the first bucket's left edge (h.lo) would render — a
+          // fabricated value. A percentile of nothing is NULL.
+          when(n > 0, coalesce(cums.zipWithIndex.map { case (cum, i) =>
             when(cum >= target, lit(h.lo) + lit(width) * lit(i))
-          }: _*).as(s"${h.name}_$pname")
+          }: _*)).as(s"${h.name}_$pname")
         }
       }
     state.select(cols: _*)

@@ -85,13 +85,28 @@ object SnapshotTable {
       .map(s => s"$rel/${s.getPath.getName}")
   }
 
+  /** Test seam: invoked between the slot claim and the manifest
+    * write — lets a spec simulate a writer stalled (GC pause, network
+    * partition) long enough for its torn slot to be reclaimed. */
+  @volatile private[graft] var pauseAfterClaim: Path => Unit = _ => ()
+
   /** Publish the next snapshot: claim `<id>.list` by exclusive create,
     * then write file lines + sentinel. A losing racer's create throws
     * (slot taken) — re-read the head, recompute against it via
     * `nextFiles`, retry on the next id; data staging stays OUTSIDE
     * this loop, so contention costs a manifest write, never a data
     * rewrite. A slot held by a sentinel-less manifest older than
-    * `staleMs` is a dead writer's wreckage: deleted and reclaimed. */
+    * `staleMs` is a dead writer's wreckage: deleted and reclaimed.
+    *
+    * Reclaim is FENCED on the writer side: a live writer stalled past
+    * `staleMs` between `create()` and `close()` can have its slot
+    * reclaimed and re-committed by a racer — its own stream then
+    * drains into an unlinked file and `close()` still succeeds. The
+    * durable slot content is the arbiter: after close the writer
+    * reads the slot back and only returns the id when the manifest
+    * there is byte-for-byte its own; otherwise the claim was lost and
+    * it retries against the new head (staged data untouched — only
+    * the manifest write repeats). */
   private def commit(spark: SparkSession, table: String,
       nextFiles: Seq[String] => Seq[String], attempts: Int = 10,
       staleMs: Long = 60000): Long = {
@@ -123,10 +138,19 @@ object SnapshotTable {
         }
       claimed match {
         case Some(out) =>
-          try out.write(
-            (files :+ Sentinel).mkString("", "\n", "\n").getBytes("UTF-8"))
+          pauseAfterClaim(slot)
+          val payload = files :+ Sentinel
+          try out.write(payload.mkString("", "\n", "\n").getBytes("UTF-8"))
           finally out.close()
-          return id
+          // fence: prove the durable manifest at the slot is OURS —
+          // a racer may have reclaimed the claim as stale wreckage
+          // while we stalled, and our stream then wrote into an
+          // unlinked file with a successful close()
+          val durable =
+            try rawLines(f, slot)
+            catch { case _: java.io.IOException => Nil }
+          if (durable == payload) return id
+          tries += 1
         case None => tries += 1
       }
     }

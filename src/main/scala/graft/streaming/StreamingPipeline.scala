@@ -318,12 +318,20 @@ object StreamingPipeline {
     }
   }
 
+  /** Committed state versions only: a `v=N` directory counts ONLY
+    * when Spark's job-commit marker (`_SUCCESS`) is present. A crash
+    * mid-write leaves a torn `v=N` with data files but no marker —
+    * without this filter the torn version reads as the newest state
+    * (a wrong-answer window until the batch replays); with it, torn
+    * dirs are invisible to reads, merges, and pruning, and the replay
+    * overwrites them in place. */
   private def stateVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
   }
 

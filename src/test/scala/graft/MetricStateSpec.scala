@@ -99,6 +99,40 @@ class MetricStateSpec extends AnyFunSuite {
     assert(replayed == oneShot)
   }
 
+  test("torn v=N state dir (no _SUCCESS) is invisible; replay overwrites it") {
+    import graft.streaming.StreamingPipeline
+    val base = Files.createTempDirectory("graft-mtorn").toString
+    val state = s"$base/state"
+    val raw = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cut = to_date(lit("2024-01-16"))
+    val first = raw.filter(to_date(col("ts")) < cut)
+    val rest = raw.filter(to_date(col("ts")) >= cut)
+    StreamingPipeline.metricStateBatch(first, state, dims, ms, batchId = 0L)
+    val committed = StreamingPipeline.currentMetrics(spark, state)
+      .orderBy("event_type", "day").collect().toSeq
+
+    // a crash mid-write of batch 1: data files land, job-commit marker
+    // doesn't — stateVersions must NOT count this as the newest state
+    MetricState.buildState(rest.withColumn("day", to_date(col("ts"))), dims, ms)
+      .write.parquet(s"$state/v=1")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/v=1/_SUCCESS"), false)
+    val seen = StreamingPipeline.currentMetrics(spark, state)
+      .orderBy("event_type", "day").collect().toSeq
+    assert(seen == committed,
+      "torn version leaked into reads — wrong-answer window until replay")
+
+    // the checkpoint replays batch 1: overwrite of the wreckage lands
+    // the full answer
+    StreamingPipeline.metricStateBatch(rest, state, dims, ms, batchId = 1L)
+    val replayed = StreamingPipeline.currentMetrics(spark, state)
+      .orderBy("event_type", "day").collect().toSeq
+    assert(replayed == oneShot)
+  }
+
   test("HLL distinct partial: batch-merged estimate equals one-shot, within 2% of exact") {
     val ev = events.withColumn("uid", col("value").cast("long") % 500)
     val dd = Seq(MetricState.Measure("uid", "uid"))
@@ -178,6 +212,45 @@ class MetricStateSpec extends AnyFunSuite {
       val e = overlap(k)
       assert(math.abs(e - x) / x <= 0.25, s"$k: overlap est $e exact $x")
     }
+  }
+
+  test("merge never narrows __psum: overflow-sized decimals stay non-null") {
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    // two state frames whose __psum columns landed as DECIMAL(30,6)
+    // (an older writer / external tool): each holds ~9e23, the merged
+    // sum 1.8e24 exceeds DECIMAL(30,6) capacity — a merge that casts
+    // the widened sum back to the input type silently NULLs it
+    val mk = (v: String) => Seq(("a", v))
+      .toDF("event_type", "x")
+      .select(col("event_type"),
+        col("x").cast(DecimalType(30, 6)).as("m__psum"),
+        lit(1L).as("m__pcnt"),
+        lit(1.0).as("m__pmin"), lit(1.0).as("m__pmax"))
+    val merged = MetricState.mergeStates(
+      Seq(mk("900000000000000000000000"), mk("900000000000000000000000")))
+    val sumRow = merged.select("m__psum").collect().head
+    assert(!sumRow.isNullAt(0), "merged __psum overflowed to NULL")
+    assert(sumRow.getDecimal(0).toBigInteger.toString
+      == "1800000000000000000000000")
+    // and the rendered read-out carries it through
+    val r = MetricState.render(merged).select("m_sum").collect().head
+    assert(math.abs(r.getDouble(0) - 1.8e24) / 1.8e24 < 1e-9)
+  }
+
+  test("histogram percentile of an all-null group renders NULL, not lo") {
+    import spark.implicits._
+    val h = MetricState.Hist("value", "value", 0.0, 1000.0)
+    val df = Seq(
+      ("a", Some(100.0)), ("a", Some(900.0)),
+      ("b", None: Option[Double])).toDF("event_type", "value")
+    val out = MetricState.render(
+      MetricState.buildState(df, Seq("event_type"), Nil, Nil, Seq(h)),
+      Seq(h)).orderBy("event_type").collect()
+    assert(!out(0).isNullAt(out(0).fieldIndex("value_p50")))
+    assert(out(1).isNullAt(out(1).fieldIndex("value_p50")),
+      "empty histogram must not fabricate the lo edge as a percentile")
+    assert(out(1).isNullAt(out(1).fieldIndex("value_p95")))
   }
 
   test("merge plan shuffles state rows only: one aggregate over the union, no join") {

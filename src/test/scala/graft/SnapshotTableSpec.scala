@@ -84,6 +84,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t, Some(s1)).count() == docs.count())
   }
 
+  test("paused writer whose slot is reclaimed keeps its commit (fencing)") {
+    val t = freshTable
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    SnapshotTable.append(spark, t, docs.filter(col("doc_id") < 10))
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // Simulate a writer stalled between create() and close() long
+    // enough to look dead: backdate its freshly-claimed slot past
+    // staleMs, then run a full competing append — the racer reclaims
+    // the "stale wreckage" slot and commits its own manifest there.
+    @volatile var fired = false
+    SnapshotTable.pauseAfterClaim = { slot =>
+      if (!fired) {
+        fired = true
+        SnapshotTable.pauseAfterClaim = _ => ()
+        fsys.setTimes(slot, System.currentTimeMillis() - 120000L, -1L)
+        SnapshotTable.append(spark, t,
+          docs.filter(col("doc_id") >= 20 && col("doc_id") < 30))
+      }
+    }
+    try {
+      val idA = SnapshotTable.append(spark, t,
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 20))
+      // without the fence the paused writer returns the reclaimed id:
+      // its manifest was never durable and its rows are silently lost
+      val snaps = SnapshotTable.snapshots(spark, t)
+      assert(snaps.size == 3, s"expected 3 committed snapshots, got $snaps")
+      assert(idA == snaps.max, s"paused writer must land on a fresh id ($idA vs $snaps)")
+      val want = docs.filter(col("doc_id") < 30).count()
+      assert(SnapshotTable.read(spark, t).count() == want)
+      assert(SnapshotTable.read(spark, t, Some(idA)).count() == want)
+    } finally SnapshotTable.pauseAfterClaim = _ => ()
+  }
+
   test("contending committers both land, on distinct ids, with both appends visible") {
     val t = freshTable
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
