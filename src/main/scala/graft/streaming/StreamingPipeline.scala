@@ -18,6 +18,34 @@ import graft.sinks.Sinks
   */
 object StreamingPipeline {
 
+  /** Test seam: invoked at named points inside streaming batch bodies
+    * so a spec can kill a query mid-batch (simulated crash between
+    * the non-transactional sink writes and the checkpoint commit). */
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
+
+  /** Committed (`_SUCCESS`-marked) `epoch=N` partition dirs under an
+    * epoch-partitioned sink — a torn partition from a crashed epoch
+    * write is not committed data. */
+  private[graft] def committedEpochs(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  /** Read only the committed epochs of an epoch-partitioned sink;
+    * torn partitions are invisible. The `epoch` partition column is
+    * retained (callers drop it if irrelevant). */
+  def readCommitted(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = committedEpochs(spark, dir)
+    require(dirs.nonEmpty, s"no committed epochs under $dir")
+    spark.read.option("basePath", dir).parquet(dirs: _*)
+  }
+
   /** Raw tx schema as landed by the source (FIXTURES.md A1). */
   val txSchema: StructType = StructType(Seq(
     StructField("txid", StringType),
@@ -154,12 +182,20 @@ object StreamingPipeline {
   /** Per-epoch corpus-ingest body (package-visible so the spec can
     * drive a single batch without a stream).
     *
-    * Idempotence: the parquet appends are not transactional, so a
-    * batch that crashed between the corpus append and the streaming
-    * commit WILL be re-executed — the exact-id anti-join against the
-    * signature store (which mirrors the corpus) drops every doc the
-    * previous attempt already landed, making the retry a no-op
-    * (StreamingSpec pins a double-run). */
+    * Idempotence — exactly-once on a non-transactional store: every
+    * sink (corpus, pack shards, signature store) lands its epoch
+    * under its own `epoch=<batchId>` partition with OVERWRITE, and
+    * the signature store — written LAST — is the commit record the
+    * retry consults (the exact-id anti-join). A replay therefore
+    * lands on one of two sides: the sig epoch committed (crash after
+    * all writes) → anti-join empties the batch, every epoch dir
+    * untouched; or it didn't (crash anywhere earlier, including torn
+    * or duplicate corpus/pack writes) → the batch recomputes
+    * deterministically and overwrites its own partitions in place.
+    * Plain appends would duplicate corpus rows in the second window.
+    * One checkpoint lineage owns a sink directory (epoch = that
+    * stream's batchId — same contract as the metric-state `v=N`
+    * versioning); StreamingSpec pins the mid-batch kill + restart. */
   private[streaming] def corpusIngestBatch(batch: DataFrame,
       corpusDir: String, sigDir: String, weights: Map[String, Double],
       defaultWeight: Double, threshold: Double,
@@ -173,15 +209,17 @@ object StreamingPipeline {
       weights, defaultWeight)
     val cleaned0 = TextAnalysis.c4Clean(sampled, "doc_id", "text")
       .join(sampled.select(col("doc_id"), col("source")), Seq("doc_id"))
-    // first batch: no store yet → empty frame with the store schema.
-    // ONLY path-not-found maps to empty — a transient read failure
-    // must fail the batch loudly, not silently dedup against nothing
-    val existing = try spark.read.parquet(sigDir) catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("Path does not exist") =>
+    // committed sig epochs only: a torn sig partition from a crashed
+    // write must not count as "already landed" (it would drop docs
+    // forever); no committed epochs → empty frame with the store
+    // schema. A transient LIST/read failure still fails the batch
+    // loudly rather than silently dedup against nothing.
+    val sigEpochs = committedEpochs(spark, sigDir)
+    val existing =
+      if (sigEpochs.isEmpty)
         Dedup.signatureTable(cleaned0.limit(0), "doc_id", "clean_text")
-    }
+      else spark.read.option("basePath", sigDir).parquet(sigEpochs: _*)
+        .drop("epoch")
     // exact-id idempotence: a RETRIED batch's survivors are already in
     // the store under their own ids — drop them before near-dup work
     val cleaned = cleaned0.join(
@@ -211,7 +249,10 @@ object StreamingPipeline {
       val survivors = cleaned.join(dead, Seq("doc_id"), "left_anti").cache()
       try {
         if (survivors.count() > 0) {
-          Sinks.appendWithAudit(survivors, corpusDir)
+          survivors.withColumn("insert_dt", current_timestamp())
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$corpusDir/epoch=$shardId")
+          failpoint("corpus:after-corpus-write")
           // training-shard prep tail (opt-in): per-source A-ES
           // weighted sample of THIS epoch's deduped survivors (weight
           // = clean char count — heavier docs win proportionally more
@@ -236,10 +277,13 @@ object StreamingPipeline {
               .drop("__w", "aes_key")
             Corpus.packSequences(picked, "doc_id", "clean_text", seqLen)
               .withColumn("shard_id", lit(shardId))
-              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(pd)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$pd/epoch=$shardId")
           }
+          failpoint("corpus:after-pack-write")
           newSigs.join(dead, newSigs("id") === dead("doc_id"), "left_anti")
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$sigDir/epoch=$shardId")
         }
       } finally survivors.unpersist()
     } finally newSigs.unpersist(blocking = false)
@@ -309,6 +353,7 @@ object StreamingPipeline {
     val merged = prior.map(p => MetricState.mergeStates(Seq(p, delta)))
       .getOrElse(MetricState.mergeStates(Seq(delta)))
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    failpoint("state:after-state-write")
     // prune everything but the two newest committed versions
     val keep = stateVersions(spark, stateDir).sorted.takeRight(2).toSet
     val fs = new org.apache.hadoop.fs.Path(stateDir)

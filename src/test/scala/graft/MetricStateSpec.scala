@@ -99,6 +99,45 @@ class MetricStateSpec extends AnyFunSuite {
     assert(replayed == oneShot)
   }
 
+  test("killed metric-state stream: restart from checkpoint lands one-shot truth") {
+    import graft.streaming.StreamingPipeline
+    val base = Files.createTempDirectory("graft-mcrash").toString
+    val landing = s"$base/landing"; val state = s"$base/state"; val cp = s"$base/cp"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cut = to_date(lit("2024-01-16"))
+    ev.filter(to_date(col("ts")) < cut).write.parquet(landing)
+
+    // kill after the v=0 state write, before the checkpoint commit —
+    // the restart must replay batch 0 (idempotent overwrite), then
+    // fold the second wave on top
+    @volatile var fired = false
+    StreamingPipeline.failpoint = { pt =>
+      if (pt == "state:after-state-write" && !fired) {
+        fired = true
+        throw new RuntimeException("simulated state crash")
+      }
+    }
+    try {
+      val q1 = StreamingPipeline.startMetricStateIngest(
+        spark, landing, state, cp, dims, ms)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination(120000)
+      }
+      assert(ex.toString.contains("simulated state crash"), ex.toString)
+    } finally StreamingPipeline.failpoint = _ => ()
+
+    ev.filter(to_date(col("ts")) >= cut).write.mode("append").parquet(landing)
+    val q2 = StreamingPipeline.startMetricStateIngest(
+      spark, landing, state, cp, dims, ms)
+    assert(q2.awaitTermination(120000), "restart drain timed out")
+    val streamed = StreamingPipeline.currentMetrics(spark, state)
+      .orderBy("event_type", "day").collect().toSeq
+    assert(streamed == oneShot,
+      "crash + restart must be indistinguishable from a clean run")
+  }
+
   test("torn v=N state dir (no _SUCCESS) is invisible; replay overwrites it") {
     import graft.streaming.StreamingPipeline
     val base = Files.createTempDirectory("graft-mtorn").toString

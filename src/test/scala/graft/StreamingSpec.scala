@@ -157,6 +157,69 @@ class StreamingSpec extends AnyFunSuite {
       "backfilled near-dup with a smaller id must lose to the store")
   }
 
+  test("mid-batch kill in the corpus+pack chain: restart from checkpoint is exactly-once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-crash-stream").toString
+    val landing = s"$base/landing"; val corpus = s"$base/corpus"
+    val sigs = s"$base/sigs"; val cp = s"$base/cp"; val packed = s"$base/packed"
+    val weights = Map("keep" -> 1.0)
+    val text1 = "the quick brown fox jumps over fences.\nmorning rain fell on the quiet harbor town!\nseven sailors counted stars above deck?"
+    val text2 = "bakers knead dough before sunrise daily.\ncopper kettles whistle in the old kitchen!\nchildren chase autumn leaves down lanes?"
+    val text3 = "glaciers carve valleys over countless years.\nlibraries hold voices from distant ages!\ngardeners plant tulips beside stone walls?"
+    Seq((1L, text1, "keep"), (2L, text2, "keep"))
+      .toDF("doc_id", "text", "source").write.parquet(landing)
+
+    // kill AFTER the corpus and pack writes but BEFORE the sig-store
+    // commit record: the window where a plain append would duplicate
+    // every survivor on replay
+    @volatile var fired = false
+    StreamingPipeline.failpoint = { pt =>
+      if (pt == "corpus:after-pack-write" && !fired) {
+        fired = true
+        throw new RuntimeException("simulated mid-batch crash")
+      }
+    }
+    try {
+      val q = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
+        sigs, cp, weights, packDir = Some(packed), seqLen = 8)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000)
+      }
+      assert(ex.toString.contains("simulated mid-batch crash"), ex.toString)
+    } finally StreamingPipeline.failpoint = _ => ()
+    // the crashed attempt landed corpus+pack epochs without the commit
+    // record — the wrong-answer shape a replay must repair in place
+    assert(spark.read.parquet(corpus).count() == 2, "crashed attempt staged its epoch")
+
+    val q2 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
+      sigs, cp, weights, packDir = Some(packed), seqLen = 8)
+    assert(q2.awaitTermination(120000), "restart drain timed out")
+    val out = spark.read.parquet(corpus)
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "crash replay duplicated corpus rows: " + out.collect().mkString("; "))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    assert(spark.read.parquet(sigs).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L), "sig store mirrors the corpus")
+    // pack shards: no duplicated sequences — token coverage is exact
+    val pack = spark.read.parquet(packed)
+    assert(pack.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val totalToks = out.select(
+      sum(size(split(trim(col("clean_text")), "\\s+"))).cast("long"))
+      .first().getLong(0)
+    assert(pack.agg(sum("n_seg_tokens")).first().getLong(0) == totalToks,
+      "replayed pack epoch must cover every token exactly once")
+
+    // the restarted lineage keeps streaming normally
+    Seq((11L, text3, "keep")).toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(landing)
+    val q3 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
+      sigs, cp, weights, packDir = Some(packed), seqLen = 8)
+    assert(q3.awaitTermination(120000))
+    assert(spark.read.parquet(corpus).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L))
+  }
+
   test("rpc micro-batch source: offsets are block heights, restart resumes from the checkpoint") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import scala.jdk.CollectionConverters._
