@@ -334,14 +334,11 @@ object QueriesLlm {
     * nlist=16 seed centroids, corpus assigned to nearest list, queries
     * probe 2 lists, exact rescoring within. Fully deterministic →
     * oracle-checked. */
-  private val q44 = Q("q44_ivf_topk",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nlist = 16, nprobe = 2)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
+  /** Shared by q44 (in-memory ivfTopK) and q165 (the persisted index
+    * grown by an incremental append): assignment is per-vector under
+    * fixed seed centroids, so build(half)+append(rest) serves
+    * value-identically to one full build — one replay oracles both. */
+  private lazy val ivfSeedReplaySql: String = s"""
       WITH c AS (SELECT vec_id AS cid, embedding AS c_emb
                  FROM embeddings WHERE vec_id < 16),
       assigned AS (
@@ -369,7 +366,16 @@ object QueriesLlm {
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
         FROM scored)
-      WHERE rank <= 5 ORDER BY query_id, rank"""))
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val q44 = Q("q44_ivf_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nlist = 16, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfSeedReplaySql))
 
   /** IVF with a TRAINED index: deterministic Lloyd's k-means centroids
     * instead of q44's seed vectors — the same probe plan over a better
@@ -2248,15 +2254,10 @@ object QueriesLlm {
     * train/encode/LUT/ADC unroll from q136 — joined on list id, and
     * every double hash-matches. The plan gate (PlanQualitySpec)
     * asserts pair scoring sees only probed-list codes. */
-  private val q143 = Q("q143_ivfpq_topk",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      graft.llm.Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, 5,
-        nlist = 16, nprobe = 2)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
+  /** Shared by q143 (in-memory ivfPqTopK) and q163 (the persisted-
+    * index serve path): the two engine paths are value-identical by
+    * construction, so ONE full IVFADC replay oracles both. */
+  private lazy val ivfPqAdcReplaySql: String = s"""
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings),
@@ -2310,7 +2311,125 @@ object QueriesLlm {
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY d2 ASC, vec_id ASC) AS BIGINT) AS rank
         FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val q143 = Q("q143_ivfpq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        nlist = 16, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfPqAdcReplaySql))
+
+  /** Per-JVM memo of built serving indexes: build once per (kind,
+    * fixture dir), serve on every invocation — the production
+    * build-offline/serve-online split, and repeat verify/bench passes
+    * time the serve, not a rebuild. Content is deterministic, so
+    * cross-pass reuse is value-identical. */
+  private val builtIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def indexDir(kind: String, dir: String)(build: String => Unit): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-idx-$kind-" +
+      new java.io.File(dir).getName
+    if (builtIndexes.add(path)) build(path)
+    path
+  }
+
+  /** The SERVED ANN path, hash-gated (closes the r9 "LlmSpec-only"
+    * gap): build the persisted IVF-PQ index (seed coarse lists,
+    * trained codebooks, codes partitioned by list id), then answer
+    * queries from the on-disk index alone. Value-identical to q143's
+    * in-memory run, so the same IVFADC replay oracles the path a
+    * production query would actually hit. */
+  private val q163 = Q("q163_ivfpq_indexed",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = indexDir("pq", dir)(p =>
+        graft.llm.Similarity.buildIvfPqIndex(emb, p, nlist = 16, m = 4,
+          ksub = 8, iters = 2))
+      graft.llm.Similarity.ivfPqTopKIndexed(s, idx,
+        emb.filter(col("vec_id") < 10), 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfPqAdcReplaySql))
+
+  /** Filtered ANN over the persisted IVF index, hash-gated: top-k
+    * among an allowlist only (vec_id % 3 = 0 — the tenant/language/
+    * license predicate of production vector search). The index is
+    * built with q44's seed centroids, so the oracle is q44's replay
+    * with the allowlist applied to the assignment stream before
+    * scoring — exactly where the engine's semi-join sits. */
+  private val q164 = Q("q164_ivf_indexed_filtered",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = indexDir("ivf", dir)(p =>
+        graft.llm.Similarity.buildIvfIndex(emb, p,
+          centroids = Some(emb.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))))
+      graft.llm.Similarity.ivfTopKIndexedFiltered(s, idx,
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") % 3 === 0).select("vec_id"), 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCos("e.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings e CROSS JOIN c)
+        WHERE r = 1),
+      probed AS (
+        SELECT query_id, q_emb, cid FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10)
+        WHERE r <= 2),
+      scored AS (
+        SELECT query_id, vec_id, ${duckCos("q_emb", "embedding")} AS cos
+        FROM assigned JOIN probed USING (cid)
+        WHERE vec_id <> query_id AND vec_id % 3 = 0)
+      SELECT query_id, rank, vec_id, cos FROM (
+        SELECT query_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Incremental index maintenance, hash-gated: build the IVF index
+    * on the first half of the corpus, absorb the second half via
+    * [[graft.llm.Similarity.appendToIvfIndex]] (assign-to-stored-
+    * centroids, partitioned append — no retrain, no rewrite), then
+    * serve. Under fixed seed centroids assignment is per-vector, so
+    * the grown index must answer exactly like one full build — q44's
+    * replay is the oracle. */
+  private val q165 = Q("q165_ivf_index_append",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = indexDir("ivfapp", dir) { p =>
+        val mid = emb.agg(max(col("vec_id"))).first().getLong(0) / 2
+        val seeds = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        graft.llm.Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") <= mid), p, centroids = Some(seeds))
+        graft.llm.Similarity.appendToIvfIndex(
+          s, emb.filter(col("vec_id") > mid), p)
+      }
+      graft.llm.Similarity.ivfTopKIndexed(s, idx,
+        emb.filter(col("vec_id") < 10), 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfSeedReplaySql))
 
   /** Fixed BPE merge table for q144 — rank order IS merge priority.
     * Hand-chosen against the fixture vocabulary to exercise every
@@ -2826,5 +2945,5 @@ object QueriesLlm {
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q154)
+    q151, q154, q163, q164, q165)
 }

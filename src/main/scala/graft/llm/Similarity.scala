@@ -744,14 +744,17 @@ object Similarity {
     * list directories (directory-pruned scan), never the whole corpus.
     */
   def buildIvfIndex(corpus: DataFrame, indexPath: String, k: Int = 16,
-      iters: Int = 2, dims: Int = 64): Unit = {
+      iters: Int = 2, dims: Int = 64,
+      centroids: Option[DataFrame] = None): Unit = {
     // one prep for training + assignment; both consumers are eager
     // writes, so the cache is released on return (no lazy-escape
-    // hazard here)
+    // hazard here). `centroids` overrides training entirely (seed or
+    // externally-trained (cid, c_emb) — the deterministic build the
+    // oracle gate replays).
     val prep = kmeansPrep(corpus).persist()
     try {
-      val cents = kmeansOnPrep(prep, k, iters, dims, None,
-        exactMeans = false)
+      val cents = centroids.getOrElse(kmeansOnPrep(prep, k, iters, dims,
+        None, exactMeans = false))
       cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
       val c = broadcast(cents.select(col("cid"), col("c_emb"),
         norm(col("c_emb")).as("c_nrm")))
