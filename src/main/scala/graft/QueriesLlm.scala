@@ -1298,13 +1298,82 @@ object QueriesLlm {
         graft.llm.Bpe.trainOnCorpus(t(s, dir, "documents"), "text", numMerges))
   }
 
+  /** BPE TRAINING replayed in DuckDB — the piece q120 kept rows-only
+    * through round 9. The trick that makes the iterative argmax
+    * SQL-expressible: the oracle SQL is GENERATED, so the merge loop
+    * unrolls to `numMerges` CTE triples (pair-count → argmax →
+    * apply), exactly like q145's unrolled k-means rounds. Symbols are
+    * bracket-delimited (`[sym]`), so consecutive pattern occurrences
+    * share no characters and ONE left-to-right `replace()` call IS
+    * one `mergeOnce` pass — including the `(x,x)` identical-run edge
+    * where a shared-delimiter encoding (q144's `|a|b|`) needs a
+    * fixpoint loop and still diverges on odd runs. Safe on this
+    * fixture: the text charset is lowercase ASCII + space (checked),
+    * so `[`/`]` cannot occur inside a symbol. Produces `mm(rank,a,b)`
+    * plus the per-round states; terminal CTE set for both q166 (the
+    * merge table itself) and q120 (train + encode + accounting). */
+  private def bpeTrainReplayCtes(numMerges: Int): String = {
+    val rounds = (0 until numMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+        SELECT a, b, sum(freq) AS cnt FROM (
+          SELECT unnest(sy[1:l-1]) AS a, unnest(sy[2:l]) AS b, freq FROM (
+            SELECT freq, sy, len(sy) AS l FROM (
+              SELECT freq, regexp_extract_all(s, '\\[([^\\]]*)\\]', 1) AS sy
+              FROM s$r))
+          WHERE l >= 2)
+        GROUP BY a, b),
+      m$r AS MATERIALIZED (
+        SELECT a, b, '[' || a || '][' || b || ']' AS pat,
+               '[' || a || b || ']' AS rep
+        FROM (SELECT a, b FROM p$r
+              ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)),
+      s${r + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               CASE WHEN (SELECT pat FROM m$r) IS NULL THEN s
+                    ELSE replace(s, (SELECT pat FROM m$r),
+                                 (SELECT rep FROM m$r)) END AS s
+        FROM s$r)"""
+    }.mkString(",\n      ")
+    s"""arrd AS MATERIALIZED (SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+             FROM documents),
+      wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM (SELECT unnest(tk) AS word FROM arrd) GROUP BY word),
+      s0 AS MATERIALIZED (SELECT word, freq,
+               array_to_string(list_transform(generate_series(1, length(word)),
+                 j -> '[' || word[j] || ']'), '') || '[</w>]' AS s
+             FROM wc),
+      $rounds,
+      mm AS MATERIALIZED (${(0 until numMerges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, a, b FROM m$r")
+        .mkString("\n        UNION ALL ")})"""
+  }
+
+  /** The learned BPE merge table itself, hash-gated (closes the r9
+    * "q120 training half" gap): Bpe.train's 40 rounds vs the DuckDB
+    * unrolled replay — count, argmax tie-break (cnt desc, a asc,
+    * b asc) and the all-occurrence left-to-right merge pass must all
+    * agree, rank for rank. */
+  private val q166 = Q("q166_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      BpeCache.get(s, dir, 40).merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }.toSeq
+        .toDF("rank", "a", "b").orderBy("rank")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${bpeTrainReplayCtes(40)}
+      SELECT rank, a, b FROM mm ORDER BY rank"""))
+
   /** Distributed-BPE token accounting (Sennrich et al. 2016): merges
     * learned from the corpus word-frequency table, encoding fused into
-    * the scan via the codegen'd bpe_encode expression. Rows-only gate:
-    * the learned vocabulary is the output of an iterative algorithm no
-    * single SQL statement expresses — BpeSpec asserts the merges equal
-    * a single-threaded reference implementation and the classic
-    * Sennrich worked example. */
+    * the scan via the codegen'd bpe_encode expression. FULLY
+    * hash-gated since round 11: the oracle replays training (the
+    * unrolled CTEs above) AND the greedy encoder (q144's recursive
+    * choose/apply machinery over the REPLAYED merge table instead of
+    * a fixed one — one replace per step, see bracket-encoding note),
+    * then re-derives the per-doc accounting. */
   private val q120 = Q("q120_bpe_tokens",
     (s, dir) => {
       val codec = BpeCache.get(s, dir, 40)
@@ -1316,7 +1385,40 @@ object QueriesLlm {
         (length(col("text")).cast("double") / size(enc)).as("chars_per_token"))
         .orderBy("doc_id")
     },
-    None)
+    Some(s"""
+      WITH RECURSIVE
+      ${bpeTrainReplayCtes(40)},
+      words AS MATERIALIZED (SELECT DISTINCT unnest(tk) AS word FROM arrd),
+      init AS MATERIALIZED (SELECT word,
+                 array_to_string(list_transform(generate_series(1, length(word)),
+                   j -> '[' || word[j] || ']'), '') || '[</w>]' AS s
+               FROM words),
+      rec AS (
+        SELECT word, s, FALSE AS done FROM init
+        UNION ALL
+        SELECT r.word,
+               CASE WHEN best.a IS NULL THEN r.s
+                    ELSE replace(r.s, '[' || best.a || '][' || best.b || ']',
+                                 '[' || best.a || best.b || ']') END,
+               best.a IS NULL
+        FROM rec r
+        LEFT JOIN LATERAL (
+          SELECT m.a, m.b FROM mm m
+          WHERE contains(r.s, '[' || m.a || '][' || m.b || ']')
+          ORDER BY m.rank LIMIT 1) AS best ON TRUE
+        WHERE NOT r.done),
+      enc AS MATERIALIZED (SELECT word,
+                len(regexp_extract_all(s, '\\[([^\\]]*)\\]', 1)) AS ntok
+              FROM rec WHERE done),
+      stream AS MATERIALIZED (SELECT doc_id, unnest(tk) AS word FROM arrd),
+      cnts AS MATERIALIZED (SELECT doc_id, CAST(sum(e.ntok) AS BIGINT) AS n_bpe
+               FROM stream st JOIN enc e USING (word) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(d.tk) AS BIGINT) AS n_ws_tokens,
+             c.n_bpe AS n_bpe_tokens,
+             CAST(length(d.text) AS DOUBLE) / c.n_bpe AS chars_per_token
+      FROM arrd d JOIN cnts c USING (doc_id)
+      ORDER BY d.doc_id"""))
 
   /** Data-mixture sampling (per-source keep rates, md5-decided): the
     * corpus-assembly step that turns raw sources into a weighted
@@ -2473,11 +2575,11 @@ object QueriesLlm {
         .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}),
       arr AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
               FROM documents WHERE length(trim(text)) > 0),
-      words AS (SELECT DISTINCT word FROM (
+      words AS MATERIALIZED (SELECT DISTINCT word FROM (
         SELECT t[i] AS word FROM (
           SELECT t, unnest(generate_series(1, len(t))) AS i FROM arr))
         WHERE word <> ''),
-      init AS (SELECT word,
+      init AS MATERIALIZED (SELECT word,
                  '|' || array_to_string(list_transform(
                    generate_series(1, length(word)), j -> word[j]), '|')
                      || '|</w>|' AS s
@@ -2508,9 +2610,9 @@ object QueriesLlm {
           ORDER BY m.rank LIMIT 1) AS best ON TRUE
         WHERE NOT r.done
       ),
-      enc AS (SELECT word, list_filter(str_split(s, '|'), x -> x <> '') AS toks
+      enc AS MATERIALIZED (SELECT word, list_filter(str_split(s, '|'), x -> x <> '') AS toks
               FROM rec WHERE done),
-      stream AS (SELECT doc_id, i, t[i] AS word FROM (
+      stream AS MATERIALIZED (SELECT doc_id, i, t[i] AS word FROM (
           SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM arr)),
       flat AS (SELECT doc_id, i, j, toks[j] AS tok FROM (
           SELECT s.doc_id, s.i, e.toks,
@@ -2945,5 +3047,5 @@ object QueriesLlm {
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q154, q163, q164, q165)
+    q151, q154, q163, q164, q165, q166)
 }
