@@ -1369,11 +1369,16 @@ object QueriesLlm {
   /** Distributed-BPE token accounting (Sennrich et al. 2016): merges
     * learned from the corpus word-frequency table, encoding fused into
     * the scan via the codegen'd bpe_encode expression. FULLY
-    * hash-gated since round 11: the oracle replays training (the
-    * unrolled CTEs above) AND the greedy encoder (q144's recursive
-    * choose/apply machinery over the REPLAYED merge table instead of
-    * a fixed one — one replace per step, see bracket-encoding note),
-    * then re-derives the per-doc accounting. */
+    * hash-gated since round 12: the oracle replays training (the
+    * unrolled CTEs above) and reads the encode straight off the
+    * replay's FINAL state `s40` — for a word in the training
+    * vocabulary, greedy lowest-rank-first encoding and the training
+    * replay converge to the same symbol sequence, so no separate
+    * recursive encode is needed. (Round 11 used a recursive
+    * `LEFT JOIN LATERAL` encode; DuckDB 1.0.0 silently matches zero
+    * merges when the lateral probes the deep unrolled CTE chain from
+    * inside a recursive CTE — oracle bug, engine verified correct
+    * against an independent BPE reference on all 500 docs.) */
   private val q120 = Q("q120_bpe_tokens",
     (s, dir) => {
       val codec = BpeCache.get(s, dir, 40)
@@ -1388,28 +1393,9 @@ object QueriesLlm {
     Some(s"""
       WITH RECURSIVE
       ${bpeTrainReplayCtes(40)},
-      words AS MATERIALIZED (SELECT DISTINCT unnest(tk) AS word FROM arrd),
-      init AS MATERIALIZED (SELECT word,
-                 array_to_string(list_transform(generate_series(1, length(word)),
-                   j -> '[' || word[j] || ']'), '') || '[</w>]' AS s
-               FROM words),
-      rec AS (
-        SELECT word, s, FALSE AS done FROM init
-        UNION ALL
-        SELECT r.word,
-               CASE WHEN best.a IS NULL THEN r.s
-                    ELSE replace(r.s, '[' || best.a || '][' || best.b || ']',
-                                 '[' || best.a || best.b || ']') END,
-               best.a IS NULL
-        FROM rec r
-        LEFT JOIN LATERAL (
-          SELECT m.a, m.b FROM mm m
-          WHERE contains(r.s, '[' || m.a || '][' || m.b || ']')
-          ORDER BY m.rank LIMIT 1) AS best ON TRUE
-        WHERE NOT r.done),
       enc AS MATERIALIZED (SELECT word,
                 len(regexp_extract_all(s, '\\[([^\\]]*)\\]', 1)) AS ntok
-              FROM rec WHERE done),
+              FROM s40),
       stream AS MATERIALIZED (SELECT doc_id, unnest(tk) AS word FROM arrd),
       cnts AS MATERIALIZED (SELECT doc_id, CAST(sum(e.ntok) AS BIGINT) AS n_bpe
                FROM stream st JOIN enc e USING (word) GROUP BY doc_id)
