@@ -90,6 +90,34 @@ object SnapshotTable {
     * partition) long enough for its torn slot to be reclaimed. */
   @volatile private[graft] var pauseAfterClaim: Path => Unit = _ => ()
 
+  /** Test seam: number of upcoming fence read-backs to fail with an
+    * injected IOException (simulates transient manifest-read errors
+    * AFTER the commit is already durable). */
+  @volatile private[graft] var failFenceReads: Int = 0
+
+  /** Fence read-back with bounded retry. A transient read failure is
+    * NOT evidence the claim was lost — the manifest may be durable and
+    * ours — so retry a few times before conceding `Nil` (treated as
+    * claim-lost by the caller; safe because [[append]]'s recompute is
+    * idempotent over the staged paths). */
+  private def fenceRead(f: FileSystem, slot: Path): Seq[String] = {
+    var attempt = 0
+    while (attempt < 3) {
+      try {
+        if (failFenceReads > 0) {
+          failFenceReads -= 1
+          throw new java.io.IOException("injected fence-read failure")
+        }
+        return rawLines(f, slot)
+      } catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt < 3) Thread.sleep(25L * attempt)
+      }
+    }
+    Nil
+  }
+
   /** Publish the next snapshot: claim `<id>.list` by exclusive create,
     * then write file lines + sentinel. A losing racer's create throws
     * (slot taken) — re-read the head, recompute against it via
@@ -146,9 +174,7 @@ object SnapshotTable {
           // a racer may have reclaimed the claim as stale wreckage
           // while we stalled, and our stream then wrote into an
           // unlinked file with a successful close()
-          val durable =
-            try rawLines(f, slot)
-            catch { case _: java.io.IOException => Nil }
+          val durable = fenceRead(f, slot)
           if (durable == payload) return id
           tries += 1
         case None => tries += 1
@@ -161,10 +187,15 @@ object SnapshotTable {
     * The stage is the expensive distributed write and happens OUTSIDE
     * the commit loop; a commit retry re-publishes the already-staged
     * files against the new head, so contention costs a manifest write,
-    * not a data rewrite. */
+    * not a data rewrite. The recompute dedupes (`distinct`): if a
+    * prior attempt DID commit but its fence read-back failed even
+    * after retries, the new head already contains the staged paths —
+    * without the dedupe the retry would list them twice and readers
+    * would silently double every appended row. Staged paths are
+    * uuid-unique, so `distinct` can only collapse that self-overlap. */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val staged = stage(spark, table, df)
-    commit(spark, table, prior => prior ++ staged)
+    commit(spark, table, prior => (prior ++ staged).distinct)
   }
 
   /** Replace the table contents with `df` (still snapshot-isolated —

@@ -118,6 +118,42 @@ class SnapshotTableSpec extends AnyFunSuite {
     } finally SnapshotTable.pauseAfterClaim = _ => ()
   }
 
+  test("transient fence-read failure is retried, not treated as a lost claim") {
+    val t = freshTable
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    SnapshotTable.failFenceReads = 1 // first read-back throws; retry sees ours
+    try {
+      SnapshotTable.append(spark, t, docs.filter(col("doc_id") < 40))
+      assert(SnapshotTable.snapshots(spark, t).size == 1,
+        "one durable commit must yield exactly one snapshot")
+      assert(SnapshotTable.read(spark, t).count() ==
+        docs.filter(col("doc_id") < 40).count())
+    } finally SnapshotTable.failFenceReads = 0
+  }
+
+  test("fence read-back failing after a durable commit never duplicates rows") {
+    val t = freshTable
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    SnapshotTable.append(spark, t, docs.filter(col("doc_id") < 10))
+    // Exhaust ALL fence-read retries on an append whose manifest IS
+    // durable: the writer concedes the claim and retries against the
+    // new head — which already lists its staged files. The recompute
+    // must dedupe or every appended row reads back twice.
+    SnapshotTable.failFenceReads = 3
+    try {
+      val id = SnapshotTable.append(spark, t,
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+      val want = docs.filter(col("doc_id") < 30).count()
+      assert(SnapshotTable.read(spark, t).count() == want,
+        "appended rows must appear exactly once despite the blind retry")
+      assert(SnapshotTable.read(spark, t, Some(id)).count() == want)
+      val head = SnapshotTable.snapshots(spark, t).max
+      val manifest = SnapshotTable.read(spark, t, Some(head)).inputFiles.toSeq
+      assert(manifest.distinct.size == manifest.size,
+        "head manifest must not list a file twice")
+    } finally SnapshotTable.failFenceReads = 0
+  }
+
   test("contending committers both land, on distinct ids, with both appends visible") {
     val t = freshTable
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
