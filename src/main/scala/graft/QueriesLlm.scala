@@ -2415,14 +2415,34 @@ object QueriesLlm {
     * fixture dir), serve on every invocation — the production
     * build-offline/serve-online split, and repeat verify/bench passes
     * time the serve, not a rebuild. Content is deterministic, so
-    * cross-pass reuse is value-identical. */
-  private val builtIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * cross-pass reuse is value-identical.
+    *
+    * The memo records COMPLETION, not intent: the map value is a
+    * future completed only after `build` succeeds, so a concurrent
+    * second query blocks on the build instead of serving a half-built
+    * index, and a failed build removes its key so later invocations
+    * rebuild rather than serve wreckage forever. Keys (and the
+    * on-disk path) derive from the CANONICAL fixture path — two
+    * different fixture dirs sharing a basename get distinct indexes. */
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
   private def indexDir(kind: String, dir: String)(build: String => Unit): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val key = s"$kind|$canonical"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-idx-$kind-" +
+      java.lang.Integer.toHexString(canonical.hashCode) + "-" +
       new java.io.File(dir).getName
-    if (builtIndexes.add(path)) build(path)
-    path
+    val mine = new java.util.concurrent.CompletableFuture[String]()
+    val prev = builtIndexes.putIfAbsent(key, mine)
+    if (prev == null) {
+      try { build(path); mine.complete(path); path }
+      catch {
+        case e: Throwable =>
+          builtIndexes.remove(key, mine)
+          mine.completeExceptionally(e)
+          throw e
+      }
+    } else prev.join()
   }
 
   /** The SERVED ANN path, hash-gated (closes the r9 "LlmSpec-only"
