@@ -46,6 +46,25 @@ object StreamingPipeline {
     spark.read.option("basePath", dir).parquet(dirs: _*)
   }
 
+  /** Committed-epoch readers for the corpus-ingest chain's three sinks
+    * — THE supported way to consume them. A bare
+    * `spark.read.parquet(dir)` over these dirs can surface a torn
+    * `epoch=N` from a batch that crashed mid-write (data files landed,
+    * no `_SUCCESS`); these readers see committed epochs only, so the
+    * torn window between a crash and its replay is invisible
+    * downstream. The `epoch` bookkeeping column is dropped. */
+  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    readCommitted(spark, corpusDir).drop("epoch")
+
+  /** Committed packed-sequence shards (see [[readCorpus]]). */
+  def readPacked(spark: SparkSession, packDir: String): DataFrame =
+    readCommitted(spark, packDir).drop("epoch")
+
+  /** Committed signature-store rows (see [[readCorpus]]) — the same
+    * view [[corpusIngestBatch]]'s own dedup consults. */
+  def readSignatures(spark: SparkSession, sigDir: String): DataFrame =
+    readCommitted(spark, sigDir).drop("epoch")
+
   /** Raw tx schema as landed by the source (FIXTURES.md A1). */
   val txSchema: StructType = StructType(Seq(
     StructField("txid", StringType),

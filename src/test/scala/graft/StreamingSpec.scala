@@ -77,16 +77,16 @@ class StreamingSpec extends AnyFunSuite {
       (4L, text11, "drop"))                            // mixture weight 0 drops
       .toDF("doc_id", "text", "source").write.parquet(landing)
     run()
-    val out1 = spark.read.parquet(corpus)
+    val out1 = StreamingPipeline.readCorpus(spark, corpus)
     assert(out1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L), out1.collect().mkString("; "))
     assert(out1.columns.contains("clean_text") && out1.columns.contains("insert_dt"))
-    assert(spark.read.parquet(sigs).select("id").collect()
+    assert(StreamingPipeline.readSignatures(spark, sigs).select("id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L))
     // training-shard tail: epoch-0 survivors weighted-sampled and
     // packed into 8-token sequences under shard_id 0; segment tokens
     // reassemble the full clean token stream of the sampled docs
-    val pack1 = spark.read.parquet(packed)
+    val pack1 = StreamingPipeline.readPacked(spark, packed)
     assert(pack1.select("doc_id").collect().map(_.getLong(0)).toSet
       == Set(1L, 2L), pack1.collect().mkString("; "))
     assert(pack1.select("shard_id").distinct().collect()
@@ -108,25 +108,25 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "source")
       .write.mode("append").parquet(landing)
     run()
-    val out2 = spark.read.parquet(corpus)
+    val out2 = StreamingPipeline.readCorpus(spark, corpus)
     assert(out2.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
       "restart must not re-append already-committed docs")
     assert(out2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 11L), out2.collect().mkString("; "))
-    assert(spark.read.parquet(sigs).select("id").collect()
+    assert(StreamingPipeline.readSignatures(spark, sigs).select("id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 11L),
       "signature store mirrors the corpus")
     // epoch 1's survivor packs under its own shard id; epoch-0 shards
     // untouched → (shard_id, seq_id) globally unique
-    val pack2 = spark.read.parquet(packed)
+    val pack2 = StreamingPipeline.readPacked(spark, packed)
     assert(pack2.filter(col("shard_id") === 1L).select("doc_id").collect()
       .map(_.getLong(0)).toSet == Set(11L), pack2.collect().mkString("; "))
     assert(pack2.filter(col("shard_id") === 0L).count() == pack1Count)
 
     // nothing new landed: a catch-up run is a clean no-op
     run()
-    assert(spark.read.parquet(corpus).count() == 3)
-    val packCountBeforeRetry = spark.read.parquet(packed).count()
+    assert(StreamingPipeline.readCorpus(spark, corpus).count() == 3)
+    val packCountBeforeRetry = StreamingPipeline.readPacked(spark, packed).count()
 
     // RETRY idempotence: a crash between the corpus append and the
     // streaming commit re-executes the batch. Simulate the worst case
@@ -138,11 +138,11 @@ class StreamingSpec extends AnyFunSuite {
       sigs, s"$base/cp-retry", weights,
       packDir = Some(packed), packTopN = 8, seqLen = 8)
     assert(q2.awaitTermination(120000))
-    val out3 = spark.read.parquet(corpus)
+    val out3 = StreamingPipeline.readCorpus(spark, corpus)
     assert(out3.count() == 3 &&
       out3.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
       "re-executed batch must be a no-op: " + out3.collect().mkString("; "))
-    assert(spark.read.parquet(packed).count() == packCountBeforeRetry,
+    assert(StreamingPipeline.readPacked(spark, packed).count() == packCountBeforeRetry,
       "a neutralized retry must not re-pack")
 
     // BACKFILL: a batch doc with an id SMALLER than its stored
@@ -152,7 +152,7 @@ class StreamingSpec extends AnyFunSuite {
     val q3 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
       sigs, s"$base/cp-retry", weights)
     assert(q3.awaitTermination(120000))
-    assert(spark.read.parquet(corpus).select("doc_id").collect()
+    assert(StreamingPipeline.readCorpus(spark, corpus).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L),
       "backfilled near-dup with a smaller id must lose to the store")
   }
@@ -189,20 +189,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingPipeline.failpoint = _ => ()
     // the crashed attempt landed corpus+pack epochs without the commit
     // record — the wrong-answer shape a replay must repair in place
-    assert(spark.read.parquet(corpus).count() == 2, "crashed attempt staged its epoch")
+    assert(StreamingPipeline.readCorpus(spark, corpus).count() == 2, "crashed attempt staged its epoch")
 
     val q2 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
       sigs, cp, weights, packDir = Some(packed), seqLen = 8)
     assert(q2.awaitTermination(120000), "restart drain timed out")
-    val out = spark.read.parquet(corpus)
+    val out = StreamingPipeline.readCorpus(spark, corpus)
     assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
       "crash replay duplicated corpus rows: " + out.collect().mkString("; "))
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L))
-    assert(spark.read.parquet(sigs).select("id").collect()
+    assert(StreamingPipeline.readSignatures(spark, sigs).select("id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L), "sig store mirrors the corpus")
     // pack shards: no duplicated sequences — token coverage is exact
-    val pack = spark.read.parquet(packed)
+    val pack = StreamingPipeline.readPacked(spark, packed)
     assert(pack.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     val totalToks = out.select(
       sum(size(split(trim(col("clean_text")), "\\s+"))).cast("long"))
@@ -216,8 +216,49 @@ class StreamingSpec extends AnyFunSuite {
     val q3 = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
       sigs, cp, weights, packDir = Some(packed), seqLen = 8)
     assert(q3.awaitTermination(120000))
-    assert(spark.read.parquet(corpus).select("doc_id").collect()
+    assert(StreamingPipeline.readCorpus(spark, corpus).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L))
+  }
+
+  test("a planted torn epoch partition is invisible to the committed corpus/pack readers") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-torn-stream").toString
+    val landing = s"$base/landing"; val corpus = s"$base/corpus"
+    val sigs = s"$base/sigs"; val cp = s"$base/cp"; val packed = s"$base/packed"
+    val text1 = "the quick brown fox jumps over fences.\nmorning rain fell on the quiet harbor town!\nseven sailors counted stars above deck?"
+    val text2 = "bakers knead dough before sunrise daily.\ncopper kettles whistle in the old kitchen!\nchildren chase autumn leaves down lanes?"
+    Seq((1L, text1, "keep"), (2L, text2, "keep"))
+      .toDF("doc_id", "text", "source").write.parquet(landing)
+    val q = StreamingPipeline.startCorpusIngest(spark, landing, corpus,
+      sigs, cp, Map("keep" -> 1.0), packDir = Some(packed), seqLen = 8)
+    assert(q.awaitTermination(120000))
+    val committedDocs = StreamingPipeline.readCorpus(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committedDocs == Set(1L, 2L))
+    val packBefore = StreamingPipeline.readPacked(spark, packed).count()
+
+    // plant a torn epoch under BOTH sinks: a crashed batch's data files
+    // with no _SUCCESS marker (copy the committed epoch, strip the
+    // marker) — exactly what a kill mid-job-commit leaves behind
+    def plantTorn(dir: String): Unit = {
+      val src = java.nio.file.Paths.get(dir, "epoch=0")
+      val dst = java.nio.file.Paths.get(dir, "epoch=99")
+      Files.createDirectories(dst)
+      Files.list(src).forEach { f =>
+        if (f.getFileName.toString != "_SUCCESS")
+          Files.copy(f, dst.resolve(f.getFileName.toString))
+      }
+      assert(Files.list(dst).count() > 0, s"torn plant under $dir is empty")
+      assert(!Files.exists(dst.resolve("_SUCCESS")))
+    }
+    plantTorn(corpus); plantTorn(packed)
+
+    // the committed readers must not surface the torn epochs' rows
+    val after = StreamingPipeline.readCorpus(spark, corpus)
+    assert(after.select("doc_id").collect().map(_.getLong(0)).toSet
+      == committedDocs, "torn corpus epoch leaked into the committed read")
+    assert(StreamingPipeline.readPacked(spark, packed).count() == packBefore,
+      "torn pack epoch leaked into the committed read")
   }
 
   test("rpc micro-batch source: offsets are block heights, restart resumes from the checkpoint") {
