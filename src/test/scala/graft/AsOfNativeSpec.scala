@@ -47,6 +47,53 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(out == Set((100L, 7L), (101L, 8L)))
   }
 
+  test("property: generated corpora — native and composed equal brute force") {
+    // The merge pass's buffered-state advance ("emit the LATEST right
+    // row at-or-before each left time") is classic off-by-one
+    // territory: equal timestamps (inclusive bound), several left rows
+    // between two right rows (state must persist, not advance), a left
+    // row before any right row (inner semantics drop), keys present on
+    // one side only. Small key space + clustered times force all of
+    // these per trial; brute force recomputes the contract directly.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    val ev = for {
+      k <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 60L)
+    } yield (k, t)
+    for (trial <- 0 until 3) {
+      val ls = draw(ev, 5L + trial, 50).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      // contract: right side unique on (key, time) — dedupe like the
+      // q61 marker pre-aggregation does (max payload wins)
+      val rs = draw(ev, 500L + trial, 30).zipWithIndex
+        .map { case ((k, t), i) => (k, t, 1000L + i) }
+        .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+      val l = ls.toDF("k", "t", "lid")
+        .select(col("k"), timestamp_seconds(col("t")).as("t"), col("lid"))
+      val r = rs.toDF("rk", "rt", "pid")
+        .select(col("rk"), timestamp_seconds(col("rt")).as("rt"), col("pid"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "pid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val native = pairs(
+        AsOfJoinNative.asOf(l, "k", "t", r, "rk", "rt", Seq("pid")))
+      val composed = pairs(
+        operators.AsOfJoin.asOf(l, "k", "t", r, "rk", "rt", Seq("pid")))
+      val brute = ls.flatMap { case (k, t, lid) =>
+        val cand = rs.filter(x => x._1 == k && x._2 <= t)
+        if (cand.isEmpty) None else Some((lid, cand.maxBy(_._2)._3))
+      }.toSet
+      assert(native == brute, s"native != brute at trial=$trial")
+      assert(composed == brute, s"composed != brute at trial=$trial")
+    }
+  }
+
   test("physical plan: AsOfJoinExec with one hash exchange per side") {
     val df = AsOfJoinNative.asOf(left, "user_id", "ts",
       markers, "m_user", "m_ts", Seq("marker_id"))

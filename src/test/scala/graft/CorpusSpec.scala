@@ -274,4 +274,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.2))
   }
+
+  test("property: tokenShards two-level prefix sum equals a single-threaded scan") {
+    // The distributed machinery under test is the two-level prefix sum:
+    // per-bucket window cumsum + the broadcast bucket-offset table.
+    // A single-threaded walk in the SAME global order (bucket asc, then
+    // md5-rank asc, then id) must land every doc at the identical shard
+    // — any off-by-one in the offset join (e.g. counting the doc's own
+    // tokens into its start) or a bucket-assignment mismatch between
+    // the two windows shifts shard ids. Token counts are taken from the
+    // engine's own output so the test isolates the prefix arithmetic.
+    // buckets=4 forces many docs per bucket (offset pressure);
+    // buckets=256 with 80 docs forces mostly-empty buckets.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((buckets, trial) <- Seq((4, 0), (16, 1), (256, 2))) {
+      val docs = draw(Gen.choose(0, 12), 31L * buckets + trial, 80).zipWithIndex
+        .map { case (nw, i) => (i.toLong, Seq.fill(nw)("w").mkString(" ")) }
+      val out = Corpus.tokenShards(docs.toDF("doc_id", "text"),
+          "doc_id", "text", tokensPerShard = 10L, buckets = buckets)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nTokens = out.map(r => r._1 -> r._2).toMap
+      val ordered = docs.map(_._1).sortBy { id =>
+        val h = md5hex(id.toString)
+        (Integer.parseInt(h.substring(0, 2), 16) % buckets, h, id)
+      }
+      var cum = 0L
+      val expect = ordered.map { id =>
+        val start = cum; cum += nTokens(id); id -> start / 10L
+      }.toMap
+      out.foreach { case (id, _, shard) =>
+        assert(shard == expect(id), s"doc $id buckets=$buckets trial=$trial")
+      }
+    }
+  }
 }

@@ -97,4 +97,37 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
     assert(run(l, r, d = 2) == brute(l, r, 2))
   }
+
+  test("property: ScalaCheck corpora over {a,b,c} match brute force for d in 1..3") {
+    // The PassJoin segment/shift arithmetic (segStart/segLen, the
+    // ±d probe window, the short-string direct pass) is exactly the
+    // ±1 logic a generator shakes out better than hand cases. Tiny
+    // alphabet + lengths clustered around the segmentability boundary
+    // k = d+1 maximize both collisions (candidate pressure) and
+    // boundary hits (len < k, len = k, len = k±1). Fixed seeds keep
+    // the suite deterministic; each (d, seed) trial is a full
+    // engine-vs-brute-force set equality, so both lost pairs (recall)
+    // and phantom pairs (precision) fail loudly.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def corpus(d: Int, seed: Long, n: Int): Seq[(Long, String)] = {
+      val g = for {
+        len <- Gen.choose(0, 3 * (d + 1))
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString
+      var s = Seed(seed)
+      (0 until n).map { i =>
+        val (out, next) = (g.pureApply(Gen.Parameters.default, s), s.next)
+        s = next
+        i.toLong -> out
+      }
+    }
+    for (d <- 1 to 3; trial <- 0 until 3) {
+      val l = corpus(d, seed = 7L * d + trial, n = 40)
+      val r = corpus(d, seed = 1000L + 13L * d + trial, n = 40)
+        .map { case (i, t) => (i + 100L, t) }
+      assert(run(l, r, d) == brute(l, r, d),
+        s"engine != brute force at d=$d trial=$trial")
+    }
+  }
 }

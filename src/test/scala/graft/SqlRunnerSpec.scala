@@ -31,6 +31,51 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(stmts(0).contains("it''s;fine"))
   }
 
+  test("property: generated scripts round-trip through the splitter") {
+    // The splitter is a hand-rolled state machine (single/double quote,
+    // line comment, NESTED block comment, escaped '' inside strings) —
+    // exactly the token-boundary logic a generator covers better than
+    // the two hand cases above. Build scripts as joined statements whose
+    // tokens embed every separator-lookalike (semicolons inside quotes
+    // and comments, -- and /* inside strings, '' escapes, nesting), plus
+    // comment-only statements that must be dropped; the splitter must
+    // return the real statements verbatim (modulo trim), in order.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("SELECT", "a", "col1", "1", "FROM", "t")
+    val tricky = Gen.oneOf(
+      "'a;b'", "'it''s;x'", "'x--y'", "'/*;*/'",
+      "\"q;uote\"", "\"a--b\"",
+      "/* a; b */", "/* a /* ;nested */ ; */",
+      "-- c;omment\n")
+    val token = Gen.frequency(2 -> word, 3 -> tricky)
+    val stmt = for {
+      n <- Gen.choose(0, 5)
+      mid <- Gen.listOfN(n, token)
+      first <- word; last <- word
+    } yield (first +: mid :+ last).mkString(" ")
+    val commentOnly = Gen.oneOf("/* dropped; */", "-- gone;\n", "  ", "")
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    for (trial <- 0 until 20) {
+      val real = draw(stmt, 90L + trial, 5)
+      val noise = draw(commentOnly, 900L + trial, 3)
+      // interleave: r0 ; n0 ; r1 ; n1 ; ... (noise cycles so every real
+      // statement survives the zip), then repeat two reals at the tail
+      val script = (real.zipWithIndex
+        .flatMap { case (r, i) => Seq(r, noise(i % noise.size)) }
+        ++ real.drop(3))
+        .mkString(";")
+      val got = splitStatements(script)
+      val expect = (real ++ real.drop(3)).map(_.trim)
+      assert(got == expect, s"trial=$trial\nscript:\n$script")
+    }
+  }
+
   test("execute: multi-statement with fetch+limit; txn control warned not run") {
     val res = StatementRunner.execute(spark,
       """BEGIN;
