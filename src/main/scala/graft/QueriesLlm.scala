@@ -3047,11 +3047,105 @@ object QueriesLlm {
       JOIN nxact ON nxact.fa = ie.fa AND nxact.fb = ie.fb
       ORDER BY ie.fa, ie.fb"""))
 
+  /** Word-unigram entropy + type-token ratio (RedPajama-v2's
+    * `rps_doc_unigram_entropy` quality signal) in the one-pass native
+    * kernel — zero shuffle. The oracle replays the within-doc word
+    * counts via unnest/GROUP BY and sums the identical
+    * shared-libm ln terms through DECIMAL(30,12) (the dsum/q125
+    * discipline), so the entropy doubles hash bit-for-bit. */
+  private val q167 = Q("q167_unigram_entropy",
+    (s, dir) => TextAnalysis.unigramEntropy(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      u AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM arr),
+      c AS (SELECT doc_id, n, w, COUNT(*) AS c FROM u GROUP BY 1, 2, 3),
+      e AS (SELECT doc_id,
+              CAST(max(n) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(SUM(CAST(-((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                AS DECIMAL(30,12))) AS DOUBLE) AS entropy
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_types, entropy,
+             CAST(n_types AS DOUBLE) / n_tokens AS ttr
+      FROM e ORDER BY doc_id"""))
+
+  /** Consecutive-duplicate-token collapse (the cleaner matching
+    * Gopher's repetition measurements): first token of every run
+    * survives; the oracle keeps positions whose token differs from
+    * its predecessor (1-based list index 0 → NULL → the i=1 OR picks
+    * it up) and re-joins in position order. */
+  private val q168 = Q("q168_token_collapse",
+    (s, dir) => TextAnalysis.collapseTokenRuns(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      pos AS (SELECT doc_id, len(t) AS n,
+              unnest(list_transform(generate_series(1, len(t)),
+                i -> {'i': i, 'w': t[i],
+                      'keep': (i = 1 OR t[i] <> t[i-1])})) AS p
+              FROM arr),
+      kept AS (SELECT doc_id, n, p.i AS i, p.w AS w FROM pos WHERE p.keep),
+      agg AS (SELECT doc_id, n, COUNT(*) AS n_kept,
+                     string_agg(w, ' ' ORDER BY i) AS cleaned
+              FROM kept GROUP BY 1, 2)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             CAST(n_kept AS BIGINT) AS n_kept,
+             CAST(n - n_kept AS BIGINT) AS n_collapsed, cleaned
+      FROM agg ORDER BY doc_id"""))
+
+  /** k-center coreset selection (Gonzalez farthest-point traversal):
+    * the oracle unrolls all 8 greedy rounds as CTEs — seed, then
+    * argmax-of-min-squared-L2 with the identical |x|²+|c|²−2·x·c
+    * ascending-dim fold each round — so every pick AND its selection
+    * distance hash cross-engine. */
+  private val q169 = Q("q169_kcenter_coreset",
+    (s, dir) => Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 8)
+      .orderBy("sel_rank"),
+    Some(q169Oracle))
+
+  private def q169Oracle: String = {
+    def dt(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    val k = 8
+    val sb = new StringBuilder
+    sb ++= s"""WITH x AS (SELECT vec_id, embedding,
+             ${dt("embedding", "embedding")} AS xx FROM embeddings),
+      c1 AS (SELECT vec_id, embedding, xx FROM x ORDER BY vec_id LIMIT 1),
+      f1 AS (SELECT x.vec_id, x.embedding, x.xx,
+               x.xx + c.xx - 2 * ${dt("x.embedding", "c.embedding")} AS dmin
+             FROM x, c1 c WHERE x.vec_id <> c.vec_id)"""
+    for (r <- 2 to k) {
+      sb ++= s""",
+      c$r AS (SELECT vec_id, embedding, xx, dmin FROM f${r - 1}
+              ORDER BY dmin DESC, vec_id LIMIT 1)"""
+      if (r < k) sb ++= s""",
+      f$r AS (SELECT f.vec_id, f.embedding, f.xx,
+               least(f.dmin,
+                 f.xx + c.xx - 2 * ${dt("f.embedding", "c.embedding")}) AS dmin
+             FROM f${r - 1} f, c$r c WHERE f.vec_id <> c.vec_id)"""
+    }
+    sb ++= """
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+               CAST(NULL AS DOUBLE) AS min_dist FROM c1"""
+    for (r <- 2 to k) sb ++= s"""
+        UNION ALL SELECT CAST($r AS BIGINT), vec_id, dmin FROM c$r"""
+    sb ++= """
+      ) ORDER BY sel_rank"""
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q154, q163, q164, q165, q166)
+    q151, q154, q163, q164, q165, q166, q167, q168, q169)
 }

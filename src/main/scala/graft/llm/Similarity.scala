@@ -1181,4 +1181,75 @@ object Similarity {
       .select(col(idCol), col("codes"),
         array_max(col("__err")).as("max_abs_err"))
   }
+
+  /** k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal, the greedy 2-approximation): pick k points that
+    * maximize the minimum pairwise distance — the diversity-driven
+    * data-selection pass (coreset seeding, eval-set picking, cluster
+    * init) that complements SemDeDup's redundancy REMOVAL with
+    * coverage-preserving SELECTION. Seed = the minimum `vec_id` (no
+    * RNG ships anywhere); each next pick is the point farthest (squared
+    * L2, tie → lower id) from everything picked so far.
+    *
+    * Scale shape: the corpus is prepped ONCE ((id, emb, |x|²),
+    * persisted); each of the k−1 rounds is a narrow `least` update
+    * against the single broadcast-as-literal new center plus a
+    * TakeOrdered(1) argmax (partial per-partition top-1, k−1 one-row
+    * driver collects total — bounded, never a corpus collect). Each
+    * round persists and drops its predecessor, so lineage stays one
+    * map deep and executor storage holds exactly one corpus-sized
+    * frame. k rounds of sequential driver scheduling is inherent to
+    * the greedy (each pick depends on the last) — at 100 TB the knob
+    * is k, not the corpus.
+    *
+    * Determinism: distances are |x|² + |c|² − 2·x·c over the native
+    * [[dot]] (ascending-dim left fold, floats widened to double), the
+    * exact expression the DuckDB oracle replays round-for-round
+    * (q169), so every selection — including FP-tie breaks — hashes
+    * cross-engine. Returns (sel_rank, vec_id, min_dist) in selection
+    * order; the seed's min_dist is NULL. */
+  def kCenterCoreset(corpus: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val prep = corpus.repartition(par(corpus))
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("xx"))
+      .persist()
+    val picked = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Option[Double])]
+    var live: Option[DataFrame] = None
+    try {
+      val seed = prep.orderBy(col("vec_id")).limit(1).collect()(0)
+      picked += ((1L, seed.getLong(0), None))
+      def centerLit(r: org.apache.spark.sql.Row): Column =
+        array(r.getSeq[Float](1).map(f => lit(f.toDouble)): _*)
+      def dTo(r: org.apache.spark.sql.Row): Column =
+        col("xx") + lit(r.getDouble(2)) -
+          lit(2.0) * dot(col("embedding"), centerLit(r))
+      var cur = prep.filter(col("vec_id") =!= seed.getLong(0))
+        .withColumn("dmin", dTo(seed))
+      var r = 2
+      var exhausted = false // k > corpus size: stop at corpus size
+      while (r <= k && !exhausted) {
+        val c = cur.persist()
+        val rows = c.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .collect()
+        live.foreach(_.unpersist(blocking = false))
+        live = Some(c)
+        if (rows.isEmpty) exhausted = true
+        else {
+          val top = rows(0)
+          picked += ((r.toLong, top.getLong(0), Some(top.getDouble(3))))
+          cur = c.filter(col("vec_id") =!= top.getLong(0))
+            .withColumn("dmin", least(col("dmin"), dTo(top)))
+        }
+        r += 1
+      }
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      prep.unpersist(blocking = false)
+    }
+    picked.toSeq.toDF("sel_rank", "vec_id", "min_dist")
+  }
 }

@@ -655,4 +655,51 @@ object TextAnalysis {
       (collapsed =!= col(textCol)).as("changed"),
       length(collapsed).cast("long").as("n_chars_norm"))
   }
+
+  /** Word-unigram entropy + type-token ratio (the RedPajama-v2
+    * `rps_doc_unigram_entropy` quality signal, with the classic
+    * lexical-diversity ratio riding along): low-entropy documents are
+    * the keyboard-mash / template / degenerate-repetition pages every
+    * pre-training filter drops.
+    *
+    * Runs in the ONE-PASS native kernel
+    * ([[graft.functions.UnigramEntropy]]): a zero-shuffle scan rider —
+    * the signal is a within-row property, so the explode→count
+    * formulation's (doc, word) shuffle (LlmSpec pins equality against
+    * it) buys nothing at 100 TB. `ttr` is a single IEEE division of
+    * the two exact counts, so it hashes cross-engine. */
+  def unigramEntropy(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = graft.functions.UnigramEntropy.column(
+      docs.sparkSession, col(textCol))
+    docs.select(col(idCol), st.as("__u"))
+      .select(col(idCol),
+        col("__u.n_tokens").as("n_tokens"),
+        col("__u.n_types").as("n_types"),
+        col("__u.entropy").as("entropy"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+  }
+
+  /** Collapse consecutive duplicate tokens ("batch batch batch" →
+    * "batch") — the cheap rewrite against token-run degeneration
+    * (stuttered boilerplate, scraped marquee/ticker text, LM-loop
+    * output). Gopher's repetition RULES (q114) only measure; this is
+    * the matching CLEANER, keeping the first token of every run.
+    *
+    * Pure Column composition (higher-order `filter` with the index
+    * lambda; `get` is the 0-based null-safe indexer, so the first
+    * token's missing predecessor coalesces to keep): a narrow per-row
+    * map, zero shuffle, rides the scan at 100 TB. */
+  def collapseTokenRuns(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        filter(col("__t"), (x, i) =>
+          coalesce(x =!= get(col("__t"), i - lit(1)), lit(true))).as("__k"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(col("__k")).cast("long").as("n_kept"),
+        (size(col("__t")) - size(col("__k"))).cast("long").as("n_collapsed"),
+        array_join(col("__k"), " ").as("cleaned"))
+  }
 }

@@ -277,6 +277,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.columns.contains("c4_kept"))
   }
 
+  test("q167/q168: unigram entropy and token collapse are zero-shuffle scan riders") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ent = graft.llm.TextAnalysis.unigramEntropy(docs, "doc_id", "text")
+    assert(!ent.queryExecution.executedPlan.toString.contains("Exchange"),
+      ent.queryExecution.executedPlan.toString.take(2000))
+    val coll = graft.llm.TextAnalysis.collapseTokenRuns(docs, "doc_id", "text")
+    assert(!coll.queryExecution.executedPlan.toString.contains("Exchange"),
+      coll.queryExecution.executedPlan.toString.take(2000))
+    // the entropy kernel must run fused inside whole-stage codegen,
+    // not fall back to interpreted eval
+    assert(ent.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+  }
+
   test("q119 paragraph dedup: exchanges key on hash/doc only, no corpus-wide collect") {
     val df = Queries.all.find(_.name == "q119_paragraph_dedup").get.run(spark, dir)
     df.collect()
