@@ -123,6 +123,44 @@ class CorpusSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("property: random graphs — distributed components equal union-find across shapes") {
+    // large-star/small-star's correctness argument is per-round edge
+    // rewriting toward component minima; the shapes that stress it are
+    // exactly the ones a generator mixes: long chains (worst case for
+    // naive min-propagation), random sparse edges (irregular merge
+    // order), and duplicate/reversed edges (canon() must collapse
+    // them). The driver union-find is the oracle; labels must match
+    // EXACTLY (same min-id labeling), not just partition-equivalently.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    val edge = for {
+      a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L)
+    } yield (a, b)
+    for (trial <- 0 until 2) {
+      val rand = draw(edge, 17L + trial, 45)
+      val chain = (100L until 115L).map(i => (i, i + 1)) // diameter 15
+      val dupsRev = rand.take(8).map(_.swap) // reversed duplicates
+      val pairs = (rand ++ chain ++ dupsRev).toDF("id_a", "id_b")
+      val local = Corpus.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Corpus.dupClusters(pairs, localMaxBytes = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial=$trial")
+      // independent check of the labeling invariant: every label is
+      // its component's minimum and a member of the component
+      val comp = local.groupBy(_._2).view.mapValues(_.keys.toSet)
+      comp.foreach { case (label, members) =>
+        assert(members.min == label, s"trial=$trial label=$label")
+      }
+    }
+  }
+
   test("weightedSample: A-ES keys favor heavy rows, deterministic, zero-weight excluded") {
     // one stratum, extreme weights: doc 1 weighs 10000x doc 2..4 —
     // with n=1 it must win for (almost) any uniform draw; verify the

@@ -287,9 +287,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val coll = graft.llm.TextAnalysis.collapseTokenRuns(docs, "doc_id", "text")
     assert(!coll.queryExecution.executedPlan.toString.contains("Exchange"),
       coll.queryExecution.executedPlan.toString.take(2000))
-    // the entropy kernel must run fused inside whole-stage codegen,
-    // not fall back to interpreted eval
-    assert(ent.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+    // the entropy kernel must run fused inside whole-stage codegen
+    // (the `*(n)` stage marker on its Project), not interpreted eval
+    assert(ent.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("unigram_entropy") && l.contains("*(")),
+      ent.queryExecution.executedPlan.toString.take(2000))
   }
 
   test("q119 paragraph dedup: exchanges key on hash/doc only, no corpus-wide collect") {
