@@ -1223,7 +1223,13 @@ object Similarity {
       val seed = prep.orderBy(col("vec_id")).limit(1).collect()(0)
       picked += ((1L, seed.getLong(0), None))
       def centerLit(r: org.apache.spark.sql.Row): Column =
-        array(r.getSeq[Float](1).map(f => lit(f.toDouble)): _*)
+        // element-type-agnostic (float OR double corpora, like [[dot]]);
+        // float→double widening is exact, so the literal is the same
+        // value the executor-side fold would produce
+        array(r.getSeq[Any](1).map {
+          case f: Float => lit(f.toDouble)
+          case d: Double => lit(d)
+        }: _*)
       def dTo(r: org.apache.spark.sql.Row): Column =
         col("xx") + lit(r.getDouble(2)) -
           lit(2.0) * dot(col("embedding"), centerLit(r))

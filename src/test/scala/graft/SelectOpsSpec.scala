@@ -118,6 +118,14 @@ class SelectOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("kCenterCoreset: double-element embeddings accepted (same contract as dot)") {
+    val df = Seq((0L, Seq(0.0)), (1L, Seq(3.0)), (2L, Seq(9.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(df, k = 2).orderBy("sel_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 2L)))
+  }
+
   test("kCenterCoreset: fixture embeddings match the greedy reference (same fold)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val k = 8
