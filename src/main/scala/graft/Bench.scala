@@ -109,7 +109,7 @@ object Bench {
     val errsJson = errs.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"value_min":${f3(total)},"value_median":${f3(totalMedian)},"unit":"sec","passes":$nRuns,"queries":$qs,"errors":$errsJson,"runs":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"value_median":${f3(totalMedian)},"unit":"sec","passes":$nRuns,"queries":$qs,"errors":$errsJson,"runs":$detail,"sf":"$sfDir"}"""
 
     // The harness that records this run keeps only a bounded tail of
     // stdout (observed: 2000 chars), and the full per-query line above

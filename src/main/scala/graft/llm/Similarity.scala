@@ -1196,9 +1196,10 @@ object Similarity {
     * against the single broadcast-as-literal new center plus a
     * TakeOrdered(1) argmax (partial per-partition top-1, k−1 one-row
     * driver collects total — bounded, never a corpus collect). Each
-    * round persists and drops its predecessor, so lineage stays one
-    * map deep and executor storage holds exactly one corpus-sized
-    * frame. k rounds of sequential driver scheduling is inherent to
+    * round persists and drops its predecessor (prep itself is dropped
+    * once round 1 materializes), so lineage stays one map deep and
+    * executor storage holds one live corpus-sized frame plus the one
+    * being built. k rounds of sequential driver scheduling is inherent to
     * the greedy (each pick depends on the last) — at 100 TB the knob
     * is k, not the corpus.
     *
@@ -1225,10 +1226,16 @@ object Similarity {
       def centerLit(r: org.apache.spark.sql.Row): Column =
         // element-type-agnostic (float OR double corpora, like [[dot]]);
         // float→double widening is exact, so the literal is the same
-        // value the executor-side fold would produce
+        // value the executor-side fold would produce. A null ELEMENT in
+        // a selected center can only mean the seed row is malformed
+        // (null-element rows have null ‖x‖²/dmin, so the argmax never
+        // picks them) — fail with the contract, not a MatchError.
         array(r.getSeq[Any](1).map {
           case f: Float => lit(f.toDouble)
           case d: Double => lit(d)
+          case other => throw new IllegalArgumentException(
+            s"kCenterCoreset: embedding elements must be float/double " +
+              s"and non-null, got $other for vec_id ${r.getLong(0)}")
         }: _*)
       def dTo(r: org.apache.spark.sql.Row): Column =
         col("xx") + lit(r.getDouble(2)) -
@@ -1241,6 +1248,10 @@ object Similarity {
         val c = cur.persist()
         val rows = c.orderBy(col("dmin").desc, col("vec_id")).limit(1)
           .collect()
+        // prep's cache is dead once round 1 has materialized into c —
+        // dropping it here keeps peak executor storage at one live
+        // corpus-sized frame (+ the one being built), not three
+        if (r == 2) prep.unpersist(blocking = false)
         live.foreach(_.unpersist(blocking = false))
         live = Some(c)
         if (rows.isEmpty) exhausted = true

@@ -110,6 +110,10 @@ object SnapshotTable {
         }
         return rawLines(f, slot)
       } catch {
+        // the slot file being GONE is definitive (a racer reclaimed
+        // our stale claim and removed it) — retrying cannot succeed,
+        // so concede immediately instead of burning the backoff
+        case _: java.io.FileNotFoundException => return Nil
         case _: java.io.IOException =>
           attempt += 1
           if (attempt < 3) Thread.sleep(25L * attempt)
