@@ -123,6 +123,109 @@ class CorpusSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("property: packSequences segments equal a single-threaded global-stream walk") {
+    // The segment arithmetic (global prefix start, the seq_id explode
+    // range, greatest/least clipping of doc_offset and n_seg_tokens,
+    // the +1 slice base) is ±1 logic across THREE coordinate systems
+    // (corpus stream, sequence grid, in-doc offsets). Sparse ids with
+    // gaps stress the contiguous-range bucketing; buckets=4 forces
+    // many docs per bucket, 64 mostly-empty buckets; seqLen=5 makes
+    // nearly every doc span a cut. Empty docs must vanish entirely.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    val gDoc = for {
+      id <- Gen.choose(0L, 200L); nw <- Gen.choose(0, 12)
+    } yield (id, nw)
+    for ((buckets, trial) <- Seq((4, 0), (64, 1))) {
+      val docs = draw(gDoc, 71L * buckets + trial, 60)
+        .groupBy(_._1).map(_._2.head).toSeq // distinct ids, gaps kept
+        .map { case (id, nw) =>
+          (id, (0 until nw).map(j => s"t$id-$j").mkString(" ")) }
+      val seqLen = 5
+      val got = Corpus.packSequences(docs.toDF("doc_id", "text"),
+          "doc_id", "text", seqLen = seqLen, buckets = buckets)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      var start = 0L
+      val expect = scala.collection.mutable.Set
+        .empty[(Long, Long, Long, Long, String)]
+      docs.sortBy(_._1).foreach { case (id, text) =>
+        val toks = "\\S+".r.findAllIn(text).toSeq
+        val n = toks.length.toLong
+        if (n > 0) {
+          for (seq <- start / seqLen to (start + n - 1) / seqLen) {
+            val a = math.max(start, seq * seqLen) - start
+            val len = math.min(start + n, (seq + 1) * seqLen) -
+              math.max(start, seq * seqLen)
+            expect += ((seq, id, a, len,
+              toks.slice(a.toInt, (a + len).toInt).mkString(" ")))
+          }
+          start += n
+        }
+      }
+      assert(got == expect.toSet, s"buckets=$buckets trial=$trial")
+    }
+  }
+
+  test("property: substringStats coverage equals direct token marking") {
+    // The engine reconstructs duplicated-token coverage from sorted
+    // dup-window positions as w + Σ min(gap, w) capped at n_tokens;
+    // the reference marks covered token indices directly. A tiny
+    // vocabulary maximizes window collisions; doc lengths straddle the
+    // short-doc boundary (m < w → one whole-doc pseudo-window).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    val w = 4
+    val gDoc = for {
+      nw <- Gen.choose(1, 14)
+      ts <- Gen.listOfN(nw, Gen.oneOf("a", "b"))
+    } yield ts.mkString(" ")
+    for (trial <- 0 until 3) {
+      val docs = draw(gDoc, 7000L + trial, 30).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.llm.Dedup.substringStats(
+          docs.toDF("doc_id", "text"), "doc_id", "text", windowTokens = w)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toMap
+      // reference: same window construction on strings, global count,
+      // direct coverage marking
+      val toksOf = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+", -1).toSeq }.toMap
+      val wins = docs.flatMap { case (id, _) =>
+        val toks = toksOf(id)
+        val starts = 0 until math.max(toks.length - (w - 1), 1)
+        starts.map(p => (id, p, toks.slice(p, p + w).mkString(" ")))
+      }
+      val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      docs.foreach { case (id, _) =>
+        val toks = toksOf(id)
+        val n = toks.length
+        val dups = wins.filter(x => x._1 == id && cnt(x._3) > 1).map(_._2)
+        val covered = dups.flatMap(p => p until math.min(p + w, n)).toSet
+        val (gn, gwin, gdup, gcov) = got(id)
+        assert(gn == n.toLong, s"doc $id trial=$trial")
+        assert(gwin == math.max(n - (w - 1), 1).toLong, s"doc $id")
+        assert(gdup == dups.size.toLong, s"doc $id trial=$trial")
+        assert(gcov == covered.size.toLong,
+          s"doc $id trial=$trial dups=$dups n=$n")
+      }
+    }
+  }
+
   test("property: random graphs — distributed components equal union-find across shapes") {
     // large-star/small-star's correctness argument is per-round edge
     // rewriting toward component minima; the shapes that stress it are
