@@ -489,6 +489,44 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blocklist must be zero-shuffle:\n${plan.take(800)}")
   }
 
+  test("property: AC blocklist equals per-pattern contains on adversarial pattern sets") {
+    // The Aho-Corasick failure-link construction is where multi-match
+    // implementations break: patterns that are proper prefixes/suffixes
+    // of each other, overlapping occurrences, single-char patterns. A
+    // two-letter alphabet maximizes all three; the naive per-pattern
+    // contains scan is the oracle.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    val gStr = for {
+      len <- Gen.choose(1, 4); cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val gText = for {
+      len <- Gen.choose(0, 30); cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    for (trial <- 0 until 3) {
+      val pats = draw(gStr, 40L + trial, 8).distinct
+      val texts = draw(gText, 4000L + trial, 40).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = TextAnalysis.blocklist(
+          texts.toDF("doc_id", "text"), "doc_id", "text", pats)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1).toList).toMap
+      texts.foreach { case (id, t) =>
+        val want = pats.zipWithIndex
+          .filter(p => t.toLowerCase(java.util.Locale.ROOT).contains(p._1))
+          .map(_._2).toList
+        assert(got(id) == want, s"trial=$trial doc=$id text='$t' pats=$pats")
+      }
+    }
+  }
+
   test("htmlToText: blocks dropped, tags stripped, entities decoded once, title found") {
     import spark.implicits._
     val html =
