@@ -1197,9 +1197,13 @@ object Similarity {
     * TakeOrdered(1) argmax (partial per-partition top-1, k−1 one-row
     * driver collects total — bounded, never a corpus collect). Each
     * round persists and drops its predecessor (prep itself is dropped
-    * once round 1 materializes), so lineage stays one map deep and
-    * executor storage holds one live corpus-sized frame plus the one
-    * being built. k rounds of sequential driver scheduling is inherent to
+    * once round 1 materializes), so executor storage holds one live
+    * corpus-sized frame plus the one being built; every
+    * `truncateEvery` rounds the plan is cut at the cached frame
+    * (persist caches data but not lineage), keeping large-k selection
+    * linear instead of O(k²) in analysis and bounding the recompute
+    * chain behind an evicted cache. k rounds of sequential driver
+    * scheduling is inherent to
     * the greedy (each pick depends on the last) — at 100 TB the knob
     * is k, not the corpus.
     *
@@ -1209,8 +1213,10 @@ object Similarity {
     * (q169), so every selection — including FP-tie breaks — hashes
     * cross-engine. Returns (sel_rank, vec_id, min_dist) in selection
     * order; the seed's min_dist is NULL. */
-  def kCenterCoreset(corpus: DataFrame, k: Int = 8): DataFrame = {
+  def kCenterCoreset(corpus: DataFrame, k: Int = 8,
+      truncateEvery: Int = 64): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(truncateEvery >= 1, s"truncateEvery must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
     val prep = corpus.repartition(par(corpus))
@@ -1258,7 +1264,17 @@ object Similarity {
         else {
           val top = rows(0)
           picked += ((r.toLong, top.getLong(0), Some(top.getDouble(3))))
-          cur = c.filter(col("vec_id") =!= top.getLong(0))
+          // persist() caches data but does NOT truncate lineage: by
+          // round r the plan is O(r) nodes deep, so analysis across
+          // the loop is O(k²) and an evicted cache recomputes the
+          // whole least()-chain from the scan. Every `truncateEvery`
+          // rounds, cut the plan at the cached frame (the
+          // kmeansOnPrep/Bpe.train discipline) — large-k selection
+          // (coreset sizes in the thousands) stays linear. Values are
+          // untouched: localCheckpoint writes the exact rows.
+          val base =
+            if ((r - 1) % truncateEvery == 0) c.localCheckpoint(true) else c
+          cur = base.filter(col("vec_id") =!= top.getLong(0))
             .withColumn("dmin", least(col("dmin"), dTo(top)))
         }
         r += 1

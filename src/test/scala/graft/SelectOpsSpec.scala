@@ -126,6 +126,16 @@ class SelectOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L), (2L, 2L)))
   }
 
+  test("kCenterCoreset: lineage truncation does not change the selection") {
+    val emb = Tables.load(spark, dir, "embeddings").limit(100)
+    val a = Similarity.kCenterCoreset(emb, k = 6).orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
+    val b = Similarity.kCenterCoreset(emb, k = 6, truncateEvery = 2)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
+    assert(a == b)
+  }
+
   test("kCenterCoreset: fixture embeddings match the greedy reference (same fold)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val k = 8
