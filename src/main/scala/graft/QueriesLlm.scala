@@ -936,6 +936,37 @@ object QueriesLlm {
       SELECT id AS doc_id, MIN(r) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** Canonical-keeper resolution over the q57 cluster chain: the
+    * keep-longest rule (argmax n_chars, tie → lower id) decided per
+    * near-dup cluster — the dedup pipeline's last mile, the frame a
+    * filtering write consumes. The oracle extends the q57 replay with
+    * a per-cluster row_number argmax; singletons keep themselves. */
+  private val q170 = Q("q170_cluster_keepers",
+    (s, dir) => graft.llm.Dedup.clusterKeepers(
+      t(s, dir, "documents"), "doc_id", "text", "n_chars")
+      .orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+                UNION ALL SELECT id_b, id_a FROM p2),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      kcl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      kbase AS (SELECT d.doc_id,
+                       COALESCE(kcl.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM documents d LEFT JOIN kcl ON kcl.id = d.doc_id),
+      kkp AS (SELECT cluster_id, doc_id AS keeper FROM (
+               SELECT cluster_id, doc_id,
+                      row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY n_chars DESC, doc_id ASC) AS rk FROM kbase)
+              WHERE rk = 1)
+      SELECT kbase.doc_id, kbase.cluster_id, kbase.n_chars,
+             (kbase.doc_id = kkp.keeper) AS kept
+      FROM kbase JOIN kkp USING (cluster_id) ORDER BY kbase.doc_id"""))
+
   /** Deterministic leakage-safe train/val/test split: membership is a
     * pure function of the document key (md5 bucket), invariant under
     * re-runs, resharding and cluster size. */
@@ -3147,5 +3178,5 @@ object QueriesLlm {
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q154, q163, q164, q165, q166, q167, q168, q169)
+    q151, q154, q163, q164, q165, q166, q167, q168, q169, q170)
 }

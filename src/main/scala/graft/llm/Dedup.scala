@@ -161,6 +161,38 @@ object Dedup {
     finally caches.foreach(_.unpersist(blocking = false))
   }
 
+  /** Canonical-keeper resolution — the dedup pipeline's LAST MILE:
+    * near-dup pairs → connected-component clusters → ONE survivor per
+    * cluster by the keep-"best" rule (argmax `scoreCol`, tie → lower
+    * id; pass a length column for the common keep-longest policy, a
+    * quality score for keep-best-quality). Emits every input document
+    * with its resolved cluster id, its score, and the keep decision —
+    * the frame a filtering write actually consumes.
+    *
+    * Scale shape: pairs come from the banded LSH loan (candidates
+    * O(dups)); clustering is [[graft.llm.Corpus.dupClusters]]
+    * (byte-gated driver union-find / large-star); the keeper argmax
+    * aggregates CLUSTERED docs only — volume ∝ duplicate count, never
+    * the corpus — and singletons rejoin as their own keeper through
+    * the left join's coalesce, shuffling only (id, score) pairs. */
+  def clusterKeepers(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    withLshPairs(docs, idCol, textCol) { pairs =>
+      val clusters = graft.llm.Corpus.dupClusters(pairs)
+        .withColumnRenamed("id", idCol)
+      val base = docs.select(col(idCol), col(scoreCol))
+        .join(clusters, Seq(idCol), "left")
+      val keepers = base.filter(col("cluster_id").isNotNull)
+        .groupBy("cluster_id")
+        .agg(max_by(col(idCol),
+          struct(col(scoreCol), (-col(idCol)).as("__tb"))).as("__keeper"))
+      base.join(keepers, Seq("cluster_id"), "left")
+        .select(col(idCol),
+          coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+          col(scoreCol),
+          coalesce(col(idCol) === col("__keeper"), lit(true)).as("kept"))
+    }
+
   private def lshPairsWithCaches(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double, numHashes: Int, numBands: Int,
       minAgree: Int): (DataFrame, Seq[DataFrame]) = {

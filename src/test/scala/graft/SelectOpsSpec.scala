@@ -93,6 +93,26 @@ class SelectOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- cluster keepers
+  test("clusterKeepers: keep-best per near-dup cluster, ties to lower id, singletons keep themselves") {
+    import graft.llm.Dedup
+    val a = (0 until 20).map(j => s"alpha$j").mkString(" ")
+    val b = (0 until 20).map(j => s"beta$j").mkString(" ")
+    val docs = Seq(
+      (1L, a, 100L), (2L, a, 100L), (3L, a + " extra", 110L), // keeper 3
+      (7L, "a singleton about nothing shared with anything", 50L),
+      (10L, b, 80L), (11L, b, 80L)) // equal scores: tie -> keeper 10
+      .toDF("doc_id", "text", "score")
+    val out = Dedup.clusterKeepers(docs, "doc_id", "text", "score")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, false)))
+    assert(out(3L) == ((1L, true)), "highest score wins the cluster")
+    assert(out(7L) == ((7L, true)), "singleton keeps itself")
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)),
+      "score tie breaks to the lower id")
+  }
+
   // ------------------------------------------------ k-center coreset
   test("kCenterCoreset: greedy farthest-point order on a line") {
     val df = Seq(0L -> 0f, 1L -> 1f, 2L -> 2f, 3L -> 10f, 4L -> 20f)
