@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Queries.Q
 import graft.functions.GraftFunctions._
-import graft.llm.{Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pca, QualityClassifier, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Inventory batch 2: window functions, set ops, JSON, and the
@@ -3172,11 +3172,175 @@ object QueriesLlm {
     sb.toString
   }
 
+  /** Bigram collocations by PMI — ranking by the exact-integer count
+    * ratio (order-equivalent to PMI, no ln(), the q69 portability
+    * discipline); ties break on the pair itself. */
+  private val q171 = Q("q171_pmi_pairs",
+    (s, dir) => TextAnalysis.pmiPairs(t(s, dir, "documents"), "text", minCount = 5)
+      .orderBy(col("pmi_ratio").desc, col("a").asc, col("b").asc).limit(25),
+    Some("""
+      WITH arr AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM arr),
+      uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_total FROM uni),
+      bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> {'a': t[i], 'b': t[i + 1]})) AS p
+             FROM arr),
+      bc AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS cab FROM bg
+             GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT a, b, cab, ca, cb,
+             CAST(cab * n_total AS DOUBLE) / CAST(ca * cb AS DOUBLE) AS pmi_ratio
+      FROM bc
+      JOIN (SELECT w AS a, c AS ca FROM uc) USING (a)
+      JOIN (SELECT w AS b, c AS cb FROM uc) USING (b)
+      CROSS JOIN tot
+      ORDER BY pmi_ratio DESC, a, b LIMIT 25"""))
+
+  /** Shared DuckDB replay of [[Pca.topComponent]]: exact-decimal
+    * second moment, `iters` power-iteration rounds as CTEs with the
+    * identical ascending-index `list_sum` folds, Rayleigh eigenvalue,
+    * and the same largest-|loading|-positive sign canon. Prototyped
+    * against a sequential-fold reference: cross-engine drift ~1e-14,
+    * far inside the gate's 1e-9 rounding. */
+  private def pcaOracleChain(dims: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+             FROM embeddings),
+      g AS (SELECT gi.i AS i, gj.j AS j
+            FROM generate_series(1,$dims) gi(i), generate_series(1,$dims) gj(j)),
+      mm AS (SELECT i, j, CAST(SUM(CAST(x[i] * x[j] AS DECIMAL(30,12))) AS DOUBLE) AS m
+             FROM e, g GROUP BY i, j),
+      mr AS (SELECT i, list(m ORDER BY j) AS mrow FROM mm GROUP BY i),
+      v0 AS (SELECT list_transform(generate_series(1,$dims),
+               i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v)"""
+    var prev = "v0"
+    for (it <- 1 to iters) {
+      sb ++= s""",
+      w$it AS (SELECT list(ws ORDER BY i) AS w FROM (
+        SELECT mr.i AS i,
+               list_sum(list_transform(generate_series(1,$dims),
+                 j -> mr.mrow[j] * $prev.v[j])) AS ws
+        FROM mr, $prev)),
+      v$it AS (SELECT list_transform(w,
+                 x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+               FROM w$it)"""
+      prev = s"v$it"
+    }
+    sb ++= s""",
+      wf AS (SELECT list(ws ORDER BY i) AS w FROM (
+        SELECT mr.i AS i,
+               list_sum(list_transform(generate_series(1,$dims),
+                 j -> mr.mrow[j] * $prev.v[j])) AS ws
+        FROM mr, $prev)),
+      lam AS (SELECT list_sum(list_transform(generate_series(1,$dims),
+                i -> $prev.v[i] * wf.w[i])) AS eigval FROM $prev, wf),
+      am AS (SELECT t.i AS am FROM $prev, generate_series(1,$dims) t(i)
+             ORDER BY abs(v[t.i]) DESC, t.i LIMIT 1),
+      sgn AS (SELECT CASE WHEN v[am] < 0 THEN -1.0 ELSE 1.0 END AS s
+              FROM $prev, am),
+      vt AS (SELECT v FROM $prev)"""
+    sb.toString
+  }
+
+  private val PcaDims = 64
+  private val PcaIters = 12
+
+  /** Top principal component (uncentered) of the embedding corpus:
+    * one distributed exact-decimal pass for the dims² second moment,
+    * then driver-side power iteration — see [[Pca]]. */
+  private val q172 = Q("q172_pca_power",
+    (s, dir) => Pca.topComponentDf(t(s, dir, "embeddings"),
+      dims = PcaDims, iters = PcaIters).orderBy("dim"),
+    Some(pcaOracleChain(PcaDims, PcaIters) + s"""
+      SELECT CAST(t.i AS BIGINT) AS dim, s * v[t.i] AS loading, eigval
+      FROM vt, generate_series(1,$PcaDims) t(i), sgn, lam ORDER BY dim"""))
+
+  /** Projection of every vector onto the top component (the
+    * all-but-the-top / SIF first step), surfacing the strongest
+    * outliers along the dominant direction: a narrow codegen map over
+    * the corpus, component shipped as a literal. */
+  private val q173 = Q("q173_pca_project",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (v, _) = Pca.topComponent(emb, dims = PcaDims, iters = PcaIters)
+      Pca.project(emb, v)
+        .select(col("vec_id"), col("label"), col("proj"))
+        .orderBy(abs(col("proj")).desc, col("vec_id")).limit(20)
+    },
+    Some(pcaOracleChain(PcaDims, PcaIters) + s"""
+      SELECT vec_id, label,
+             s * list_sum(list_transform(generate_series(1,$PcaDims),
+               i -> CAST(embedding[i] AS DOUBLE) * v[i])) AS proj
+      FROM embeddings, vt, sgn
+      ORDER BY abs(proj) DESC, vec_id LIMIT 20"""))
+
+  /** Per-document 5-gram novelty against every earlier (lower-id)
+    * document — the dedup-aware "sample novel data first" curation
+    * signal. */
+  private val q174 = Q("q174_ngram_novelty",
+    (s, dir) => TextAnalysis.ngramNovelty(t(s, dir, "documents"),
+      "doc_id", "text", n = 5).orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' '))) AS shingle
+             FROM arr),
+      f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty
+      FROM sh JOIN f USING (shingle)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Asymmetric near-subset detection over the jaccard LSH candidate
+    * family — direction (who contains whom) and degree; see
+    * [[Dedup.containmentPairs]] for the recall scope. */
+  private val q175 = Q("q175_containment",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("contained_id", "container_id"),
+    Some(s"""$duckMinhashCtes,$duckBandCte,
+      cont AS (
+        SELECT CASE WHEN len(da.sh) <= len(db.sh) THEN id_a ELSE id_b END
+                 AS contained_id,
+               CASE WHEN len(da.sh) <= len(db.sh) THEN id_b ELSE id_a END
+                 AS container_id,
+               len(list_intersect(da.sh, db.sh)) * 1.0
+                 / least(len(da.sh), len(db.sh)) AS containment
+        FROM pre JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)
+      SELECT contained_id, container_id, containment FROM cont
+      WHERE containment >= 0.8 ORDER BY contained_id, container_id"""))
+
+  /** Median/MAD robust outlier flags on doc length per source —
+    * the heavy-tail-safe alternative to z-scores. */
+  private val q176 = Q("q176_mad_outliers",
+    (s, dir) => TextAnalysis.madOutliers(t(s, dir, "documents"),
+      "doc_id", "source", "n_chars", k = 3.0).orderBy("doc_id"),
+    Some("""
+      WITH med AS (SELECT source,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+                   FROM documents GROUP BY 1),
+      dev AS (SELECT doc_id, d.source AS source, med,
+                     abs(CAST(n_chars AS DOUBLE) - med) AS absdev
+              FROM documents d JOIN med USING (source)),
+      mad AS (SELECT source, quantile_cont(absdev, 0.5) AS mad
+              FROM dev GROUP BY 1)
+      SELECT doc_id, source, med, mad, absdev > 3.0 * mad AS is_outlier
+      FROM dev JOIN mad USING (source) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
     q97, q114, q115, q116, q118, q119, q120, q121, q122, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q154, q163, q164, q165, q166, q167, q168, q169, q170)
+    q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
+    q171, q172, q173, q174, q175, q176)
 }

@@ -193,9 +193,55 @@ object Dedup {
           coalesce(col(idCol) === col("__keeper"), lit(true)).as("kept"))
     }
 
-  private def lshPairsWithCaches(docs: DataFrame, idCol: String,
-      textCol: String, threshold: Double, numHashes: Int, numBands: Int,
-      minAgree: Int): (DataFrame, Seq[DataFrame]) = {
+  /** Near-subset (containment) pairs over the SAME LSH candidate
+    * family as [[lshPairs]]: candidates come from the jaccard-tuned
+    * minhash bands, then score as |A∩B| / min(|A|,|B|) — the
+    * asymmetric measure that catches a short document living inside a
+    * longer one (quote farms, boilerplate-wrapped reposts) where
+    * symmetric jaccard dilutes below threshold.
+    *
+    * Scope (documented, not hidden): recall is the band index's —
+    * a tiny fragment inside a huge page hashes to different bands and
+    * needs a dedicated size-stratified containment index; this
+    * operator resolves DIRECTION and degree among near-dup
+    * candidates. Output: one row per candidate pair with
+    * `containment >= threshold`, the smaller-set side as
+    * `contained_id` (ties → lower id, consistent with the oracle's
+    * `len(a) <= len(b)` rule).
+    *
+    * Same cache contract as [[lshPairs]]: default return is lazy on
+    * pinned intermediates; `materialize = true` releases them. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 12, numBands: Int = 4,
+      minAgree: Int = 6, materialize: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (cand, base, base0) = lshCandidatesWithCaches(docs, idCol, textCol,
+      numHashes, numBands, minAgree)
+    val sa = size(col("sh_a"))
+    val sb = size(col("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // persist(): the CSE barrier (the lshPairsWithCaches discipline) —
+    // without it the containment expression evaluates once for the
+    // threshold predicate and once for the output column
+    val sc = cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(
+        when(sa <= sb, col("id_a")).otherwise(col("id_b")).as("contained_id"),
+        when(sa <= sb, col("id_b")).otherwise(col("id_a")).as("container_id"),
+        (inter.cast("double") / least(sa, sb)).as("containment"))
+      .persist()
+    val out = sc.filter(col("containment") >= threshold)
+    if (!materialize) out
+    else materializeAndRelease(out, checkpointDir, Seq(sc, base0))
+  }
+
+  /** Shared LSH candidate generation: returns (candidate (id_a,id_b)
+    * pairs after the band join + signature prefilter, the cached
+    * (id, sig, sh) base, the persisted root to release). */
+  private def lshCandidatesWithCaches(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, numBands: Int,
+      minAgree: Int): (DataFrame, DataFrame, DataFrame) = {
     // Pipeline shape, chosen for 100 TB:
     //  1. shingle sets computed once, persisted;
     //  2. signatures via explode→groupBy so each shingle is md5'd
@@ -259,6 +305,14 @@ object Dedup {
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => x === y), p => p)) >= minAgree)
       .select("id_a", "id_b")
+    (prefiltered, base, base0)
+  }
+
+  private def lshPairsWithCaches(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, numBands: Int,
+      minAgree: Int): (DataFrame, Seq[DataFrame]) = {
+    val (prefiltered, base, base0) = lshCandidatesWithCaches(docs, idCol,
+      textCol, numHashes, numBands, minAgree)
     // persist() barrier: without it Catalyst collapses the projection
     // into the filter and evaluates the jaccard expression twice per
     // pair (once for the predicate, once for the output column). The

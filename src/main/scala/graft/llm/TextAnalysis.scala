@@ -702,4 +702,96 @@ object TextAnalysis {
         (size(col("__t")) - size(col("__k"))).cast("long").as("n_collapsed"),
         array_join(col("__k"), " ").as("cleaned"))
   }
+
+  /** Bigram collocations ranked by pointwise mutual information —
+    * the classic phrase-mining pass (Church & Hanks 1990; word2vec's
+    * phrase pre-join uses the same count ratio) that turns "new york"
+    * into one vocabulary unit before tokenizer training.
+    *
+    * Determinism: PMI's log is monotone, so ranking by the raw ratio
+    * count(a,b)·N / (count(a)·count(b)) is order-equivalent to PMI
+    * and strictly portable — the numerator and denominator are exact
+    * integers and a single IEEE double division hashes cross-engine
+    * (the q69 ln()-avoidance discipline).
+    *
+    * Scale shape: counts aggregate with map-side combine, the
+    * `minCount` prune runs BEFORE the unigram joins, and both joins
+    * key on a term — vocabulary-sized inputs, never corpus-sized, and
+    * AQE broadcasts the pruned bigram side when it is small. */
+  def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(tokens(col(textCol)).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(count(lit(1)).as("n_total"))
+    val bg = base.select(explode(
+        zip_with(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    bg.join(uc.select(col("w").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uc.select(col("w").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("cab").cast("long").as("cab"),
+        col("ca").cast("long").as("ca"), col("cb").cast("long").as("cb"),
+        ((col("cab") * col("n_total")).cast("double") /
+          (col("ca") * col("cb")).cast("double")).as("pmi_ratio"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's
+    * DISTINCT word n-grams whose first corpus occurrence (lowest doc
+    * id) is this document — the curation signal behind
+    * "sample novel data first" ordering and incremental-crawl triage:
+    * a doc whose shingles all appeared earlier adds nothing a
+    * dedup-aware sampler wants.
+    *
+    * Scale shape: distinct (doc, shingle) pairs, a shingle-keyed
+    * min-aggregate (map-side combined), one shingle-keyed join back,
+    * and a doc-keyed fold — every shuffle is keyed and
+    * partial-aggregated, nothing corpus². `novelty` is one IEEE
+    * division of exact counts. */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 5): org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+    val first = sh.groupBy("shingle").agg(min(col(idCol)).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(idCol).agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Robust per-group outlier flags by median/MAD — the
+    * scale-invariant filter quality pipelines use where mean/stddev
+    * breaks on heavy-tailed doc stats (a handful of giant pages
+    * shifts a z-score cut; the median absolute deviation doesn't
+    * move). Flags rows with |x − median| > k·MAD within their group.
+    *
+    * Scale shape: two grouped exact percentiles (`percentile` keeps a
+    * mergeable value→count map per group — bounded by the stat's
+    * value cardinality, not the row count) and two broadcast joins of
+    * |groups|-row aggregates back onto the scan; nothing corpus-wide
+    * moves. Determinism: `percentile` ≡ DuckDB `quantile_cont` (the
+    * q50 discipline) and the flag compares two exactly-derived
+    * doubles. */
+  def madOutliers(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, valCol: String, k: Double = 3.0): org.apache.spark.sql.DataFrame = {
+    val v = col(valCol).cast("double")
+    val med = docs.groupBy(col(groupCol))
+      .agg(expr(s"percentile(CAST($valCol AS DOUBLE), 0.5)").as("med"))
+    val dev = docs.join(broadcast(med), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("med"),
+        abs(v - col("med")).as("absdev"))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("med"), col("mad"),
+        (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
+  }
 }

@@ -1353,4 +1353,61 @@ class LlmSpec extends AnyFunSuite {
     exact.unpersist(blocking = false)
     assert(agree >= 0.95, s"approx/exact tier agreement $agree")
   }
+
+  test("containmentPairs: prefix doc flagged as contained in its extension, direction right") {
+    import spark.implicits._
+    val long = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val short = long.substring(0, (long.length * 0.9).toInt)
+    val d = Seq((1L, short), (2L, long),
+      (3L, "completely different content entirely unrelated words without overlap"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, "doc_id", "text").collect()
+    val hit = out.find(r => r.getAs[Long]("contained_id") == 1L &&
+      r.getAs[Long]("container_id") == 2L)
+    assert(hit.isDefined, out.mkString(","))
+    assert(hit.get.getAs[Double]("containment") >= 0.9)
+    assert(out.forall(r => r.getAs[Long]("contained_id") != 3L &&
+      r.getAs[Long]("container_id") != 3L))
+  }
+
+  test("containmentPairs scores the smaller side against its own size") {
+    // fixture planted near-dups: every emitted containment is a valid
+    // ratio and at least the pair's jaccard (|A∩B|/min ≥ |A∩B|/|A∪B|)
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.nonEmpty, "expected planted near-dups to clear 0.5 containment")
+    assert(cont.values.forall(c => c > 0.0 && c <= 1.0))
+    val jac = Dedup.lshPairs(docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    jac.foreach { case ((a, b), j) =>
+      val c = cont.get((a, b)).orElse(cont.get((b, a)))
+      assert(c.exists(_ >= j), s"pair ($a,$b): containment $c < jaccard $j")
+    }
+  }
+
+  test("madOutliers flags only far-from-median rows, robust to the outlier itself") {
+    import spark.implicits._
+    val d = ((1 to 9).map(i => (i.toLong, "s", 100 + i)) :+ ((10L, "s", 10000)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.madOutliers(d, "doc_id", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    // 101..109 + 10000: median 105.5; MAD of absdevs 2.5 → cut at 7.5
+    assert(out.head.getAs[Double]("med") == 105.5)
+    assert(out.head.getAs[Double]("mad") == 2.5)
+    assert(out.filter(_.getAs[Boolean]("is_outlier")).map(_.getLong(0)).toSeq
+      == Seq(10L))
+  }
+
+  test("madOutliers groups independently per source") {
+    import spark.implicits._
+    // same value is an outlier in a tight group, inlier in a wide one
+    val tight = (1 to 9).map(i => (i.toLong, "tight", 100))
+    val wide = (11 to 19).map(i => (i.toLong, "wide", (i - 10) * 100))
+    val d = (tight ++ wide ++ Seq((10L, "tight", 500), (20L, "wide", 500)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.madOutliers(d, "doc_id", "source", "n_chars").collect()
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(byId(10L), "500 in the all-100 group must flag (MAD 0)")
+    assert(!byId(20L), "500 inside the wide group's spread must not flag")
+  }
 }

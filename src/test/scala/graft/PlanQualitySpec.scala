@@ -524,4 +524,34 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"$exchanges exchanges\n${plan.take(2000)}")
   }
+
+  test("pca second moment: two-phase aggregate, one dims²-group exchange") {
+    val df = graft.llm.Pca.secondMoment(
+      graft.sources.Tables.load(spark, dir, "embeddings"))
+    val plan = df.queryExecution.executedPlan.toString
+    // map-side combine: partial HashAggregate below the exchange, so
+    // the shuffle carries ≤ dims² rows per partition, never per record
+    assert(plan.split("HashAggregate").length - 1 >= 2, plan.take(2000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"$exchanges exchanges\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q171 pmi: token total broadcasts; no cartesian pair blow-up") {
+    val plan = physical("q171_pmi_pairs")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the 1-row n_total frame joins as a broadcast nested loop
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // distributed top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q174 novelty: keyed shuffles only — no cartesian, bounded exchanges") {
+    val plan = physical("q174_ngram_novelty")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // distinct + first-doc agg + join-back + per-doc fold + final sort
+    assert(exchanges <= 6, s"$exchanges exchanges\n${plan.take(3000)}")
+  }
 }
