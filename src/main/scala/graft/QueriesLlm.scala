@@ -3318,6 +3318,29 @@ object QueriesLlm {
       SELECT contained_id, container_id, containment FROM cont
       WHERE containment >= 0.8 ORDER BY contained_id, container_id"""))
 
+  /** All-but-the-top (Mu & Viswanath) applied: every embedding minus
+    * its top-component projection; the oracle recomputes proj and the
+    * residual norm with the identical per-row ascending-index folds
+    * on top of the shared power-iteration chain. */
+  private val q177 = Q("q177_pca_remove",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (v, _) = Pca.topComponent(emb, dims = PcaDims, iters = PcaIters)
+      Pca.removeTop(emb, v)
+        .select(col("vec_id"), col("proj"), col("resid_norm"))
+        .orderBy("vec_id")
+    },
+    Some(pcaOracleChain(PcaDims, PcaIters) + s"""
+      SELECT vec_id, proj,
+             sqrt(list_sum(list_transform(generate_series(1,$PcaDims), i ->
+               (CAST(embedding[i] AS DOUBLE) - proj * (s * v[i])) *
+               (CAST(embedding[i] AS DOUBLE) - proj * (s * v[i]))))) AS resid_norm
+      FROM (SELECT vec_id, embedding, s, v,
+              s * list_sum(list_transform(generate_series(1,$PcaDims), i ->
+                CAST(embedding[i] AS DOUBLE) * v[i])) AS proj
+            FROM embeddings, vt, sgn) pr
+      ORDER BY vec_id"""))
+
   /** Median/MAD robust outlier flags on doc length per source —
     * the heavy-tail-safe alternative to z-scores. */
   private val q176 = Q("q176_mad_outliers",
@@ -3342,5 +3365,5 @@ object QueriesLlm {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176)
+    q171, q172, q173, q174, q175, q176, q177)
 }

@@ -124,4 +124,19 @@ object Pca {
       embedCol: String = "embedding", outCol: String = "proj"): DataFrame =
     corpus.withColumn(outCol,
       Similarity.dot(col(embedCol), array(loadings.map(lit(_)): _*)))
+
+  /** All-but-the-top completion: x′ = x − (x·v)v per row, with the
+    * projection and the residual norm riding along. Like [[project]]
+    * a narrow map — the component is a literal, every fold is the
+    * deterministic ascending-index order, zero shuffle; at 100 TB
+    * this fuses into the scan stage. */
+  def removeTop(corpus: DataFrame, loadings: Array[Double],
+      embedCol: String = "embedding"): DataFrame = {
+    val vLit = array(loadings.map(lit(_)): _*)
+    corpus
+      .withColumn("proj", Similarity.dot(col(embedCol), vLit))
+      .withColumn("residual", zip_with(col(embedCol), vLit,
+        (x, v) => x.cast("double") - col("proj") * v))
+      .withColumn("resid_norm", Similarity.norm(col("residual")))
+  }
 }

@@ -72,6 +72,28 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("removeTop: residual is orthogonal to the component, Pythagoras holds") {
+    val (v, _) = Pca.topComponent(emb)
+    val out = Pca.removeTop(emb, v)
+      .select(col("vec_id"), col("embedding"), col("proj"),
+        col("residual"), col("resid_norm"))
+      .collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      val x = r.getSeq[Float](1)
+      val proj = r.getDouble(2)
+      val resid = r.getSeq[Double](3)
+      // residual ⊥ component
+      val rd = resid.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(rd) < 1e-9, s"vec ${r.getLong(0)}: resid·v = $rd")
+      // ‖x‖² = proj² + ‖resid‖² (v is unit-norm)
+      val xx = x.map(f => f.toDouble * f.toDouble).sum
+      val rn = r.getDouble(4)
+      assert(math.abs(xx - (proj * proj + rn * rn)) < 1e-9,
+        s"vec ${r.getLong(0)}: pythagoras off")
+    }
+  }
+
   test("pmiPairs ranks a planted collocation above independent pairs") {
     import spark.implicits._
     // "aa bb" always adjacent (perfect collocation); "cc"/"dd" frequent
