@@ -3358,6 +3358,38 @@ object QueriesLlm {
       SELECT doc_id, source, med, mad, absdev > 3.0 * mad AS is_outlier
       FROM dev JOIN mad USING (source) ORDER BY doc_id"""))
 
+  /** Sparse all-pairs document cosine over df-capped bigram postings
+    * (the DIMSUM-style related-documents join): see
+    * [[TextAnalysis.sparseCosinePairs]]. */
+  private val q178 = Q("q178_sparse_cosine",
+    (s, dir) => TextAnalysis.sparseCosinePairs(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("id_a", "id_b"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS term
+             FROM arr),
+      p0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+      keep AS (SELECT term FROM p0 GROUP BY term HAVING COUNT(*) <= 12),
+      p AS (SELECT p0.* FROM p0 JOIN keep USING (term)),
+      nrm AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+              FROM p GROUP BY 1),
+      num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(SUM(a.tf * b.tf) AS BIGINT) AS num
+              FROM p a JOIN p b USING (term)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT id_a, id_b,
+               CAST(num AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                 AS cosine
+        FROM num JOIN nrm na ON na.doc_id = id_a
+                 JOIN nrm nb ON nb.doc_id = id_b)
+      WHERE cosine >= 0.5 ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -3365,5 +3397,5 @@ object QueriesLlm {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177)
+    q171, q172, q173, q174, q175, q176, q177, q178)
 }

@@ -1385,6 +1385,24 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("sparseCosinePairs: rare-term overlap pairs, ubiquitous terms pruned") {
+    import spark.implicits._
+    // every doc shares "common word" (df = 20 > maxDf → pruned); only
+    // docs 1 and 2 share the rare "word rare"/"rare marker" bigrams
+    val filler = (3 to 20).map(i =>
+      (i.toLong, s"common word common word unique$i tail$i"))
+    val d = (Seq(
+      (1L, "common word rare marker common word"),
+      (2L, "common word rare marker tail two")) ++ filler)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(d, "doc_id", "text").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      out.mkString(","))
+    // pruned vectors: doc1 {word rare, rare marker, marker common},
+    // doc2 {word rare, rare marker, marker tail, tail two} → 2/√12
+    assert(math.abs(out.head.getDouble(2) - 2.0 / math.sqrt(12.0)) < 1e-15)
+  }
+
   test("madOutliers flags only far-from-median rows, robust to the outlier itself") {
     import spark.implicits._
     val d = ((1 to 9).map(i => (i.toLong, "s", 100 + i)) :+ ((10L, "s", 10000)))
