@@ -3358,6 +3358,118 @@ object QueriesLlm {
       SELECT doc_id, source, med, mad, absdev > 3.0 * mad AS is_outlier
       FROM dev JOIN mad USING (source) ORDER BY doc_id"""))
 
+  /** Per-source total-variation distance from the corpus unigram
+    * distribution (domain-shift triage beside DSIR): see
+    * [[TextAnalysis.sourceTvd]]. Exact-BIGINT numerator, one IEEE
+    * division. */
+  private val q179 = Q("q179_source_tvd",
+    (s, dir) => TextAnalysis.sourceTvd(t(s, dir, "documents"),
+      "source", "text").orderBy("source"),
+    Some("""
+      WITH arr AS (
+        SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      tok AS (SELECT source, unnest(t) AS term FROM arr),
+      st AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      g AS (SELECT term, CAST(SUM(c) AS BIGINT) AS gc FROM st GROUP BY 1),
+      stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s FROM st GROUP BY 1),
+      gtot AS (SELECT CAST(SUM(c) AS BIGINT) AS gt FROM st),
+      parts AS (
+        SELECT st.source,
+               CAST(SUM(abs(st.c * gtot.gt - g.gc * stot.s)) AS BIGINT)
+                 AS present,
+               CAST(SUM(g.gc) AS BIGINT) AS gsum
+        FROM st JOIN g USING (term) JOIN stot USING (source) CROSS JOIN gtot
+        GROUP BY 1)
+      SELECT p.source, stot.s AS n_tokens,
+             CAST(p.present + stot.s * (gtot.gt - p.gsum) AS DOUBLE)
+               / (2.0 * CAST(stot.s AS DOUBLE) * CAST(gtot.gt AS DOUBLE))
+               AS tvd
+      FROM parts p JOIN stot USING (source) CROSS JOIN gtot
+      ORDER BY source"""))
+
+  /** Token-budget greedy selection by type-token ratio (best-first
+    * fill until the budget): see [[TextAnalysis.budgetSelect]]. The
+    * oracle replays the straddle rule — kept iff the budget is not
+    * exhausted before the doc. */
+  private val q180 = Q("q180_budget_select",
+    (s, dir) => TextAnalysis.budgetSelect(t(s, dir, "documents"),
+      "doc_id", "text", budgetTokens = 15000L)
+      .orderBy(col("score").desc, col("doc_id")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\s+')))
+                 AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS DOUBLE) AS score
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens, score,
+              CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM b)
+      SELECT doc_id, n_tokens, score, cum_tokens FROM c
+      WHERE cum_tokens - n_tokens < 15000
+      ORDER BY score DESC, doc_id"""))
+
+  /** Vocabulary coverage curve — smallest frequency-ranked vocab
+    * reaching each integer-percent token-mass threshold: see
+    * [[TextAnalysis.vocabCoverage]]. All-BIGINT reach test
+    * (cum·100 ≥ pct·total). */
+  private val q181 = Q("q181_vocab_coverage",
+    (s, dir) => TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")
+      .orderBy("pct"),
+    Some("""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tc),
+      r AS (SELECT term, c,
+              CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT) AS rk,
+              CAST(SUM(c) OVER (ORDER BY c DESC, term
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM tc),
+      p AS (SELECT CAST(unnest([50, 80, 90, 95, 99]) AS BIGINT) AS pct)
+      SELECT p.pct, MIN(r.rk) AS vocab_size,
+             CAST(arg_min(r.cum, r.rk) AS BIGINT) AS covered_tokens,
+             CAST(arg_min(r.cum, r.rk) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+               AS coverage
+      FROM p CROSS JOIN tot CROSS JOIN r
+      WHERE r.cum * 100 >= p.pct * tot.total
+      GROUP BY p.pct, tot.total ORDER BY pct"""))
+
+  /** Pairwise cosine between per-label embedding centroids (the
+    * domain-similarity matrix before mixture weighting): see
+    * [[Similarity.groupCentroidCosine]]. Per-dim exact decimal sums,
+    * ascending-dim double folds. */
+  private val q182 = Q("q182_centroid_cosine",
+    (s, dir) => Similarity.groupCentroidCosine(t(s, dir, "embeddings"),
+      "label", "embedding", dims = 64)
+      .orderBy("grp_a", "grp_b"),
+    Some("""
+      WITH sums AS (
+        SELECT label, i.i AS dim,
+               CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                 AS DECIMAL(30,12))) AS DECIMAL(38,12)) AS s
+        FROM embeddings, generate_series(1, 64) i(i)
+        GROUP BY 1, 2),
+      cent AS (
+        SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS cvec
+        FROM sums GROUP BY 1)
+      SELECT a.label AS grp_a, b.label AS grp_b,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> a.cvec[i] * b.cvec[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> a.cvec[i] * a.cvec[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> b.cvec[i] * b.cvec[i])))) AS cosine
+      FROM cent a JOIN cent b ON a.label < b.label
+      ORDER BY grp_a, grp_b"""))
+
   /** Sparse all-pairs document cosine over df-capped bigram postings
     * (the DIMSUM-style related-documents join): see
     * [[TextAnalysis.sparseCosinePairs]]. */
@@ -3397,5 +3509,5 @@ object QueriesLlm {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

@@ -1285,4 +1285,38 @@ object Similarity {
     }
     picked.toSeq.toDF("sel_rank", "vec_id", "min_dist")
   }
+
+  /** Pairwise cosine between per-group embedding centroids — the
+    * domain-similarity matrix a mixture designer reads before setting
+    * sampling weights (two sources whose centroid directions nearly
+    * coincide are redundant; an outlier direction is a coverage gap).
+    * The cosine of the SUM vectors equals the cosine of the means —
+    * the 1/n scalings cancel — so no division touches the aggregate.
+    *
+    * Scale shape: one posexplode + (group, dim)-keyed exact decimal
+    * sum (map-side combined; shuffle ≤ |groups|·dims rows), then the
+    * |groups|²-pair fold runs on a frame of |groups| rows — broadcast
+    * territory no matter the corpus size. Determinism: per-dim sums
+    * are exact DECIMAL(30,12) (the q167/Pca dsum discipline), cast to
+    * double once; the pair fold is the ascending-dim native
+    * [[dot]]. */
+  def groupCentroidCosine(vectors: DataFrame, groupCol: String,
+      embedCol: String = "embedding", dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val sums = vectors
+      .select(col(groupCol).as("grp"),
+        posexplode(slice(col(embedCol), 1, dims)).as(Seq("dim", "v")))
+      .groupBy("grp", "dim")
+      .agg(sum(col("v").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 12))).as("s"))
+    val cent = sums.groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+        e => e.getField("s").cast("double")).as("cvec"))
+    val a = cent.select(col("grp").as("grp_a"), col("cvec").as("va"))
+    val b = cent.select(col("grp").as("grp_b"), col("cvec").as("vb"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        (dot(col("va"), col("vb")) /
+          (norm(col("va")) * norm(col("vb")))).as("cosine"))
+  }
 }

@@ -838,4 +838,136 @@ object TextAnalysis {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-source total-variation distance of the source's unigram
+    * distribution from the whole-corpus distribution — the
+    * domain-shift readout beside DSIR's importance weights: TVD = ½
+    * Σ_t |p_s(t) − p(t)| ∈ [0, 1], 0 = the source looks exactly like
+    * the corpus, 1 = disjoint vocabulary. The curation use is triage:
+    * a crawl slice whose TVD jumps between snapshots changed its
+    * content mix and needs a re-sampled quality audit.
+    *
+    * Exactness: with c = per-(source, term) count, g = global term
+    * count, S = source tokens, G = corpus tokens,
+    * TVD·2SG = Σ_{t∈s} |c·G − g·S| + S·(G − Σ_{t∈s} g) — the second
+    * term is the mass of corpus terms ABSENT from the source. Both
+    * terms are exact BIGINT sums; the single IEEE division at the end
+    * is the only float op, so hashes cross-engine.
+    *
+    * Scale shape: per-(source, term) counts partial-aggregate
+    * map-side; the term-keyed join hits the vocabulary-sized
+    * aggregate, never the token stream; source totals and the grand
+    * total are |sources|-row / 1-row broadcasts. At 100 TB the BIGINT
+    * products bound the corpus at ~3·10⁹ tokens per 2⁶³ — past that,
+    * swap the two product columns to DECIMAL(38,0); the plan shape is
+    * already the scale form. */
+  def sourceTvd(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("c"))
+    val g = st.groupBy("term").agg(sum("c").as("gc"))
+    val stot = st.groupBy("grp").agg(sum("c").as("s"))
+    val gtot = st.agg(sum("c").as("gt"))
+    val parts = st.join(g, Seq("term"))
+      .join(broadcast(stot), Seq("grp"))
+      .crossJoin(broadcast(gtot))
+      .groupBy("grp")
+      .agg(sum(abs(col("c") * col("gt") - col("gc") * col("s"))).as("present"),
+        sum(col("gc")).as("gsum"))
+    parts.join(broadcast(stot), Seq("grp")).crossJoin(broadcast(gtot))
+      .select(col("grp").as(groupCol), col("s").as("n_tokens"),
+        ((col("present") + col("s") * (col("gt") - col("gsum"))).cast("double")
+          / (lit(2.0) * col("s").cast("double") * col("gt").cast("double")))
+          .as("tvd"))
+  }
+
+  /** Token-budget-constrained greedy selection: rank documents by a
+    * quality score (here type-token ratio — lexical diversity, the
+    * cheap proxy that already rides q167's entropy) and keep the
+    * best-first prefix whose cumulative token count fits the budget —
+    * the "fill the training run" step after filtering: a budget is
+    * what a compute allocation actually gives you, not a doc count.
+    * Emits the selected docs with score and running token total
+    * (straddle rule: a doc is kept iff the budget is not yet exhausted
+    * BEFORE it, ±1-doc tolerance like [[graft.llm.Corpus.tokenShards]]).
+    *
+    * Scale shape: the global best-first running sum is the two-level
+    * prefix sum (tokenShards discipline) with ORDER-PRESERVING score
+    * bands — floor(score·bands) buckets descend with the score, the
+    * in-band window shuffles once on the band key, and the only
+    * unpartitioned window runs over `bands` band totals, never the
+    * corpus. Determinism: score is one IEEE division of exact counts;
+    * ties break on doc id. */
+  def budgetSelect(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, budgetTokens: Long, bands: Int = 256): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")).as("score"))
+      .withColumn("__bk", floor(col("score") * bands).cast("long"))
+    val w = Window.partitionBy(col("__bk"))
+      .orderBy(col("score").desc, col(idCol))
+    val wb = Window.orderBy(col("__bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__bk").agg(sum("n_tokens").as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wb), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    base.withColumn("__cum_in", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), Seq("__bk"))
+      .withColumn("cum_tokens", col("__off") + col("__cum_in"))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(col(idCol), col("n_tokens"), col("score"), col("cum_tokens"))
+  }
+
+  /** Vocabulary coverage curve: for each integer percentage threshold,
+    * the smallest frequency-ranked vocabulary (count desc, term asc)
+    * whose cumulative token mass reaches it — the sizing readout a
+    * tokenizer budget decision reads (how many types cover 95% of the
+    * stream) and the long-tail health check beside q167's entropy.
+    *
+    * Exactness: the reach test is `cum·100 ≥ pct·total` — all BIGINT,
+    * no float thresholds; `coverage` is one IEEE division reported for
+    * the curve.
+    *
+    * Scale shape: term counts partial-aggregate map-side; the ranking
+    * runs the two-level prefix sum over ORDER-PRESERVING count bands
+    * (binary magnitude of the count — `length(bin(c))` — descends with
+    * the count, and bands partition count values so cross-band ties
+    * are impossible); the threshold probe is a |vocab|×|pcts| fold.
+    * The only unpartitioned window is over band totals. */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      pcts: Seq[Int] = Seq(50, 80, 90, 95, 99)): org.apache.spark.sql.DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percentages in [1,100], got $pcts")
+    val tc = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .withColumn("__bk", length(bin(col("c"))).cast("long"))
+    val w = Window.partitionBy(col("__bk")).orderBy(col("c").desc, col("term"))
+    val wb = Window.orderBy(col("__bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tc.groupBy("__bk")
+      .agg(sum("c").as("__tot"), count(lit(1)).as("__n"))
+      .withColumn("__toff", coalesce(sum(col("__tot")).over(wb), lit(0L)))
+      .withColumn("__roff", coalesce(sum(col("__n")).over(wb), lit(0L)))
+      .select(col("__bk"), col("__toff"), col("__roff"))
+    val ranked = tc
+      .withColumn("__cum_in", sum(col("c")).over(w))
+      .withColumn("__rk_in", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("__bk"))
+      .select((col("__roff") + col("__rk_in")).as("rank"),
+        (col("__toff") + col("__cum_in")).as("cum"))
+    val total = tc.agg(sum("c").as("total"))
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val p = pcts.map(_.toLong).toDF("pct")
+    ranked.crossJoin(broadcast(total)).crossJoin(broadcast(p))
+      .filter(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy("pct")
+      .agg(min(col("rank")).as("vocab_size"),
+        min_by(col("cum"), col("rank")).as("covered_tokens"),
+        (min_by(col("cum"), col("rank")).cast("double") /
+          first(col("total")).cast("double")).as("coverage"))
+  }
 }

@@ -1403,6 +1403,179 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out.head.getDouble(2) - 2.0 / math.sqrt(12.0)) < 1e-15)
   }
 
+  test("sourceTvd: single source is 0, disjoint halves are 0.5, hand case exact") {
+    import spark.implicits._
+    val solo = Seq((1L, "s", "a b a")).toDF("doc_id", "source", "text")
+    val r0 = TextAnalysis.sourceTvd(solo, "source", "text").collect()
+    assert(r0.length == 1 && r0.head.getAs[Double]("tvd") == 0.0)
+    // A = {a,b}, B = {c,d}, equal sizes: each source owns half the mass
+    val halves = Seq((1L, "A", "a b"), (2L, "B", "c d"))
+      .toDF("doc_id", "source", "text")
+    val rh = TextAnalysis.sourceTvd(halves, "source", "text").collect()
+    assert(rh.forall(_.getAs[Double]("tvd") == 0.5), rh.mkString(","))
+    // A = "a a b" vs corpus {a:3,b:1,c:1}: ½(|2/3−3/5| + |1/3−1/5| + 1/5) = 0.2
+    val mixed = Seq((1L, "A", "a a b"), (2L, "B", "a c"))
+      .toDF("doc_id", "source", "text")
+    val ra = TextAnalysis.sourceTvd(mixed, "source", "text")
+      .filter(col("source") === "A").head
+    assert(ra.getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(ra.getAs[Double]("tvd") - 0.2) < 1e-15)
+  }
+
+  test("budgetSelect: best-first order, straddle kept, budget-exhausted dropped") {
+    import spark.implicits._
+    // scores: d1 = 1.0 (4 distinct/4), d2 = 0.75, d3 = 0.5, d4 = 0.25
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a a b c"), (3L, "a a b b"), (4L, "a a a b"))
+      .toDF("doc_id", "text")
+    // budget 10: cum 4, 8, 12, 16 → d3 straddles (8 < 10) and is kept,
+    // d4 starts at 12 ≥ 10 and is dropped
+    val out = TextAnalysis.budgetSelect(d, "doc_id", "text", 10L)
+      .orderBy(col("score").desc, col("doc_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(4L, 8L, 12L))
+    assert(out.map(_.getAs[Double]("score")).toSeq == Seq(1.0, 0.75, 0.5))
+    // exact-boundary budget: cum-before == budget is exhausted, not straddle
+    val out8 = TextAnalysis.budgetSelect(d, "doc_id", "text", 8L).collect()
+    assert(out8.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("budgetSelect fixture run matches the single-pass window reference") {
+    val got = TextAnalysis.budgetSelect(docs, "doc_id", "text", 15000L)
+      .orderBy("doc_id").collect()
+    // reference: plain global window, no banding
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val base = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n"),
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sc").desc, col("doc_id"))
+    val want = base.withColumn("cum", sum("n").over(w))
+      .filter(col("cum") - col("n") < 15000L).orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      assert(g.getAs[Long]("cum_tokens") == e.getAs[Long]("cum"))
+    }
+  }
+
+  test("property: budgetSelect banded prefix sum equals the single-threaded greedy walk") {
+    // The band arithmetic (floor(score·bands) bucketing, descending
+    // offset table, straddle rule) is the ±1 kernel; bands=8 forces
+    // many docs per band, random short texts force score ties that
+    // must break on doc id identically in both formulations.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    val gDoc = for {
+      nw <- Gen.choose(1, 10)
+      ts <- Gen.listOfN(nw, Gen.oneOf("a", "b", "c", "d"))
+    } yield ts.mkString(" ")
+    for (trial <- 0 to 2) {
+      val texts = draw(gDoc, 977L + trial, 50).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val budget = Seq(30L, 90L, 100000L)(trial)
+      val got = TextAnalysis.budgetSelect(texts.toDF("doc_id", "text"),
+          "doc_id", "text", budget, bands = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val scored = texts.map { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        (id, toks.length.toLong, toks.distinct.length.toDouble / toks.length)
+      }.sortBy { case (id, _, sc) => (-sc, id) }
+      var cum = 0L
+      val expect = scored.flatMap { case (id, n, sc) =>
+        val before = cum
+        cum += n
+        if (before < budget) Some((id, n, sc, cum)) else None
+      }.toSet
+      assert(got == expect, s"trial $trial budget $budget: " +
+        s"got-extra=${got -- expect} missing=${expect -- got}")
+    }
+  }
+
+  test("property: vocabCoverage banded ranking equals the single-threaded curve") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    // zipf-ish: few hot terms + a long unique tail → counts straddle
+    // several binary-magnitude bands, incl. exact powers of two
+    val gTok = Gen.frequency(
+      (6, Gen.oneOf("the", "of")), (3, Gen.oneOf("x", "y", "z")),
+      (2, Gen.choose(0, 400).map(i => s"w$i")))
+    for (trial <- 0 to 1) {
+      val texts = draw(gTok, 1409L + trial, 600)
+        .grouped(12).zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq
+      val pcts = Seq(1, 37, 50, 99, 100)
+      val got = TextAnalysis.vocabCoverage(texts.toDF("doc_id", "text"),
+          "text", pcts).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val counts = texts.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+        .toSeq.sortBy { case (t, c) => (-c, t) }
+      val total = counts.map(_._2).sum
+      var cum = 0L
+      val curve = counts.zipWithIndex.map { case ((_, c), i) =>
+        cum += c; (i + 1L, cum)
+      }
+      val expect = pcts.map { p =>
+        val (rk, cv) = curve.find { case (_, cv) => cv * 100 >= p * total }.get
+        (p.toLong, rk, cv, cv.toDouble / total.toDouble)
+      }.toSet
+      assert(got == expect, s"trial $trial: got-extra=${got -- expect} " +
+        s"missing=${expect -- got}")
+    }
+  }
+
+  test("vocabCoverage: hand-computed curve on a:3 b:2 c:1") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d, "text", Seq(50, 80, 90, 99))
+      .orderBy("pct").collect()
+    // total 6: 50% → a (cum 3), 80% → a,b (cum 5), 90%/99% → all 3 (cum 6)
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("vocab_size"),
+      r.getAs[Long]("covered_tokens"))).toSeq ==
+      Seq((50L, 1L, 3L), (80L, 2L, 5L), (90L, 3L, 6L), (99L, 3L, 6L)))
+    assert(out.head.getAs[Double]("coverage") == 0.5)
+    // count-desc/term-asc tie-break: equal counts rank alphabetically
+    val ties = Seq((1L, "b a b a")).toDF("doc_id", "text")
+    val t50 = TextAnalysis.vocabCoverage(ties, "text", Seq(50)).head
+    assert(t50.getAs[Long]("vocab_size") == 1L &&
+      t50.getAs[Long]("covered_tokens") == 2L)
+  }
+
+  test("groupCentroidCosine: aligned, diagonal, and orthogonal centroids") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1, Array(1.0f, 0.0f)), (2L, 1, Array(1.0f, 0.0f)),
+      (3L, 2, Array(1.0f, 1.0f)),
+      (4L, 3, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.groupCentroidCosine(d, "label", "embedding", dims = 2)
+      .orderBy("grp_a", "grp_b").collect()
+    val m = out.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // label1 sum (2,0); label2 (1,1); label3 (0,2)
+    assert(math.abs(m((1, 2)) - 1.0 / math.sqrt(2.0)) < 1e-15)
+    assert(m((1, 3)) == 0.0)
+    assert(math.abs(m((2, 3)) - 1.0 / math.sqrt(2.0)) < 1e-15)
+  }
+
   test("madOutliers flags only far-from-median rows, robust to the outlier itself") {
     import spark.implicits._
     val d = ((1 to 9).map(i => (i.toLong, "s", 100 + i)) :+ ((10L, "s", 10000)))

@@ -554,4 +554,45 @@ class PlanQualitySpec extends AnyFunSuite {
     // distinct + first-doc agg + join-back + per-doc fold + final sort
     assert(exchanges <= 6, s"$exchanges exchanges\n${plan.take(3000)}")
   }
+
+  test("q179 tvd: term join keyed, totals broadcast — no cartesian data pair") {
+    val plan = physical("q179_source_tvd")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // stot (|sources|-row) and gtot (1-row) must broadcast, never shuffle
+    // the vocabulary against them
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q180 budget select: window partitions on the score band, never one global sort of the corpus") {
+    val plan = physical("q180_budget_select")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the data-sized window must carry the band partition key; only the
+    // band-total offset table (≤ bands rows) may run unpartitioned
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("n_tokens")).toSeq
+    assert(dataWindows.forall(_.contains("__bk")),
+      dataWindows.mkString("\n"))
+  }
+
+  test("q181 vocab coverage: rank/cum windows partition on the count band") {
+    val plan = physical("q181_vocab_coverage")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__bk")),
+      dataWindows.mkString("\n"))
+  }
+
+  test("q182 centroid cosine: pair fold runs on |groups|-row frames after the keyed dim aggregate") {
+    val plan = physical("q182_centroid_cosine")
+    // the groups² pair join is tiny-side broadcast (range condition →
+    // nested loop is fine at |groups| rows); the corpus-sized work is
+    // the (grp, dim) hash aggregate with a partial phase
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
