@@ -1365,7 +1365,7 @@ object QueriesLlm {
                                  (SELECT rep FROM m$r)) END AS s
         FROM s$r)"""
     }.mkString(",\n      ")
-    s"""arrd AS MATERIALIZED (SELECT doc_id, text,
+    s"""arrd AS MATERIALIZED (SELECT doc_id, text, lang,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
              FROM documents),
       wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -1436,6 +1436,47 @@ object QueriesLlm {
              CAST(length(d.text) AS DOUBLE) / c.n_bpe AS chars_per_token
       FROM arrd d JOIN cnts c USING (doc_id)
       ORDER BY d.doc_id"""))
+
+  /** Per-language BPE fertility (tokens per whitespace word) — the
+    * tokenizer-fit readout a multilingual curation pass reads: a
+    * language whose fertility spikes is underserved by the merge
+    * vocabulary (its words shatter toward characters), which inflates
+    * its effective cost per document and starves it of context
+    * window. Same trained codec and codegen encode as q120; the
+    * per-language fold is a |langs|-row aggregate, fertility one IEEE
+    * division of exact BIGINT sums. */
+  private val q183 = Q("q183_bpe_fertility",
+    (s, dir) => {
+      val codec = BpeCache.get(s, dir, 40)
+      val docs = t(s, dir, "documents")
+      val enc = graft.llm.Bpe.encodeColumn(s, codec, col("text"))
+      docs.select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("ws"),
+          size(enc).cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("n_ws_tokens"),
+          sum("bpe").as("n_bpe_tokens"))
+        .withColumn("fertility", col("n_bpe_tokens").cast("double") /
+          col("n_ws_tokens").cast("double"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${bpeTrainReplayCtes(40)},
+      enc AS MATERIALIZED (SELECT word,
+                len(regexp_extract_all(s, '\\[([^\\]]*)\\]', 1)) AS ntok
+              FROM s40),
+      stream AS MATERIALIZED (SELECT doc_id, unnest(tk) AS word FROM arrd),
+      cnts AS (SELECT doc_id, CAST(sum(e.ntok) AS BIGINT) AS n_bpe
+               FROM stream st JOIN enc e USING (word) GROUP BY doc_id)
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(d.tk)) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(c.n_bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(c.n_bpe) AS DOUBLE) / CAST(SUM(len(d.tk)) AS DOUBLE)
+               AS fertility
+      FROM arrd d JOIN cnts c USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang"""))
 
   /** Data-mixture sampling (per-source keep rates, md5-decided): the
     * corpus-assembly step that turns raw sources into a weighted
@@ -3509,5 +3550,6 @@ object QueriesLlm {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
+    q183)
 }

@@ -111,4 +111,35 @@ class BpeSpec extends AnyFunSuite {
       .mkString.replace(Bpe.EndOfWord, " ").trim
     assert(rebuilt == "hello hello world")
   }
+
+  test("per-language fertility aggregate equals driver-side per-doc encode sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "low lower low"), (2L, "en", "newest widest"),
+      (3L, "de", "lowest newest newest"))
+      .toDF("doc_id", "lang", "text")
+    val wc = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val codec = new BpeCodec(Bpe.train(wc, 6).toArray)
+    val enc = Bpe.encodeColumn(spark, codec, col("text"))
+    val got = docs.select(col("lang"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ws"),
+        size(enc).cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(sum("ws").as("n_ws"), sum("bpe").as("n_bpe"))
+      .collect().map(r => (r.getString(0),
+        (r.getAs[Long]("n_ws"), r.getAs[Long]("n_bpe")))).toMap
+    val expect = Seq((1L, "en", "low lower low"), (2L, "en", "newest widest"),
+      (3L, "de", "lowest newest newest"))
+      .groupBy(_._2)
+      .map { case (lang, rows) =>
+        val ws = rows.map(_._3.trim.toLowerCase.split("\\s+").length.toLong).sum
+        val bpe = rows.map(r => codec.encodeText(r._3).length.toLong).sum
+        (lang, (ws, bpe))
+      }
+    assert(got == expect, s"got=$got expect=$expect")
+    // every word is at least one symbol: fertility ≥ 1 per language
+    got.values.foreach { case (ws, bpe) => assert(bpe >= ws) }
+  }
 }
