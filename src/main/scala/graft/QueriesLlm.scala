@@ -1478,6 +1478,83 @@ object QueriesLlm {
       FROM arrd d JOIN cnts c USING (doc_id)
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** Quality-cascade funnel (repetition → language match → junk
+    * floor): the per-stage survivor readout of a curation pipeline —
+    * see [[TextAnalysis.filterFunnel]]. Oracle composes the q114
+    * repetition replay, the q18 marker-vote language id, and the q52
+    * junk signals into the same conditional-sum fold. */
+  private val q184 = Q("q184_filter_funnel",
+    (s, dir) => TextAnalysis.filterFunnel(t(s, dir, "documents"),
+      "doc_id", "text", "lang").orderBy("stage"),
+    Some {
+      val markers = TextAnalysis.langMarkers
+      val scoreDefs = markers.map { case (l, ms) =>
+        s"len(list_filter(t, tok -> tok IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$l"
+      }.mkString(",\n               ")
+      val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+      val cases = markers.map { case (l, _) =>
+        s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+      }.mkString("\n                    ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+             FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+      ts AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                    CAST(MAX(cnt) AS BIGINT) AS topc
+             FROM tc GROUP BY 1),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+             FROM toks),
+      bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+      bs AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nb,
+                    CAST(COUNT(*) AS BIGINT) AS db
+             FROM bc GROUP BY 1),
+      scored AS (
+        SELECT doc_id, lang, text, t,
+               $scoreDefs
+        FROM toks),
+      flags AS (
+        SELECT sc.doc_id,
+               CAST(len(sc.t) AS BIGINT) AS nt,
+               CAST(len(list_distinct(sc.t)) AS DOUBLE) / len(sc.t) AS dr,
+               len(regexp_extract_all(sc.text, '[0-9]{4,}')) AS dg,
+               (CAST(ts.topc AS DOUBLE) / ts.n_tokens > 0.2
+                OR COALESCE(1.0 - CAST(bs.db AS DOUBLE) / bs.nb > 0.3, FALSE))
+                 AS repflag,
+               (CASE $cases
+                     ELSE 'und' END) = sc.lang AS langok
+        FROM scored sc JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)),
+      p AS (SELECT nt,
+                   NOT repflag AS p1,
+                   (NOT repflag AND langok) AS p2,
+                   (NOT repflag AND langok AND dr >= 0.3 AND dg <= 5) AS p3
+            FROM flags),
+      a AS (SELECT
+              CAST(COUNT(*) AS BIGINT) AS c0, CAST(SUM(nt) AS BIGINT) AS t0,
+              CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              CAST(SUM(CASE WHEN p1 THEN nt ELSE 0 END) AS BIGINT) AS t1,
+              CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+              CAST(SUM(CASE WHEN p2 THEN nt ELSE 0 END) AS BIGINT) AS t2,
+              CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+              CAST(SUM(CASE WHEN p3 THEN nt ELSE 0 END) AS BIGINT) AS t3
+            FROM p)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+               c0 AS n_docs, t0 AS n_tokens,
+               CAST(c0 AS DOUBLE) / CAST(c0 AS DOUBLE) AS doc_frac FROM a
+        UNION ALL SELECT CAST(1 AS BIGINT), 'repetition', c1, t1,
+               CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM a
+        UNION ALL SELECT CAST(2 AS BIGINT), 'lang_match', c2, t2,
+               CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM a
+        UNION ALL SELECT CAST(3 AS BIGINT), 'quality', c3, t3,
+               CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM a)
+      ORDER BY stage"""
+    })
+
   /** Data-mixture sampling (per-source keep rates, md5-decided): the
     * corpus-assembly step that turns raw sources into a weighted
     * training mixture. Zero-shuffle filter. */
@@ -3551,5 +3628,5 @@ object QueriesLlm {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-    q183)
+    q183, q184)
 }

@@ -921,6 +921,57 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("score"), col("cum_tokens"))
   }
 
+  /** Filter-cascade funnel: survivor counts and token mass after each
+    * stage of a quality pipeline — the observability table a curation
+    * run publishes so a mixture owner can see WHERE the corpus went
+    * (repetition kill? language mismatch? junk signals?) before
+    * debating the thresholds. Stages compose left-to-right exactly
+    * like the production cascade: (1) Gopher repetition pass, (2) +
+    * predicted language matches the declared one, (3) + junk-signal
+    * floor (distinct-token ratio, long-digit runs).
+    *
+    * Scale shape: one pass builds per-doc flags (the repetition join
+    * is the q114 shape — per-doc keyed aggregates, nothing global),
+    * then ONE 1-row aggregate with conditional sums (map-side
+    * combined) fans out to the 4-row funnel via `stack`. The funnel
+    * table itself is O(stages), never data-sized. */
+  def filterFunnel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, langCol: String, minDistinctRatio: Double = 0.3,
+      maxDigitRuns: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val rep = repetitionStats(docs, idCol, textCol)
+      .select(col(idCol), col("repetition_flagged"))
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol), col(langCol).as("__lang"),
+      size(toks).cast("long").as("__nt"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("__dr"),
+      size(regexp_extract_all(col(textCol), lit("[0-9]{4,}"), lit(0)))
+        .cast("long").as("__dg"),
+      langId(col(textCol)).as("__lp"))
+    val flagged = base.join(rep, Seq(idCol))
+      .withColumn("__p1", !col("repetition_flagged"))
+      .withColumn("__p2", col("__p1") && col("__lp") === col("__lang"))
+      .withColumn("__p3", col("__p2") && col("__dr") >= minDistinctRatio &&
+        col("__dg") <= maxDigitRuns)
+    val a = flagged.agg(
+      count(lit(1)).as("c0"), sum("__nt").as("t0"),
+      sum(when(col("__p1"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("__p1"), col("__nt")).otherwise(0L)).as("t1"),
+      sum(when(col("__p2"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("__p2"), col("__nt")).otherwise(0L)).as("t2"),
+      sum(when(col("__p3"), 1L).otherwise(0L)).as("c3"),
+      sum(when(col("__p3"), col("__nt")).otherwise(0L)).as("t3"))
+    a.selectExpr(
+      """stack(4,
+           0L, 'all', c0, t0,
+           1L, 'repetition', c1, t1,
+           2L, 'lang_match', c2, t2,
+           3L, 'quality', c3, t3) AS (stage, stage_name, n_docs, n_tokens)""",
+      "c0 AS __total")
+      .withColumn("doc_frac",
+        col("n_docs").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+  }
+
   /** Vocabulary coverage curve: for each integer percentage threshold,
     * the smallest frequency-ranked vocabulary (count desc, term asc)
     * whose cumulative token mass reaches it — the sizing readout a

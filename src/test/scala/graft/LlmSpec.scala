@@ -1576,6 +1576,30 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(m((2, 3)) - 1.0 / math.sqrt(2.0)) < 1e-15)
   }
 
+  test("filterFunnel: each stage removes exactly its planted offender") {
+    import spark.implicits._
+    val d = Seq(
+      // clean: passes everything
+      (1L, "en", "the cat and the dog is happy today and more"),
+      // repetition: one token is the whole doc
+      (2L, "en", "spam spam spam spam"),
+      // declared de, reads en → lang_match kills it
+      (3L, "de", "the house of stuff and things is new"),
+      // en but six long digit runs → quality kills it
+      (4L, "en",
+        "the code 12345 67890 11111 22222 33333 44444 of the file is here and now"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.filterFunnel(d, "doc_id", "text", "lang")
+      .orderBy("stage").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0L, "all", 4L), (1L, "repetition", 3L),
+        (2L, "lang_match", 2L), (3L, "quality", 1L)), out.mkString(","))
+    // token mass tracks the survivors, frac is vs the full corpus
+    assert(out(0).getAs[Double]("doc_frac") == 1.0)
+    assert(out(3).getAs[Double]("doc_frac") == 0.25)
+    assert(out(3).getAs[Long]("n_tokens") == 10L)
+  }
+
   test("madOutliers flags only far-from-median rows, robust to the outlier itself") {
     import spark.implicits._
     val d = ((1 to 9).map(i => (i.toLong, "s", 100 + i)) :+ ((10L, "s", 10000)))
