@@ -3309,7 +3309,8 @@ object QueriesLlm {
       bc AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS cab FROM bg
              GROUP BY 1, 2 HAVING COUNT(*) >= 5)
       SELECT a, b, cab, ca, cb,
-             CAST(cab * n_total AS DOUBLE) / CAST(ca * cb AS DOUBLE) AS pmi_ratio
+             (CAST(cab AS DOUBLE) * CAST(n_total AS DOUBLE))
+               / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS pmi_ratio
       FROM bc
       JOIN (SELECT w AS a, c AS ca FROM uc) USING (a)
       JOIN (SELECT w AS b, c AS cb FROM uc) USING (b)
@@ -3620,6 +3621,189 @@ object QueriesLlm {
                  JOIN nrm nb ON nb.doc_id = id_b)
       WHERE cosine >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the mixture designer's source-redundancy /
+    * drift matrix; see [[TextAnalysis.jsDivergence]] for the
+    * inner-join decomposition (shared terms + exact absent-mass
+    * correction). */
+  private val q185 = Q("q185_js_divergence",
+    (s, dir) => TextAnalysis.jsDivergence(t(s, dir, "documents"),
+      "source", "text").orderBy("src_a", "src_b"),
+    Some("""
+      WITH tk AS (SELECT source AS src,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             FROM documents),
+      cnt AS (SELECT src, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+      tot AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+      j AS (SELECT a.src AS src_a, b.src AS src_b, a.c AS ca, b.c AS cb,
+                   CAST(a.c AS DOUBLE) / CAST(ta.n AS DOUBLE) AS pa,
+                   CAST(b.c AS DOUBLE) / CAST(tb.n AS DOUBLE) AS pb
+            FROM cnt a JOIN cnt b USING (w)
+            JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src
+            WHERE a.src < b.src),
+      sh AS (SELECT src_a, src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+               CAST(SUM(CAST(0.5 * (pa * ln(2 * pa / (pa + pb))
+                                  + pb * ln(2 * pb / (pa + pb)))
+                        AS DECIMAL(30,12))) AS DOUBLE) AS ssum,
+               CAST(SUM(ca) AS BIGINT) AS sca, CAST(SUM(cb) AS BIGINT) AS scb
+             FROM j GROUP BY 1, 2)
+      SELECT ta.src AS src_a, tb.src AS src_b,
+             COALESCE(n_shared_terms, 0) AS n_shared_terms,
+             COALESCE(ssum, 0.0)
+               + 0.5 * ln(2) * (
+                   CAST(ta.n - COALESCE(sca, 0) AS DOUBLE) / CAST(ta.n AS DOUBLE)
+                 + CAST(tb.n - COALESCE(scb, 0) AS DOUBLE) / CAST(tb.n AS DOUBLE))
+               AS js
+      FROM tot ta JOIN tot tb ON ta.src < tb.src
+      LEFT JOIN sh ON sh.src_a = ta.src AND sh.src_b = tb.src
+      ORDER BY src_a, src_b"""))
+
+  /** Per-source Zipf rank-frequency slope (OLS in ln-ln space over
+    * the top-50 terms) — corpus-health / template-detection readout;
+    * see [[TextAnalysis.zipfSlope]] for the decimal-moment
+    * determinism. */
+  private val q186 = Q("q186_zipf_slope",
+    (s, dir) => TextAnalysis.zipfSlope(t(s, dir, "documents"),
+      "source", "text", topN = 50).orderBy("src"),
+    Some("""
+      WITH tk AS (SELECT source AS src,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             FROM documents),
+      cnt AS (SELECT src, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+      rk AS (SELECT src, w, c, row_number() OVER (
+               PARTITION BY src ORDER BY c DESC, w ASC) AS r FROM cnt),
+      top AS (SELECT * FROM rk WHERE r <= 50),
+      mom AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(30,12)))
+                 AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(30,12)))
+                 AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                 AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                 AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+              FROM top GROUP BY 1)
+      SELECT src, n_terms,
+             CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx <> 0
+               THEN (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+             END AS slope
+      FROM mom ORDER BY src"""))
+
+  /** Heaps'-law vocabulary growth curve (cumulative tokens vs
+    * cumulative distinct types in doc-id order) — tokenizer-budget
+    * sizing and stale-crawl detection; see
+    * [[TextAnalysis.heapsCurve]] for the banded prefix-sum shape. */
+  private val q187 = Q("q187_heaps_curve",
+    (s, dir) => TextAnalysis.heapsCurve(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM arr),
+      f AS (SELECT w, MIN(doc_id) AS fd
+            FROM (SELECT doc_id, unnest(t) AS w FROM arr) GROUP BY 1),
+      nn AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+             FROM f GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens,
+             CAST(COALESCE(nn.new_types, 0) AS BIGINT) AS new_types,
+             CAST(SUM(b.n_tokens) OVER (ORDER BY b.doc_id) AS BIGINT)
+               AS cum_tokens,
+             CAST(SUM(COALESCE(nn.new_types, 0)) OVER (ORDER BY b.doc_id)
+               AS BIGINT) AS cum_types
+      FROM base b LEFT JOIN nn USING (doc_id) ORDER BY doc_id"""))
+
+  /** Per-source rank normalization of doc length (percent_rank +
+    * deterministic ntile quartile) — the cross-source quality-score
+    * calibration step; see [[TextAnalysis.rankNormalize]]. */
+  private val q188 = Q("q188_rank_normalize",
+    (s, dir) => TextAnalysis.rankNormalize(t(s, dir, "documents"),
+      "doc_id", "source", "n_chars").orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr,
+             CAST(ntile(4) OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS BIGINT) AS tier
+      FROM documents ORDER BY doc_id"""))
+
+  /** Matryoshka truncation recall: top-10 cosine retrieval on the
+    * first 16 dims vs the full 64 — the serving-width decision
+    * readout; see [[Similarity.truncatedRecall]]. */
+  private val q189 = Q("q189_mrl_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.truncatedRecall(emb.filter(col("vec_id") < 20), emb,
+        k = 10, truncDims = 16).orderBy("query_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 20),
+      fs AS (SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+             FROM (SELECT query_id, vec_id,
+                     list_sum(list_transform(generate_series(1, 64), i ->
+                       CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                          CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                          CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+                     AS cos
+                   FROM embeddings JOIN q ON vec_id <> query_id)),
+      ts AS (SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+             FROM (SELECT query_id, vec_id,
+                     list_sum(list_transform(generate_series(1, 16), i ->
+                       CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(generate_series(1, 16), i ->
+                          CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, 16), i ->
+                          CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+                     AS cos
+                   FROM embeddings JOIN q ON vec_id <> query_id)),
+      ov AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             FROM (SELECT query_id, vec_id FROM fs WHERE rank <= 10) f
+             JOIN (SELECT query_id, vec_id FROM ts WHERE rank <= 10) t2
+               USING (query_id, vec_id)
+             GROUP BY 1)
+      SELECT q.query_id, CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+      FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id"""))
+
+  /** Winnowing fingerprints (MOSS): word 4-gram hashes, 4-window
+    * minima, distinct selected values per doc; see
+    * [[TextAnalysis.winnowFingerprints]] for the guarantee and the
+    * value-set tie-break argument. */
+  private val q190 = Q("q190_winnow_fingerprint",
+    (s, dir) => TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+      "doc_id", "text", k = 4, w = 4).orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      g AS (SELECT doc_id, p.i AS pos,
+              ('0x' || substr(md5(p.g), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 3),
+                      i -> {'i': i, 'g': array_to_string(t[i:i+3], ' ')})) AS p
+                  FROM arr WHERE len(t) >= 4)),
+      wm AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w,
+               COUNT(*) OVER (PARTITION BY doc_id) AS ng
+             FROM g),
+      sel AS (SELECT DISTINCT doc_id, ng, w FROM wm
+              WHERE pos <= greatest(ng - 3, 1)),
+      fp AS (SELECT doc_id, CAST(MAX(ng) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+               list(w ORDER BY w) AS fingerprints
+             FROM sel GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(n_grams, 0) AS n_grams,
+             COALESCE(n_fingerprints, 0) AS n_fingerprints,
+             COALESCE(fingerprints, CAST([] AS BIGINT[])) AS fingerprints
+      FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -3628,5 +3812,5 @@ object QueriesLlm {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-    q183, q184)
+    q183, q184, q185, q186, q187, q188, q189, q190)
 }

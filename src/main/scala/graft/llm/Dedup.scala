@@ -186,11 +186,19 @@ object Dedup {
         .groupBy("cluster_id")
         .agg(max_by(col(idCol),
           struct(col(scoreCol), (-col(idCol)).as("__tb"))).as("__keeper"))
+      // Materialize INSIDE the loan: the result otherwise escapes with
+      // the signature/CSE-barrier caches already unpersisted, and
+      // every later action re-runs the whole minhash/band/jaccard
+      // chain — the exact hazard withLshPairs's doc warns against.
+      // localCheckpoint pins the narrow (id, cluster, score, kept)
+      // rows — corpus-cardinality but a few dozen bytes each — so the
+      // LSH lineage is cut for good; values are written verbatim.
       base.join(keepers, Seq("cluster_id"), "left")
         .select(col(idCol),
           coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
           col(scoreCol),
           coalesce(col(idCol) === col("__keeper"), lit(true)).as("kept"))
+        .localCheckpoint(true)
     }
 
   /** Near-subset (containment) pairs over the SAME LSH candidate

@@ -1,8 +1,13 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Encoder, Encoders}
 
 /** Principal-component extraction over an embedding column — the
   * standard embedding-prep step for training-data pipelines ("remove
@@ -13,19 +18,39 @@ import org.apache.spark.sql.types.DecimalType
   * isotropy correction start from projecting onto it.
   *
   * Scale shape (the part that must survive 100 TB):
-  *  - [[secondMoment]] is ONE distributed pass. Each row expands to
-  *    its dims² outer product with every term cast to
-  *    `DECIMAL(30,12)` (Spark's own `Cast` rounding), and the
-  *    per-partition hash aggregate combines map-side — the shuffle
-  *    carries at most dims² rows *per partition*, never per record.
-  *    The exact decimal sum makes the matrix independent of partition
-  *    count and row order, so the result is bit-stable across
-  *    cluster layouts (the q125/q167 `dsum` discipline).
+  *  - [[secondMoment]] is ONE distributed pass through a typed
+  *    [[SecondMomentAggregator]] whose buffer is the dims·(dims+1)/2
+  *    upper triangle of exact decimals — O(dims²) per PARTITION, not
+  *    per record. Nothing is exploded: the r12 implementation
+  *    expanded every row to its dims² outer-product cells
+  *    (4096 rows/record pre-aggregation); this one folds each record
+  *    into the partition-local buffer in place, and the shuffle
+  *    carries one ~2k-entry buffer per map task.
+  *  - Each outer-product term is rounded to `DECIMAL`-scale 12 the
+  *    exact way Spark's double→decimal `Cast` does
+  *    (`BigDecimal.valueOf`, i.e. shortest-repr, HALF_UP) and summed
+  *    EXACTLY, so the matrix is independent of partition count and
+  *    row order — bit-stable across cluster layouts (the q125/q167
+  *    `dsum` discipline), and identical to the DuckDB oracle's
+  *    `SUM(CAST(x[i]*x[j] AS DECIMAL(30,12)))`. (One delta vs the
+  *    old decimal-typed `sum`: the exact BigDecimal accumulator
+  *    cannot overflow at 38 digits, so corpora whose cell sums exceed
+  *    1e26 now produce the true value instead of null.)
   *  - Power iteration runs on the driver over the collected dims²
   *    grid — bounded like the BPE vocab collect, O(dims²·iters)
   *    regardless of corpus size.
+  *  - [[topComponent]] results are memoized per (session, canonical
+  *    plan, params): the q172/q173/q177 family shares ONE training
+  *    pass instead of re-running it per consumer.
   *  - [[project]] is a narrow map (native [[graft.functions.DotProduct]]
   *    codegen, broadcast-free: the component ships as a literal).
+  *
+  * Malformed-corpus contract: a null embedding, an embedding with
+  * fewer than `dims` elements, or a null element inside the first
+  * `dims` positions raises a clear error instead of silently dropping
+  * cells from the moment matrix (the r12 behavior let ragged rows
+  * vanish per-cell, yielding a quietly wrong matrix the oracle could
+  * not catch). Elements beyond `dims` are ignored, as before.
   *
   * Determinism: all driver folds run in ascending-index order, the
   * same sequence the DuckDB oracle's `list_sum(list_transform(...))`
@@ -34,31 +59,125 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
+  /** One-pass typed aggregate for Σ x·xᵀ. Buffer = upper triangle
+    * (i ≤ j; the outer product is symmetric and double multiply is
+    * commutative, so mirroring at [[finish]] is exact) of exact
+    * decimal sums; output = the full dims² matrix row-major as
+    * doubles (each cell one final `doubleValue`, the same last-step
+    * cast the old decimal pipeline applied). */
+  private final class SecondMomentAggregator(dims: Int)
+      extends Aggregator[Array[Double], Array[JBigDecimal], Array[Double]] {
+    private val triSize = dims * (dims + 1) / 2
+
+    override def zero: Array[JBigDecimal] =
+      Array.fill(triSize)(JBigDecimal.ZERO)
+
+    override def reduce(b: Array[JBigDecimal], x: Array[Double]): Array[JBigDecimal] = {
+      if (x == null)
+        throw new IllegalArgumentException(
+          "Pca.secondMoment: null embedding (malformed-corpus contract)")
+      if (x.length < dims)
+        throw new IllegalArgumentException(
+          s"Pca.secondMoment: embedding has ${x.length} elements, need >= $dims")
+      var i = 0
+      var idx = 0
+      while (i < dims) {
+        val xi = x(i)
+        var j = i
+        while (j < dims) {
+          b(idx) = b(idx).add(
+            JBigDecimal.valueOf(xi * x(j)).setScale(12, RoundingMode.HALF_UP))
+          j += 1
+          idx += 1
+        }
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[JBigDecimal], b: Array[JBigDecimal]): Array[JBigDecimal] = {
+      var k = 0
+      while (k < triSize) { a(k) = a(k).add(b(k)); k += 1 }
+      a
+    }
+
+    override def finish(b: Array[JBigDecimal]): Array[Double] = {
+      val out = new Array[Double](dims * dims)
+      var i = 0
+      var idx = 0
+      while (i < dims) {
+        var j = i
+        while (j < dims) {
+          val v = b(idx).doubleValue()
+          out(i * dims + j) = v
+          out(j * dims + i) = v
+          j += 1
+          idx += 1
+        }
+        i += 1
+      }
+      out
+    }
+
+    override def bufferEncoder: Encoder[Array[JBigDecimal]] =
+      Encoders.javaSerialization[Array[JBigDecimal]]
+    override def outputEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+  }
+
   /** Uncentered second-moment matrix M = Σ x·xᵀ as a (i, j, m) grid,
     * 1-based dims, `m` double (exact decimal sum, then one cast). */
   def secondMoment(corpus: DataFrame, embedCol: String = "embedding",
       dims: Int = 64): DataFrame = {
     require(dims >= 1, s"dims must be positive, got $dims")
-    val x = corpus.select(
-      transform(col(embedCol), e => e.cast("double")).as("x"))
-    val prods = flatten(transform(sequence(lit(1), lit(dims)), i =>
-      transform(sequence(lit(1), lit(dims)), j =>
-        (element_at(col("x"), i) * element_at(col("x"), j))
-          .cast(DecimalType(30, 12)))))
-    x.select(posexplode(prods).as(Seq("pos", "p")))
-      .groupBy(col("pos"))
-      .agg(sum(col("p")).as("msum"))
+    val xd = transform(col(embedCol), e => e.cast("double"))
+    // Enforce the malformed-corpus contract in the plan, so the error
+    // carries the row's shape (not a deserializer stack trace) and the
+    // kernel below can assume dims clean doubles.
+    val checked = when(col(embedCol).isNull, raise_error(
+        lit("Pca.secondMoment: null embedding (malformed-corpus contract)")))
+      .when(size(col(embedCol)) < dims, raise_error(concat(
+        lit("Pca.secondMoment: embedding has "),
+        size(col(embedCol)).cast("string"), lit(s" elements, need >= $dims"))))
+      .when(exists(slice(xd, 1, dims), e => e.isNull), raise_error(
+        lit("Pca.secondMoment: null element inside embedding")))
+      .otherwise(slice(xd, 1, dims))
+    val mom = udaf(new SecondMomentAggregator(dims),
+      ExpressionEncoder[Array[Double]]())
+    corpus.select(checked.as("x"))
+      .agg(mom(col("x")).as("grid"))
+      .select(posexplode(col("grid")).as(Seq("pos", "mval")))
       .select(
         (floor(col("pos") / lit(dims)) + 1).cast("long").as("i"),
         (pmod(col("pos"), lit(dims)) + 1).cast("long").as("j"),
-        col("msum").cast("double").as("m"))
+        col("mval").as("m"))
   }
+
+  /** Memo for [[topComponent]]: the projection/removal gates re-train
+    * on the same corpus, and the training pass is the expensive part.
+    * Keyed on (session, canonicalized logical plan, column, dims,
+    * iters) — `sameResult` semantics, so `.repartition(n)` variants
+    * key separately (they ARE different plans) while repeated reads of
+    * the same table share. Small LRU (the key pins the analyzed plan).
+    * Caveat: files mutated behind an already-read path within one
+    * session serve the stale result — same contract as Spark's own
+    * relation cache; [[clearTopComponentCache]] resets. */
+  private val MemoCap = 32
+  private val memo = new java.util.LinkedHashMap[
+      (SparkSession, LogicalPlan, String, Int, Int), (Array[Double], Double)](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, LogicalPlan, String, Int, Int),
+          (Array[Double], Double)]): Boolean = size > MemoCap
+  }
+
+  def clearTopComponentCache(): Unit = memo.synchronized(memo.clear())
 
   /** Dominant eigenvector of the second-moment matrix by `iters`
     * rounds of power iteration from e₁, sign-canonicalized so the
     * largest-|loading| dimension (ties → lowest index) is positive.
     * Returns (loadings, eigenvalue); eigenvalue is the Rayleigh
-    * quotient at the final iterate.
+    * quotient at the final iterate. Memoized — see [[memo]].
     *
     * `iters` trades convergence against oracle-replay depth: the
     * result is the EXACT `iters`-round iterate (what the gate
@@ -70,6 +189,19 @@ object Pca {
   def topComponent(corpus: DataFrame, embedCol: String = "embedding",
       dims: Int = 64, iters: Int = 12): (Array[Double], Double) = {
     require(iters >= 1, s"iters must be positive, got $iters")
+    val key = (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized,
+      embedCol, dims, iters)
+    memo.synchronized(Option(memo.get(key))) match {
+      case Some((v, lam)) => (v.clone(), lam)
+      case None =>
+        val res = computeTopComponent(corpus, embedCol, dims, iters)
+        memo.synchronized(memo.put(key, res))
+        (res._1.clone(), res._2)
+    }
+  }
+
+  private def computeTopComponent(corpus: DataFrame, embedCol: String,
+      dims: Int, iters: Int): (Array[Double], Double) = {
     val m = Array.ofDim[Double](dims, dims)
     secondMoment(corpus, embedCol, dims).collect().foreach { r: Row =>
       m(r.getLong(0).toInt - 1)(r.getLong(1).toInt - 1) = r.getDouble(2)

@@ -1252,7 +1252,12 @@ object Similarity {
       var exhausted = false // k > corpus size: stop at corpus size
       while (r <= k && !exhausted) {
         val c = cur.persist()
-        val rows = c.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        // null-dmin rows (null embedding elements) are unpickable by
+        // contract — the desc-nulls-last sort alone would still hand
+        // one back when ONLY null rows remain, and the getDouble
+        // below would NPE; filtering makes that case plain exhaustion
+        val rows = c.filter(col("dmin").isNotNull)
+          .orderBy(col("dmin").desc, col("vec_id")).limit(1)
           .collect()
         // prep's cache is dead once round 1 has materialized into c —
         // dropping it here keeps peak executor storage at one live
@@ -1318,5 +1323,44 @@ object Similarity {
       .select(col("grp_a"), col("grp_b"),
         (dot(col("va"), col("vb")) /
           (norm(col("va")) * norm(col("vb")))).as("cosine"))
+  }
+
+  /** Matryoshka truncation quality: recall@k of brute-force cosine
+    * top-k computed on only the FIRST `truncDims` dimensions against
+    * the full-width top-k — the readout that decides how far an
+    * MRL-style embedding can be truncated (2-4× ANN-index shrink)
+    * before retrieval quality pays (Kusupati et al., *Matryoshka
+    * Representation Learning*). Run it on a sampled query set per
+    * candidate width; the knee of the recall curve is the serving
+    * width.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (broadcast queries ×
+    * corpus scan — the exact-baseline shape; swap in the IVF variant
+    * for production widths) whose k·|queries|-row outputs join on
+    * (query, neighbor) — bounded by the sample, never the corpus.
+    * Determinism: both rankings use the (cos desc, vec_id) total
+    * order, so recall counts are exact integers; `recall` is one IEEE
+    * division. */
+  def truncatedRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+      truncDims: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(truncDims >= 1, s"truncDims must be positive, got $truncDims")
+    def truncate(df: DataFrame): DataFrame =
+      df.withColumn("embedding", slice(col("embedding"), 1, truncDims))
+    val full = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id"))
+    val trunc = bruteForceTopK(truncate(queries), truncate(corpus), k)
+      .select(col("query_id"), col("vec_id"))
+    // both rankings are ≤ k·|queries| rows — broadcast, never sort-merge
+    val overlap = full.join(broadcast(trunc), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).cast("long").as("n_overlap"))
+    queries.select(col("vec_id").as("query_id"))
+      // ≤ |queries| rows by construction — broadcast beats the SMJ the
+      // static planner picks for a stats-free aggregate side
+      .join(broadcast(overlap), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall"))
   }
 }

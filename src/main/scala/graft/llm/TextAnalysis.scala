@@ -710,9 +710,12 @@ object TextAnalysis {
     *
     * Determinism: PMI's log is monotone, so ranking by the raw ratio
     * count(a,b)·N / (count(a)·count(b)) is order-equivalent to PMI
-    * and strictly portable — the numerator and denominator are exact
-    * integers and a single IEEE double division hashes cross-engine
-    * (the q69 ln()-avoidance discipline).
+    * and strictly portable (the q69 ln()-avoidance discipline). Each
+    * count is cast to double BEFORE multiplying: IEEE double products
+    * and the final division are bit-deterministic cross-engine at ANY
+    * corpus size, whereas the r12 LongType products silently wrapped
+    * past 2^63 in non-ANSI mode (n_total ~1e13 tokens at the 100 TB
+    * design point puts cab·n_total there), corrupting the ranking.
     *
     * Scale shape: counts aggregate with map-side combine, the
     * `minCount` prune runs BEFORE the unigram joins, and both joins
@@ -736,8 +739,9 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       .select(col("a"), col("b"), col("cab").cast("long").as("cab"),
         col("ca").cast("long").as("ca"), col("cb").cast("long").as("cb"),
-        ((col("cab") * col("n_total")).cast("double") /
-          (col("ca") * col("cb")).cast("double")).as("pmi_ratio"))
+        ((col("cab").cast("double") * col("n_total").cast("double")) /
+          (col("ca").cast("double") * col("cb").cast("double")))
+          .as("pmi_ratio"))
   }
 
   /** Per-document n-gram novelty: the fraction of a document's
@@ -775,7 +779,11 @@ object TextAnalysis {
     *
     * Scale shape: two grouped exact percentiles (`percentile` keeps a
     * mergeable value→count map per group — bounded by the stat's
-    * value cardinality, not the row count) and two broadcast joins of
+    * VALUE CARDINALITY, which for discrete doc stats like n_chars /
+    * token counts is far below the row count, but for a genuinely
+    * continuous stat — a quality score, a perplexity — approaches one
+    * entry per row and the map stops being a sketch; use
+    * [[madOutliersApprox]] there) and two broadcast joins of
     * |groups|-row aggregates back onto the scan; nothing corpus-wide
     * moves. Determinism: `percentile` ≡ DuckDB `quantile_cont` (the
     * q50 discipline) and the flag compares two exactly-derived
@@ -790,6 +798,34 @@ object TextAnalysis {
         abs(v - col("med")).as("absdev"))
     val mad = dev.groupBy(col(groupCol))
       .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("med"), col("mad"),
+        (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
+  }
+
+  /** [[madOutliers]] with `approx_percentile` (Greenwald-Khanna):
+    * the CONTINUOUS-stat path. Exact `percentile`'s per-group state
+    * is one map entry per distinct value — fine for n_chars, a
+    * row-count-sized (spill-prone) map for a float quality score at
+    * 100 TB. GK's state is bounded by `accuracy` regardless of
+    * cardinality; the flag inherits a rank error ≤ 1/accuracy on both
+    * the median and the MAD, which an outlier CUT (a boundary, not a
+    * statistic) tolerates by construction. Not oracle-gated — the
+    * sketch's merge order is engine-specific — so the contract is
+    * spec-level: flags agree with the exact version on discrete
+    * fixtures (TextSpec). */
+  def madOutliersApprox(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, valCol: String, k: Double = 3.0,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val v = col(valCol).cast("double")
+    val med = docs.groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile(CAST($valCol AS DOUBLE), 0.5, $accuracy)")
+        .as("med"))
+    val dev = docs.join(broadcast(med), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("med"),
+        abs(v - col("med")).as("absdev"))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile(absdev, 0.5, $accuracy)").as("mad"))
     dev.join(broadcast(mad), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("med"), col("mad"),
         (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
@@ -1020,5 +1056,226 @@ object TextAnalysis {
         min_by(col("cum"), col("rank")).as("covered_tokens"),
         (min_by(col("cum"), col("rank")).cast("double") /
           first(col("total")).cast("double")).as("coverage"))
+  }
+
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions — the symmetric, bounded ([0, ln 2]) companion to
+    * [[sourceTvd]]'s corpus-relative distance: the mixture designer's
+    * source-redundancy matrix (two crawls with near-zero JS are the
+    * same content; a high-JS outlier is a coverage slice), and the
+    * standard drift metric between corpus snapshots.
+    *
+    * Decomposition that keeps the join INNER: terms present in only
+    * one source contribute exactly p·ln2 to their side's KL half, so
+    * JS = Σ_shared ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    *        + ½·ln2·(absent-mass_a + absent-mass_b),
+    * where each absent mass is 1 − (shared token count)/n — exact
+    * integers. Only CO-OCCURRING terms ever join (vocab-sized, never
+    * corpus-sized); the 0-overlap edge case still emits (js = ln 2)
+    * via the |sources|²-row broadcast pair spine.
+    *
+    * Determinism (q167 discipline): each shared term is one double
+    * expression over exact-integer ratios (libm `ln`, shared with the
+    * oracle), rounded to DECIMAL(30,12) the way Spark's own Cast does,
+    * then summed exactly — partition-order independent; the absent
+    * part is a fixed-shape double expression of exact counts. */
+  def jsDivergence(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = docs.select(col(sourceCol).as("src"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src").agg(sum("c").as("n"))
+    val withN = cnt.join(broadcast(tot), Seq("src"))
+    val a = withN.select(col("src").as("src_a"), col("w"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = withN.select(col("src").as("src_b"), col("w"),
+      col("c").as("cb"), col("n").as("nb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val term = (lit(0.5) * (pa * log(lit(2.0) * pa / (pa + pb))
+        + pb * log(lit(2.0) * pb / (pa + pb))))
+      .cast(org.apache.spark.sql.types.DecimalType(30, 12))
+    val shared = a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("long").as("n_shared_terms"),
+        sum(term).as("__ssum"),
+        sum("ca").as("__sca"), sum("cb").as("__scb"))
+    val halfLn2 = lit(0.5) * log(lit(2.0))
+    val pairs = tot.select(col("src").as("src_a"), col("n").as("__na"))
+      .crossJoin(tot.select(col("src").as("src_b"), col("n").as("__nb")))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(broadcast(shared), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        (coalesce(col("__ssum").cast("double"), lit(0.0))
+          + halfLn2 * (
+            (col("__na") - coalesce(col("__sca"), lit(0L))).cast("double")
+              / col("__na").cast("double")
+            + (col("__nb") - coalesce(col("__scb"), lit(0L))).cast("double")
+              / col("__nb").cast("double"))).as("js"))
+  }
+
+  /** Per-source Zipf rank-frequency slope: OLS fit of ln(count) on
+    * ln(rank) over the top `topN` terms — the corpus-health readout
+    * (natural text sits near −1; a slope collapsing toward 0 flags
+    * templated/generated content, a steep one a degenerate
+    * vocabulary) and a cheap per-source drift fingerprint between
+    * snapshots.
+    *
+    * Scale shape: term counts aggregate map-side; the rank window is
+    * PARTITIONED BY SOURCE (keyed shuffle, no global sort) and the
+    * topN prune caps every later frame at |sources|·topN rows.
+    * Determinism: ranks are integers from a (count desc, term asc)
+    * tie-broken window; each OLS moment term (x, y, xy, x²) is one
+    * libm-ln double rounded to DECIMAL(30,12) and summed exactly; the
+    * final slope is a fixed-shape double expression of the four cast
+    * sums. A source with a single ranked term has no slope (emitted
+    * null, mirrored by the oracle's CASE). */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String, topN: Int = 50): org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val cnt = docs.select(col(sourceCol).as("src"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val wdw = Window.partitionBy(col("src"))
+      .orderBy(col("c").desc, col("w").asc)
+    val ranked = cnt.withColumn("r", row_number().over(wdw))
+      .filter(col("r") <= topN)
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    val agg = ranked.groupBy("src").agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      sum(x.cast(dec)).cast("double").as("__sx"),
+      sum(y.cast(dec)).cast("double").as("__sy"),
+      sum((x * y).cast(dec)).cast("double").as("__sxy"),
+      sum((x * x).cast(dec)).cast("double").as("__sxx"))
+    val n = col("n_terms").cast("double")
+    val denom = n * col("__sxx") - col("__sx") * col("__sx")
+    agg.select(col("src"), col("n_terms"),
+      when(denom =!= lit(0.0),
+        (n * col("__sxy") - col("__sx") * col("__sy")) / denom).as("slope"))
+  }
+
+  /** Heaps'-law vocabulary growth curve: after each document (in
+    * doc-id order), the cumulative token count and cumulative DISTINCT
+    * type count — the readout that sizes tokenizer vocabularies and
+    * detects a crawl going stale (the type curve flattening while
+    * tokens grow means new data is rehashing old vocabulary).
+    *
+    * Scale shape: a type counts ONCE at its first-occurrence doc
+    * (term-keyed min-aggregate, map-side combined), so the cumulative
+    * type curve is a prefix sum of per-doc new-type counts — and both
+    * running sums use the two-level banded prefix-sum pattern
+    * (in-band window keyed by floor(id/band) + a |bands|-row offset
+    * table), never a global single-partition sort (the
+    * q180/q181 discipline). All values exact BIGINTs. */
+  def heapsCurve(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, band: Long = 100L): org.apache.spark.sql.DataFrame = {
+    require(band >= 1, s"band must be positive, got $band")
+    val base = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val first = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(min(col(idCol)).as("__fd"))
+    val newTypes = first.groupBy("__fd")
+      .agg(count(lit(1)).cast("long").as("new_types"))
+      .withColumnRenamed("__fd", idCol)
+    val both = base.join(newTypes, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("__bk", floor(col(idCol) / band).cast("long"))
+    val w = Window.partitionBy(col("__bk")).orderBy(col(idCol))
+    val wb = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = both.groupBy("__bk")
+      .agg(sum("n_tokens").as("__t"), sum("new_types").as("__y"))
+      .withColumn("__toff", coalesce(sum(col("__t")).over(wb), lit(0L)))
+      .withColumn("__yoff", coalesce(sum(col("__y")).over(wb), lit(0L)))
+      .select(col("__bk"), col("__toff"), col("__yoff"))
+    both
+      .withColumn("__tin", sum(col("n_tokens")).over(w))
+      .withColumn("__yin", sum(col("new_types")).over(w))
+      .join(broadcast(offsets), Seq("__bk"))
+      .select(col(idCol), col("n_tokens"), col("new_types"),
+        (col("__toff") + col("__tin")).as("cum_tokens"),
+        (col("__yoff") + col("__yin")).as("cum_types"))
+  }
+
+  /** Per-group rank normalization of a quality stat: `percent_rank`
+    * within the group plus an `ntile` quartile — the calibration step
+    * before cross-source threshold decisions (a raw score cut means
+    * different things in different crawls; rank-normalized scores are
+    * comparable by construction, the Rae et al. per-source quality
+    * binning recipe).
+    *
+    * Two windows over ONE (group-keyed) shuffle: percent_rank orders
+    * by VALUE ALONE so ties share a rank (the statistical meaning);
+    * ntile orders by (value, id) so its row-splitting of ties is
+    * deterministic — both exactly mirrored by the oracle. Keyed
+    * partitions, no global sort; at 100 TB the knob is group count,
+    * not corpus size. */
+  def rankNormalize(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, valCol: String,
+      tiles: Int = 4): org.apache.spark.sql.DataFrame = {
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+    val wt = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol), col(idCol))
+    docs.select(col(idCol), col(groupCol), col(valCol),
+      percent_rank().over(wv).as("pr"),
+      ntile(tiles).over(wt).cast("long").as("tier"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    * w-window over consecutive hashes, keep each window's MINIMUM —
+    * the selection whose guarantee (any shared run of ≥ w+k−1 words
+    * leaves at least one shared fingerprint VALUE) gives bounded-gap
+    * plagiarism/overlap detection at a w-fold storage discount over
+    * full k-gram sets. Complements [[fingerprint]] (whole-doc exact)
+    * and the minhash family (set-similarity estimate) with
+    * position-robust substring evidence.
+    *
+    * Output: (id, n_grams, n_fingerprints, fingerprints) with the
+    * DISTINCT selected 60-bit hashes sorted — join-ready for
+    * cross-doc overlap mining. Docs shorter than k words emit zero
+    * grams and an empty set; docs with fewer than w windows winnow
+    * their single all-grams window.
+    *
+    * Scale shape: grams explode per doc position, but every window op
+    * is PARTITIONED BY DOC (keyed shuffle; window state O(w)); the
+    * distinct fold collapses back to ≤ G/w fingerprints per doc.
+    * Determinism: the md5-60bit shingle hash family ([[Dedup]]'s,
+    * engine-portable) and min-of-window selection — the MOSS
+    * rightmost-tie rule picks POSITIONS, not values, so a
+    * value-keyed fingerprint set needs no tie-break at all. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 4,
+      w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val toks = tokens(col(textCol))
+    // guard BEFORE wordShingles: sequence(1, 0) runs DOWNWARD in
+    // Spark, so a sub-k doc would slice at index 0 and error instead
+    // of emitting zero grams
+    val grams = docs.filter(size(toks) >= k).select(col(idCol),
+        posexplode(wordShingles(toks, k)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), Dedup.shingleHash(col("__g")).as("__h"))
+    val ww = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val wc = Window.partitionBy(col(idCol))
+    val fps = grams
+      .withColumn("__ng", count(lit(1)).over(wc))
+      .withColumn("__wmin", min(col("__h")).over(ww))
+      // full windows only — except the degenerate G < w doc, whose
+      // single window is the whole gram run (pos 0 sees all G rows)
+      .filter(col("__pos") <= greatest(col("__ng") - w, lit(0)))
+      .groupBy(idCol)
+      .agg(max(col("__ng")).cast("long").as("n_grams"),
+        array_sort(collect_set(col("__wmin"))).as("fingerprints"))
+    docs.select(col(idCol)).join(fps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(size(col("fingerprints")), lit(0)).cast("long")
+          .as("n_fingerprints"),
+        coalesce(col("fingerprints"),
+          array().cast("array<long>")).as("fingerprints"))
   }
 }

@@ -1613,6 +1613,19 @@ class LlmSpec extends AnyFunSuite {
       == Seq(10L))
   }
 
+  test("madOutliersApprox: GK flags agree with exact on discrete stats") {
+    import spark.implicits._
+    val d = ((1 to 9).map(i => (i.toLong, "s", 100 + i)) :+ ((10L, "s", 10000)))
+      .toDF("doc_id", "source", "n_chars")
+    val exact = TextAnalysis.madOutliers(d, "doc_id", "source", "n_chars")
+      .select("doc_id", "is_outlier").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val approx = TextAnalysis.madOutliersApprox(d, "doc_id", "source", "n_chars")
+      .select("doc_id", "is_outlier").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(approx == exact, s"approx $approx vs exact $exact")
+  }
+
   test("madOutliers groups independently per source") {
     import spark.implicits._
     // same value is an outlier in a tight group, inlier in a wide one
@@ -1624,5 +1637,148 @@ class LlmSpec extends AnyFunSuite {
     val byId = out.map(r => r.getLong(0) -> r.getAs[Boolean]("is_outlier")).toMap
     assert(byId(10L), "500 in the all-100 group must flag (MAD 0)")
     assert(!byId(20L), "500 inside the wide group's spread must not flag")
+  }
+
+  test("jsDivergence: identical sources 0, disjoint sources ln 2") {
+    import spark.implicits._
+    val d = Seq((1L, "a", "x y x"), (2L, "b", "x y x"), (3L, "c", "p q"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.jsDivergence(d, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3)
+    val (abShared, abJs) = out(("a", "b"))
+    assert(abShared == 2L && abJs == 0.0, s"identical pair: $abJs")
+    val (acShared, acJs) = out(("a", "c"))
+    assert(acShared == 0L)
+    assert(math.abs(acJs - math.log(2.0)) < 1e-12, s"disjoint pair: $acJs")
+  }
+
+  test("jsDivergence matches a driver-side replay on a mixed pair") {
+    import spark.implicits._
+    // A: a a b ; B: a b b  → shared terms {a, b}, no absent mass
+    val d = Seq((1L, "A", "a a b"), (2L, "B", "a b b"))
+      .toDF("doc_id", "source", "text")
+    val js = TextAnalysis.jsDivergence(d, "source", "text")
+      .collect().head.getDouble(3)
+    def half(p: Double, q: Double) = 0.5 * (p * math.log(2 * p / (p + q)))
+    val expect = // term a: pA=2/3 pB=1/3; term b: pA=1/3 pB=2/3
+      half(2.0 / 3, 1.0 / 3) + half(1.0 / 3, 2.0 / 3) +
+        half(1.0 / 3, 2.0 / 3) + half(2.0 / 3, 1.0 / 3)
+    assert(math.abs(js - expect) < 1e-9, s"js $js vs $expect")
+    assert(js > 0.0 && js < math.log(2.0))
+  }
+
+  test("zipfSlope: an exact 1/r frequency law fits slope -1") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 = 12/r for ranks 1..4 → ln c = ln 12 − ln r
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c")
+      ++ Seq.fill(3)("d")).mkString(" ")
+    val d = Seq((1L, "s", text)).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.zipfSlope(d, "source", "text").collect().head
+    assert(out.getAs[Long]("n_terms") == 4L)
+    assert(math.abs(out.getAs[Double]("slope") - (-1.0)) < 1e-9,
+      s"slope ${out.getAs[Double]("slope")}")
+  }
+
+  test("zipfSlope: single-term source has no slope; topN prunes ranks") {
+    import spark.implicits._
+    val d = Seq((1L, "mono", "w w w"),
+      (2L, "duo", "x x y z z z")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.zipfSlope(d, "source", "text", topN = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_terms"), Option(r.get(2)))).toMap
+    assert(out("mono")._1 == 1L && out("mono")._2.isEmpty)
+    assert(out("duo")._1 == 2L && out("duo")._2.isDefined) // y pruned at topN=2
+  }
+
+  test("heapsCurve: cumulative tokens/types by hand, banding-invariant") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c d"))
+      .toDF("doc_id", "text")
+    def run(band: Long) =
+      TextAnalysis.heapsCurve(d, "doc_id", "text", band = band)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val expect = Seq((1L, 3L, 2L, 3L, 2L), (2L, 2L, 1L, 5L, 3L),
+      (3L, 3L, 1L, 8L, 4L))
+    assert(run(100L) == expect)
+    assert(run(1L) == expect, "band width must not change the curve")
+  }
+
+  test("rankNormalize: percent_rank shares tied ranks, ntile splits rows") {
+    import spark.implicits._
+    val d = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 20L),
+      (4L, "g", 30L)).toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.rankNormalize(d, "doc_id", "source", "n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getDouble(3), r.getLong(4))).toSeq
+    assert(out == Seq((0.0, 1L), (1.0 / 3, 2L), (1.0 / 3, 3L), (1.0, 4L)),
+      out.toString)
+  }
+
+  test("truncatedRecall: full-width truncation is perfect recall") {
+    val q = emb.filter(col("vec_id") < 5)
+    val out = Similarity.truncatedRecall(q, emb, k = 5, truncDims = 64)
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
+  test("truncatedRecall: a planted flip drops recall to 0") {
+    import spark.implicits._
+    // full 2-dim top-1 of q is id 3; first-dim-only ties, lower id 2 wins
+    val d = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 1f)), (3L, Seq(1f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.truncatedRecall(
+      d.filter(col("vec_id") === 1L), d, k = 1, truncDims = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_overlap") == 0L)
+    assert(out.head.getAs[Double]("recall") == 0.0)
+  }
+
+  private def md5Hash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("winnowFingerprints matches a driver-side MOSS replica") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(d, "doc_id", "text",
+      k = 4, w = 4).collect().head
+    val toks = text.split("\\s+").toSeq
+    val grams = toks.sliding(4).map(_.mkString(" ")).toSeq
+    val hashes = grams.map(md5Hash60)
+    val wins = hashes.sliding(4).map(_.min).toSeq.distinct.sorted
+    assert(out.getAs[Long]("n_grams") == grams.length.toLong)
+    assert(out.getSeq[Long](out.fieldIndex("fingerprints")) == wins)
+    assert(out.getAs[Long]("n_fingerprints") == wins.length.toLong)
+  }
+
+  test("winnowFingerprints guarantee: a shared >= w+k-1 word run shares a fingerprint") {
+    import spark.implicits._
+    val run = "one two three four five six seven" // w+k-1 = 7 words
+    val d = Seq((1L, s"alpha beta $run gamma delta"),
+      (2L, s"x y z $run p q r s t")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3).toSet)
+      .toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("winnowFingerprints edges: sub-k doc empty, single-window doc one fp") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c d e")) // 0 grams; 2 grams < w
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") == 0L)
+    assert(out(0).getSeq[Long](out(0).fieldIndex("fingerprints")).isEmpty)
+    assert(out(1).getAs[Long]("n_grams") == 2L)
+    assert(out(1).getAs[Long]("n_fingerprints") == 1L)
   }
 }

@@ -52,6 +52,36 @@ class PcaSpec extends AnyFunSuite {
     assert(v(am) > 0.0)
   }
 
+  test("secondMoment enforces the malformed-corpus contract") {
+    import spark.implicits._
+    def runOn(rows: Seq[Option[Seq[java.lang.Float]]]): Unit = {
+      val d = rows.toDF("embedding")
+      Pca.secondMoment(d, dims = 4).collect()
+      ()
+    }
+    val ok = Some(Seq[java.lang.Float](1f, 2f, 3f, 4f))
+    // clean corpus passes; extra elements beyond dims are ignored
+    runOn(Seq(ok, Some(Seq[java.lang.Float](1f, 2f, 3f, 4f, 5f))))
+    val short = intercept[Exception] {
+      runOn(Seq(ok, Some(Seq[java.lang.Float](1f, 2f))))
+    }
+    assert(short.getMessage.contains("need >= 4"), short.getMessage)
+    val nul = intercept[Exception] { runOn(Seq(ok, None)) }
+    assert(nul.getMessage.contains("null embedding"), nul.getMessage)
+    val nulElem = intercept[Exception] {
+      runOn(Seq(ok, Some(Seq[java.lang.Float](1f, null, 3f, 4f))))
+    }
+    assert(nulElem.getMessage.contains("null element"), nulElem.getMessage)
+  }
+
+  test("topComponent memo: repeat call returns equal, isolated result") {
+    val (v1, l1) = Pca.topComponent(emb)
+    v1(0) = Double.NaN // caller mutation must not poison the cache
+    val (v2, l2) = Pca.topComponent(emb)
+    assert(l1 == l2 && !v2(0).isNaN)
+    assert(!(v2 eq v1) && v2.drop(1).sameElements(v1.drop(1)))
+  }
+
   test("topComponent is invariant to partitioning (exact decimal sums)") {
     val (v1, l1) = Pca.topComponent(emb.repartition(13))
     val (v2, l2) = Pca.topComponent(emb.coalesce(1))

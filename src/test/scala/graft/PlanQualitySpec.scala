@@ -525,16 +525,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges exchanges\n${plan.take(2000)}")
   }
 
-  test("pca second moment: two-phase aggregate, one dims²-group exchange") {
+  test("pca second moment: one-pass typed aggregate, nothing exploded before the merge") {
     val df = graft.llm.Pca.secondMoment(
       graft.sources.Tables.load(spark, dir, "embeddings"))
     val plan = df.queryExecution.executedPlan.toString
-    // map-side combine: partial HashAggregate below the exchange, so
-    // the shuffle carries ≤ dims² rows per partition, never per record
-    assert(plan.split("HashAggregate").length - 1 >= 2, plan.take(2000))
+    // partial ObjectHashAggregate below the exchange: each map task
+    // folds its rows into ONE triangle buffer, so the shuffle carries
+    // one ~2k-entry buffer per partition, never per record — and the
+    // only Generate (posexplode) runs ABOVE the final aggregate, on
+    // the single dims²-element result row
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      plan.take(2000))
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"$exchanges exchanges\n${plan.take(2000)}")
     assert(!plan.contains("Join"), plan.take(2000))
+    val lines = plan.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val aggIdx = lines.indexWhere(_.contains("ObjectHashAggregate"))
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"posexplode must sit above the aggregate\n${plan.take(2000)}")
   }
 
   test("q171 pmi: token total broadcasts; no cartesian pair blow-up") {
@@ -582,6 +591,51 @@ class PlanQualitySpec extends AnyFunSuite {
     val dataWindows = plan.linesIterator.filter(l =>
       l.contains("Window") && l.contains("row_number")).toSeq
     assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__bk")),
+      dataWindows.mkString("\n"))
+  }
+
+  test("q185 js: term joins keyed, totals broadcast, pair spine tiny") {
+    val plan = physical("q185_js_divergence")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // per-source totals broadcast onto the vocab-sized counts; the
+    // |sources|² pair spine is nested-loop over |sources|-row frames
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q186 zipf: rank window partitions per source, moments fold keyed") {
+    val plan = physical("q186_zipf_slope")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("src")),
+      dataWindows.mkString("\n"))
+  }
+
+  test("q187 heaps: running sums ride the band key, never one global data sort") {
+    val plan = physical("q187_heaps_curve")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the data-sized window (carries n_tokens) must partition on __bk;
+    // only the |bands|-row offset table may run unpartitioned
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("n_tokens")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__bk")),
+      dataWindows.mkString("\n"))
+  }
+
+  test("q189 mrl recall: both rankings broadcast the query side") {
+    val plan = physical("q189_mrl_recall")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // bruteForceTopK's non-equi self-exclusion join must be
+    // broadcast nested loop (queries side tiny), never sort-merge
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q190 winnow: gram windows partition per document") {
+    val plan = physical("q190_winnow_fingerprint")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val dataWindows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("doc_id")),
       dataWindows.mkString("\n"))
   }
 
