@@ -1240,9 +1240,12 @@ object TextAnalysis {
     * grams and an empty set; docs with fewer than w windows winnow
     * their single all-grams window.
     *
-    * Scale shape: grams explode per doc position, but every window op
-    * is PARTITIONED BY DOC (keyed shuffle; window state O(w)); the
-    * distinct fold collapses back to ≤ G/w fingerprints per doc.
+    * Scale shape: the whole selection — gram build, 60-bit hash,
+    * w-window minima, distinct fold — runs inside the native
+    * [[graft.functions.WinnowFingerprints]] kernel, ONE row at a
+    * time: a zero-shuffle scan rider (the q167 shape), vs the
+    * explode→window→collect_set composition whose interpreted
+    * HOF gram build alone cost 3.8 s at sf0.1.
     * Determinism: the md5-60bit shingle hash family ([[Dedup]]'s,
     * engine-portable) and min-of-window selection — the MOSS
     * rightmost-tie rule picks POSITIONS, not values, so a
@@ -1251,31 +1254,12 @@ object TextAnalysis {
       idCol: String, textCol: String, k: Int = 4,
       w: Int = 4): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    val toks = tokens(col(textCol))
-    // guard BEFORE wordShingles: sequence(1, 0) runs DOWNWARD in
-    // Spark, so a sub-k doc would slice at index 0 and error instead
-    // of emitting zero grams
-    val grams = docs.filter(size(toks) >= k).select(col(idCol),
-        posexplode(wordShingles(toks, k)).as(Seq("__pos", "__g")))
-      .select(col(idCol), col("__pos"), Dedup.shingleHash(col("__g")).as("__h"))
-    val ww = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val wc = Window.partitionBy(col(idCol))
-    val fps = grams
-      .withColumn("__ng", count(lit(1)).over(wc))
-      .withColumn("__wmin", min(col("__h")).over(ww))
-      // full windows only — except the degenerate G < w doc, whose
-      // single window is the whole gram run (pos 0 sees all G rows)
-      .filter(col("__pos") <= greatest(col("__ng") - w, lit(0)))
-      .groupBy(idCol)
-      .agg(max(col("__ng")).cast("long").as("n_grams"),
-        array_sort(collect_set(col("__wmin"))).as("fingerprints"))
-    docs.select(col(idCol)).join(fps, Seq(idCol), "left")
+    val st = graft.functions.WinnowFingerprints.column(
+      docs.sparkSession, col(textCol), k, w)
+    docs.select(col(idCol), st.as("__wf"))
       .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(size(col("fingerprints")), lit(0)).cast("long")
-          .as("n_fingerprints"),
-        coalesce(col("fingerprints"),
-          array().cast("array<long>")).as("fingerprints"))
+        col("__wf.n_grams").as("n_grams"),
+        size(col("__wf.fingerprints")).cast("long").as("n_fingerprints"),
+        col("__wf.fingerprints").as("fingerprints"))
   }
 }

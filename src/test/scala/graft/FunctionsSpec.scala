@@ -96,4 +96,20 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new graft.functions.AhoAutomaton(Nil))
     intercept[IllegalArgumentException](new graft.functions.AhoAutomaton(Seq("ok", "")))
   }
+
+  test("winnow kernel: nibble-assembled 60-bit hash equals the hex-parse reference") {
+    import graft.functions.WinnowFingerprintsHelper
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val words = Seq.fill(4)(Array.fill(1 + rnd.nextInt(6))(
+        ('a' + rnd.nextInt(26)).toChar).mkString)
+      val gram = words.mkString(" ")
+      // k = token count and w = 1 → the single gram IS the fingerprint
+      val row = WinnowFingerprintsHelper.eval(UTF8String.fromString(gram), 4, 1)
+      assert(row.getLong(0) == 1L)
+      assert(row.getArray(1).toLongArray().toSeq ==
+        Seq(WinnowFingerprintsHelper.hash60Reference(gram)), gram)
+    }
+  }
 }

@@ -631,12 +631,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
-  test("q190 winnow: gram windows partition per document") {
-    val plan = physical("q190_winnow_fingerprint")
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    val dataWindows = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("doc_id")),
-      dataWindows.mkString("\n"))
+  test("q190 winnow: native kernel is a zero-shuffle scan rider") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.llm.TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // the kernel must run fused inside whole-stage codegen
+    assert(plan.linesIterator.exists(l =>
+      l.contains("winnow_fp") && l.contains("*(")), plan.take(2000))
   }
 
   test("q182 centroid cosine: pair fold runs on |groups|-row frames after the keyed dim aggregate") {
