@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Queries.Q
 import graft.functions.GraftFunctions._
-import graft.llm.{Dedup, Multimodal, Pca, QualityClassifier, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Multimodal, Pca, QualityClassifier, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Inventory batch 2: window functions, set ops, JSON, and the
@@ -1858,15 +1858,10 @@ object QueriesLlm {
     * CTE per iteration) and then scores — weights and per-doc sigmoid
     * scores hash-match bit-for-bit, proving the training loop is
     * engine-reproducible, not just the final map. */
-  private val q129 = Q("q129_quality_classifier",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val feat = QualityClassifier.features(
-        docs, "doc_id", "text", col("lang") === "en", enStop)
-      val w = QualityClassifier.train(feat, iters = 3, lr = 1.0)
-      QualityClassifier.score(feat, "doc_id", w).orderBy("doc_id")
-    },
-    Some("""
+  /** The q129 training replay as a reusable WITH chain ending in
+    * `scored_lr(doc_id, p, y)` — the full 3-iteration unrolled GD the
+    * calibration gate (q197) layers its binning on. */
+  private def duckLrScoredAt(lr: String): String = raw"""
       WITH f AS (
         SELECT doc_id,
                1.0 AS x0,
@@ -1891,9 +1886,9 @@ object QueriesLlm {
           CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x3) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
           CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x4) AS DECIMAL(30,12))) AS DOUBLE) AS g4
         FROM f, wA),
-      wB AS (SELECT wA.w0 - gA.g0 / c.n AS w0, wA.w1 - gA.g1 / c.n AS w1,
-                    wA.w2 - gA.g2 / c.n AS w2, wA.w3 - gA.g3 / c.n AS w3,
-                    wA.w4 - gA.g4 / c.n AS w4
+      wB AS (SELECT wA.w0 - $lr * gA.g0 / c.n AS w0, wA.w1 - $lr * gA.g1 / c.n AS w1,
+                    wA.w2 - $lr * gA.g2 / c.n AS w2, wA.w3 - $lr * gA.g3 / c.n AS w3,
+                    wA.w4 - $lr * gA.g4 / c.n AS w4
              FROM wA, gA, c),
       gB AS (
         SELECT
@@ -1903,9 +1898,9 @@ object QueriesLlm {
           CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x3) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
           CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x4) AS DECIMAL(30,12))) AS DOUBLE) AS g4
         FROM f, wB),
-      wC AS (SELECT wB.w0 - gB.g0 / c.n AS w0, wB.w1 - gB.g1 / c.n AS w1,
-                    wB.w2 - gB.g2 / c.n AS w2, wB.w3 - gB.g3 / c.n AS w3,
-                    wB.w4 - gB.g4 / c.n AS w4
+      wC AS (SELECT wB.w0 - $lr * gB.g0 / c.n AS w0, wB.w1 - $lr * gB.g1 / c.n AS w1,
+                    wB.w2 - $lr * gB.g2 / c.n AS w2, wB.w3 - $lr * gB.g3 / c.n AS w3,
+                    wB.w4 - $lr * gB.g4 / c.n AS w4
              FROM wB, gB, c),
       gC AS (
         SELECT
@@ -1915,18 +1910,30 @@ object QueriesLlm {
           CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x3) AS DECIMAL(30,12))) AS DOUBLE) AS g3,
           CAST(SUM(CAST(((1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) - y) * x4) AS DECIMAL(30,12))) AS DOUBLE) AS g4
         FROM f, wC),
-      wD AS (SELECT wC.w0 - gC.g0 / c.n AS w0, wC.w1 - gC.g1 / c.n AS w1,
-                    wC.w2 - gC.g2 / c.n AS w2, wC.w3 - gC.g3 / c.n AS w3,
-                    wC.w4 - gC.g4 / c.n AS w4
-             FROM wC, gC, c)
-      SELECT doc_id,
-             1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4)))
-               AS quality_score,
-             1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) >= 0.5
-               AS predicted,
+      wD AS (SELECT wC.w0 - $lr * gC.g0 / c.n AS w0, wC.w1 - $lr * gC.g1 / c.n AS w1,
+                    wC.w2 - $lr * gC.g2 / c.n AS w2, wC.w3 - $lr * gC.g3 / c.n AS w3,
+                    wC.w4 - $lr * gC.g4 / c.n AS w4
+             FROM wC, gC, c),
+      scored_lr AS (
+        SELECT doc_id,
+               1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) AS p,
+               y
+        FROM f, wD)"""
+
+  private val duckLrScored = duckLrScoredAt("1.0")
+
+  private val q129 = Q("q129_quality_classifier",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 1.0)
+      QualityClassifier.score(feat, "doc_id", w).orderBy("doc_id")
+    },
+    Some(s"""$duckLrScored
+      SELECT doc_id, p AS quality_score, p >= 0.5 AS predicted,
              y AS label
-      FROM f, wD
-      ORDER BY doc_id"""))
+      FROM scored_lr ORDER BY doc_id"""))
 
   /** Per-domain document cap (Corpus.domainCap): at most k docs per
     * source, md5-rank-chosen — the RefinedWeb "no domain dominates"
@@ -3804,6 +3811,264 @@ object QueriesLlm {
              COALESCE(fingerprints, CAST([] AS BIGINT[])) AS fingerprints
       FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY doc_id"""))
 
+  /** Population Stability Index of doc length per source against
+    * src0's deciles — the numeric-feature drift gate beside TVD/JS;
+    * see [[TextAnalysis.psiDrift]] for the add-one smoothing. */
+  private val q191 = Q("q191_psi_drift",
+    (s, dir) => TextAnalysis.psiDrift(t(s, dir, "documents"),
+      "source", "n_chars", refGroup = "src0").orderBy("source"),
+    Some("""
+      WITH v AS (SELECT source AS grp, CAST(n_chars AS DOUBLE) AS x
+                 FROM documents),
+      e AS (SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+              AS edges
+            FROM v WHERE grp = 'src0'),
+      b AS (SELECT grp, 1 + len(list_filter(edges, t -> x > t)) AS bin
+            FROM v, e),
+      c AS (SELECT grp, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      spine AS (SELECT g.grp, gs.b AS bin
+                FROM (SELECT DISTINCT grp FROM v) g, generate_series(1, 10) gs(b)),
+      cc AS (SELECT s.grp, s.bin, COALESCE(c.c, 0) AS c
+             FROM spine s LEFT JOIN c ON c.grp = s.grp AND c.bin = s.bin),
+      n AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+      m AS (SELECT cc.grp, cc.bin,
+              CAST(cc.c + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE) AS m
+            FROM cc JOIN n USING (grp)),
+      p AS (SELECT bin, m AS p FROM m WHERE grp = 'src0')
+      SELECT m.grp AS source,
+             CAST(SUM(CAST((m.m - p.p) * ln(m.m / p.p) AS DECIMAL(30,12)))
+               AS DOUBLE) AS psi
+      FROM m JOIN p USING (bin)
+      GROUP BY 1 ORDER BY source"""))
+
+  /** Per-dim z-score standardization of the embedding corpus (the
+    * whitening-lite isotropy prep) — gated as (vec_id, dim, z)
+    * SCALAR rows: the compare rounds scalar doubles to 9 decimals
+    * but hashes array elements at full precision, and the two
+    * engines' double→decimal casts differ at ~1 ulp (shortest-repr
+    * HALF_UP vs full-expansion), so a z-vector column would demand
+    * bit-exact floats — the PCA-gate scalar discipline instead; see
+    * [[Similarity.standardizeDims]]. */
+  private val q192 = Q("q192_dim_standardize",
+    (s, dir) => Similarity.standardizeDims(t(s, dir, "embeddings"),
+      "vec_id")
+      .select(col("vec_id"), posexplode(col("z")).as(Seq("__i", "z")))
+      .select(col("vec_id"), (col("__i") + 1).cast("long").as("dim"), col("z"))
+      .orderBy("vec_id", "dim"),
+    Some("""
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+             FROM embeddings),
+      s AS (SELECT i,
+              CAST(SUM(CAST(x[i] AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(x[i] * x[i] AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+              CAST(COUNT(*) AS DOUBLE) AS n
+            FROM e, generate_series(1, 64) t(i) GROUP BY i),
+      st AS (SELECT i, sx / n AS mu,
+               sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+             FROM s)
+      SELECT vec_id, CAST(i AS BIGINT) AS dim,
+             CASE WHEN sd = 0.0 THEN 0.0 ELSE (x[i] - mu) / sd END AS z
+      FROM e, st ORDER BY vec_id, dim"""))
+
+  /** Near-dup pair count per jaccard threshold over ONE LSH pass —
+    * the cut-selection curve; see [[Dedup.thresholdCurve]]. */
+  private val q193 = Q("q193_dedup_curve",
+    (s, dir) => Dedup.thresholdCurve(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("threshold"),
+    Some(s"""$duckMinhashCtes,$duckBandCte,
+      th AS (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[]))
+               AS threshold)
+      SELECT th.threshold, CAST(COUNT(v.jaccard) AS BIGINT) AS n_pairs
+      FROM th LEFT JOIN (SELECT jaccard FROM verified WHERE jaccard >= 0.5) v
+        ON v.jaccard >= th.threshold
+      GROUP BY 1 ORDER BY threshold"""))
+
+  /** Per-source filter-cascade funnel — [[TextAnalysis.filterFunnelBy]]
+    * grouped on `source`: WHERE each crawl slice loses its mass
+    * (repetition kill vs language mismatch vs junk floor), the table a
+    * mixture owner reads before re-weighting sources. Additive with
+    * q184: any stage summed across sources equals the global funnel
+    * (LlmSpec asserts it). */
+  private val q194 = Q("q194_funnel_by_source",
+    (s, dir) => TextAnalysis.filterFunnelBy(t(s, dir, "documents"),
+      "doc_id", "text", Some("lang"), Seq("source"))
+      .orderBy("source", "stage"),
+    Some {
+      val markers = TextAnalysis.langMarkers
+      val scoreDefs = markers.map { case (l, ms) =>
+        s"len(list_filter(t, tok -> tok IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$l"
+      }.mkString(",\n               ")
+      val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+      val cases = markers.map { case (l, _) =>
+        s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+      }.mkString("\n                    ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, source, lang, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+             FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+      ts AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                    CAST(MAX(cnt) AS BIGINT) AS topc
+             FROM tc GROUP BY 1),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+             FROM toks),
+      bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+      bs AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nb,
+                    CAST(COUNT(*) AS BIGINT) AS db
+             FROM bc GROUP BY 1),
+      scored AS (
+        SELECT doc_id, source, lang, text, t,
+               $scoreDefs
+        FROM toks),
+      flags AS (
+        SELECT sc.doc_id, sc.source,
+               CAST(len(sc.t) AS BIGINT) AS nt,
+               CAST(len(list_distinct(sc.t)) AS DOUBLE) / len(sc.t) AS dr,
+               len(regexp_extract_all(sc.text, '[0-9]{4,}')) AS dg,
+               (CAST(ts.topc AS DOUBLE) / ts.n_tokens > 0.2
+                OR COALESCE(1.0 - CAST(bs.db AS DOUBLE) / bs.nb > 0.3, FALSE))
+                 AS repflag,
+               (CASE $cases
+                     ELSE 'und' END) = sc.lang AS langok
+        FROM scored sc JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)),
+      p AS (SELECT source, nt,
+                   NOT repflag AS p1,
+                   (NOT repflag AND langok) AS p2,
+                   (NOT repflag AND langok AND dr >= 0.3 AND dg <= 5) AS p3
+            FROM flags),
+      a AS (SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS c0, CAST(SUM(nt) AS BIGINT) AS t0,
+              CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              CAST(SUM(CASE WHEN p1 THEN nt ELSE 0 END) AS BIGINT) AS t1,
+              CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+              CAST(SUM(CASE WHEN p2 THEN nt ELSE 0 END) AS BIGINT) AS t2,
+              CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+              CAST(SUM(CASE WHEN p3 THEN nt ELSE 0 END) AS BIGINT) AS t3
+            FROM p GROUP BY source)
+      SELECT * FROM (
+        SELECT source, CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+               c0 AS n_docs, t0 AS n_tokens,
+               CAST(c0 AS DOUBLE) / CAST(c0 AS DOUBLE) AS doc_frac FROM a
+        UNION ALL SELECT source, CAST(1 AS BIGINT), 'repetition', c1, t1,
+               CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM a
+        UNION ALL SELECT source, CAST(2 AS BIGINT), 'lang_match', c2, t2,
+               CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM a
+        UNION ALL SELECT source, CAST(3 AS BIGINT), 'quality', c3, t3,
+               CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM a)
+      ORDER BY source, stage"""
+    })
+
+  /** Cross-source duplicate-flow matrix over ONE LSH pass — which
+    * source pairs share near-dup mass; see [[Dedup.dupFlowMatrix]]. */
+  private val q195 = Q("q195_dup_flow",
+    (s, dir) => Dedup.dupFlowMatrix(t(s, dir, "documents"),
+      "doc_id", "text", "source").orderBy("source_a", "source_b"),
+    Some(s"""$duckMinhashCtes,$duckBandCte
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(jaccard AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+               AS mean_jaccard
+      FROM (SELECT * FROM verified WHERE jaccard >= 0.5) v
+      JOIN documents da ON v.id_a = da.doc_id
+      JOIN documents db ON v.id_b = db.doc_id
+      GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
+  /** Frequency-of-frequencies spectrum + Good-Turing adjusted count —
+    * the hapax-mass readout; see [[TextAnalysis.freqSpectrum]]. */
+  private val q196 = Q("q196_freq_spectrum",
+    // maxR = 1000 spans the fixture's whole closed-class spectrum
+    // (counts 26..984); the 50 default is the real-corpus hapax zone
+    (s, dir) => TextAnalysis.freqSpectrum(t(s, dir, "documents"), "text",
+      maxR = 1000L).orderBy("r"),
+    Some("""
+      WITH tc AS (
+        SELECT tok, COUNT(*) AS r
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                AS tok FROM documents)
+        GROUP BY tok),
+      spec AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY r)
+      SELECT a.r, a.n_r,
+             CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE)
+               / CAST(a.n_r AS DOUBLE) AS gt_r_star
+      FROM spec a LEFT JOIN spec b ON b.r = a.r + 1
+      WHERE a.r <= 1000 ORDER BY a.r"""))
+
+  /** Reliability diagram of the q129 trained quality classifier —
+    * predicted-probability bins vs empirical positive rate; see
+    * [[QualityClassifier.calibrationBins]]. */
+  private val q197 = Q("q197_calibration",
+    // lr = 8 (vs q129's 1.0) + centi-bins: the fixture's weak features
+    // concentrate the 3-iteration scores into a ~0.08-wide band, and
+    // this pairing spreads the diagram over ~8 populated rows instead
+    // of 1 — a hash over real per-bin arithmetic, not one cell
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      QualityClassifier.calibrationBins(
+        QualityClassifier.score(feat, "doc_id", w), bins = 100)
+        .orderBy("bin")
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      bnd AS (SELECT least(CAST(floor(p * 100) AS BIGINT), 99) AS bin, p, y
+              FROM scored_lr)
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+               AS mean_p,
+             CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*) AS frac_pos,
+             abs(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*)
+               - CAST(SUM(CAST(p AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*))
+               AS gap
+      FROM bnd GROUP BY bin ORDER BY bin"""))
+
+  /** Neyman-allocated stratified sample (budget 100 across sources by
+    * N_h·σ_h of n_chars); see [[Corpus.neymanAllocate]]. */
+  private val q198 = Q("q198_neyman",
+    (s, dir) => Corpus.neymanAllocate(t(s, dir, "documents"),
+      "source", "doc_id", "n_chars", 100L)
+      .select(col("doc_id"), col("source"), col("n_stratum"),
+        col("stratum_stddev"), col("n_alloc"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(30,12)))
+                 AS DOUBLE) AS sx,
+               CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+                 AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+        FROM documents GROUP BY source),
+      sd AS (SELECT source, n,
+               sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+             FROM st),
+      wgt AS (SELECT source, n, sd, CAST(n AS DOUBLE) * sd AS w FROM sd),
+      tw AS (SELECT CAST(SUM(CAST(w AS DECIMAL(30,12))) AS DOUBLE) AS tw
+             FROM wgt),
+      q AS (SELECT source, n, sd, 100.0 * w / tw AS q FROM wgt, tw),
+      fl AS (SELECT source, n, sd, q,
+               CAST(floor(q) AS BIGINT) AS fl, q - floor(q) AS fr
+             FROM q),
+      sfl AS (SELECT CAST(SUM(fl) AS BIGINT) AS sfl FROM fl),
+      alloc AS (SELECT source, n, sd,
+               least(n, fl + CASE WHEN row_number()
+                   OVER (ORDER BY fr DESC, source) <= 100 - sfl
+                 THEN 1 ELSE 0 END) AS n_alloc
+             FROM fl, sfl),
+      rk AS (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM documents)
+      SELECT rk.doc_id, rk.source, a.n AS n_stratum,
+             a.sd AS stratum_stddev, a.n_alloc
+      FROM rk JOIN alloc a USING (source)
+      WHERE rk.rk <= a.n_alloc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -3812,5 +4077,6 @@ object QueriesLlm {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-    q183, q184, q185, q186, q187, q188, q189, q190)
+    q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
+    q195, q196, q197, q198)
 }

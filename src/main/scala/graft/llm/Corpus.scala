@@ -99,6 +99,75 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Neyman-allocated stratified sample: the audit-sampling design
+    * (Neyman 1934; every survey-sampling text since) that minimizes
+    * the variance of a whole-corpus mean estimate for a fixed sample
+    * budget — allocate the `totalN` budget across strata
+    * ∝ N_h·σ_h (stratum size × stratum std-dev of `valCol`), so
+    * heterogeneous strata get audited harder and near-constant strata
+    * barely at all. THE right way to spend a fixed human-review
+    * budget across crawl sources before trusting a quality metric.
+    *
+    * Quotas round by largest remainder (floor everything, hand the
+    * leftover out by descending fractional part, ties → stratum asc)
+    * so the allocation sums to exactly `totalN`; a quota above its
+    * stratum's size clamps to N_h (the total then undershoots —
+    * documented, mirroring [[temperatureMixture]]'s cap rule). Rows
+    * are chosen within a stratum by md5 rank ([[domainCap]]'s
+    * unbiased deterministic pick).
+    *
+    * Determinism (q125/q151 discipline): Σx and Σx² per stratum are
+    * exact DECIMAL sums cast to double once; σ_h and the weight
+    * N_h·σ_h are fixed-shape IEEE expressions of those doubles
+    * (variance clamped at 0 — fp cancellation on constant strata);
+    * the weight TOTAL re-enters exact decimal so stratum order can't
+    * move it. Degenerate corpus (every stratum constant → total
+    * weight 0) raises — Neyman is undefined there, and a silent
+    * fallback would mask a broken stat column.
+    *
+    * Scale shape: one (stratum)-keyed moment aggregate (map-side
+    * combined, |strata| rows), quota arithmetic + the remainder rank
+    * on that |strata|-row frame (the only unpartitioned window —
+    * bounded by stratum count, never data), the allocation broadcast
+    * back, one md5-rank window per stratum. */
+  def neymanAllocate(df: DataFrame, stratumCol: String, keyCol: String,
+      valCol: String, totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val x = col(valCol).cast("double")
+    val st = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(x.cast(dec)).cast("double").as("__sx"),
+        sum((x * x).cast(dec)).cast("double").as("__sxx"))
+      .withColumn("__sd", sqrt(greatest(
+        col("__sxx") / col("__n") -
+          (col("__sx") / col("__n")) * (col("__sx") / col("__n")),
+        lit(0.0))))
+      .withColumn("__w", col("__n").cast("double") * col("__sd"))
+    val tot = st.agg(sum(col("__w").cast(dec)).cast("double").as("__tw"))
+    val quotas = st.crossJoin(broadcast(tot))
+      .withColumn("__q", when(col("__tw") <= 0.0, raise_error(lit(
+          "Corpus.neymanAllocate: every stratum is constant (total " +
+            "Neyman weight 0) — allocation undefined")))
+        .otherwise(lit(totalN.toDouble) * col("__w") / col("__tw")))
+      .withColumn("__fl", floor(col("__q")).cast("long"))
+      .withColumn("__fr", col("__q") - col("__fl"))
+    val wr = Window.orderBy(col("__fr").desc, col(stratumCol))
+    val alloc = quotas
+      .crossJoin(broadcast(quotas.agg(sum("__fl").as("__sfl"))))
+      .withColumn("__rk", row_number().over(wr).cast("long"))
+      .withColumn("n_alloc", least(col("__n"), col("__fl") +
+        when(col("__rk") <= lit(totalN) - col("__sfl"), 1L).otherwise(0L)))
+      .select(col(stratumCol), col("__n").as("n_stratum"),
+        col("__sd").as("stratum_stddev"), col("n_alloc"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.join(broadcast(alloc), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("n_alloc"))
+      .drop("__rk")
+  }
+
   /** Temperature-scaled source mixture (the XLM-R/mT5 α-sampling rule
     * for multi-source corpora): per-source sampling mass ∝ n_s^α, so
     * α = 1 keeps natural proportions, α → 0 flattens toward uniform —

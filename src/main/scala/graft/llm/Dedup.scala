@@ -201,6 +201,72 @@ object Dedup {
         .localCheckpoint(true)
     }
 
+  /** Near-dup pair count as a function of the jaccard threshold —
+    * the curve a dedup-policy owner reads BEFORE picking the cut: a
+    * knee in pairs-vs-threshold separates the true-duplicate mass
+    * from background similarity, and a curve that keeps climbing as
+    * the threshold drops means the corpus (or the shingle width) has
+    * a background-similarity problem. Thresholds must sit at or
+    * above the LSH verify floor (0.5 — below it pairs were never
+    * verified, and the curve would silently undercount).
+    *
+    * Scale shape: ONE LSH pass (the loan pattern; candidates
+    * O(dups)) fans out to all thresholds via a |thresholds|-row
+    * broadcast — the sweep costs one extra tiny aggregate, not one
+    * LSH pass per point. The |thresholds|-row result materializes
+    * inside the loan (clusterKeepers discipline). */
+  def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 0.5),
+      s"thresholds must be >= the 0.5 LSH verify floor, got $thresholds")
+    withLshPairs(docs, idCol, textCol) { pairs =>
+      val ss = docs.sparkSession
+      import ss.implicits._
+      val th = thresholds.toDF("threshold")
+      val counts = pairs.crossJoin(broadcast(th))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy("threshold").agg(count(lit(1)).cast("long").as("n_pairs"))
+      th.join(counts, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Cross-source duplicate-flow matrix: verified near-dup pairs
+    * bucketed by the UNORDERED pair of source labels — the
+    * "who copies whom" readout a mixture owner reads next to the
+    * threshold curve: a heavy (src_a, src_b) off-diagonal cell means
+    * two crawls overlap and double-weight their shared content; a
+    * heavy diagonal cell is a source self-duplicating. Emits
+    * (source_a ≤ source_b, n_pairs, mean_jaccard).
+    *
+    * Scale shape: ONE LSH pass (loan pattern, candidates O(dups));
+    * the source lookup joins the PAIR frame — duplicate-sized, never
+    * corpus-sized — against the keyed (id, source) projection, and
+    * the matrix fold is a ≤ |sources|²-row aggregate. mean_jaccard
+    * follows the dsum discipline (exact DECIMAL sum, one final IEEE
+    * division) so it hashes cross-engine. Result materializes inside
+    * the loan (clusterKeepers discipline). */
+  def dupFlowMatrix(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame =
+    withLshPairs(docs, idCol, textCol) { pairs =>
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val src = docs.select(col(idCol), col(srcCol))
+      val tagged = pairs
+        .join(src.select(col(idCol).as("id_a"), col(srcCol).as("__sa")),
+          Seq("id_a"))
+        .join(src.select(col(idCol).as("id_b"), col(srcCol).as("__sb")),
+          Seq("id_b"))
+      tagged
+        .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("jaccard").cast(dec)).cast("double") /
+            count(lit(1)).cast("double")).as("mean_jaccard"))
+        .localCheckpoint(true)
+    }
+
   /** Near-subset (containment) pairs over the SAME LSH candidate
     * family as [[lshPairs]]: candidates come from the jaccard-tuned
     * minhash bands, then score as |A∩B| / min(|A|,|B|) — the

@@ -92,4 +92,36 @@ object QualityClassifier {
       (s >= 0.5).as("predicted"),
       col("y").as("label"))
   }
+
+  /** Reliability diagram over a [[score]]d frame: equal-width bins of
+    * the predicted probability vs the empirical positive rate — the
+    * calibration table that decides whether a scorer's 0.9 means 90%
+    * (and whether its threshold can be read as a precision target)
+    * before anyone trusts a probability cut at corpus scale. Per bin:
+    * n, exact-decimal mean predicted probability, empirical positive
+    * fraction, and the |gap| whose n-weighted sum is ECE. A score of
+    * exactly 1.0 folds into the top bin (the standard closed-top
+    * rule).
+    *
+    * Scale shape: ONE keyed aggregate on the bin id (map-side
+    * combined), ≤ `bins` output rows. Determinism: mean_p is a dsum
+    * (exact DECIMAL, one final IEEE division); frac_pos is a ratio of
+    * exact longs; gap is one IEEE subtraction of those two doubles. */
+  def calibrationBins(scored: DataFrame, probCol: String = "quality_score",
+      labelCol: String = "label", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    scored
+      .select(least(floor(col(probCol) * bins), lit(bins - 1))
+          .cast("long").as("bin"),
+        col(probCol).cast("double").as("__p"),
+        col(labelCol).cast("double").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__p").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_p"),
+        (sum(col("__y").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("frac_pos"))
+      .withColumn("gap", abs(col("frac_pos") - col("mean_p")))
+  }
 }

@@ -1325,6 +1325,54 @@ object Similarity {
           (norm(col("va")) * norm(col("vb")))).as("cosine"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column —
+    * the whitening-lite isotropy prep (each dimension centered on its
+    * corpus mean and scaled to unit variance) that sits beside
+    * all-but-the-top in the embedding-conditioning toolbox: rogue
+    * high-variance dimensions stop dominating distances, and
+    * downstream quantizers (SQ8/PQ) see comparable per-dim ranges.
+    * Constant dimensions (σ = 0) standardize to 0.
+    *
+    * Scale shape: the stats pass is a (dim)-keyed exact-decimal
+    * aggregate (map-side combined; shuffle ≤ partitions·dims rows),
+    * collapsed to ONE dims-wide stats row that broadcasts onto the
+    * narrow apply map — the int8Quantize shape. Determinism: Σx and
+    * Σx² are exact DECIMAL(30,12) sums cast to double once; μ, σ and
+    * every z are fixed-shape IEEE expressions of those two doubles,
+    * so the output hashes cross-engine (variance is clamped at 0
+    * before the sqrt — fp cancellation on a constant dim can land
+    * epsilon-negative). */
+  def standardizeDims(corpus: DataFrame, idCol: String,
+      embCol: String = "embedding", dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val sums = corpus
+      .select(posexplode(slice(col(embCol), 1, dims)).as(Seq("__d", "__v")))
+      .select(col("__d"), col("__v").cast("double").as("__v"))
+      .groupBy("__d")
+      .agg(sum(col("__v").cast(dec)).cast("double").as("__sx"),
+        sum((col("__v") * col("__v")).cast(dec)).cast("double").as("__sxx"),
+        count(lit(1)).cast("double").as("__n"))
+    val stats = sums
+      .agg(array_sort(collect_list(struct(col("__d"), col("__sx"),
+        col("__sxx"), col("__n")))).as("__s"))
+      .select(
+        transform(col("__s"), e =>
+          e.getField("__sx") / e.getField("__n")).as("__mu"),
+        transform(col("__s"), e => sqrt(greatest(
+          e.getField("__sxx") / e.getField("__n")
+            - (e.getField("__sx") / e.getField("__n"))
+            * (e.getField("__sx") / e.getField("__n")),
+          lit(0.0)))).as("__sd"))
+    def muAt(i: Column) = element_at(col("__mu"), i + 1)
+    def sdAt(i: Column) = element_at(col("__sd"), i + 1)
+    corpus.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        transform(slice(col(embCol), 1, dims), (v, i) =>
+          when(sdAt(i) === lit(0.0), lit(0.0))
+            .otherwise((v.cast("double") - muAt(i)) / sdAt(i))).as("z"))
+  }
+
   /** Matryoshka truncation quality: recall@k of brute-force cosine
     * top-k computed on only the FIRST `truncDims` dimensions against
     * the full-width top-k — the readout that decides how far an

@@ -218,11 +218,6 @@ object TextAnalysis {
           coalesce(col("dup_bigram_frac") > dupBigramMax, lit(false)))
   }
 
-  /** Word n-gram shingles of a token array column (space-joined). */
-  private def wordShingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-
   /** Benchmark-contamination check (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better" §evaluation-overlap):
     * corpus documents sharing at least one word n-gram with any
@@ -240,7 +235,8 @@ object TextAnalysis {
       eval: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
     def shingled(df: org.apache.spark.sql.DataFrame) =
-      df.select(col(idCol), explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+      df.select(col(idCol), explode(graft.functions.WordShingles.column(
+        df.sparkSession, col(textCol), n, distinct = true)).as("shingle"))
     val evalShingles = shingled(eval).select("shingle").distinct()
     shingled(corpus).join(evalShingles, Seq("shingle"))
       .groupBy(idCol)
@@ -260,7 +256,8 @@ object TextAnalysis {
       idCol: String, textCol: String, n: Int = 8,
       maxEvalShingles: Long = 10_000_000L): org.apache.spark.sql.DataFrame = {
     val evalShingles = eval
-      .select(explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+      .select(explode(graft.functions.WordShingles.column(
+        eval.sparkSession, col(textCol), n, distinct = true)).as("shingle"))
       .distinct()
     // The collected set lives in one driver array, so anything past
     // Int.MaxValue - 1 can't be collected anyway; clamping keeps a
@@ -751,16 +748,19 @@ object TextAnalysis {
     * a doc whose shingles all appeared earlier adds nothing a
     * dedup-aware sampler wants.
     *
-    * Scale shape: distinct (doc, shingle) pairs, a shingle-keyed
-    * min-aggregate (map-side combined), one shingle-keyed join back,
-    * and a doc-keyed fold — every shuffle is keyed and
-    * partial-aggregated, nothing corpus². `novelty` is one IEEE
-    * division of exact counts. */
+    * Scale shape: the native [[graft.functions.WordShingles]] kernel
+    * emits each doc's DISTINCT shingles in one codegen pass (the
+    * former corpus-wide `(id, shingle) DISTINCT` shuffle collapsed
+    * within-doc repeats the kernel now removes for free — one less
+    * exchange), then a shingle-keyed min-aggregate (map-side
+    * combined), one shingle-keyed join back, and a doc-keyed fold —
+    * every remaining shuffle is keyed and partial-aggregated, nothing
+    * corpus². `novelty` is one IEEE division of exact counts. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int = 5): org.apache.spark.sql.DataFrame = {
     val sh = docs.select(col(idCol),
-        explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
-      .distinct()
+      explode(graft.functions.WordShingles.column(
+        docs.sparkSession, col(textCol), n, distinct = true)).as("shingle"))
     val first = sh.groupBy("shingle").agg(min(col(idCol)).as("first_doc"))
     sh.join(first, Seq("shingle"))
       .groupBy(idCol).agg(
@@ -973,36 +973,73 @@ object TextAnalysis {
     * table itself is O(stages), never data-sized. */
   def filterFunnel(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, langCol: String, minDistinctRatio: Double = 0.3,
+      maxDigitRuns: Long = 5L): org.apache.spark.sql.DataFrame =
+    filterFunnelBy(docs, idCol, textCol, Some(langCol), Nil,
+      minDistinctRatio, maxDigitRuns)
+
+  /** [[filterFunnel]] generalized two ways: per-GROUP funnels (one
+    * funnel row-set per value of `groupCols` — the per-source "where
+    * does each crawl lose its mass" table, or per-epoch observability
+    * over a streaming corpus sink), and an OPTIONAL language stage
+    * (`langCol = None` drops the lang_match row — the corpus sink
+    * case, where the declared-language column did not survive
+    * ingest; stages renumber to all(0) → repetition(1) → quality(2)).
+    *
+    * Because each stage predicate is per-document, group funnels are
+    * ADDITIVE: summing any stage's n_docs/n_tokens across groups
+    * equals the ungrouped funnel on the union — the invariant that
+    * makes per-epoch funnels composable into a whole-corpus one
+    * (asserted in the specs). `doc_frac` stays group-relative.
+    *
+    * Scale shape: unchanged from [[filterFunnel]] — per-doc keyed
+    * flag joins, then ONE (groupCols)-keyed aggregate of conditional
+    * sums (map-side combined) fanned to O(stages) rows per group. */
+  def filterFunnelBy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, langCol: Option[String], groupCols: Seq[String],
+      minDistinctRatio: Double = 0.3,
       maxDigitRuns: Long = 5L): org.apache.spark.sql.DataFrame = {
     val rep = repetitionStats(docs, idCol, textCol)
       .select(col(idCol), col("repetition_flagged"))
     val toks = tokens(col(textCol))
-    val base = docs.select(col(idCol), col(langCol).as("__lang"),
+    val base = docs.select(Seq(col(idCol)) ++ groupCols.map(col) ++ Seq(
       size(toks).cast("long").as("__nt"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("__dr"),
       size(regexp_extract_all(col(textCol), lit("[0-9]{4,}"), lit(0)))
-        .cast("long").as("__dg"),
-      langId(col(textCol)).as("__lp"))
-    val flagged = base.join(rep, Seq(idCol))
+        .cast("long").as("__dg")) ++
+      langCol.toSeq.flatMap(lc => Seq(col(lc).as("__lang"),
+        langId(col(textCol)).as("__lp"))): _*)
+    val withRep = base.join(rep, Seq(idCol))
       .withColumn("__p1", !col("repetition_flagged"))
-      .withColumn("__p2", col("__p1") && col("__lp") === col("__lang"))
-      .withColumn("__p3", col("__p2") && col("__dr") >= minDistinctRatio &&
+    // __pl = the predicate the quality stage chains FROM: with a lang
+    // column it is repetition ∧ lang-match, without it just repetition.
+    val chained = langCol match {
+      case Some(_) => withRep.withColumn("__pl",
+        col("__p1") && col("__lp") === col("__lang"))
+      case None => withRep.withColumn("__pl", col("__p1"))
+    }
+    val flagged = chained.withColumn("__pq",
+      col("__pl") && col("__dr") >= minDistinctRatio &&
         col("__dg") <= maxDigitRuns)
-    val a = flagged.agg(
-      count(lit(1)).as("c0"), sum("__nt").as("t0"),
+    val aggs = Seq(sum("__nt").as("t0"),
       sum(when(col("__p1"), 1L).otherwise(0L)).as("c1"),
-      sum(when(col("__p1"), col("__nt")).otherwise(0L)).as("t1"),
-      sum(when(col("__p2"), 1L).otherwise(0L)).as("c2"),
-      sum(when(col("__p2"), col("__nt")).otherwise(0L)).as("t2"),
-      sum(when(col("__p3"), 1L).otherwise(0L)).as("c3"),
-      sum(when(col("__p3"), col("__nt")).otherwise(0L)).as("t3"))
-    a.selectExpr(
-      """stack(4,
-           0L, 'all', c0, t0,
-           1L, 'repetition', c1, t1,
-           2L, 'lang_match', c2, t2,
-           3L, 'quality', c3, t3) AS (stage, stage_name, n_docs, n_tokens)""",
-      "c0 AS __total")
+      sum(when(col("__p1"), col("__nt")).otherwise(0L)).as("t1")) ++
+      (if (langCol.isDefined) Seq(
+        sum(when(col("__pl"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("__pl"), col("__nt")).otherwise(0L)).as("t2"))
+      else Nil) ++ Seq(
+      sum(when(col("__pq"), 1L).otherwise(0L)).as("cq"),
+      sum(when(col("__pq"), col("__nt")).otherwise(0L)).as("tq"))
+    val a = flagged.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("c0"), aggs: _*)
+    val stages = Seq(("0L", "'all'", "c0", "t0"),
+      ("1L", "'repetition'", "c1", "t1")) ++
+      (if (langCol.isDefined) Seq(("2L", "'lang_match'", "c2", "t2"))
+      else Nil) ++
+      Seq((s"${if (langCol.isDefined) 3 else 2}L", "'quality'", "cq", "tq"))
+    val stackExpr = s"stack(${stages.length}, " +
+      stages.map(s => s"${s._1}, ${s._2}, ${s._3}, ${s._4}").mkString(", ") +
+      ") AS (stage, stage_name, n_docs, n_tokens)"
+    a.selectExpr(groupCols ++ Seq(stackExpr, "c0 AS __total"): _*)
       .withColumn("doc_frac",
         col("n_docs").cast("double") / col("__total").cast("double"))
       .drop("__total")
@@ -1056,6 +1093,40 @@ object TextAnalysis {
         min_by(col("cum"), col("rank")).as("covered_tokens"),
         (min_by(col("cum"), col("rank")).cast("double") /
           first(col("total")).cast("double")).as("coverage"))
+  }
+
+  /** Frequency-of-frequencies spectrum with the Good-Turing adjusted
+    * count — the third classic vocabulary readout beside Zipf's slope
+    * (q186) and Heaps' curve (q187): N_r = how many distinct terms
+    * occur exactly r times, and the Good-Turing estimate
+    * r* = (r+1)·N_{r+1}/N_r — the smoothed "effective count" whose
+    * r=1 row (N_1, the hapax mass) is the standard estimate of
+    * unseen-event probability (Gale & Sampson's simple Good-Turing).
+    * A corpus whose hapax share balloons between snapshots grew junk
+    * vocabulary (OCR noise, boilerplate IDs); one whose N_1 collapses
+    * is saturating. Rows where N_{r+1} = 0 emit a null r* (the raw
+    * estimator is undefined there — downstream smoothing, not this
+    * readout, fills gaps).
+    *
+    * Scale shape: term counts partial-aggregate map-side
+    * (vocabulary-sized); the spectrum is a second keyed aggregate on
+    * the COUNT value (≤ |distinct counts| rows — tiny); the r+1
+    * lookup is a self-join on that tiny frame. `maxR` bounds the
+    * OUTPUT rows only — the r+1 neighbor is read before the cut so
+    * the last row's r* stays correct. */
+  def freqSpectrum(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      maxR: Long = 50L): org.apache.spark.sql.DataFrame = {
+    require(maxR >= 1, s"maxR must be positive, got $maxR")
+    val spec = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    spec
+      .join(spec.select((col("r") - 1).as("r"), col("n_r").as("__n1")),
+        Seq("r"), "left")
+      .filter(col("r") <= maxR)
+      .select(col("r"), col("n_r"),
+        (((col("r") + 1).cast("double") * col("__n1").cast("double")) /
+          col("n_r").cast("double")).as("gt_r_star"))
   }
 
   /** Pairwise Jensen-Shannon divergence between per-source unigram
@@ -1222,6 +1293,63 @@ object TextAnalysis {
     docs.select(col(idCol), col(groupCol), col(valCol),
       percent_rank().over(wv).as("pr"),
       ntile(tiles).over(wt).cast("long").as("tier"))
+  }
+
+  /** Population Stability Index of a numeric doc stat per group
+    * against a designated reference group — THE production drift
+    * gate for pipeline stats (industry rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 broken): deciles of the REFERENCE
+    * distribution become the bins, and PSI = Σ (q−p)·ln(q/p) over
+    * the per-bin mass ratios. Complements the token-level distances
+    * (TVD q179, JS q185) with the numeric-feature angle.
+    *
+    * Empty-bin handling is add-one smoothing on COUNTS
+    * (p = (c+1)/(n+bins)) — deterministic, engine-portable, and
+    * bounded, unlike the eps-floor hack; the reference group's own
+    * PSI is exactly 0 (q = p term-for-term, ln 1 = 0).
+    *
+    * Scale shape: one grouped exact-percentile pass over the
+    * reference (bounded by value cardinality, the q176 note), ONE
+    * 9-double edge row broadcast onto the scan for bin assignment
+    * (strict `x > edge` fold), then (group, bin)-keyed counts with a
+    * |groups|·bins broadcast spine. Determinism: per-bin terms are
+    * libm-ln doubles of exact-integer ratios, decimal-rounded and
+    * summed exactly (q167 discipline). */
+  def psiDrift(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      valCol: String, refGroup: String,
+      bins: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val x = col(valCol).cast("double")
+    val pcts = (1 until bins).map(i => i.toDouble / bins)
+    val edges = docs.filter(col(groupCol) === refGroup)
+      .agg(expr(s"percentile(CAST($valCol AS DOUBLE), array(${pcts.mkString(",")}))")
+        .as("__edges"))
+    val binned = docs.crossJoin(broadcast(edges))
+      .select(col(groupCol).as("__grp"),
+        (lit(1) + size(filter(col("__edges"), e => x > e))).as("__bin"))
+    val counts = binned.groupBy("__grp", "__bin").agg(count(lit(1)).as("__c"))
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val binSpine = (1 to bins).map(_.toLong).toDF("__bin")
+    val spine = docs.select(col(groupCol).as("__grp")).distinct()
+      .crossJoin(broadcast(binSpine))
+    val cc = spine.join(counts, Seq("__grp", "__bin"), "left")
+      .select(col("__grp"), col("__bin"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val totals = cc.groupBy("__grp").agg(sum("__c").as("__n"))
+    val mass = cc.join(broadcast(totals), Seq("__grp"))
+      .select(col("__grp"), col("__bin"),
+        ((col("__c") + lit(1)).cast("double") /
+          (col("__n") + lit(bins)).cast("double")).as("__m"))
+    val ref = mass.filter(col("__grp") === refGroup)
+      .select(col("__bin"), col("__m").as("__p"))
+    val term = ((col("__m") - col("__p")) * log(col("__m") / col("__p")))
+      .cast(dec)
+    mass.join(broadcast(ref), Seq("__bin"))
+      .groupBy("__grp")
+      .agg(sum(term).cast("double").as("psi"))
+      .select(col("__grp").as(groupCol), col("psi"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

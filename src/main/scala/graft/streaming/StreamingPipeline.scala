@@ -65,6 +65,41 @@ object StreamingPipeline {
   def readSignatures(spark: SparkSession, sigDir: String): DataFrame =
     readCommitted(spark, sigDir).drop("epoch")
 
+  /** Per-epoch filter-cascade funnel over the COMMITTED corpus sink —
+    * the observability table the streaming chain publishes so a
+    * mixture owner can watch residual quality per ingest epoch (which
+    * epoch landed repetition-heavy survivors, where the junk floor
+    * bites) without re-running the batch cascade. The sink carries no
+    * declared-language column, so the lang_match stage is omitted
+    * (`langCol = None` — stages all → repetition → quality).
+    *
+    * Stage predicates are per-document, so these rows are ADDITIVE:
+    * summing a stage across epochs reproduces the whole-corpus funnel
+    * exactly (spec-asserted) — per-epoch publication loses nothing.
+    *
+    * Scale shape: one committed-epochs scan, per-doc keyed flag
+    * joins, ONE epoch-keyed conditional-sum aggregate (map-side
+    * combined) → O(epochs · stages) rows. */
+  def epochFunnel(spark: SparkSession, corpusDir: String,
+      minDistinctRatio: Double = 0.3,
+      maxDigitRuns: Long = 5L): DataFrame =
+    graft.llm.TextAnalysis.filterFunnelBy(
+      readCommitted(spark, corpusDir), "doc_id", "clean_text",
+      langCol = None, groupCols = Seq("epoch"),
+      minDistinctRatio = minDistinctRatio, maxDigitRuns = maxDigitRuns)
+
+  /** Per-epoch total-variation distance of each COMMITTED epoch's
+    * unigram distribution from the whole committed corpus — the
+    * content-mix drift alarm for a long-running ingest: an epoch
+    * whose TVD jumps changed what it is feeding the corpus (crawl
+    * shift, a source going bad) and needs a quality audit before the
+    * next retrain. Same exact-BIGINT fold as
+    * [[graft.llm.TextAnalysis.sourceTvd]], keyed on the epoch
+    * partition instead of a source column. */
+  def epochTvd(spark: SparkSession, corpusDir: String): DataFrame =
+    graft.llm.TextAnalysis.sourceTvd(
+      readCommitted(spark, corpusDir), "epoch", "clean_text")
+
   /** Raw tx schema as landed by the source (FIXTURES.md A1). */
   val txSchema: StructType = StructType(Seq(
     StructField("txid", StringType),

@@ -38,6 +38,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(sampled.join(docs, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("neymanAllocate: variance-heavy strata get the budget, constants get none, total exact") {
+    // stratum a: constant (σ=0) — Neyman gives it nothing;
+    // b: spread 10; c: same size, spread 100 → c gets ~10× b's share
+    val rows = (1 to 30).map(i => (i.toLong, "a", 50.0)) ++
+      (31 to 60).map(i => (i.toLong, "b", (i % 3) * 10.0)) ++
+      (61 to 90).map(i => (i.toLong, "c", (i % 3) * 100.0))
+    val d = rows.toDF("doc_id", "stratum", "v")
+    val out = Corpus.neymanAllocate(d, "stratum", "doc_id", "v", 22L)
+    val alloc = out.select("stratum", "n_alloc").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!alloc.contains("a"), s"constant stratum drew budget: $alloc")
+    assert(alloc("b") == 2 && alloc("c") == 20, alloc.toString)
+    assert(out.count() == 22, "largest remainder must hit the budget exactly")
+    // selected rows are a subset chosen by md5 rank — deterministic
+    val again = Corpus.neymanAllocate(d, "stratum", "doc_id", "v", 22L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("neymanAllocate: quota above stratum size clamps; all-constant corpus raises") {
+    // tiny high-variance stratum: quota wants more rows than exist
+    val d = ((1 to 3).map(i => (i.toLong, "hot", i * 1000.0)) ++
+      (4 to 40).map(i => (i.toLong, "mild", (i % 2) * 1.0)))
+      .toDF("doc_id", "stratum", "v")
+    val out = Corpus.neymanAllocate(d, "stratum", "doc_id", "v", 20L)
+    val alloc = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(alloc("hot") == 3, s"clamp at stratum size: $alloc")
+    val const = Seq((1L, "x", 5.0), (2L, "x", 5.0), (3L, "y", 7.0))
+      .toDF("doc_id", "stratum", "v")
+    val e = intercept[Exception] {
+      Corpus.neymanAllocate(const, "stratum", "doc_id", "v", 2L).collect()
+    }
+    assert(e.getMessage.contains("neymanAllocate") ||
+      e.getCause != null, e.getMessage)
+  }
+
   test("domain cap: at most k per domain, deterministic, unbiased by ingest order") {
     val docs = Tables.load(spark, dir, "documents")
     val capped = Corpus.domainCap(docs, "source", "doc_id", 7)

@@ -1759,6 +1759,84 @@ class LlmSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_fingerprints") == wins.length.toLong)
   }
 
+  test("psiDrift: reference 0, identical group 0, psi grows with shift") {
+    import spark.implicits._
+    def rows(src: String, off: Long) =
+      (1 to 40).map(i => (src + i, src, (i % 10) * 10 + off))
+    val d = (rows("r", 0) ++ rows("same", 0) ++ rows("mild", 10)
+      ++ rows("wild", 500))
+      .toDF("doc_id", "source", "n_chars")
+    val psi = TextAnalysis.psiDrift(d, "source", "n_chars", refGroup = "r")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi("r") == 0.0, s"reference psi ${psi("r")}")
+    assert(psi("same") == 0.0, s"identical-distribution psi ${psi("same")}")
+    assert(psi("mild") > 0.0 && psi("wild") > psi("mild"),
+      s"mild ${psi("mild")} wild ${psi("wild")}")
+  }
+
+  test("psiDrift matches a driver-side replay with add-one smoothing") {
+    import spark.implicits._
+    // ref [1,2,3,4] with 2 bins → edge at median 2.5 → p = (3/6, 3/6);
+    // shifted [3,4,5,6] → all above → q = (1/6, 5/6)
+    val d = ((1 to 4).map(i => (i.toLong, "ref", i.toLong))
+      ++ (5 to 8).map(i => (i.toLong, "hi", (i - 2).toLong)))
+      .toDF("doc_id", "source", "n_chars")
+    val psi = TextAnalysis.psiDrift(d, "source", "n_chars",
+      refGroup = "ref", bins = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = (1.0 / 6 - 0.5) * math.log((1.0 / 6) / 0.5) +
+      (5.0 / 6 - 0.5) * math.log((5.0 / 6) / 0.5)
+    assert(math.abs(psi("hi") - expect) < 1e-9, s"${psi("hi")} vs $expect")
+    assert(psi("ref") == 0.0)
+  }
+
+  test("standardizeDims: hand stats, constant dim maps to 0") {
+    import spark.implicits._
+    val d = Seq((1L, Seq(1f, 5f)), (2L, Seq(3f, 5f)), (3L, Seq(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.standardizeDims(d, "vec_id", dims = 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sd = math.sqrt(35.0 / 3 - 9.0)
+    for ((id, x) <- Seq((1L, 1.0), (2L, 3.0), (3L, 5.0))) {
+      assert(math.abs(out(id)(0) - (x - 3.0) / sd) < 1e-9, s"vec $id dim 1")
+      assert(out(id)(1) == 0.0, s"constant dim must standardize to 0")
+    }
+  }
+
+  test("standardizeDims: fixture z-scores have mean 0, variance 1 per dim") {
+    val z = Similarity.standardizeDims(emb, "vec_id").collect()
+      .map(_.getSeq[Double](1))
+    val n = z.length.toDouble
+    for (d <- 0 until 64) {
+      val m = z.map(_(d)).sum / n
+      val v = z.map(r => r(d) * r(d)).sum / n - m * m
+      assert(math.abs(m) < 1e-6, s"dim $d mean $m")
+      assert(math.abs(v - 1.0) < 1e-6, s"dim $d var $v")
+    }
+  }
+
+  test("thresholdCurve: monotone, anchored at the verified pair count, full spine") {
+    val curve = Dedup.thresholdCurve(docs, "doc_id", "text")
+      .orderBy("threshold").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    assert(curve.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    assert(curve.sliding(2).forall(p => p(0)._2 >= p(1)._2),
+      curve.mkString(","))
+    val base = Dedup.lshPairs(docs, "doc_id", "text").count()
+    assert(curve.head._2 == base)
+  }
+
+  test("thresholdCurve: a dup-free corpus still emits the zero spine") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "golf hotel india juliet kilo lima"))
+      .toDF("doc_id", "text")
+    val curve = Dedup.thresholdCurve(d, "doc_id", "text")
+      .orderBy("threshold").collect()
+    assert(curve.length == 5 && curve.forall(_.getLong(1) == 0L))
+  }
+
   test("winnowFingerprints guarantee: a shared >= w+k-1 word run shares a fingerprint") {
     import spark.implicits._
     val run = "one two three four five six seven" // w+k-1 = 7 words
@@ -1780,5 +1858,86 @@ class LlmSpec extends AnyFunSuite {
     assert(out(0).getSeq[Long](out(0).fieldIndex("fingerprints")).isEmpty)
     assert(out(1).getAs[Long]("n_grams") == 2L)
     assert(out(1).getAs[Long]("n_fingerprints") == 1L)
+  }
+
+  test("dupFlowMatrix: pair total matches lshPairs; means are true jaccards") {
+    val m = Dedup.dupFlowMatrix(docs, "doc_id", "text", "source").collect()
+    assert(m.forall(r => r.getAs[String]("source_a") <= r.getAs[String]("source_b")),
+      "matrix keys must be unordered-canonical")
+    assert(m.map(_.getAs[Long]("n_pairs")).sum
+      == Dedup.lshPairs(docs, "doc_id", "text").count(),
+      "every verified pair lands in exactly one cell")
+    assert(m.forall { r =>
+      val mj = r.getAs[Double]("mean_jaccard"); mj >= 0.5 && mj <= 1.0
+    }, m.mkString(";"))
+  }
+
+  test("freqSpectrum: hand spectrum with Good-Turing estimates, null where N_{r+1}=0") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.freqSpectrum(d, "text").orderBy("r").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    assert(out(0).getDouble(2) == 2.0, "r*=2·N2/N1")
+    assert(out(1).getDouble(2) == 3.0, "r*=3·N3/N2")
+    assert(out(2).isNullAt(2), "no N4 -> raw GT undefined")
+    // the maxR cut bounds OUTPUT rows but reads the r+1 neighbor first
+    val cut = TextAnalysis.freqSpectrum(d, "text", maxR = 2L)
+      .orderBy("r").collect()
+    assert(cut.length == 2 && cut(1).getDouble(2) == 3.0)
+  }
+
+  test("calibrationBins: hand bins, closed top, exact gap arithmetic") {
+    import spark.implicits._
+    val d = Seq((0.05, 0.0), (0.12, 0.0), (0.18, 1.0), (0.95, 1.0), (1.0, 1.0))
+      .toDF("quality_score", "label")
+    val out = graft.llm.QualityClassifier.calibrationBins(d)
+      .orderBy("bin").collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 9L))
+    assert(out(0L).getAs[Long]("n") == 1 &&
+      out(0L).getAs[Double]("frac_pos") == 0.0)
+    assert(out(1L).getAs[Long]("n") == 2 &&
+      out(1L).getAs[Double]("frac_pos") == 0.5 &&
+      math.abs(out(1L).getAs[Double]("mean_p") - 0.15) < 1e-12)
+    assert(out(9L).getAs[Long]("n") == 2,
+      "a score of exactly 1.0 folds into the top bin")
+    assert(math.abs(out(9L).getAs[Double]("gap")
+      - (1.0 - 0.975)) < 1e-12)
+  }
+
+  test("filterFunnelBy: per-source funnels are additive with the global funnel") {
+    val bySrc = TextAnalysis.filterFunnelBy(docs, "doc_id", "text",
+      Some("lang"), Seq("source"))
+    val global = TextAnalysis.filterFunnel(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val sums = bySrc.groupBy("stage")
+      .agg(org.apache.spark.sql.functions.sum("n_docs").as("nd"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("nt"))
+      .collect().map(r => r.getAs[Long]("stage") ->
+        (r.getAs[Long]("nd"), r.getAs[Long]("nt"))).toMap
+    assert(sums == global, s"per-source sums $sums vs global $global")
+    val stages = bySrc.select("stage_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stages == Set("all", "repetition", "lang_match", "quality"))
+  }
+
+  test("filterFunnelBy without a lang column: three stages, quality chains from repetition") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "one two three 12345 67890 111213 141516 171819 202122 232425"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.filterFunnelBy(d, "doc_id", "text", None, Nil,
+        maxDigitRuns = 2L)
+      .orderBy("stage").collect()
+    assert(out.map(_.getAs[String]("stage_name")).toSeq
+      == Seq("all", "repetition", "quality"))
+    assert(out.map(_.getAs[Long]("stage")).toSeq == Seq(0L, 1L, 2L))
+    // doc 2 dies at repetition; doc 3 survives repetition but dies at
+    // the digit-run floor; doc 1 survives everything
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(3L, 2L, 1L))
   }
 }

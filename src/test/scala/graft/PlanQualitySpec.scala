@@ -643,6 +643,51 @@ class PlanQualitySpec extends AnyFunSuite {
       l.contains("winnow_fp") && l.contains("*(")), plan.take(2000))
   }
 
+  test("q191 psi: edge row and spine broadcast; counts fold keyed") {
+    val plan = physical("q191_psi_drift")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the 1-row decile frame reaches the scan as a broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q192 standardize: one dims-wide stats row broadcasts onto a narrow apply map") {
+    val plan = physical("q192_dim_standardize")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the stats pass partial-aggregates before its exchange
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q194 funnel by source: keyed conditional-sum aggregate, no cartesian") {
+    val plan = physical("q194_funnel_by_source")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the per-doc flag join keys on doc_id; the funnel itself is one
+    // (source)-keyed aggregate with map-side partials
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      plan.take(3000))
+  }
+
+  test("q195 dup flow: matrix is loan-materialized — actions scan the checkpoint, not the LSH chain") {
+    val plan = physical("q195_dup_flow")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // clusterKeepers discipline: the |sources|²-row matrix localCheckpoints
+    // INSIDE withLshPairs, so every later action reads the pinned rows
+    // instead of re-running minhash/band/jaccard on unpersisted caches
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q198 neyman: allocation broadcast back to the scan, no sort-merge join") {
+    val plan = physical("q198_neyman")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |strata|-row allocation must broadcast: " + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q182 centroid cosine: pair fold runs on |groups|-row frames after the keyed dim aggregate") {
     val plan = physical("q182_centroid_cosine")
     // the groups² pair join is tiny-side broadcast (range condition →

@@ -523,4 +523,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L).n_events == 2 && math.abs(out(1L).total_value - 3.0) < 1e-9)
     assert(out(2L).n_events == 1)
   }
+
+  test("epochFunnel/epochTvd: per-epoch observability, additive, torn epochs invisible") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-epoch-obs").toString
+    val corpus = s"$base/corpus"
+    // epoch 0: two clean docs; epoch 1: one repetition-heavy doc that
+    // the funnel must kill at stage 1, one clean doc
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=0")
+    Seq((3L, "spam spam spam spam spam spam spam spam"),
+      (4L, "red orange yellow green blue indigo violet shade"))
+      .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=1")
+    // a TORN epoch (no _SUCCESS) must stay invisible to both readouts
+    Seq((9L, "torn torn torn torn torn torn torn torn"))
+      .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=2")
+    Files.delete(java.nio.file.Paths.get(s"$corpus/epoch=2/_SUCCESS"))
+
+    val fun = StreamingPipeline.epochFunnel(spark, corpus).collect()
+    assert(fun.map(_.getAs[Int]("epoch")).toSet == Set(0, 1),
+      "torn epoch leaked into the funnel")
+    assert(fun.map(_.getAs[String]("stage_name")).toSet
+      == Set("all", "repetition", "quality"), "sink has no lang column")
+    def stageDocs(epoch: Int, stage: String): Long =
+      fun.find(r => r.getAs[Int]("epoch") == epoch &&
+        r.getAs[String]("stage_name") == stage).get.getAs[Long]("n_docs")
+    assert(stageDocs(0, "all") == 2 && stageDocs(0, "quality") == 2)
+    assert(stageDocs(1, "all") == 2 && stageDocs(1, "repetition") == 1,
+      "the spam doc must die at the repetition stage")
+    // additivity: per-epoch stage sums equal the whole-corpus funnel
+    val whole = graft.llm.TextAnalysis.filterFunnelBy(
+      StreamingPipeline.readCorpus(spark, corpus),
+      "doc_id", "clean_text", None, Nil).collect()
+      .map(r => r.getAs[String]("stage_name") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    for ((st, (nd, nt)) <- whole) {
+      assert(fun.filter(_.getAs[String]("stage_name") == st)
+        .map(_.getAs[Long]("n_docs")).sum == nd, s"stage $st docs")
+      assert(fun.filter(_.getAs[String]("stage_name") == st)
+        .map(_.getAs[Long]("n_tokens")).sum == nt, s"stage $st tokens")
+    }
+
+    val tvd = StreamingPipeline.epochTvd(spark, corpus).collect()
+      .map(r => r.getAs[Int]("epoch") ->
+        r.getAs[Double]("tvd")).toMap
+    assert(tvd.keySet == Set(0, 1), "torn epoch leaked into the TVD")
+    // disjoint vocabularies collapse TVD to 1 − S/G (S = epoch tokens,
+    // G = 34 corpus tokens): epoch 0 has 18, epoch 1 has 16
+    assert(math.abs(tvd(0) - (1.0 - 18.0 / 34)) < 1e-9, tvd.toString)
+    assert(math.abs(tvd(1) - (1.0 - 16.0 / 34)) < 1e-9, tvd.toString)
+  }
 }
