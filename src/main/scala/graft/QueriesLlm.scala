@@ -4069,6 +4069,94 @@ object QueriesLlm {
       FROM rk JOIN alloc a USING (source)
       WHERE rk.rk <= a.n_alloc ORDER BY doc_id"""))
 
+  /** Expected Calibration Error of the q197-configured scorer — the
+    * one-number reliability headline; see [[QualityClassifier.ece]]. */
+  private val q199 = Q("q199_ece",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      QualityClassifier.ece(
+        QualityClassifier.score(feat, "doc_id", w), bins = 100)
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      bnd AS (SELECT least(CAST(floor(p * 100) AS BIGINT), 99) AS bin, p, y
+              FROM scored_lr),
+      cb AS (SELECT bin, COUNT(*) AS n,
+               CAST(SUM(CAST(p AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+                 AS mean_p,
+               CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*) AS frac_pos
+             FROM bnd GROUP BY bin)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(CAST(CAST(n AS DOUBLE) * abs(frac_pos - mean_p)
+               AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+               AS ece
+      FROM cb"""))
+
+  /** Cohen's kappa between the two junk filters (Gopher repetition
+    * pass vs the distinct-ratio/digit-run floor) — filter-redundancy
+    * analysis; see [[QualityClassifier.agreementKappa]]. */
+  private val q200 = Q("q200_filter_kappa",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val flags = docs.select(col("doc_id"),
+          (size(array_distinct(toks)).cast("double") / size(toks))
+            .as("__dr"),
+          size(regexp_extract_all(col("text"), lit("[0-9]{4,}"), lit(0)))
+            .cast("long").as("__dg"))
+        .join(TextAnalysis.repetitionStats(docs, "doc_id", "text")
+          .select(col("doc_id"), col("repetition_flagged")), Seq("doc_id"))
+        .select((!col("repetition_flagged")).as("rep_pass"),
+          (col("__dr") >= 0.3 && col("__dg") <= 5L).as("junk_pass"))
+      QualityClassifier.agreementKappa(flags, "rep_pass", "junk_pass")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+             FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+      ts AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                    CAST(MAX(cnt) AS BIGINT) AS topc
+             FROM tc GROUP BY 1),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+             FROM toks),
+      bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+      bs AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nb,
+                    CAST(COUNT(*) AS BIGINT) AS db
+             FROM bc GROUP BY 1),
+      v AS (
+        SELECT NOT (CAST(ts.topc AS DOUBLE) / ts.n_tokens > 0.2
+                OR COALESCE(1.0 - CAST(bs.db AS DOUBLE) / bs.nb > 0.3, FALSE))
+                 AS a,
+               (CAST(len(list_distinct(tk.t)) AS DOUBLE) / len(tk.t) >= 0.3
+                AND len(regexp_extract_all(tk.text, '[0-9]{4,}')) <= 5) AS b
+        FROM toks tk JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_tt,
+               CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_tf,
+               CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_ft,
+               CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_ff
+        FROM v),
+      r AS (
+        SELECT n, n_tt, n_tf, n_ft, n_ff,
+               CAST(n_tt + n_ff AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+               (CAST(n_tt + n_tf AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n_tt + n_ft AS DOUBLE) / CAST(n AS DOUBLE))
+               + (CAST(n_ft + n_ff AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n_tf + n_ff AS DOUBLE) / CAST(n AS DOUBLE)) AS p_e
+        FROM agg)
+      SELECT n, n_tt, n_tf, n_ft, n_ff, p_o, p_e,
+             CASE WHEN 1.0 - p_e = 0.0 THEN NULL
+                  ELSE (p_o - p_e) / (1.0 - p_e) END AS kappa
+      FROM r"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4078,5 +4166,5 @@ object QueriesLlm {
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
-    q195, q196, q197, q198)
+    q195, q196, q197, q198, q199, q200)
 }

@@ -124,4 +124,58 @@ object QualityClassifier {
           count(lit(1)).cast("double")).as("frac_pos"))
       .withColumn("gap", abs(col("frac_pos") - col("mean_p")))
   }
+
+  /** Expected Calibration Error — the one-number summary of
+    * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|frac_pos_b − mean_p_b|,
+    * the standard reliability headline (Guo et al., ICML'17) a
+    * monitoring dashboard alerts on while the per-bin diagram is for
+    * humans. One extra 1-row fold over the ≤ bins-row frame; the
+    * weighted sum goes through exact decimal so bin order can't move
+    * the double. */
+  def ece(scored: DataFrame, probCol: String = "quality_score",
+      labelCol: String = "label", bins: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    calibrationBins(scored, probCol, labelCol, bins)
+      .agg(sum(col("n")).as("n_total"),
+        (sum((col("n").cast("double") * col("gap")).cast(dec))
+          .cast("double") /
+          sum(col("n")).cast("double")).as("ece"))
+  }
+
+  /** Cohen's kappa between two boolean verdict columns — the
+    * chance-corrected agreement between two quality filters (the
+    * rule cascade vs the trained scorer, two classifier versions, a
+    * human sample vs either): observed agreement p_o corrected by the
+    * agreement p_e two independent raters with these marginals would
+    * reach by luck, κ = (p_o − p_e)/(1 − p_e). The curation question
+    * it answers: does the learned filter actually add signal over the
+    * rules, or does it just mimic them (κ ≈ 1)? Emits the 2×2
+    * confusion counts alongside κ so the direction of disagreement is
+    * read off the same row. Degenerate marginals (p_e = 1 — both
+    * raters constant) emit null κ.
+    *
+    * Scale shape: ONE conditional-sum aggregate over the joined
+    * verdict frame (map-side combined, 1 output row); every rate is
+    * an IEEE expression of exact longs. */
+  def agreementKappa(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    val a = col(colA).cast("boolean")
+    val b = col(colB).cast("boolean")
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n_tt"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n_tf"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n_ft"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n_ff"))
+    val n = col("n").cast("double")
+    val po = (col("n_tt") + col("n_ff")).cast("double") / n
+    val pe = ((col("n_tt") + col("n_tf")).cast("double") / n) *
+      ((col("n_tt") + col("n_ft")).cast("double") / n) +
+      ((col("n_ft") + col("n_ff")).cast("double") / n) *
+      ((col("n_tf") + col("n_ff")).cast("double") / n)
+    agg.select(col("n"), col("n_tt"), col("n_tf"), col("n_ft"),
+      col("n_ff"), po.as("p_o"), pe.as("p_e"),
+      when(lit(1.0) - pe === 0.0, lit(null).cast("double"))
+        .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

@@ -100,6 +100,23 @@ object StreamingPipeline {
     graft.llm.TextAnalysis.sourceTvd(
       readCommitted(spark, corpusDir), "epoch", "clean_text")
 
+  /** Per-epoch Population Stability Index of document length against
+    * the EARLIEST committed epoch's deciles — the numeric-feature
+    * drift gate beside [[epochTvd]]'s token-level distance: token TVD
+    * catches a vocabulary shift, PSI on length catches a shape shift
+    * (truncation bug upstream, a new source of stubs) that can leave
+    * the vocabulary untouched. Reference = min committed epoch (the
+    * chain's own baseline; one tiny LIST, no data scan). */
+  def epochPsi(spark: SparkSession, corpusDir: String,
+      bins: Int = 10): DataFrame = {
+    val docs = readCommitted(spark, corpusDir)
+      .withColumn("__len", length(col("clean_text")).cast("long"))
+    val ref = committedEpochs(spark, corpusDir)
+      .map(_.split("epoch=").last.toLong).min
+    graft.llm.TextAnalysis.psiDrift(docs, "epoch", "__len",
+      refGroup = ref.toString, bins = bins)
+  }
+
   /** Raw tx schema as landed by the source (FIXTURES.md A1). */
   val txSchema: StructType = StructType(Seq(
     StructField("txid", StringType),

@@ -1906,6 +1906,35 @@ class LlmSpec extends AnyFunSuite {
       - (1.0 - 0.975)) < 1e-12)
   }
 
+  test("ece: weighted gap fold over the hand calibration frame") {
+    import spark.implicits._
+    val d = Seq((0.05, 0.0), (0.12, 0.0), (0.18, 1.0), (0.95, 1.0), (1.0, 1.0))
+      .toDF("quality_score", "label")
+    val out = graft.llm.QualityClassifier.ece(d).collect().head
+    assert(out.getAs[Long]("n_total") == 5L)
+    // bins: 0 -> gap .05 (n=1), 1 -> gap .35 (n=2), 9 -> gap .025 (n=2)
+    assert(math.abs(out.getAs[Double]("ece") - 0.16) < 1e-12,
+      out.toString)
+  }
+
+  test("agreementKappa: hand 2x2 grids — chance-corrected, perfect, degenerate") {
+    import spark.implicits._
+    def kappa(rows: Seq[(Boolean, Boolean)]) =
+      graft.llm.QualityClassifier.agreementKappa(
+        rows.toDF("a", "b"), "a", "b").collect().head
+    val r = kappa(Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false)))
+    assert(r.getAs[Long]("n_tt") == 4 && r.getAs[Long]("n_ff") == 4)
+    assert(math.abs(r.getAs[Double]("p_o") - 0.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_e") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.6) < 1e-12)
+    val perfect = kappa(Seq.fill(3)((true, true)) ++ Seq.fill(2)((false, false)))
+    assert(math.abs(perfect.getAs[Double]("kappa") - 1.0) < 1e-12)
+    val degen = kappa(Seq.fill(3)((true, true)))
+    assert(degen.isNullAt(degen.fieldIndex("kappa")),
+      "constant marginals (p_e = 1) must yield null, not NaN")
+  }
+
   test("filterFunnelBy: per-source funnels are additive with the global funnel") {
     val bySrc = TextAnalysis.filterFunnelBy(docs, "doc_id", "text",
       Some("lang"), Seq("source"))

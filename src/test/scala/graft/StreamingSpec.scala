@@ -533,7 +533,10 @@ class StreamingSpec extends AnyFunSuite {
     Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "one two three four five six seven eight nine ten"))
       .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=0")
-    Seq((3L, "spam spam spam spam spam spam spam spam"),
+    // the spam doc is both repetition-heavy (funnel stage 1) and LONG
+    // (59 chars vs the reference median 46 — shifts epoch 1's length
+    // mix into the upper PSI bin)
+    Seq((3L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
       (4L, "red orange yellow green blue indigo violet shade"))
       .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=1")
     // a TORN epoch (no _SUCCESS) must stay invisible to both readouts
@@ -570,8 +573,17 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Double]("tvd")).toMap
     assert(tvd.keySet == Set(0, 1), "torn epoch leaked into the TVD")
     // disjoint vocabularies collapse TVD to 1 − S/G (S = epoch tokens,
-    // G = 34 corpus tokens): epoch 0 has 18, epoch 1 has 16
-    assert(math.abs(tvd(0) - (1.0 - 18.0 / 34)) < 1e-9, tvd.toString)
-    assert(math.abs(tvd(1) - (1.0 - 16.0 / 34)) < 1e-9, tvd.toString)
+    // G = 38 corpus tokens): epoch 0 has 18, epoch 1 has 20
+    assert(math.abs(tvd(0) - (1.0 - 18.0 / 38)) < 1e-9, tvd.toString)
+    assert(math.abs(tvd(1) - (1.0 - 20.0 / 38)) < 1e-9, tvd.toString)
+
+    // epochPsi: the earliest committed epoch is its own reference
+    // (psi exactly 0); the later epoch's length mix differs -> psi > 0
+    val psi = StreamingPipeline.epochPsi(spark, corpus, bins = 2)
+      .collect().map(r => r.getAs[Int]("epoch") ->
+        r.getAs[Double]("psi")).toMap
+    assert(psi.keySet == Set(0, 1), "torn epoch leaked into the PSI")
+    assert(psi(0) == 0.0, s"reference epoch must score exactly 0: $psi")
+    assert(psi(1) > 0.0, psi.toString)
   }
 }
