@@ -4157,6 +4157,118 @@ object QueriesLlm {
                   ELSE (p_o - p_e) / (1.0 - p_e) END AS kappa
       FROM r"""))
 
+  /** Flesch reading ease + FK grade per doc — the classic readability
+    * quality features; see [[TextAnalysis.readability]]. */
+  private val q201 = Q("q201_readability",
+    (s, dir) => TextAnalysis.readability(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("doc_id"),
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS BIGINT) AS n_words,
+               greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                 AS BIGINT), 1) AS n_sents,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS n_runs
+        FROM documents),
+      k AS (SELECT doc_id, n_words, n_sents,
+                   greatest(n_runs, n_words) AS n_syll FROM c)
+      SELECT doc_id, n_words, n_sents, n_syll,
+             206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+               AS flesch,
+             0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+               + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+               - 15.59 AS fk_grade
+      FROM k ORDER BY doc_id"""))
+
+  /** Moving-average TTR lexical diversity (native sliding kernel);
+    * see [[TextAnalysis.mattr]]. */
+  private val q202 = Q("q202_mattr",
+    (s, dir) => TextAnalysis.mattr(t(s, dir, "documents"),
+      "doc_id", "text", w = 20).orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              CASE WHEN len(t) <= 20
+                THEN CAST(len(list_distinct(t)) AS BIGINT)
+                ELSE CAST(list_sum(list_transform(
+                       generate_series(1, len(t) - 19),
+                       i -> len(list_distinct(t[i:i+19])))) AS BIGINT)
+              END AS mattr_sum
+            FROM arr),
+      d AS (SELECT doc_id, n_tokens, mattr_sum,
+                   greatest(n_tokens - 19, 1) AS n_windows,
+                   least(n_tokens, 20) AS width
+            FROM m)
+      SELECT doc_id, n_tokens, mattr_sum, n_windows, width,
+             CAST(mattr_sum AS DOUBLE) / CAST(n_windows * width AS DOUBLE)
+               AS mattr
+      FROM d ORDER BY doc_id"""))
+
+  /** Cross-source quantile normalization of doc length onto the
+    * pooled distribution; see [[TextAnalysis.quantileNormalize]]. */
+  private val q203 = Q("q203_quantile_normalize",
+    (s, dir) => TextAnalysis.quantileNormalize(t(s, dir, "documents"),
+      "doc_id", "source", "n_chars").orderBy("doc_id"),
+    Some("""
+      WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g
+            FROM b GROUP BY 1),
+      r AS (SELECT doc_id, source, n_chars,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+            FROM b),
+      p AS (SELECT n_chars AS q_norm,
+              CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                AS BIGINT) AS pos
+            FROM b),
+      q AS (SELECT r.doc_id, r.source, r.n_chars,
+              CAST(CAST(r.rk AS HUGEINT) * tot.n // g.n_g
+                + CASE WHEN CAST(r.rk AS HUGEINT) * tot.n % g.n_g > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS pos
+            FROM r CROSS JOIN tot JOIN g USING (source))
+      SELECT q.doc_id, q.source, q.n_chars, p.q_norm
+      FROM q JOIN p USING (pos) ORDER BY doc_id"""))
+
+  /** Hourly volume-burst detection per event type (trailing-window
+    * z-score); see [[graft.ops.EventOps.burstDetect]]. */
+  private val q204 = Q("q204_burst_detect",
+    (s, dir) => graft.ops.EventOps.burstDetect(t(s, dir, "events"))
+      .orderBy("event_type", "hour"),
+    Some("""
+      WITH h AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, hour, n_events,
+               CAST(COUNT(*) OVER tw AS BIGINT) AS n_hist,
+               SUM(n_events) OVER tw AS s1,
+               CAST(SUM(CAST(n_events AS DECIMAL(38,0)) * n_events)
+                 OVER tw AS DOUBLE) AS s2
+        FROM h
+        WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      m AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n_hist AS DOUBLE) AS mean
+            FROM w),
+      v AS (SELECT *, greatest((s2 - CAST(n_hist AS DOUBLE) * mean * mean)
+                        / (CAST(n_hist AS DOUBLE) - 1.0), 0.0) AS var
+            FROM m),
+      z AS (SELECT event_type, hour, n_events, n_hist,
+                   CASE WHEN n_hist >= 1 THEN mean END AS base_mean,
+                   CASE WHEN n_hist >= 8 AND var > 0.0
+                     THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(var)
+                   END AS z
+            FROM v)
+      SELECT event_type, hour, n_events, n_hist, base_mean, z,
+             COALESCE(z > 3.0, FALSE) AS burst
+      FROM z ORDER BY event_type, hour"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4166,5 +4278,5 @@ object QueriesLlm {
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
-    q195, q196, q197, q198, q199, q200)
+    q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 }

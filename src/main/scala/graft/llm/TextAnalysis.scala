@@ -1390,4 +1390,142 @@ object TextAnalysis {
         size(col("__wf.fingerprints")).cast("long").as("n_fingerprints"),
         col("__wf.fingerprints").as("fingerprints"))
   }
+
+  /** Flesch reading ease + Flesch-Kincaid grade per document — the
+    * classic readability features every quality-classifier feature
+    * set carries (beside length/punct/stopword ratios): text too hard
+    * OR too easy for its register is a quality signal the simpler
+    * ratios miss.
+    *
+    * Heuristic counts, pinned for engine portability: sentences =
+    * runs of [.!?] (floored at 1 — a fragment is one sentence);
+    * syllables = runs of [aeiouy] in the lowercased text, floored at
+    * the word count (every word has ≥ 1 syllable; the per-word floor
+    * is folded into one doc-level `greatest` so the whole operator
+    * stays a narrow regexp map with NO per-token HOF). Both engines
+    * replay the same regex counts, and the two scores are single IEEE
+    * expressions of exact longs — bit-deterministic.
+    *
+    * Scale shape: a pure per-row map riding the scan (the q17
+    * text-stats shape) — zero shuffle, zero state. */
+  def readability(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = tokenCount(col(textCol))
+    val sents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syll = greatest(
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+        .cast("long"),
+      words)
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = syll.cast("double") / words.cast("double")
+    docs.select(col(idCol),
+      words.as("n_words"), sents.as("n_sents"), syll.as("n_syll"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
+
+  /** Moving-average type-token ratio (Covington & McFall 2010) — the
+    * length-robust lexical diversity feature: plain TTR decays with
+    * document length, so a raw distinct-ratio quality cut silently
+    * biases against long documents; MATTR averages the TTR of every
+    * width-`w` sliding token window instead. Docs with ≤ w tokens
+    * fall back to plain TTR (one window of width n).
+    *
+    * Scale shape: the numerator (summed per-window distinct counts)
+    * is the native O(n) sliding kernel [[graft.functions.MattrSum]] —
+    * a zero-shuffle scan rider; the HOF formulation would re-slice
+    * and re-dedup every window (the WordShingles tax). Determinism:
+    * the gate-facing columns are exact longs plus ONE IEEE division
+    * (mattr = sum / (windows · width)). */
+  def mattr(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(w >= 1, s"window width must be positive, got $w")
+    val n = tokenCount(col(textCol))
+    val sumCol = graft.functions.MattrSum.column(
+      docs.sparkSession, col(textCol), w)
+    docs.select(col(idCol), n.as("n_tokens"), sumCol.as("mattr_sum"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - w + 1, lit(1L)))
+      .withColumn("width", least(col("n_tokens"), lit(w.toLong)))
+      .withColumn("mattr", col("mattr_sum").cast("double") /
+        (col("n_windows") * col("width")).cast("double"))
+  }
+
+  /** Cross-group quantile normalization of an integral doc stat: each
+    * row's value is replaced by the POOLED distribution's value at
+    * the row's within-group quantile — the batch-effect removal that
+    * makes a stat comparable across sources whose scales differ (the
+    * microarray-era quantile normalization, here for per-source
+    * feature drift). Complements [[rankNormalize]] (q188): that maps
+    * to uniform [0,1]; this maps BACK onto the pooled empirical
+    * distribution so downstream absolute thresholds keep working.
+    *
+    * Mapping, exactly: within-group rank r by (value, id) of n_g rows
+    * targets pooled position q = ⌈r·N/n_g⌉ ∈ [1, N]; q_norm = the
+    * q-th smallest pooled value by the same (value, id) total order.
+    * The r·N product runs in DECIMAL(38,0) with exact integral
+    * div/mod for the ceiling — no 2^63 wrap at any corpus size (the
+    * pmiPairs lesson) and no decimal-rounding ceiling hazard.
+    *
+    * Scale shape: NO global-sort window. Pooled positions come from
+    * the two-level banded prefix sum (the [[vocabCoverage]] shape):
+    * rank within a value-magnitude band (bands partition the value
+    * order, so cross-band ties are impossible), plus broadcast
+    * per-band offsets; the per-group rank decomposes the same way on
+    * (group, band) so one giant source can't pin a reducer. The final
+    * position lookup is an equi-join on q. Values must be
+    * non-negative integers (doc stats are counts; shift upstream if
+    * not). */
+  def quantileNormalize(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String,
+      valCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol),
+        col(valCol).cast("long").as("__v"))
+      .withColumn("__bk", when(col("__v") < 0,
+          raise_error(concat(lit("quantileNormalize: negative value for "),
+            col(idCol).cast("string"))).cast("long"))
+        .otherwise(length(bin(col("__v"))).cast("long")))
+    // pooled positions: band rank + band offsets (ascending value)
+    val wp = Window.partitionBy(col("__bk"))
+      .orderBy(col("__v"), col(idCol))
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pOff = base.groupBy("__bk").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val pooled = base
+      .withColumn("__rk", row_number().over(wp).cast("long"))
+      .join(broadcast(pOff), Seq("__bk"))
+      .select((col("__off") + col("__rk")).as("__pos"),
+        col("__v").as("q_norm"))
+    // within-group ranks, same banded decomposition on (group, band)
+    val wg = Window.partitionBy(col(groupCol), col("__bk"))
+      .orderBy(col("__v"), col(idCol))
+    val wgOff = Window.partitionBy(col(groupCol)).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gOff = base.groupBy(col(groupCol), col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wgOff), lit(0L)))
+      .select(col(groupCol), col("__bk"), col("__off"))
+    val sizes = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val total = base.agg(count(lit(1)).as("__N"))
+    val ranked = base
+      .withColumn("__grk", row_number().over(wg).cast("long"))
+      .join(broadcast(gOff), Seq(groupCol, "__bk"))
+      .join(broadcast(sizes), Seq(groupCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__r", col("__off") + col("__grk"))
+      .withColumn("__prod",
+        col("__r").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("__N"))
+      .withColumn("__pos",
+        expr("__prod div __ng") +
+          when(expr("__prod % __ng") > 0, 1L).otherwise(0L))
+      .select(col(idCol), col(groupCol), col("__v").as(valCol),
+        col("__pos"))
+    ranked.join(pooled, Seq("__pos"))
+      .select(col(idCol), col(groupCol), col(valCol), col("q_norm"))
+  }
 }

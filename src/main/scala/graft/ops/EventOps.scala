@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream anomaly readouts for pipeline observability. */
+object EventOps {
+
+  /** Hourly burst detection per event type: each hour's count scored
+    * as a z-score against the TRAILING `lookback`-hour window (the
+    * hour itself excluded — a burst must not dilute its own
+    * baseline). The ingestion-observability gate beside the drift
+    * family (TVD/PSI watch content; this watches VOLUME): a crawler
+    * gone hot, a source replaying itself, or an upstream outage
+    * (negative z) all show here first.
+    *
+    * Flag rule: z > `zCut` with at least `minHist` trailing hours of
+    * history (cold-start hours and degenerate zero-variance baselines
+    * emit null z, never a flag).
+    *
+    * Determinism: trailing sums run as exact aggregates — the count
+    * sum in BIGINT, the square sum in DECIMAL(38,0) (counts to ~1e9/
+    * hour square past 2^63; the pmiPairs lesson) — and mean/var/z are
+    * single IEEE expressions of those exact values, with the variance
+    * clamped at 0 before the sqrt (fp cancellation on a constant
+    * baseline lands epsilon-negative, the q192 discipline).
+    *
+    * Scale shape: the data-sized work is ONE map-side-combined
+    * (type, hour) count; every window runs on the aggregate series —
+    * |types|·|hours| rows, thousands even at 100 TB/year — partitioned
+    * by type. Zero corpus-sized shuffles beyond the count. */
+  def burstDetect(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", lookback: Int = 24,
+      minHist: Int = 8, zCut: Double = 3.0): DataFrame = {
+    require(lookback >= 2 && minHist >= 2 && minHist <= lookback,
+      s"need 2 <= minHist <= lookback, got lookback=$lookback minHist=$minHist")
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("hour"))
+      .rowsBetween(-lookback, -1)
+    val nH = count(lit(1)).over(w)
+    val s1 = sum(col("n_events")).over(w)
+    val s2 = sum(col("n_events").cast(DecimalType(38, 0)) * col("n_events"))
+      .over(w)
+    val nD = nH.cast("double")
+    val mean = s1.cast("double") / nD
+    val variance = greatest(
+      (s2.cast("double") - nD * mean * mean) / (nD - lit(1.0)), lit(0.0))
+    val z = when(nH >= minHist && variance > 0.0,
+      (col("n_events").cast("double") - mean) / sqrt(variance))
+    hourly.select(col(typeCol), col("hour"), col("n_events"),
+      nH.cast("long").as("n_hist"),
+      when(nH >= 1, mean).as("base_mean"),
+      z.as("z"),
+      coalesce(z > zCut, lit(false)).as("burst"))
+  }
+}

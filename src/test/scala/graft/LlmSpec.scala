@@ -1969,4 +1969,121 @@ class LlmSpec extends AnyFunSuite {
     // the digit-run floor; doc 1 survives everything
     assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(3L, 2L, 1L))
   }
+
+  test("readability: hand-computed Flesch and FK grade, vowelless floor") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello world. This is fun!"), (2L, "xyz qrt"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 5 words, 2 sentence runs, vowel runs h[e]ll[o] w[o]rld
+    // th[i]s [i]s f[u]n = 6 >= 5 words
+    assert(out(0).getAs[Long]("n_words") == 5L)
+    assert(out(0).getAs[Long]("n_sents") == 2L)
+    assert(out(0).getAs[Long]("n_syll") == 6L)
+    val wps = 5.0 / 2.0; val spw = 6.0 / 5.0
+    assert(math.abs(out(0).getAs[Double]("flesch")
+      - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("fk_grade")
+      - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-12)
+    // doc 2: zero vowel runs floors at the 2-word count; no sentence
+    // punctuation floors sentences at 1
+    assert(out(1).getAs[Long]("n_sents") == 1L)
+    assert(out(1).getAs[Long]("n_syll") == 2L)
+  }
+
+  test("mattr: hand windows, TTR fallback, length-robust vs plain TTR") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),               // w=2 windows: aa=1 aa=1 ab=2 -> 4
+      (2L, "a b a"),                 // n=3 <= w=5 -> distinct 2, TTR 2/3
+      (3L, ("a b c " * 40).trim))    // cyclic: every w=3 window distinct
+      .toDF("doc_id", "text")
+    val w2 = TextAnalysis.mattr(d.filter(col("doc_id") === 1L),
+      "doc_id", "text", w = 2).collect().head
+    assert(w2.getAs[Long]("mattr_sum") == 4L)
+    assert(w2.getAs[Long]("n_windows") == 3L)
+    assert(math.abs(w2.getAs[Double]("mattr") - 4.0 / 6.0) < 1e-12)
+    val w5 = TextAnalysis.mattr(d.filter(col("doc_id") === 2L),
+      "doc_id", "text", w = 5).collect().head
+    assert(w5.getAs[Long]("mattr_sum") == 2L)
+    assert(w5.getAs[Long]("n_windows") == 1L)
+    assert(w5.getAs[Long]("width") == 3L)
+    assert(math.abs(w5.getAs[Double]("mattr") - 2.0 / 3.0) < 1e-12)
+    // the length-robustness claim itself: a 120-token cyclic doc keeps
+    // MATTR = 1 at w=3 while its plain TTR has decayed to 3/120
+    val w3 = TextAnalysis.mattr(d.filter(col("doc_id") === 3L),
+      "doc_id", "text", w = 3).collect().head
+    assert(w3.getAs[Long]("n_tokens") == 120L)
+    assert(math.abs(w3.getAs[Double]("mattr") - 1.0) < 1e-12)
+  }
+
+  test("property: mattr kernel equals the brute-force sliding windows") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    val gDoc = for {
+      nw <- Gen.choose(0, 30)
+      ts <- Gen.listOfN(nw, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield ts.mkString(" ")
+    for (w <- Seq(1, 2, 5, 20)) {
+      val texts = draw(gDoc, 1300L + w, 60).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = TextAnalysis.mattr(texts.toDF("doc_id", "text"),
+          "doc_id", "text", w = w)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("mattr_sum")).toMap
+      texts.foreach { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+", -1).toSeq
+        val expect =
+          if (toks.length <= w) toks.distinct.length.toLong
+          else toks.sliding(w).map(_.distinct.length.toLong).sum
+        assert(got(id) == expect, s"w=$w doc=$id text='$t'")
+      }
+    }
+  }
+
+  test("quantileNormalize: hand mapping onto the pooled distribution") {
+    import spark.implicits._
+    val d = Seq((1L, "X", 0L), (2L, "X", 10L), (3L, "Y", 1L), (4L, "Y", 2L),
+      (5L, "Y", 3L), (6L, "Y", 4L), (7L, "Y", 5L), (8L, "Y", 6L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.quantileNormalize(d, "doc_id", "source", "n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("q_norm")).toMap
+    // pooled sorted: 0,1,2,3,4,5,6,10 (N=8)
+    // X (n_g=2): r=1 -> pos ceil(8/2)=4 -> 3; r=2 -> pos 8 -> 10
+    // Y (n_g=6): r=1..6 -> pos 2,3,4,6,7,8 -> 1,2,3,5,6,10
+    assert(out == Map(1L -> 3L, 2L -> 10L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 5L, 7L -> 6L, 8L -> 10L), out.toString)
+  }
+
+  test("quantileNormalize: single group is the identity; repartition-invariant; negatives raise") {
+    import spark.implicits._
+    val d = (1L to 37L).map(i => (i, "S", (i * 7) % 23))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.quantileNormalize(d, "doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getAs[Long]("q_norm")))
+    // one group: within-group rank r targets pooled pos ceil(r*N/N) = r
+    // under the SAME (value, id) order -> the row's own value
+    assert(out.forall { case (_, v, q) => q == v }, out.mkString(","))
+    val rep = TextAnalysis.quantileNormalize(d.repartition(7),
+        "doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getAs[Long]("q_norm")))
+    assert(rep.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val neg = Seq((1L, "S", -3L), (2L, "S", 4L))
+      .toDF("doc_id", "source", "n_chars")
+    val e = intercept[Exception] {
+      TextAnalysis.quantileNormalize(neg, "doc_id", "source", "n_chars")
+        .collect()
+    }
+    assert(e.getMessage.contains("negative value") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative value")),
+      e.toString)
+  }
 }

@@ -82,4 +82,40 @@ class OpsSpec extends AnyFunSuite {
     assert(reg.get("wh1").contains(("jdbc", "WH1_SECRET")))
     assert(reg.get("nope").isEmpty)
   }
+
+  test("burstDetect: planted spike flags, cold start and constant baseline never do") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int, k: Int) = // k events inside hour h
+      (0 until k).map(i => (new java.sql.Timestamp(
+        t0.getTime + h * 3600000L + i * 1000L), "click"))
+    // 30 alternating 9/11 hours (var > 0), then a 100-event spike,
+    // plus a SECOND type with a CONSTANT baseline and the same spike
+    val rows = (0 until 30).flatMap(h => at(h, if (h % 2 == 0) 9 else 11)) ++
+      at(30, 100) ++
+      ((0 until 30).flatMap(h => at(h, 10)) ++ at(30, 100))
+        .map { case (ts, _) => (ts, "view") }
+    val out = graft.ops.EventOps.burstDetect(rows.toDF("ts", "event_type"))
+      .orderBy("event_type", "hour").collect()
+    val click = out.filter(_.getString(0) == "click")
+    val view = out.filter(_.getString(0) == "view")
+    assert(click.length == 31 && view.length == 31)
+    // cold start: the first minHist hours have z = null, burst = false
+    assert(click.take(8).forall(r => r.isNullAt(r.fieldIndex("z"))
+      && !r.getAs[Boolean]("burst")))
+    // the spike hour: trailing window is the 24 hours before it —
+    // mean 10, sd sqrt(24/23); z = 90/sd ~ 88 -> flagged
+    val spike = click.last
+    assert(spike.getAs[Long]("n_events") == 100L)
+    assert(math.abs(spike.getAs[Double]("base_mean") - 10.0) < 1e-12)
+    assert(spike.getAs[Double]("z") > 80.0 && spike.getAs[Boolean]("burst"))
+    // no other click hour flags (|z| of a 9/11 wiggle is ~1)
+    assert(click.init.forall(!_.getAs[Boolean]("burst")))
+    // constant baseline: zero variance -> null z, never a flag, even
+    // at the spike (the degenerate-baseline contract)
+    assert(view.forall(r => r.isNullAt(r.fieldIndex("z"))
+      && !r.getAs[Boolean]("burst")))
+    assert(math.abs(view.last.getAs[Double]("base_mean") - 10.0) < 1e-12)
+  }
 }

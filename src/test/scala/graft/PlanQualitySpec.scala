@@ -698,4 +698,45 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("q201/q202: pure scan riders — native kernel, no Generate, no join, no aggregate") {
+    for (name <- Seq("q201_readability", "q202_mattr")) {
+      val plan = physical(name)
+      assert(!plan.contains("Generate"), s"$name exploded: " + plan.take(2000))
+      assert(!plan.contains("Join"), s"$name joined: " + plan.take(2000))
+      assert(!plan.contains("HashAggregate"), s"$name aggregated: " + plan.take(2000))
+    }
+    // the MATTR numerator is the fused kernel, not an interpreted HOF
+    val p = physical("q202_mattr")
+    assert(p.contains("mattr_sum_20"), p.take(2000))
+    assert(!p.contains("ArrayDistinct") && !p.contains("transform("),
+      "HOF window formulation leaked back in: " + p.take(2000))
+  }
+
+  test("q203 quantile normalize: every data-sized window carries the band key") {
+    val plan = physical("q203_quantile_normalize")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // both row_number windows (pooled and per-group) must partition on
+    // __bk; only the |bands|-row offset windows may run unpartitioned
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__bk")),
+      dataWindows.mkString("\n"))
+    // offsets / sizes / total broadcast back; position lookup may hash
+    // but never sort-merge
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q204 burst: windows run on the hourly aggregate, partitioned by type") {
+    val plan = physical("q204_burst_detect")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the data-sized work is ONE partial+final count; windows sit above
+    // the aggregate and carry the type partition key
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      windows.mkString("\n"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")),
+      "hourly count must map-side combine: " + plan.take(3000))
+  }
 }
