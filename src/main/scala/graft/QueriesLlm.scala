@@ -4269,6 +4269,67 @@ object QueriesLlm {
              COALESCE(z > 3.0, FALSE) AS burst
       FROM z ORDER BY event_type, hour"""))
 
+  /** Within-label embedding dispersion (mean pairwise cosine via the
+    * sum-vector identity — O(n·dims), never the O(n²) pair join); see
+    * [[Similarity.groupDispersion]]. */
+  private val q205 = Q("q205_source_dispersion",
+    (s, dir) => Similarity.groupDispersion(t(s, dir, "embeddings"),
+      "label", "embedding", dims = 64).orderBy("label"),
+    Some("""
+      WITH nr AS (
+        SELECT label, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                 AS nrm
+        FROM embeddings),
+      s AS (SELECT label, i.i AS dim,
+              CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) / nrm
+                AS DECIMAL(30,12))) AS DECIMAL(38,12)) AS sd,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM nr, generate_series(1, 64) i(i) GROUP BY 1, 2),
+      g AS (SELECT label,
+              CAST(SUM(CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                AS DECIMAL(30,12))) AS DOUBLE) AS ssq,
+              MAX(cnt) AS n_vecs
+            FROM s GROUP BY 1)
+      SELECT label, n_vecs,
+             sqrt(ssq) / CAST(n_vecs AS DOUBLE) AS centroid_norm,
+             CASE WHEN n_vecs >= 2 THEN (ssq - CAST(n_vecs AS DOUBLE))
+               / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0))
+             END AS mean_cos
+      FROM g ORDER BY label"""))
+
+  /** Data-constrained scaling: effective worth of each source's
+    * repetition under a uniform 200k-token budget (Muennighoff decay);
+    * see [[Corpus.effectiveTokens]]. */
+  private val q206 = Q("q206_effective_tokens",
+    (s, dir) => Corpus.effectiveTokens(t(s, dir, "documents"),
+      "source", "text", budgetTokens = 200000L).orderBy("source"),
+    Some("""
+      WITH u AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                 AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM u),
+      a AS (SELECT source, n_tokens,
+              CAST(200000 AS DOUBLE) / CAST(n_src AS DOUBLE) AS alloc_tokens
+            FROM u CROSS JOIN k),
+      e AS (SELECT source, n_tokens, alloc_tokens,
+              alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs
+            FROM a),
+      r AS (SELECT *, greatest(epochs - 1.0, 0.0) AS rep FROM e),
+      f AS (SELECT source, n_tokens, alloc_tokens, epochs,
+              CASE WHEN epochs <= 1.0 THEN alloc_tokens
+                ELSE CAST(n_tokens AS DOUBLE) * (1.0 + 15.4 *
+                  CAST(CAST(1.0 - exp((rep * -1.0) / 15.4)
+                    AS DECIMAL(30,12)) AS DOUBLE))
+              END AS effective_tokens
+            FROM r)
+      SELECT source, n_tokens, alloc_tokens, epochs, effective_tokens,
+             effective_tokens / alloc_tokens AS utilization
+      FROM f ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4278,5 +4339,5 @@ object QueriesLlm {
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
-    q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
+    q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 }

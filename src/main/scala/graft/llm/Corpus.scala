@@ -186,6 +186,53 @@ object Corpus {
     * replay and the whole selection hash-gates (q151). One tiny
     * aggregate (|sources| rows, broadcast back) + one md5-rank window
     * per source — the domainCap shuffle shape, nothing corpus-global. */
+  /** Data-constrained scaling readout (Muennighoff et al. 2023,
+    * arXiv:2305.16264): how much is each source's REPETITION actually
+    * worth under a fixed training-token budget split uniformly across
+    * sources? The paper's fit: repeated tokens decay, effective data
+    * D' = U·(1 + R*·(1 − e^(−R/R*))) with U unique tokens, R repeat
+    * epochs beyond the first, and R* ≈ 15.4 the decay constant — a
+    * 5th epoch is worth far less than the 1st, and past ~15 epochs
+    * repetition is worthless. Sources whose allocation fits inside
+    * their unique tokens (epochs ≤ 1) use alloc fresh tokens,
+    * utilization 1; small sources that must repeat show utilization
+    * < 1 — the table a mixture owner reads before buying more data
+    * vs more compute.
+    *
+    * Determinism: token counts are exact longs; epochs/alloc are
+    * fixed-shape IEEE doubles of those; the one transcendental
+    * (1 − e^(−R/R*)) is decimal-rounded before re-entering the chain
+    * (the q125/q151 shared-libm discipline).
+    *
+    * Scale shape: ONE source-keyed token-count aggregate (map-side
+    * combined); every other step runs on the |sources|-row frame. */
+  def effectiveTokens(df: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, rStar: Double = 15.4): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be positive, got $budgetTokens")
+    require(rStar > 0, s"rStar must be positive, got $rStar")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val u = df.groupBy(col(sourceCol))
+      .agg(sum(graft.llm.TextAnalysis.tokenCount(col(textCol)))
+        .as("n_tokens"))
+    val k = u.agg(count(lit(1)).as("__nsrc"))
+    val decay = (lit(1.0) - exp((col("__rep") * lit(-1.0)) / lit(rStar)))
+      .cast(dec).cast("double")
+    u.crossJoin(broadcast(k))
+      .withColumn("alloc_tokens",
+        lit(budgetTokens).cast("double") / col("__nsrc").cast("double"))
+      .withColumn("epochs",
+        col("alloc_tokens") / col("n_tokens").cast("double"))
+      .withColumn("__rep", greatest(col("epochs") - lit(1.0), lit(0.0)))
+      .withColumn("effective_tokens",
+        when(col("epochs") <= 1.0, col("alloc_tokens"))
+          .otherwise(col("n_tokens").cast("double") *
+            (lit(1.0) + lit(rStar) * decay)))
+      .withColumn("utilization",
+        col("effective_tokens") / col("alloc_tokens"))
+      .select(col(sourceCol), col("n_tokens"), col("alloc_tokens"),
+        col("epochs"), col("effective_tokens"), col("utilization"))
+  }
+
   def temperatureMixture(df: DataFrame, sourceCol: String, keyCol: String,
       alpha: Double, totalDocs: Long): DataFrame = {
     val counts = df.groupBy(col(sourceCol))

@@ -1325,6 +1325,53 @@ object Similarity {
           (norm(col("va")) * norm(col("vb")))).as("cosine"))
   }
 
+  /** Within-group embedding dispersion via the sum-vector identity:
+    * over unit-normalized vectors, Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − n, so the
+    * MEAN PAIRWISE COSINE of a group is (‖Σv̂‖² − n)/(n(n−1)) — an
+    * O(n·dims) aggregate instead of the O(n²) pair join. The
+    * mixture-owner's diversity readout per source/label: a collapsed
+    * or templated slice shows mean cosine near 1 (every doc is the
+    * same doc semantically), a healthy one sits low; the centroid
+    * norm ‖μ‖ is the same signal in isotropy units (1 = all vectors
+    * identical, → 0 = perfectly spread). Complements
+    * [[groupCentroidCosine]] (BETWEEN-group similarity) with the
+    * WITHIN-group spread.
+    *
+    * Determinism: per-row normalization is the native dot kernel's
+    * fixed-order IEEE fold; each û_d goes through DECIMAL(30,12)
+    * before the (group, dim) sum (shuffle-order-free), and the final
+    * dims-sized square fold re-enters exact decimal — so the three
+    * output doubles hash cross-engine. Singleton groups emit null
+    * mean_cos (no pairs). Null embedding elements silently drop from
+    * the sums (the secondMoment caveat) — guard upstream if ragged.
+    *
+    * Scale shape: ONE (group, dim)-keyed map-side-combined aggregate
+    * (shuffle ≤ partitions·|groups|·dims rows); everything after runs
+    * on |groups|·dims rows. */
+  def groupDispersion(vectors: DataFrame, groupCol: String,
+      embedCol: String = "embedding", dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val sums = vectors
+      .select(col(groupCol).as("grp"),
+        norm(slice(col(embedCol), 1, dims)).as("__nrm"),
+        posexplode(slice(col(embedCol), 1, dims)).as(Seq("dim", "v")))
+      .select(col("grp"),
+        (col("v").cast("double") / col("__nrm")).as("__u"), col("dim"))
+      .groupBy("grp", "dim")
+      .agg(sum(col("__u").cast(dec)).as("sd"),
+        count(lit(1)).as("cnt"))
+    val g = sums.groupBy("grp")
+      .agg(sum((col("sd").cast("double") * col("sd").cast("double"))
+          .cast(dec)).cast("double").as("__ssq"),
+        max(col("cnt")).as("n_vecs"))
+    val nD = col("n_vecs").cast("double")
+    g.select(col("grp").as(groupCol), col("n_vecs"),
+      (sqrt(col("__ssq")) / nD).as("centroid_norm"),
+      when(col("n_vecs") >= 2,
+        (col("__ssq") - nD) / (nD * (nD - lit(1.0)))).as("mean_cos"))
+  }
+
   /** Per-dimension z-score standardization of an embedding column —
     * the whitening-lite isotropy prep (each dimension centered on its
     * corpus mean and scaled to unit variance) that sits beside

@@ -496,4 +496,35 @@ class CorpusSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("effectiveTokens: fresh allocation is worth itself, repetition decays per Muennighoff") {
+    import spark.implicits._
+    // S1: 100 unique tokens, S2: 10; budget 40 split uniformly -> 20 each
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "S1", ("w" + i + " ") * 10)) ++
+      Seq((100L, "S2", ("x " * 10).trim))
+    ).map { case (id, s, t) => (id, s, t.trim) }.toDF("doc_id", "source", "text")
+    val out = Corpus.effectiveTokens(docs, "source", "text",
+        budgetTokens = 40L).orderBy("source").collect()
+    val s1 = out(0); val s2 = out(1)
+    assert(s1.getAs[Long]("n_tokens") == 100L)
+    assert(s2.getAs[Long]("n_tokens") == 10L)
+    // S1: epochs 0.2 <= 1 -> every allocated token fresh, utilization 1
+    assert(math.abs(s1.getAs[Double]("epochs") - 0.2) < 1e-12)
+    assert(math.abs(s1.getAs[Double]("effective_tokens") - 20.0) < 1e-12)
+    assert(math.abs(s1.getAs[Double]("utilization") - 1.0) < 1e-12)
+    // S2: epochs 2 -> one repeat epoch, decayed by 1 - e^(-1/15.4)
+    // (decimal-rounded at scale 12, HALF_UP — the engine's cast)
+    assert(math.abs(s2.getAs[Double]("epochs") - 2.0) < 1e-12)
+    val decay = BigDecimal(1.0 - math.exp(-1.0 / 15.4))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectEff = 10.0 * (1.0 + 15.4 * decay)
+    assert(math.abs(s2.getAs[Double]("effective_tokens") - expectEff) < 1e-12,
+      s"got ${s2.getAs[Double]("effective_tokens")} expect $expectEff")
+    assert(s2.getAs[Double]("utilization") < 1.0)
+    // budget inside every source's unique tokens -> utilization 1 everywhere
+    val small = Corpus.effectiveTokens(docs, "source", "text",
+        budgetTokens = 10L).collect()
+    assert(small.forall(r => math.abs(r.getAs[Double]("utilization") - 1.0) < 1e-12))
+  }
 }

@@ -2086,4 +2086,35 @@ class LlmSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("negative value")),
       e.toString)
   }
+
+  test("groupDispersion: identical pair = 1, orthogonal pair = 0, singleton null, matches brute force") {
+    import spark.implicits._
+    def vec(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(4 - xs.length)(0.0)).map(_.toFloat).toArray
+    val d = Seq(
+      ("same", vec(1, 2, 3)), ("same", vec(1, 2, 3)),
+      ("orth", vec(1, 0, 0)), ("orth", vec(0, 1, 0)),
+      ("solo", vec(5, 5)),
+      ("mix", vec(1, 0, 0)), ("mix", vec(1, 1, 0)), ("mix", vec(0, 0, 1)))
+      .toDF("label", "embedding")
+    val out = graft.llm.Similarity.groupDispersion(d, "label",
+        "embedding", dims = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_norm"),
+          Option(r.getAs[java.lang.Double]("mean_cos")).map(_.doubleValue)))
+      .toMap
+    assert(out("same")._1 == 2L)
+    assert(math.abs(out("same")._2 - 1.0) < 1e-9)
+    assert(math.abs(out("same")._3.get - 1.0) < 1e-9)
+    assert(math.abs(out("orth")._3.get - 0.0) < 1e-9)
+    assert(math.abs(out("orth")._2 - math.sqrt(2.0) / 2.0) < 1e-9)
+    assert(out("solo")._3.isEmpty && math.abs(out("solo")._2 - 1.0) < 1e-9)
+    // brute-force mean pairwise cosine over the 3-vector group
+    val vs = Seq(Array(1.0, 0, 0), Array(1.0, 1, 0), Array(0.0, 0, 1))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val pairs = for (i <- vs.indices; j <- vs.indices if i < j)
+      yield vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum
+    assert(math.abs(out("mix")._3.get - pairs.sum / pairs.length) < 1e-9,
+      s"got ${out("mix")._3} expect ${pairs.sum / pairs.length}")
+  }
 }

@@ -727,6 +727,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q205 dispersion: one keyed (grp, dim) aggregate, never an O(n²) pair join") {
+    val plan = physical("q205_source_dispersion")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      "the sum-vector identity needs NO join at all: " + plan.take(3000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "the (grp, dim) sums must map-side combine: " + plan.take(3000))
+  }
+
+  test("q206 effective tokens: source-keyed aggregate plus a 1-row broadcast, nothing corpus-global") {
+    val plan = physical("q206_effective_tokens")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the source-count scalar must broadcast: " + plan.take(3000))
+  }
+
   test("q204 burst: windows run on the hourly aggregate, partitioned by type") {
     val plan = physical("q204_burst_detect")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
