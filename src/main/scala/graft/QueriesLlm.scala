@@ -4330,6 +4330,112 @@ object QueriesLlm {
              effective_tokens / alloc_tokens AS utilization
       FROM f ORDER BY source"""))
 
+  /** Exact ROC-AUC of the q197-configured scorer by Mann-Whitney
+    * rank-sum with midrank ties; see [[graft.llm.Stats.auc]]. */
+  private val q207 = Q("q207_auc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      graft.llm.Stats.auc(QualityClassifier.score(feat, "doc_id", w))
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      d AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt,
+              CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+            FROM scored_lr GROUP BY 1),
+      r AS (SELECT p, cnt, pos,
+              2 * COALESCE(SUM(cnt) OVER (ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1 AS rank2
+            FROM d),
+      a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   SUM(CAST(pos AS HUGEINT) * rank2) AS s2
+            FROM r)
+      SELECT n, n_pos, n - n_pos AS n_neg,
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+             END AS auc
+      FROM a"""))
+
+  /** Chi-square independence of length band × language over the full
+    * category spine; see [[graft.llm.Stats.chiSquare]]. */
+  private val q208 = Q("q208_chi_square",
+    (s, dir) => graft.llm.Stats.chiSquare(
+      t(s, dir, "documents").withColumn("len_band",
+        least(floor(col("n_chars") / 60.0), lit(9.0)).cast("long")),
+      "len_band", "lang"),
+    Some("""
+      WITH d AS (SELECT CAST(least(floor(n_chars / 60.0), 9) AS BIGINT)
+                   AS len_band, lang FROM documents),
+      cells AS (SELECT len_band AS a, lang AS b,
+                  CAST(COUNT(*) AS BIGINT) AS o
+                FROM d GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      sp AS (SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(cells.o, 0) AS o
+             FROM ra CROSS JOIN cb
+             LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      t2 AS (SELECT sp.*,
+               (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+                 / CAST(tot.n AS DOUBLE) AS e
+             FROM sp CROSS JOIN tot)
+      SELECT (SELECT n FROM tot) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+             CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+               AS BIGINT) AS dof,
+             CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+               / e AS DECIMAL(30,12))) AS DOUBLE) AS chi2
+      FROM t2"""))
+
+  /** Spearman rank correlation (midrank ties, exact moments) between
+    * doc length and token count; see [[graft.llm.Stats.spearman]]. */
+  private val q209 = Q("q209_spearman",
+    (s, dir) => graft.llm.Stats.spearman(
+      t(s, dir, "documents").select(col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "n_chars", "n_tokens"),
+    Some("""
+      WITH s AS (SELECT n_chars AS x,
+              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                AS BIGINT) AS y
+            FROM documents),
+      dx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+      rx AS (SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS rkx
+             FROM dx),
+      dy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+      ry AS (SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS rky
+             FROM dy),
+      j AS (SELECT rx.rkx, ry.rky FROM s JOIN rx USING (x) JOIN ry USING (y)),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(rkx AS HUGEINT)) AS sx,
+              SUM(CAST(rky AS HUGEINT)) AS sy,
+              SUM(CAST(rkx AS HUGEINT) * rkx) AS sxx,
+              SUM(CAST(rky AS HUGEINT) * rky) AS syy,
+              SUM(CAST(rkx AS HUGEINT) * rky) AS sxy
+            FROM j)
+      SELECT n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END AS rho
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4339,5 +4445,6 @@ object QueriesLlm {
     q151, q154, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
-    q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
+    q207, q208, q209)
 }

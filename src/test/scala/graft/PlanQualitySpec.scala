@@ -745,6 +745,27 @@ class PlanQualitySpec extends AnyFunSuite {
       "the source-count scalar must broadcast: " + plan.take(3000))
   }
 
+  test("q207/q209: every rank window carries the band key, no global data sort") {
+    for (name <- Seq("q207_auc", "q209_spearman")) {
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      // cum-count windows over distinct values must partition on __bk;
+      // only the |bands|-row offset windows may run unpartitioned
+      val dataWindows = plan.linesIterator.filter(l =>
+        l.contains("Window") && l.contains("cnt")).toSeq
+      assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__bk")),
+        s"$name: " + dataWindows.mkString("\n"))
+    }
+  }
+
+  test("q208 chi-square: marginals broadcast onto the category spine, no sort-merge") {
+    val plan = physical("q208_chi_square")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "cell counts must map-side combine: " + plan.take(3000))
+  }
+
   test("q204 burst: windows run on the hourly aggregate, partitioned by type") {
     val plan = physical("q204_burst_detect")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Stats
+
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("auc: perfect separation = 1, midrank ties credited half, degenerate labels null") {
+    import spark.implicits._
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.3, 0L), (0.1, 0L))
+      .toDF("quality_score", "label")
+    val p = Stats.auc(perfect).collect().head
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    assert(math.abs(p.getAs[Double]("auc") - 1.0) < 1e-15)
+    // pos {0.8, 0.5} vs neg {0.5, 0.2}: 3 wins + 1 tie (half credit)
+    // out of 4 pairs -> 0.875
+    val tied = Seq((0.8, 1L), (0.5, 1L), (0.5, 0L), (0.2, 0L))
+      .toDF("quality_score", "label")
+    assert(math.abs(Stats.auc(tied).collect().head.getAs[Double]("auc")
+      - 0.875) < 1e-15)
+    val onlyPos = Seq((0.9, 1L), (0.1, 1L)).toDF("quality_score", "label")
+    assert(Stats.auc(onlyPos).collect().head
+      .isNullAt(3), "no negatives must emit null auc")
+  }
+
+  test("property: rank-sum auc equals the brute-force pairwise count") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def draw[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+      var s = Seed(seed)
+      (0 until n).map { _ =>
+        val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+      }
+    }
+    // coarse score grid forces plenty of ties
+    val gRow = for {
+      p <- Gen.choose(0, 10)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (p / 10.0, y)
+    for (trial <- 0 to 2) {
+      val rows = draw(gRow, 4200L + trial, 80)
+      val got = Stats.auc(rows.toDF("quality_score", "label"))
+        .collect().head.getAs[Double]("auc")
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val credit = (for (a <- pos; b <- neg)
+        yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+      val expect = credit / (pos.length.toDouble * neg.length)
+      assert(math.abs(got - expect) < 1e-12, s"trial $trial: $got vs $expect")
+    }
+  }
+
+  test("chiSquare: independence = 0, hand 2x2, unobserved cells contribute expected mass") {
+    import spark.implicits._
+    val indep = (for (a <- Seq(0L, 1L); b <- Seq("x", "y"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val i = Stats.chiSquare(indep, "a", "b").collect().head
+    assert(i.getAs[Long]("n") == 20L && i.getAs[Long]("dof") == 1L)
+    assert(math.abs(i.getAs[Double]("chi2")) < 1e-12)
+    // hand 2x2: o = [[8,2],[2,8]]; marginals 10/10; e = 5 everywhere;
+    // chi2 = 4 * (3^2/5) = 7.2
+    val dep = (Seq.fill(8)((0L, "x")) ++ Seq.fill(2)((0L, "y")) ++
+      Seq.fill(2)((1L, "x")) ++ Seq.fill(8)((1L, "y"))).toDF("a", "b")
+    assert(math.abs(Stats.chiSquare(dep, "a", "b").collect().head
+      .getAs[Double]("chi2") - 7.2) < 1e-9)
+    // (1, y) never observed: spine keeps the cell, its e = 2*4/8 = 1
+    // o=[[2,2],[4,0]]: ra=4,4... full hand: cells (0,x)=2 (0,y)=2 (1,x)=4
+    // ra0=4 ra1=4 cx=6 cy=2 n=8; e00=3 e01=1 e10=3 e11=1
+    // chi2 = (2-3)^2/3 + (2-1)^2/1 + (4-3)^2/3 + (0-1)^2/1 = 1/3+1+1/3+1
+    val sparse = (Seq.fill(2)((0L, "x")) ++ Seq.fill(2)((0L, "y")) ++
+      Seq.fill(4)((1L, "x"))).toDF("a", "b")
+    assert(math.abs(Stats.chiSquare(sparse, "a", "b").collect().head
+      .getAs[Double]("chi2") - (2.0 / 3.0 + 2.0)) < 1e-9)
+  }
+
+  test("spearman: monotone = 1, reversed = -1, constant null, midrank ties match direct computation") {
+    import spark.implicits._
+    val mono = (1L to 20L).map(i => (i, i * 3 + 7)).toDF("x", "y")
+    assert(math.abs(Stats.spearman(mono, "x", "y").collect().head
+      .getAs[Double]("rho") - 1.0) < 1e-12)
+    val rev = (1L to 20L).map(i => (i, 100L - i)).toDF("x", "y")
+    assert(math.abs(Stats.spearman(rev, "x", "y").collect().head
+      .getAs[Double]("rho") + 1.0) < 1e-12)
+    val const = (1L to 10L).map(i => (i, 5L)).toDF("x", "y")
+    assert(Stats.spearman(const, "x", "y").collect().head.isNullAt(1))
+    // ties: direct midrank Pearson replica
+    val tied = Seq((1L, 2L), (1L, 5L), (3L, 5L), (4L, 9L), (4L, 9L))
+      .toDF("x", "y")
+    def ranks(vs: Seq[Long]): Map[Long, Double] =
+      vs.distinct.sorted.foldLeft((0, Map.empty[Long, Double])) {
+        case ((before, m), v) =>
+          val cnt = vs.count(_ == v)
+          (before + cnt, m + (v -> (before + (cnt + 1) / 2.0)))
+      }._2
+    val xs = Seq(1L, 1L, 3L, 4L, 4L); val ys = Seq(2L, 5L, 5L, 9L, 9L)
+    val rx = ranks(xs); val ry = ranks(ys)
+    val pairs = xs.zip(ys).map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(Stats.spearman(tied, "x", "y").collect().head
+      .getAs[Double]("rho") - expect) < 1e-12)
+  }
+}
