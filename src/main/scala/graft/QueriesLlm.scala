@@ -4436,6 +4436,72 @@ object QueriesLlm {
              END AS rho
       FROM m"""))
 
+  /** Poisson-bootstrap 95% CI for mean doc length — the one-pass
+    * scalable bootstrap; see [[graft.llm.Stats.poissonBootstrapCi]]. */
+  private val q210 = Q("q210_bootstrap_ci",
+    (s, dir) => graft.llm.Stats.poissonBootstrapCi(
+      t(s, dir, "documents"), "doc_id", "n_chars", b = 200),
+    Some("""
+      WITH reps AS (
+        SELECT doc_id, n_chars, b.b AS b
+        FROM documents, generate_series(0, 199) b(b)),
+      u AS (SELECT b, n_chars,
+              ('0x' || substr(md5(doc_id::VARCHAR || ':boot:' || b::VARCHAR),
+                1, 6))::BIGINT / 16777216.0 AS u
+            FROM reps),
+      w AS (SELECT b, n_chars,
+              (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END)
+            + (CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END)
+            + (CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END)
+            + (CASE WHEN u >= 0.9810118431238462 THEN 1 ELSE 0 END)
+            + (CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END)
+            + (CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END)
+            + (CASE WHEN u >= 0.9999167588507119 THEN 1 ELSE 0 END)
+            + (CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END) AS w
+            FROM u),
+      m AS (SELECT b, CAST(SUM(CAST(w AS BIGINT) * n_chars) AS BIGINT) AS swx,
+                   CAST(SUM(w) AS BIGINT) AS sw
+            FROM w GROUP BY 1),
+      srt AS (SELECT list_sort(list(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)))
+                AS ms FROM m),
+      pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(n_chars) AS BIGINT) AS sx FROM documents)
+      SELECT n, CAST(200 AS BIGINT) AS b,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             ms[5] AS lo, ms[195] AS hi
+      FROM pt CROSS JOIN srt"""))
+
+  /** Two-sample KS statistic: English vs non-English doc-length
+    * distributions, with the worst-crossing location; see
+    * [[graft.llm.Stats.ksTest]]. */
+  private val q211 = Q("q211_ks_test",
+    (s, dir) => graft.llm.Stats.ksTest(t(s, dir, "documents"),
+      "n_chars", col("lang") === "en"),
+    Some("""
+      WITH s AS (SELECT n_chars AS v,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ga
+            FROM documents),
+      byv AS (SELECT v, CAST(SUM(ga) AS BIGINT) AS c1,
+                CAST(SUM(1 - ga) AS BIGINT) AS c2
+              FROM s GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ga) AS BIGINT) AS n1,
+                     CAST(SUM(1 - ga) AS BIGINT) AS n2 FROM s),
+      c AS (SELECT v,
+              SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k1,
+              SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k2
+            FROM byv),
+      nm AS (SELECT v,
+               abs(CAST(k1 AS HUGEINT) * tot.n2
+                   - CAST(k2 AS HUGEINT) * tot.n1) AS num,
+               tot.n1 AS n1, tot.n2 AS n2
+             FROM c CROSS JOIN tot),
+      mx AS (SELECT MAX(num) AS dm FROM nm)
+      SELECT n1, n2,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN CAST(dm AS DOUBLE)
+               / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS d_stat,
+             CAST(MIN(v) AS BIGINT) AS at_value
+      FROM nm CROSS JOIN mx WHERE num = dm GROUP BY n1, n2, dm"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4446,5 +4512,5 @@ object QueriesLlm {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209)
+    q207, q208, q209, q210, q211)
 }

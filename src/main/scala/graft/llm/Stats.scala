@@ -124,6 +124,117 @@ object Stats {
         ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"), col("chi2"))
   }
 
+  /** Poisson(1) cumulative-distribution thresholds, capped at 7 draws
+    * (P(X > 7) < 1.1e-5; a capped draw biases the CI by less than the
+    * resampling noise floor). LITERAL constants, never computed via
+    * exp() at runtime — the whole bootstrap stays transcendental-free
+    * and bit-portable. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Poisson bootstrap confidence interval for the mean of an
+    * integral doc stat (Chamandy et al., Google 2012 — "Estimating
+    * Uncertainty for Massive Data Streams"): the bootstrap that works
+    * at 100 TB because it never materializes a resample. Each row
+    * draws a Poisson(1) replication count PER REPLICATE from its own
+    * md5 (order-free, cluster-size-free, reproducible), so one pass
+    * computes all `b` replicate means; the CI is the nearest-rank
+    * 2.5%/97.5% of the b-row mean frame. A classical resample-and-
+    * recompute bootstrap is b full shuffles; this is ONE map with a
+    * b-way explode into a map-side-combined replicate aggregate
+    * (shuffle ≤ partitions·b rows).
+    *
+    * Determinism: draws come from literal CDF threshold compares on
+    * the md5 uniform (the mixtureSample u construction); replicate
+    * means are exact-long ratios; the point estimate is the exact
+    * corpus mean. An all-zero replicate (probability e^(-n)) would
+    * emit a null mean — negligible past n ≈ 50, documented not
+    * guarded. */
+  def poissonBootstrapCi(df: DataFrame, idCol: String, valCol: String,
+      b: Int = 200): DataFrame = {
+    require(b >= 40, s"need >= 40 replicates for a 95% nearest-rank CI, got $b")
+    val reps = df.select(col(idCol).cast("string").as("__id"),
+        col(valCol).cast("long").as("__x"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+    val u = conv(substring(md5(concat(col("__id"), lit(":boot:"),
+      col("__b").cast("string"))), 1, 6), 16, 10).cast("double") / (1 << 24)
+    val w = PoissonCdf.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = reps.withColumn("__w", w)
+      .groupBy("__b")
+      .agg(sum(col("__w") * col("__x")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .select((col("__swx").cast("double") / col("__sw").cast("double"))
+        .as("__mb"))
+    val ms = means.agg(array_sort(collect_list(col("__mb"))).as("__ms"))
+    val loIdx = math.ceil(0.025 * b).toInt
+    val hiIdx = math.ceil(0.975 * b).toInt
+    val pt = df.agg(count(lit(1)).as("n"),
+      sum(col(valCol).cast("long")).as("__sx"))
+    pt.crossJoin(broadcast(ms))
+      .select(col("n"), lit(b.toLong).as("b"),
+        (col("__sx").cast("double") / col("n").cast("double")).as("mean"),
+        element_at(col("__ms"), loIdx).as("lo"),
+        element_at(col("__ms"), hiIdx).as("hi"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between an integral doc
+    * stat's distribution in group A vs the rest: D = max_v |F_A(v) −
+    * F_B(v)|, with the location of the maximum (lowest attaining
+    * value) — WHERE the two distributions pull apart, not just how
+    * far. The distribution-shape complement to PSI (q191, binned) and
+    * TVD (q179, token-level): KS is binning-free and sensitive to the
+    * single worst crossing. No p-value is emitted (the asymptotic
+    * formula is transcendental; thresholds are the consumer's choice).
+    *
+    * Determinism: D's numerator |cum_A·n_B − cum_B·n_A| stays in
+    * exact DECIMAL(38,0) (cum·n ≤ n², past 2^63 at ~3e9 rows) through
+    * the max and argmin; ONE final IEEE division.
+    *
+    * Scale shape: one value-keyed count aggregate, banded cumulative
+    * sums on the distinct-value frame (no global sort), two 1-row
+    * folds. */
+  def ksTest(df: DataFrame, valCol: String,
+      groupACond: Column): DataFrame = {
+    val s = df.select(col(valCol).cast("long").as("__v"),
+      when(groupACond, 1L).otherwise(0L).as("__ga"))
+    val byV = s.groupBy("__v")
+      .agg(sum(col("__ga")).as("c1"),
+        sum(lit(1L) - col("__ga")).as("c2"))
+      .withColumn("__bk", bitBand(col("__v")))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byV.groupBy("__bk")
+      .agg(sum("c1").as("__t1"), sum("c2").as("__t2"))
+      .withColumn("__o1", coalesce(sum(col("__t1")).over(wOff), lit(0L)))
+      .withColumn("__o2", coalesce(sum(col("__t2")).over(wOff), lit(0L)))
+      .select(col("__bk"), col("__o1"), col("__o2"))
+    val tot = s.agg(sum(col("__ga")).as("n1"),
+      sum(lit(1L) - col("__ga")).as("n2"))
+    val cums = byV
+      .withColumn("__i1", sum(col("c1")).over(wIn))
+      .withColumn("__i2", sum(col("c2")).over(wIn))
+      .join(broadcast(offsets), Seq("__bk"))
+      .crossJoin(broadcast(tot))
+      .select(col("__v"), col("n1"), col("n2"),
+        abs((col("__o1") + col("__i1")).cast(dec) * col("n2") -
+          (col("__o2") + col("__i2")).cast(dec) * col("n1")).as("num"))
+    val top = cums.agg(max(col("num")).as("__dm"))
+    cums.crossJoin(broadcast(top))
+      .filter(col("num") === col("__dm"))
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        min(col("__v")).as("at_value"), first(col("__dm")).as("__dm"))
+      .select(col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0,
+          col("__dm").cast("double") /
+            (col("n1").cast(dec) * col("n2")).cast("double")).as("d_stat"),
+        col("at_value"))
+  }
+
   /** Spearman rank correlation between two non-negative integral doc
     * stats — the monotone-association readout that survives the
     * heavy-tailed, outlier-ridden distributions where Pearson on raw

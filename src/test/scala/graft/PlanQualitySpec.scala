@@ -758,6 +758,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q211 ks: cumulative windows carry the band key; q210 bootstrap never sort-merges") {
+    val ks = physical("q211_ks_test")
+    assert(!ks.contains("CartesianProduct"), ks.take(3000))
+    val dataWindows = ks.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("c1")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__bk")),
+      dataWindows.mkString("\n"))
+    val boot = physical("q210_bootstrap_ci")
+    assert(!boot.contains("SortMergeJoin") && !boot.contains("CartesianProduct"),
+      boot.take(3000))
+    assert(boot.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "replicate sums must map-side combine: " + boot.take(3000))
+  }
+
   test("q208 chi-square: marginals broadcast onto the category spine, no sort-merge") {
     val plan = physical("q208_chi_square")
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))

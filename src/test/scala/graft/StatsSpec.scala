@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{conv, md5, substring, concat, lit, col, when, sum, explode, sequence}
 
 import graft.llm.Stats
 
@@ -74,6 +75,59 @@ class StatsSpec extends AnyFunSuite {
       Seq.fill(4)((1L, "x"))).toDF("a", "b")
     assert(math.abs(Stats.chiSquare(sparse, "a", "b").collect().head
       .getAs[Double]("chi2") - (2.0 / 3.0 + 2.0)) < 1e-9)
+  }
+
+  test("poissonBootstrapCi: CI brackets the exact mean, repartition-invariant, draw rate sane") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = (1L to 400L).map(i => (i, (i * 37) % 100)).toDF("doc_id", "x")
+    val out = Stats.poissonBootstrapCi(d, "doc_id", "x", b = 200)
+      .collect().head
+    val exact = (1L to 400L).map(i => (i * 37) % 100).sum.toDouble / 400.0
+    assert(math.abs(out.getAs[Double]("mean") - exact) < 1e-12)
+    assert(out.getAs[Double]("lo") < out.getAs[Double]("hi"))
+    assert(out.getAs[Double]("lo") < exact && exact < out.getAs[Double]("hi"),
+      s"95% CI [${out.getAs[Double]("lo")}, ${out.getAs[Double]("hi")}] " +
+        s"should bracket $exact on a well-behaved fixture")
+    // deterministic under repartition (draws keyed on doc_id, not order)
+    val rep = Stats.poissonBootstrapCi(d.repartition(13), "doc_id", "x",
+      b = 200).collect().head
+    assert(rep.getAs[Double]("lo") == out.getAs[Double]("lo")
+      && rep.getAs[Double]("hi") == out.getAs[Double]("hi"))
+    // Poisson(1) draws: total replication mass within 5% of n*b
+    val reps = d.withColumn("b", explode(sequence(lit(0), lit(199))))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":boot:"), col("b").cast("string"))), 1, 6), 16, 10)
+      .cast("double") / (1 << 24)
+    val mass = reps.select(when(u >= 0.36787944117144233, 1L).otherwise(0L)
+      .as("w")).agg(sum("w")).collect().head.getLong(0)
+    assert(math.abs(mass.toDouble / (400.0 * 200.0) - (1 - 0.36787944117144233))
+      < 0.05 * (1 - 0.36787944117144233))
+    intercept[IllegalArgumentException] {
+      Stats.poissonBootstrapCi(d, "doc_id", "x", b = 10)
+    }
+  }
+
+  test("ksTest: disjoint = 1, identical = 0, hand crossing with its location") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def df(a: Seq[Long], bs: Seq[Long]) =
+      (a.map((_, "A")) ++ bs.map((_, "B"))).toDF("v", "g")
+    val disj = Stats.ksTest(df(Seq(1L, 2L), Seq(10L, 20L)), "v",
+      col("g") === "A").collect().head
+    assert(disj.getAs[Long]("n1") == 2L && disj.getAs[Long]("n2") == 2L)
+    assert(math.abs(disj.getAs[Double]("d_stat") - 1.0) < 1e-15)
+    assert(disj.getAs[Long]("at_value") == 2L)
+    val same = Stats.ksTest(df(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), "v",
+      col("g") === "A").collect().head
+    assert(math.abs(same.getAs[Double]("d_stat")) < 1e-15)
+    assert(same.getAs[Long]("at_value") == 1L)
+    // interleaved A={1,3} B={2,4}: |F_A - F_B| = .5 at v=1 and v=3;
+    // lowest attaining value wins
+    val x = Stats.ksTest(df(Seq(1L, 3L), Seq(2L, 4L)), "v",
+      col("g") === "A").collect().head
+    assert(math.abs(x.getAs[Double]("d_stat") - 0.5) < 1e-15)
+    assert(x.getAs[Long]("at_value") == 1L)
   }
 
   test("spearman: monotone = 1, reversed = -1, constant null, midrank ties match direct computation") {
