@@ -4502,6 +4502,67 @@ object QueriesLlm {
              CAST(MIN(v) AS BIGINT) AS at_value
       FROM nm CROSS JOIN mx WHERE num = dm GROUP BY n1, n2, dm"""))
 
+  /** Gini coefficient of token-frequency concentration (exact rank
+    * form, midrank ties); see [[TextAnalysis.tokenGini]]. */
+  private val q212 = Q("q212_token_gini",
+    (s, dir) => TextAnalysis.tokenGini(t(s, dir, "documents"), "text"),
+    Some("""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents),
+      tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+      d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM tc GROUP BY 1),
+      r AS (SELECT c, cnt,
+              2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1 AS rank2
+            FROM d),
+      m AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+              SUM(CAST(c AS HUGEINT) * cnt) AS s,
+              SUM(CAST(c AS HUGEINT) * cnt * rank2) AS n2
+            FROM r)
+      SELECT n AS n_terms, CAST(s AS BIGINT) AS n_tokens,
+             CAST(n2 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+      FROM m"""))
+
+  /** Cross-doc winnow-fingerprint overlap pairs (shared substring-run
+    * evidence, df-capped postings join); see
+    * [[TextAnalysis.winnowPairs]]. */
+  private val q213 = Q("q213_winnow_pairs",
+    (s, dir) => TextAnalysis.winnowPairs(t(s, dir, "documents"),
+      "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 64)
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      g AS (SELECT doc_id, p.i AS pos,
+              ('0x' || substr(md5(p.g), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 3),
+                      i -> {'i': i, 'g': array_to_string(t[i:i+3], ' ')})) AS p
+                  FROM arr WHERE len(t) >= 4)),
+      wm AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w,
+               COUNT(*) OVER (PARTITION BY doc_id) AS ng
+             FROM g),
+      sel AS (SELECT DISTINCT doc_id, w FROM wm
+              WHERE pos <= greatest(ng - 3, 1)),
+      nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+             FROM sel GROUP BY 1),
+      dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM sel GROUP BY 1),
+      pp AS (SELECT s.doc_id, s.w, nf.nfp
+             FROM sel s JOIN nf USING (doc_id)
+             JOIN dfc ON dfc.w = s.w AND dfc.df <= 64),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared,
+               MIN(a.nfp) AS na, MIN(b.nfp) AS nb
+             FROM pp a JOIN pp b ON a.w = b.w AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT id_a, id_b, shared,
+             CAST(shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS overlap
+      FROM pr WHERE shared >= 2 ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4512,5 +4573,5 @@ object QueriesLlm {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209, q210, q211)
+    q207, q208, q209, q210, q211, q212, q213)
 }

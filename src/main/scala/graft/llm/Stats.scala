@@ -24,7 +24,7 @@ object Stats {
     * windows then run per band on the distinct-value frame with the
     * |bands|-row offset table broadcast — no unpartitioned data-sized
     * sort. */
-  private def avgRank2(vals: DataFrame, vCol: String,
+  private[llm] def avgRank2(vals: DataFrame, vCol: String,
       bandExpr: Column): DataFrame = {
     val c = vals.groupBy(col(vCol))
       .agg(count(lit(1)).as("cnt"))
@@ -48,7 +48,7 @@ object Stats {
     greatest(least(floor(v * 64).cast("long"), lit(63L)), lit(0L))
 
   /** Band for a non-negative integral stat: bit length. */
-  private def bitBand(v: Column): Column = length(bin(v)).cast("long")
+  private[llm] def bitBand(v: Column): Column = length(bin(v)).cast("long")
 
   /** ROC-AUC of a scorer against binary labels, computed EXACTLY by
     * the Mann-Whitney rank-sum with midrank tie handling — THE

@@ -1453,6 +1453,82 @@ object TextAnalysis {
         (col("n_windows") * col("width")).cast("double"))
   }
 
+  /** Gini coefficient of the token-frequency distribution — the
+    * vocabulary-concentration headline beside Zipf's slope (q186: the
+    * tail's SHAPE) and the coverage curve (q181: the head's budget):
+    * one number in [0, 1) for how unequally token mass is spread
+    * over the vocabulary. A corpus whose Gini jumps between snapshots
+    * grew a boilerplate head or an OCR-noise tail. Computed exactly
+    * from the rank form G = (2·Σᵢ rᵢcᵢ − (n+1)·Σc)/(n·Σc) with ranks
+    * ascending by count: ties carry the tie group's midrank (the
+    * [[Stats.avgRank2]] construction — permuting equal values never
+    * changes the sum, so midranks make the fold value-deterministic),
+    * every term stays in exact DECIMAL(38,0), and the output is ONE
+    * IEEE division.
+    *
+    * Scale shape: vocab-sized term counts (map-side combined), then a
+    * count-VALUE-keyed aggregate (≤ |distinct counts| rows — tens,
+    * the q196 note) carrying the banded rank pass; nothing
+    * corpus-global. */
+  def tokenGini(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tc = docs.select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val ranked = Stats.avgRank2(tc.select(col("__c")), "__c",
+      Stats.bitBand(col("__c")))
+    val m = ranked.agg(
+      sum(col("cnt")).as("n_terms"),
+      sum(col("__c").cast(dec) * col("cnt")).as("__s"),
+      sum(col("__c").cast(dec) * col("cnt") * col("rank2")).as("__n2"))
+    m.select(col("n_terms"), col("__s").cast("long").as("n_tokens"),
+      ((col("__n2") - (col("n_terms") + 1L).cast(dec) * col("__s"))
+        .cast("double") /
+        (col("n_terms").cast(dec) * col("__s")).cast("double")).as("gini"))
+  }
+
+  /** Cross-doc overlap mining over winnowing fingerprints — the
+    * consumer [[winnowFingerprints]] promises: pairs of documents
+    * sharing at least `minShared` selected fingerprint VALUES, i.e.
+    * position-robust evidence of a shared run of ≥ w+k−1 words per
+    * fingerprint (the MOSS guarantee). Complements the minhash family:
+    * LSH pairs estimate SET similarity of all shingles; winnow pairs
+    * certify shared SUBSTRING runs at a w-fold candidate discount.
+    * Emits (id_a, id_b, shared, overlap) with overlap = shared /
+    * min(|fp_a|, |fp_b|) — the containment-style score, exact-integer
+    * ratio.
+    *
+    * Scale shape: a postings join on the fingerprint value — shuffle
+    * carries (fingerprint, id), candidate volume Σ df² per
+    * fingerprint; `maxDf` drops boilerplate fingerprints (df >
+    * maxDf) BEFORE the self-join, the q178 df-cap discipline — at
+    * web scale a hot fingerprint is stop-boilerplate, not evidence. */
+  def winnowPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 4, minShared: Long = 2,
+      maxDf: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got $minShared, $maxDf")
+    val base = winnowFingerprints(docs, idCol, textCol, k, w)
+    val fp = base.select(col(idCol).as("__id"),
+      col("n_fingerprints").as("__nfp"),
+      explode(col("fingerprints")).as("__fp"))
+    val keep = fp.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("__fp"))
+    val pruned = fp.join(keep, Seq("__fp"))
+    val a = pruned.select(col("__fp"), col("__id").as("id_a"),
+      col("__nfp").as("__na"))
+    val b = pruned.select(col("__fp"), col("__id").as("id_b"),
+      col("__nfp").as("__nb"))
+    a.join(b, Seq("__fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") /
+          least(col("__na"), col("__nb")).cast("double")).as("overlap"))
+  }
+
   /** Cross-group quantile normalization of an integral doc stat: each
     * row's value is replaced by the POOLED distribution's value at
     * the row's within-group quantile — the batch-effect removal that

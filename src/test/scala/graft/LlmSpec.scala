@@ -2087,6 +2087,38 @@ class LlmSpec extends AnyFunSuite {
       e.toString)
   }
 
+  test("tokenGini: hand skew, uniform counts = 0, midrank ties") {
+    import spark.implicits._
+    // counts {a:3, b:2, c:1}: ranks asc 1,2,3 of counts 1,2,3 ->
+    // G = (2*14 - 4*6) / (3*6) = 4/18
+    val skew = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val g = TextAnalysis.tokenGini(skew, "text").collect().head
+    assert(g.getAs[Long]("n_terms") == 3L && g.getAs[Long]("n_tokens") == 6L)
+    assert(math.abs(g.getAs[Double]("gini") - 4.0 / 18.0) < 1e-15)
+    // equal counts (all ties, midrank): perfectly equal -> 0
+    val flat = Seq((1L, "a a b b c c d d")).toDF("doc_id", "text")
+    assert(math.abs(TextAnalysis.tokenGini(flat, "text").collect().head
+      .getAs[Double]("gini")) < 1e-15)
+  }
+
+  test("winnowPairs: identical docs pair at overlap 1, unrelated don't, maxDf prunes boilerplate") {
+    import spark.implicits._
+    val run = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"alt$i").mkString(" ")
+    val d = Seq((1L, run), (2L, run), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("shared"), r.getAs[Double]("overlap")))
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L)
+    assert(math.abs(pairs.head._4 - 1.0) < 1e-15)
+    // five clones with maxDf = 3: every fingerprint df = 5 > 3 ->
+    // pruned, zero pairs; with the default cap all 10 pairs survive
+    val clones = (1L to 5L).map(i => (i, run)).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowPairs(clones, "doc_id", "text",
+      maxDf = 3).count() == 0L)
+    assert(TextAnalysis.winnowPairs(clones, "doc_id", "text").count() == 10L)
+  }
+
   test("groupDispersion: identical pair = 1, orthogonal pair = 0, singleton null, matches brute force") {
     import spark.implicits._
     def vec(xs: Double*): Array[Float] =

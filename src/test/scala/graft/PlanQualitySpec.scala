@@ -773,6 +773,23 @@ class PlanQualitySpec extends AnyFunSuite {
       "replicate sums must map-side combine: " + boot.take(3000))
   }
 
+  test("q212 gini: rank window on the count-value frame carries the band key") {
+    val plan = physical("q212_token_gini")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("cnt")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__bk")),
+      dataWindows.mkString("\n"))
+  }
+
+  test("q213 winnow pairs: df prune sits below the postings self-join, no cartesian") {
+    val plan = physical("q213_winnow_pairs")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the pair join keys on the fingerprint value (equi-join), never
+    // a nested loop over documents
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("q208 chi-square: marginals broadcast onto the category spine, no sort-merge") {
     val plan = physical("q208_chi_square")
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
