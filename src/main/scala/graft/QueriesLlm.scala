@@ -4563,6 +4563,45 @@ object QueriesLlm {
              CAST(shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS overlap
       FROM pr WHERE shared >= 2 ORDER BY id_a, id_b"""))
 
+  /** Source↔term mutual information with the entropy decomposition;
+    * see [[TextAnalysis.sourceTermMi]]. */
+  private val q214 = Q("q214_source_mi",
+    (s, dir) => TextAnalysis.sourceTermMi(t(s, dir, "documents"),
+      "source", "text"),
+    Some("""
+      WITH tk AS (
+        SELECT source AS s,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents),
+      c AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+      ns AS (SELECT s, CAST(SUM(c) AS BIGINT) AS ns FROM c GROUP BY 1),
+      nt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS nt FROM c GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+      j AS (SELECT CAST(tot.n AS BIGINT) AS n_tokens,
+              CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_sources,
+              CAST(COUNT(DISTINCT c.t) AS BIGINT) AS n_terms,
+              CAST(SUM(CAST((CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                * ln((CAST(c.c AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                     / (CAST(ns.ns AS DOUBLE) * CAST(nt.nt AS DOUBLE)))
+                AS DECIMAL(30,12))) AS DOUBLE) AS mi,
+              CAST(SUM(CAST(-(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                * ln(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                AS DECIMAL(30,12))) AS DOUBLE) AS h_joint
+            FROM c JOIN ns USING (s) JOIN nt USING (t) CROSS JOIN tot
+            GROUP BY tot.n),
+      hs AS (SELECT CAST(SUM(CAST(-(CAST(ns AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln(CAST(ns AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               AS DECIMAL(30,12))) AS DOUBLE) AS h_source
+             FROM ns CROSS JOIN tot),
+      ht AS (SELECT CAST(SUM(CAST(-(CAST(nt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln(CAST(nt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               AS DECIMAL(30,12))) AS DOUBLE) AS h_term
+             FROM nt CROSS JOIN tot)
+      SELECT n_tokens, n_sources, n_terms, h_source, h_term, h_joint, mi,
+             CASE WHEN least(h_source, h_term) > 0.0
+               THEN mi / least(h_source, h_term) END AS nmi
+      FROM j CROSS JOIN hs CROSS JOIN ht"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4573,5 +4612,5 @@ object QueriesLlm {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209, q210, q211, q212, q213)
+    q207, q208, q209, q210, q211, q212, q213, q214)
 }

@@ -1453,6 +1453,59 @@ object TextAnalysis {
         (col("n_windows") * col("width")).cast("double"))
   }
 
+  /** Mutual information between source and token identity, with the
+    * full entropy decomposition (H(S), H(T), H(S,T), MI, NMI) — the
+    * information-theoretic "how source-specific is the vocabulary"
+    * headline: MI ≈ 0 means sources share one distribution (dedup the
+    * sources, not the docs); NMI → 1 means each source speaks its own
+    * language (mixture weights dominate model behavior). The scalar
+    * counterpart of the pairwise JS matrix (q185) and per-source TVD
+    * (q179): one number instead of |S|² — the one a dashboard tracks.
+    *
+    * Determinism: every probability is a ratio of exact longs; each
+    * p·ln(p...) term is decimal-rounded before the exact sum (the
+    * q167/q191 libm-ln discipline). MI is summed DIRECTLY (not
+    * H(S)+H(T)−H(S,T), which cancels catastrophically near
+    * independence); the entropies are emitted alongside.
+    *
+    * Scale shape: ONE (source, term)-keyed count (map-side combined,
+    * vocab·|sources|-bounded); the term-marginal join keys on the
+    * term (vocab-sized), source marginals and the total broadcast. */
+  def sourceTermMi(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val c = docs.select(col(groupCol).as("__s"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__s", "__t").agg(count(lit(1)).as("__c"))
+    val ns = c.groupBy("__s").agg(sum("__c").as("__ns"))
+    val nt = c.groupBy("__t").agg(sum("__c").as("__nt"))
+    val tot = c.agg(sum("__c").as("__n"))
+    def nD(cn: String) = col(cn).cast("double")
+    val joint = c.join(nt, Seq("__t")).join(broadcast(ns), Seq("__s"))
+      .crossJoin(broadcast(tot))
+    val miTerm = ((nD("__c") / nD("__n")) *
+      log((nD("__c") * nD("__n")) / (nD("__ns") * nD("__nt")))).cast(dec)
+    val hjTerm = (-(nD("__c") / nD("__n")) * log(nD("__c") / nD("__n")))
+      .cast(dec)
+    val a = joint.agg(
+      first(col("__n")).as("n_tokens"),
+      countDistinct(col("__s")).as("n_sources"),
+      countDistinct(col("__t")).as("n_terms"),
+      sum(miTerm).cast("double").as("mi"),
+      sum(hjTerm).cast("double").as("h_joint"))
+    val hs = ns.crossJoin(broadcast(tot))
+      .agg(sum((-(nD("__ns") / nD("__n")) * log(nD("__ns") / nD("__n")))
+        .cast(dec)).cast("double").as("h_source"))
+    val ht = nt.crossJoin(broadcast(tot))
+      .agg(sum((-(nD("__nt") / nD("__n")) * log(nD("__nt") / nD("__n")))
+        .cast(dec)).cast("double").as("h_term"))
+    a.crossJoin(broadcast(hs)).crossJoin(broadcast(ht))
+      .select(col("n_tokens"), col("n_sources"), col("n_terms"),
+        col("h_source"), col("h_term"), col("h_joint"), col("mi"),
+        when(least(col("h_source"), col("h_term")) > 0.0,
+          col("mi") / least(col("h_source"), col("h_term"))).as("nmi"))
+  }
+
   /** Gini coefficient of the token-frequency distribution — the
     * vocabulary-concentration headline beside Zipf's slope (q186: the
     * tail's SHAPE) and the coverage curve (q181: the head's budget):

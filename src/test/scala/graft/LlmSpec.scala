@@ -2087,6 +2087,26 @@ class LlmSpec extends AnyFunSuite {
       e.toString)
   }
 
+  test("sourceTermMi: disjoint vocabularies give MI = H(S), shared give 0, identity holds") {
+    import spark.implicits._
+    val disj = Seq((1L, "S1", "a a b"), (2L, "S2", "c d d"))
+      .toDF("doc_id", "source", "text")
+    val d = TextAnalysis.sourceTermMi(disj, "source", "text").collect().head
+    // term determines source -> MI = H(S) = ln 2; H(T) > ln 2 -> NMI = 1
+    assert(math.abs(d.getAs[Double]("mi") - math.log(2.0)) < 1e-9)
+    assert(math.abs(d.getAs[Double]("h_source") - math.log(2.0)) < 1e-9)
+    assert(math.abs(d.getAs[Double]("nmi") - 1.0) < 1e-9)
+    // identity H(S,T) = H(S) + H(T) - MI
+    assert(math.abs(d.getAs[Double]("h_joint") -
+      (d.getAs[Double]("h_source") + d.getAs[Double]("h_term")
+        - d.getAs[Double]("mi"))) < 1e-8)
+    // identical per-source distributions -> every ln term is ln(1) = 0
+    val same = Seq((1L, "S1", "a b"), (2L, "S2", "a b"))
+      .toDF("doc_id", "source", "text")
+    val s0 = TextAnalysis.sourceTermMi(same, "source", "text").collect().head
+    assert(math.abs(s0.getAs[Double]("mi")) < 1e-15)
+  }
+
   test("tokenGini: hand skew, uniform counts = 0, midrank ties") {
     import spark.implicits._
     // counts {a:3, b:2, c:1}: ranks asc 1,2,3 of counts 1,2,3 ->

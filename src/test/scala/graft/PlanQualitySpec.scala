@@ -773,6 +773,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "replicate sums must map-side combine: " + boot.take(3000))
   }
 
+  test("q214 mi: marginals broadcast, joint counts map-side combine, no cartesian blowup") {
+    val plan = physical("q214_source_mi")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "the (source, term) count must map-side combine: " + plan.take(3000))
+  }
+
   test("q212 gini: rank window on the count-value frame carries the band key") {
     val plan = physical("q212_token_gini")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
