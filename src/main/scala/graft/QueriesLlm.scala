@@ -4241,10 +4241,17 @@ object QueriesLlm {
     (s, dir) => graft.ops.EventOps.burstDetect(t(s, dir, "events"))
       .orderBy("event_type", "hour"),
     Some("""
-      WITH h AS (
+      WITH h0 AS (
         SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+             FROM (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx
+                   FROM h0 GROUP BY 1)),
+      h AS (SELECT sp.event_type, sp.hour,
+              COALESCE(h0.n_events, 0) AS n_events
+            FROM sp LEFT JOIN h0 USING (event_type, hour)),
       w AS (
         SELECT event_type, hour, n_events,
                CAST(COUNT(*) OVER tw AS BIGINT) AS n_hist,

@@ -16,12 +16,19 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinHashSigHelper {
   val P = 2147483647L // 2^31 - 1, matches Dedup.MinhashP
 
+  // one digest per thread, not per document (the WinnowFingerprints
+  // discipline): reset() runs per shingle, so cross-row reuse is safe
+  private[functions] val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def sig(input: UTF8String, k: Int, shingleLen: Int): ArrayData = {
     val nChars = input.numChars()
     val nShingles = math.max(nChars - shingleLen + 1, 1)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MinHashSigHelper.Md5.get()
     var i = 0
     while (i < nShingles) {
       // substringSQL is code-point based — identical to Spark SQL's
@@ -98,7 +105,7 @@ object MinHashShinglesHelper {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val seen = new java.util.HashSet[Long](nShingles * 2)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MinHashSigHelper.Md5.get()
     var i = 0
     while (i < nShingles) {
       val sh = input.substringSQL(i + 1, shingleLen)

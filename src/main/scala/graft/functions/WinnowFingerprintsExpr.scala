@@ -37,6 +37,14 @@ object WinnowFingerprintsHelper {
   private val Ws = Pattern.compile("\\s+")
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // one digest per thread, not per document: the JCA provider lookup
+  // rivals the hashing itself on short docs (reset() runs per gram,
+  // so reuse across rows is safe)
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def eval(text: UTF8String, k: Int, w: Int): InternalRow = {
     val s = text.trim().toLowerCase.toString
     val toks = Ws.split(s, -1)
@@ -44,7 +52,7 @@ object WinnowFingerprintsHelper {
     val g = n - k + 1
     if (g <= 0)
       return InternalRow(0L, new GenericArrayData(Array.emptyLongArray))
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val sb = new java.lang.StringBuilder
     val hashes = new Array[Long](g)
     var i = 0

@@ -168,24 +168,6 @@ object Corpus {
       .drop("__rk")
   }
 
-  /** Temperature-scaled source mixture (the XLM-R/mT5 α-sampling rule
-    * for multi-source corpora): per-source sampling mass ∝ n_s^α, so
-    * α = 1 keeps natural proportions, α → 0 flattens toward uniform —
-    * the standard fix for web-scale source skew where the biggest
-    * crawl would otherwise drown every minority source/language.
-    * Selects `ceil(totalDocs · p_s)` docs per source (capped at the
-    * source's size — upsampling beyond it is [[epochRepeat]]'s job),
-    * chosen by md5 rank so the kept set is an unbiased deterministic
-    * sample.
-    *
-    * Determinism at the arithmetic level (the q125 discipline):
-    * n_s^α is computed as exp(α·ln n_s) — the shared-libm pair the
-    * perplexity gate already pins across engines — and the mass total
-    * goes through the exact-decimal sum so source ORDER can't move a
-    * double; per-source targets are then bit-identical in the DuckDB
-    * replay and the whole selection hash-gates (q151). One tiny
-    * aggregate (|sources| rows, broadcast back) + one md5-rank window
-    * per source — the domainCap shuffle shape, nothing corpus-global. */
   /** Data-constrained scaling readout (Muennighoff et al. 2023,
     * arXiv:2305.16264): how much is each source's REPETITION actually
     * worth under a fixed training-token budget split uniformly across
@@ -233,6 +215,24 @@ object Corpus {
         col("epochs"), col("effective_tokens"), col("utilization"))
   }
 
+  /** Temperature-scaled source mixture (the XLM-R/mT5 α-sampling rule
+    * for multi-source corpora): per-source sampling mass ∝ n_s^α, so
+    * α = 1 keeps natural proportions, α → 0 flattens toward uniform —
+    * the standard fix for web-scale source skew where the biggest
+    * crawl would otherwise drown every minority source/language.
+    * Selects `ceil(totalDocs · p_s)` docs per source (capped at the
+    * source's size — upsampling beyond it is [[epochRepeat]]'s job),
+    * chosen by md5 rank so the kept set is an unbiased deterministic
+    * sample.
+    *
+    * Determinism at the arithmetic level (the q125 discipline):
+    * n_s^α is computed as exp(α·ln n_s) — the shared-libm pair the
+    * perplexity gate already pins across engines — and the mass total
+    * goes through the exact-decimal sum so source ORDER can't move a
+    * double; per-source targets are then bit-identical in the DuckDB
+    * replay and the whole selection hash-gates (q151). One tiny
+    * aggregate (|sources| rows, broadcast back) + one md5-rank window
+    * per source — the domainCap shuffle shape, nothing corpus-global. */
   def temperatureMixture(df: DataFrame, sourceCol: String, keyCol: String,
       alpha: Double, totalDocs: Long): DataFrame = {
     val counts = df.groupBy(col(sourceCol))

@@ -175,8 +175,20 @@ object Dedup {
     * aggregates CLUSTERED docs only — volume ∝ duplicate count, never
     * the corpus — and singletons rejoin as their own keeper through
     * the left join's coalesce, shuffling only (id, score) pairs. */
+  /** Pin a loan result: reliable checkpoint when a dir is given (the
+    * right call on a real cluster — localCheckpoint blocks die with
+    * their executor), executor-local otherwise (right for local
+    * mode). The [[materializeAndRelease]] rule, reused by every
+    * materialize-inside-the-loan consumer. */
+  private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) => Lineage.withCheckpointDir(
+        df.sparkSession.sparkContext, dir)(df.checkpoint(eager = true))
+      case None => df.localCheckpoint(true)
+    }
+
   def clusterKeepers(docs: DataFrame, idCol: String, textCol: String,
-      scoreCol: String): DataFrame =
+      scoreCol: String, checkpointDir: Option[String] = None): DataFrame =
     withLshPairs(docs, idCol, textCol) { pairs =>
       val clusters = graft.llm.Corpus.dupClusters(pairs)
         .withColumnRenamed("id", idCol)
@@ -193,12 +205,12 @@ object Dedup {
       // localCheckpoint pins the narrow (id, cluster, score, kept)
       // rows — corpus-cardinality but a few dozen bytes each — so the
       // LSH lineage is cut for good; values are written verbatim.
-      base.join(keepers, Seq("cluster_id"), "left")
+      pin(base.join(keepers, Seq("cluster_id"), "left")
         .select(col(idCol),
           coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
           col(scoreCol),
-          coalesce(col(idCol) === col("__keeper"), lit(true)).as("kept"))
-        .localCheckpoint(true)
+          coalesce(col(idCol) === col("__keeper"), lit(true)).as("kept")),
+        checkpointDir)
     }
 
   /** Near-dup pair count as a function of the jaccard threshold —
@@ -216,7 +228,8 @@ object Dedup {
     * LSH pass per point. The |thresholds|-row result materializes
     * inside the loan (clusterKeepers discipline). */
   def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
-      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      checkpointDir: Option[String] = None): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(_ >= 0.5),
       s"thresholds must be >= the 0.5 LSH verify floor, got $thresholds")
     withLshPairs(docs, idCol, textCol) { pairs =>
@@ -226,10 +239,9 @@ object Dedup {
       val counts = pairs.crossJoin(broadcast(th))
         .filter(col("jaccard") >= col("threshold"))
         .groupBy("threshold").agg(count(lit(1)).cast("long").as("n_pairs"))
-      th.join(counts, Seq("threshold"), "left")
+      pin(th.join(counts, Seq("threshold"), "left")
         .select(col("threshold"),
-          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
-        .localCheckpoint(true)
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs")), checkpointDir)
     }
   }
 
@@ -249,7 +261,7 @@ object Dedup {
     * division) so it hashes cross-engine. Result materializes inside
     * the loan (clusterKeepers discipline). */
   def dupFlowMatrix(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String): DataFrame =
+      srcCol: String, checkpointDir: Option[String] = None): DataFrame =
     withLshPairs(docs, idCol, textCol) { pairs =>
       val dec = org.apache.spark.sql.types.DecimalType(30, 12)
       val src = docs.select(col(idCol), col(srcCol))
@@ -258,13 +270,12 @@ object Dedup {
           Seq("id_a"))
         .join(src.select(col(idCol).as("id_b"), col(srcCol).as("__sb")),
           Seq("id_b"))
-      tagged
+      pin(tagged
         .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
           greatest(col("__sa"), col("__sb")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"),
           (sum(col("jaccard").cast(dec)).cast("double") /
-            count(lit(1)).cast("double")).as("mean_jaccard"))
-        .localCheckpoint(true)
+            count(lit(1)).cast("double")).as("mean_jaccard")), checkpointDir)
     }
 
   /** Near-subset (containment) pairs over the SAME LSH candidate

@@ -154,6 +154,12 @@ object QualityClassifier {
     * read off the same row. Degenerate marginals (p_e = 1 — both
     * raters constant) emit null κ.
     *
+    * Rows with a NULL verdict on either side are EXCLUDED
+    * (complete-case, the chiSquare contract): a null would count in
+    * n but in none of the four cells — when(a && !b) is null for
+    * null b — silently deflating p_o and p_e. `n` counts only
+    * complete rows.
+    *
     * Scale shape: ONE conditional-sum aggregate over the joined
     * verdict frame (map-side combined, 1 output row); every rate is
     * an IEEE expression of exact longs. */
@@ -161,7 +167,7 @@ object QualityClassifier {
       colB: String): DataFrame = {
     val a = col(colA).cast("boolean")
     val b = col(colB).cast("boolean")
-    val agg = df.agg(
+    val agg = df.filter(a.isNotNull && b.isNotNull).agg(
       count(lit(1)).as("n"),
       sum(when(a && b, 1L).otherwise(0L)).as("n_tt"),
       sum(when(a && !b, 1L).otherwise(0L)).as("n_tf"),

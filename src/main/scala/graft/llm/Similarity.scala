@@ -1342,8 +1342,12 @@ object Similarity {
     * before the (group, dim) sum (shuffle-order-free), and the final
     * dims-sized square fold re-enters exact decimal — so the three
     * output doubles hash cross-engine. Singleton groups emit null
-    * mean_cos (no pairs). Null embedding elements silently drop from
-    * the sums (the secondMoment caveat) — guard upstream if ragged.
+    * mean_cos (no pairs). A ZERO-NORM vector has no direction — it
+    * would count in n while contributing nothing to Σv̂, silently
+    * violating the identity — so it raises (the kCenterCoreset
+    * malformed-embedding contract). Null embedding elements silently
+    * drop from the sums (the secondMoment caveat) — guard upstream
+    * if ragged.
     *
     * Scale shape: ONE (group, dim)-keyed map-side-combined aggregate
     * (shuffle ≤ partitions·|groups|·dims rows); everything after runs
@@ -1357,7 +1361,11 @@ object Similarity {
         norm(slice(col(embedCol), 1, dims)).as("__nrm"),
         posexplode(slice(col(embedCol), 1, dims)).as(Seq("dim", "v")))
       .select(col("grp"),
-        (col("v").cast("double") / col("__nrm")).as("__u"), col("dim"))
+        (col("v").cast("double") /
+          when(col("__nrm") === 0.0,
+            raise_error(concat(lit("groupDispersion: zero-norm embedding in group "),
+              col("grp").cast("string"))).cast("double"))
+            .otherwise(col("__nrm"))).as("__u"), col("dim"))
       .groupBy("grp", "dim")
       .agg(sum(col("__u").cast(dec)).as("sd"),
         count(lit(1)).as("cnt"))
@@ -1393,9 +1401,24 @@ object Similarity {
       embCol: String = "embedding", dims: Int = 64): DataFrame = {
     require(dims >= 1, s"dims must be positive, got $dims")
     val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    // ragged corpus = silently different populations per dim (half
+    // the dims averaged over N rows, half over N-1) — raise instead
+    // (the Pca.secondMoment contract from the same advice item). The
+    // guard lives INSIDE the consumed __v expression (an unused
+    // assert column would be pruned by Catalyst) and posexplode_outer
+    // keeps even zero-length arrays visible to it.
     val sums = corpus
-      .select(posexplode(slice(col(embCol), 1, dims)).as(Seq("__d", "__v")))
-      .select(col("__d"), col("__v").cast("double").as("__v"))
+      .select(size(col(embCol)).as("__sz"),
+        posexplode_outer(slice(col(embCol), 1, dims)).as(Seq("__d", "__v")))
+      // a NULL embedding column keeps its documented silent-drop;
+      // empty ARRAYS (size 0, still __sz-visible) reach the raise
+      .filter(col("__sz").isNotNull)
+      .select(col("__d"),
+        when(col("__sz") < dims,
+          raise_error(concat(lit("standardizeDims: embedding has "),
+            col("__sz").cast("string"), lit(s" elements, need >= $dims")))
+            .cast("double"))
+          .otherwise(col("__v").cast("double")).as("__v"))
       .groupBy("__d")
       .agg(sum(col("__v").cast(dec)).cast("double").as("__sx"),
         sum((col("__v") * col("__v")).cast(dec)).cast("double").as("__sxx"),

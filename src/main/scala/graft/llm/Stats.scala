@@ -25,10 +25,17 @@ object Stats {
     * |bands|-row offset table broadcast — no unpartitioned data-sized
     * sort. */
   private[llm] def avgRank2(vals: DataFrame, vCol: String,
+      bandExpr: Column): DataFrame =
+    avgRank2Counted(vals.groupBy(col(vCol)).agg(count(lit(1)).as("cnt")),
+      vCol, bandExpr)
+
+  /** [[avgRank2]] over an ALREADY-COUNTED (value, "cnt") frame —
+    * callers that have grouped the data anyway (auc) feed their
+    * distinct-value frame here instead of paying a second full scan
+    * of the upstream pipeline. */
+  private[llm] def avgRank2Counted(c0: DataFrame, vCol: String,
       bandExpr: Column): DataFrame = {
-    val c = vals.groupBy(col(vCol))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("__bk", bandExpr)
+    val c = c0.withColumn("__bk", bandExpr)
     val wIn = Window.partitionBy(col("__bk")).orderBy(col(vCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.orderBy(col("__bk"))
@@ -47,8 +54,14 @@ object Stats {
   private def unitBand(v: Column): Column =
     greatest(least(floor(v * 64).cast("long"), lit(63L)), lit(0L))
 
-  /** Band for a non-negative integral stat: bit length. */
-  private[llm] def bitBand(v: Column): Column = length(bin(v)).cast("long")
+  /** Band for a non-negative integral stat: bit length. Negative
+    * values would band AFTER all positives (bin(-1) is 64 ones),
+    * silently breaking the monotone-band precondition — raise instead
+    * (the quantileNormalize contract; shift signed stats upstream). */
+  private[llm] def bitBand(v: Column): Column =
+    when(v < 0, raise_error(concat(lit("Stats: negative value "),
+      v.cast("string"))).cast("long"))
+      .otherwise(length(bin(v)).cast("long"))
 
   /** ROC-AUC of a scorer against binary labels, computed EXACTLY by
     * the Mann-Whitney rank-sum with midrank tie handling — THE
@@ -70,7 +83,10 @@ object Stats {
       col(labelCol).cast("long").as("__y"))
     val byScore = s.groupBy("__p")
       .agg(count(lit(1)).as("cnt"), sum("__y").as("pos"))
-    val ranked = avgRank2(s.select(col("__p")), "__p", unitBand(col("__p")))
+    // ONE scan of the scored pipeline: the rank construction consumes
+    // the same distinct-score frame the pos counts came from
+    val ranked = avgRank2Counted(byScore.select(col("__p"), col("cnt")),
+        "__p", unitBand(col("__p")))
       .join(byScore.select(col("__p"), col("pos")), Seq("__p"))
     val a = ranked.agg(
       sum(col("cnt")).as("n"),
@@ -99,10 +115,17 @@ object Stats {
     *
     * Scale shape: ONE (a, b)-keyed count (map-side combined); the
     * spine is the |A|·|B| marginal cross join — category-sized, tiny,
-    * broadcast throughout. */
+    * broadcast throughout.
+    *
+    * Null categories are EXCLUDED (complete-case analysis, the
+    * standard χ² contract): a null-keyed cell would inflate the
+    * marginals yet never match the spine's equi-join, silently
+    * dropping its observed mass. `n` counts only complete rows. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val d12 = DecimalType(30, 12)
-    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("o"))
     val ra = cells.groupBy("__a").agg(sum("o").as("ra"))
     val cb = cells.groupBy("__b").agg(sum("o").as("cb"))
@@ -213,8 +236,9 @@ object Stats {
       .withColumn("__o1", coalesce(sum(col("__t1")).over(wOff), lit(0L)))
       .withColumn("__o2", coalesce(sum(col("__t2")).over(wOff), lit(0L)))
       .select(col("__bk"), col("__o1"), col("__o2"))
-    val tot = s.agg(sum(col("__ga")).as("n1"),
-      sum(lit(1L) - col("__ga")).as("n2"))
+    // totals from the distinct-value frame, not a third corpus scan
+    // (the byV exchange is reused by Spark when subtrees are identical)
+    val tot = byV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val cums = byV
       .withColumn("__i1", sum(col("c1")).over(wIn))
       .withColumn("__i2", sum(col("c2")).over(wIn))
@@ -243,8 +267,9 @@ object Stats {
     * the rank2 values (Pearson is affine-invariant, so the factor of
     * 2 cancels) with every moment an exact DECIMAL(38,0) sum and ONE
     * final IEEE expression. Constant columns (zero rank variance)
-    * emit null. Moment bound: Σrank2·rank2' ≤ 4n³ — inside
-    * DECIMAL(38,0) to ~6e12 rows; shard beyond that. */
+    * emit null; negative values raise (the [[bitBand]] contract —
+    * shift signed stats upstream). Moment bound: Σrank2·rank2' ≤ 4n³
+    * — inside DECIMAL(38,0) to ~6e12 rows; shard beyond that. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val s = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y"))

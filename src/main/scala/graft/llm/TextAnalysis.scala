@@ -1322,9 +1322,17 @@ object TextAnalysis {
     val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     val x = col(valCol).cast("double")
     val pcts = (1 until bins).map(i => i.toDouble / bins)
+    // a missing reference group must FAIL, not report "no drift":
+    // with zero ref rows the edges are null, every bin degenerates,
+    // and the inner ref join would silently empty the result — the
+    // worst failure mode a production drift alarm can have
     val edges = docs.filter(col(groupCol) === refGroup)
       .agg(expr(s"percentile(CAST($valCol AS DOUBLE), array(${pcts.mkString(",")}))")
-        .as("__edges"))
+        .as("__e0"), count(lit(1)).as("__rn"))
+      .select(when(col("__rn") === 0L,
+        raise_error(lit(s"psiDrift: reference group '$refGroup' has no rows"))
+          .cast("array<double>"))
+        .otherwise(col("__e0")).as("__edges"))
     val binned = docs.crossJoin(broadcast(edges))
       .select(col(groupCol).as("__grp"),
         (lit(1) + size(filter(col("__edges"), e => x > e))).as("__bin"))
@@ -1555,31 +1563,45 @@ object TextAnalysis {
     * carries (fingerprint, id), candidate volume Σ df² per
     * fingerprint; `maxDf` drops boilerplate fingerprints (df >
     * maxDf) BEFORE the self-join, the q178 df-cap discipline — at
-    * web scale a hot fingerprint is stop-boilerplate, not evidence. */
+    * web scale a hot fingerprint is stop-boilerplate, not evidence.
+    * The exploded postings persist for the duration of the call (the
+    * df count, both join sides — four consumers otherwise re-run the
+    * winnow kernel over every document) and the pair result is
+    * eagerly materialized inside before release (the q170
+    * loan-escape discipline). */
   def winnowPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 4, w: Int = 4, minShared: Long = 2,
-      maxDf: Int = 64): org.apache.spark.sql.DataFrame = {
+      maxDf: Int = 64,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"need minShared >= 1 and maxDf >= 2, got $minShared, $maxDf")
     val base = winnowFingerprints(docs, idCol, textCol, k, w)
     val fp = base.select(col(idCol).as("__id"),
       col("n_fingerprints").as("__nfp"),
-      explode(col("fingerprints")).as("__fp"))
-    val keep = fp.groupBy("__fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select(col("__fp"))
-    val pruned = fp.join(keep, Seq("__fp"))
-    val a = pruned.select(col("__fp"), col("__id").as("id_a"),
-      col("__nfp").as("__na"))
-    val b = pruned.select(col("__fp"), col("__id").as("id_b"),
-      col("__nfp").as("__nb"))
-    a.join(b, Seq("__fp")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"),
-        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
-      .filter(col("shared") >= minShared)
-      .select(col("id_a"), col("id_b"), col("shared"),
-        (col("shared").cast("double") /
-          least(col("__na"), col("__nb")).cast("double")).as("overlap"))
+      explode(col("fingerprints")).as("__fp")).persist()
+    try {
+      val keep = fp.groupBy("__fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("__fp"))
+      val pruned = fp.join(keep, Seq("__fp"))
+      val a = pruned.select(col("__fp"), col("__id").as("id_a"),
+        col("__nfp").as("__na"))
+      val b = pruned.select(col("__fp"), col("__id").as("id_b"),
+        col("__nfp").as("__nb"))
+      val pairsDf = a.join(b, Seq("__fp")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared"),
+          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+        .filter(col("shared") >= minShared)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          (col("shared").cast("double") /
+            least(col("__na"), col("__nb")).cast("double")).as("overlap"))
+      checkpointDir match {
+        case Some(dir) => Lineage.withCheckpointDir(
+          pairsDf.sparkSession.sparkContext, dir)(
+          pairsDf.checkpoint(eager = true))
+        case None => pairsDf.localCheckpoint(true)
+      }
+    } finally fp.unpersist(blocking = false)
   }
 
   /** Cross-group quantile normalization of an integral doc stat: each

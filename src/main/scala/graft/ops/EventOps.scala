@@ -16,6 +16,13 @@ object EventOps {
     * gone hot, a source replaying itself, or an upstream outage
     * (negative z) all show here first.
     *
+    * The hour spine is DENSIFIED per type (every hour between the
+    * type's first and last observed hour exists, zero-count if
+    * silent): a ROWS window over observed hours only would stretch
+    * "trailing 24 hours" across arbitrary gaps, and a full outage
+    * hour would emit no row at all — exactly the hour the monitor
+    * must score (it shows as the negative-z row).
+    *
     * Flag rule: z > `zCut` with at least `minHist` trailing hours of
     * history (cold-start hours and degenerate zero-variance baselines
     * emit null z, never a flag).
@@ -28,17 +35,25 @@ object EventOps {
     * baseline lands epsilon-negative, the q192 discipline).
     *
     * Scale shape: the data-sized work is ONE map-side-combined
-    * (type, hour) count; every window runs on the aggregate series —
-    * |types|·|hours| rows, thousands even at 100 TB/year — partitioned
-    * by type. Zero corpus-sized shuffles beyond the count. */
+    * (type, hour) count; the spine explode and every window run on
+    * the aggregate series — |types|·|hours| rows, thousands even at
+    * 100 TB/year — partitioned by type. Zero corpus-sized shuffles
+    * beyond the count. */
   def burstDetect(events: DataFrame, tsCol: String = "ts",
       typeCol: String = "event_type", lookback: Int = 24,
       minHist: Int = 8, zCut: Double = 3.0): DataFrame = {
     require(lookback >= 2 && minHist >= 2 && minHist <= lookback,
       s"need 2 <= minHist <= lookback, got lookback=$lookback minHist=$minHist")
-    val hourly = events
+    val counts = events
       .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n_events"))
+    val spine = counts.groupBy(col(typeCol))
+      .agg(min(col("hour")).as("__h0"), max(col("hour")).as("__h1"))
+      .select(col(typeCol),
+        explode(sequence(col("__h0"), col("__h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val hourly = spine.join(counts, Seq(typeCol, "hour"), "left")
+      .na.fill(0L, Seq("n_events"))
     val w = Window.partitionBy(col(typeCol)).orderBy(col("hour"))
       .rowsBetween(-lookback, -1)
     val nH = count(lit(1)).over(w)

@@ -2168,5 +2168,15 @@ class LlmSpec extends AnyFunSuite {
       yield vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum
     assert(math.abs(out("mix")._3.get - pairs.sum / pairs.length) < 1e-9,
       s"got ${out("mix")._3} expect ${pairs.sum / pairs.length}")
+    // a zero-norm vector has no direction: raise, never silently bias
+    val zero = Seq(("z", vec(1, 2)), ("z", vec(0, 0)))
+      .toDF("label", "embedding")
+    val e = intercept[Exception] {
+      graft.llm.Similarity.groupDispersion(zero, "label", "embedding",
+        dims = 4).collect()
+    }
+    assert(e.getMessage.contains("zero-norm") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero-norm")),
+      e.toString)
   }
 }

@@ -118,4 +118,31 @@ class OpsSpec extends AnyFunSuite {
       && !r.getAs[Boolean]("burst")))
     assert(math.abs(view.last.getAs[Double]("base_mean") - 10.0) < 1e-12)
   }
+
+  test("burstDetect: silent hours exist on the densified spine and an outage scores negative z") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int, k: Int) =
+      (0 until k).map(i => (new java.sql.Timestamp(
+        t0.getTime + h * 3600000L + i * 1000L), "click"))
+    // 30 alternating 9/11 hours, 24 hours of TOTAL silence, then one
+    // event at hour 54 (so the spine extends through the gap)
+    val rows = (0 until 30).flatMap(h => at(h, if (h % 2 == 0) 9 else 11)) ++
+      at(54, 1)
+    val out = graft.ops.EventOps.burstDetect(rows.toDF("ts", "event_type"))
+      .orderBy("hour").collect()
+    // spine is dense: 55 hourly rows even though 24 emitted no events
+    assert(out.length == 55, s"expected dense spine, got ${out.length}")
+    val gap = out(30) // first silent hour
+    assert(gap.getAs[Long]("n_events") == 0L)
+    // its baseline is the REAL trailing 24 hours (mean 10, sd ~1):
+    // the outage scores z ~ -10, visible and negative, never flagged
+    assert(math.abs(gap.getAs[Double]("base_mean") - 10.0) < 1e-12)
+    assert(gap.getAs[Double]("z") < -3.0 && !gap.getAs[Boolean]("burst"))
+    // past the gap the trailing 24 hours are ALL zero -> variance 0
+    // -> null z (degenerate), but the row is present on the spine
+    val deep = out(54)
+    assert(deep.getAs[Long]("n_events") == 1L)
+    assert(deep.isNullAt(deep.fieldIndex("z")))
+  }
 }

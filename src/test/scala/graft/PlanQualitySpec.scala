@@ -791,12 +791,13 @@ class PlanQualitySpec extends AnyFunSuite {
       dataWindows.mkString("\n"))
   }
 
-  test("q213 winnow pairs: df prune sits below the postings self-join, no cartesian") {
+  test("q213 winnow pairs: result is loan-materialized, actions scan pinned rows") {
+    // the pair frame localCheckpoints INSIDE the postings loan (q170
+    // discipline) — consumers scan the pinned rows, never re-running
+    // the winnow kernel + df prune + self-join chain
     val plan = physical("q213_winnow_pairs")
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // the pair join keys on the fingerprint value (equi-join), never
-    // a nested loop over documents
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
   test("q208 chi-square: marginals broadcast onto the category spine, no sort-merge") {

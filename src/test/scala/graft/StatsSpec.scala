@@ -128,6 +128,30 @@ class StatsSpec extends AnyFunSuite {
       col("g") === "A").collect().head
     assert(math.abs(x.getAs[Double]("d_stat") - 0.5) < 1e-15)
     assert(x.getAs[Long]("at_value") == 1L)
+    // signed stats raise instead of silently mis-banding
+    val e = intercept[Exception] {
+      Stats.ksTest(df(Seq(-1L, 3L), Seq(2L, 4L)), "v",
+        col("g") === "A").collect()
+    }
+    assert(e.getMessage.contains("negative value") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative value")),
+      e.toString)
+  }
+
+  test("chiSquare: null categories are excluded (complete-case), n reflects it") {
+    import spark.implicits._
+    val withNulls = (Seq.fill(5)((Some(0L), Some("x"))) ++
+      Seq.fill(5)((Some(0L), Some("y"))) ++
+      Seq.fill(5)((Some(1L), Some("x"))) ++
+      Seq.fill(5)((Some(1L), Some("y"))) ++
+      Seq.fill(4)((Some(0L), None: Option[String])) ++
+      Seq.fill(3)((None: Option[Long], Some("x"))))
+      .toDF("a", "b")
+    val r = Stats.chiSquare(withNulls, "a", "b").collect().head
+    // only the 20 complete rows count; they are perfectly independent
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-12)
   }
 
   test("spearman: monotone = 1, reversed = -1, constant null, midrank ties match direct computation") {
