@@ -4609,6 +4609,58 @@ object QueriesLlm {
                THEN mi / least(h_source, h_term) END AS nmi
       FROM j CROSS JOIN hs CROSS JOIN ht"""))
 
+  /** Leakage-safe split: every near-dup cluster wholly in one of
+    * train/val/test (split key = cluster root, not the raw id); see
+    * [[Dedup.leakageSplit]]. The oracle extends the q57 cluster
+    * replay with the q58 md5-bucket split applied to the root. */
+  private val q215 = Q("q215_leakage_split",
+    (s, dir) => Dedup.leakageSplit(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+                UNION ALL SELECT id_b, id_a FROM p2),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      kcl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      rooted AS (SELECT d.doc_id,
+                        COALESCE(kcl.cluster_id, d.doc_id) AS split_root
+                 FROM documents d LEFT JOIN kcl ON kcl.id = d.doc_id)
+      SELECT doc_id, split_root,
+             CASE WHEN ('0x' || substr(md5(CAST(split_root AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(split_root AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rooted ORDER BY doc_id"""))
+
+  /** SoftDeDup weights: keep every near-dup, downweight each cluster
+    * to unit mass (w = 1/|cluster|); see [[Dedup.softDedupWeights]]. */
+  private val q216 = Q("q216_softdedup_weights",
+    (s, dir) => Dedup.softDedupWeights(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+                UNION ALL SELECT id_b, id_a FROM p2),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      kcl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      ksz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
+              FROM kcl GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(kcl.cluster_id, d.doc_id) AS cluster_id,
+             COALESCE(ksz.csz, 1) AS cluster_size,
+             1.0 / CAST(COALESCE(ksz.csz, 1) AS DOUBLE) AS weight
+      FROM documents d
+      LEFT JOIN kcl ON kcl.id = d.doc_id
+      LEFT JOIN ksz ON ksz.cluster_id = kcl.cluster_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4619,5 +4671,5 @@ object QueriesLlm {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209, q210, q211, q212, q213, q214)
+    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }

@@ -762,4 +762,67 @@ object Dedup {
           transform(keptIdx, i => element_at(col("toks"), i + 1)), " ")
           .as("clean_text"))
   }
+
+  /** Leakage-safe train/val/test assignment: every near-dup CLUSTER
+    * lands wholly in one split, so no evaluation document has a
+    * near-duplicate sitting in training data — the split a benchmark
+    * owner actually needs (hash-splitting raw ids, q58-style, leaks
+    * whenever duplicates straddle the cut). The split key is the
+    * cluster id (min member id, [[graft.llm.Corpus.dupClusters]]'s
+    * canonical root); singletons key on their own id, which keeps the
+    * marginal split fractions at the configured 80/10/10 while pinning
+    * cluster atomicity.
+    *
+    * Scale shape: pairs come from the banded LSH loan (O(dups), never
+    * corpus²); the cluster frame is duplicate-sized; one left join
+    * rejoins singletons; the split itself is a narrow md5-bucket map
+    * ([[graft.llm.Corpus.split]]). Result materializes inside the loan
+    * (clusterKeepers discipline) so the LSH caches can release. */
+  def leakageSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame =
+    withLshPairs(docs, idCol, textCol) { pairs =>
+      val clusters = graft.llm.Corpus.dupClusters(pairs)
+        .withColumnRenamed("id", idCol)
+      val rooted = docs.select(col(idCol))
+        .join(clusters, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("cluster_id"), col(idCol)).as("split_root"))
+      pin(rooted.withColumn("split",
+        graft.llm.Corpus.split(col("split_root"), trainPct, valPct)),
+        checkpointDir)
+    }
+
+  /** SoftDeDup-style sampling weights: instead of DROPPING near-dup
+    * losers (clusterKeepers), keep every document and downweight each
+    * near-dup cluster to unit total mass — w(doc) = 1 / |cluster|, a
+    * singleton keeps w = 1. The weighted corpus then feeds the
+    * weighted samplers ([[graft.llm.Corpus]]) so repeated content
+    * contributes once in expectation while rare phrasing inside the
+    * duplicates still surfaces. Total weight mass Σw = number of
+    * CLUSTERS (each cluster sums to exactly 1); the design-effect
+    * effective sample size ESS = (Σw)² / Σw² = C² / Σ_c 1/k_c, which
+    * sits between C (all clusters equal-sized) and n (no dups) — the
+    * spec pins both identities.
+    *
+    * Scale shape: identical to [[clusterKeepers]] — duplicate-sized
+    * cluster frame, one count aggregate on cluster_id, one left join
+    * back to (id)-only rows; the weight is a narrow map. Result pins
+    * inside the loan. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+      checkpointDir: Option[String] = None): DataFrame =
+    withLshPairs(docs, idCol, textCol) { pairs =>
+      val clusters = graft.llm.Corpus.dupClusters(pairs)
+        .withColumnRenamed("id", idCol)
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("__csz"))
+      val base = docs.select(col(idCol))
+        .join(clusters.join(sizes, Seq("cluster_id")), Seq(idCol), "left")
+      pin(base.select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("__csz"), lit(1L)).cast("long").as("cluster_size"),
+        (lit(1.0) / coalesce(col("__csz"), lit(1L)).cast("double"))
+          .as("weight")),
+        checkpointDir)
+    }
 }

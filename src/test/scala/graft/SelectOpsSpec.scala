@@ -113,6 +113,59 @@ class SelectOpsSpec extends AnyFunSuite {
       "score tie breaks to the lower id")
   }
 
+  // --------------------------------------- leakage split / soft dedup
+  test("leakageSplit: near-dup clusters are split-atomic, singletons keyed on own id") {
+    import graft.llm.{Corpus, Dedup}
+    val d = Tables.load(spark, dir, "documents")
+    val out = Dedup.leakageSplit(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == d.count())
+    // every root maps to exactly one split (atomicity), and the split
+    // is exactly Corpus.split of the root
+    val byRoot = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(byRoot.values.forall(_.length == 1), "cluster straddles a split")
+    val expected = spark.createDataFrame(
+        spark.sparkContext.parallelize(out.map(t => org.apache.spark.sql.Row(t._2)).toSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType))))
+      .select(Corpus.split(col("r")).as("s")).collect().map(_.getString(0))
+    assert(out.map(_._3).sameElements(expected))
+    // a clustered doc's root differs from its id for the non-min members
+    val pairs = Dedup.lshPairs(d, "doc_id", "text").collect()
+    assert(pairs.nonEmpty)
+    val nonRoot = out.filter(t => t._1 != t._2)
+    assert(nonRoot.nonEmpty, "expected planted near-dups to share a root")
+  }
+
+  test("softDedupWeights: cluster mass sums to 1, ESS matches the design-effect identity") {
+    import graft.llm.Dedup
+    val d = Tables.load(spark, dir, "documents")
+    val out = Dedup.softDedupWeights(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == d.count())
+    // per-cluster weight mass = 1 and cluster_size matches the group
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.forall(_._3 == rows.length), s"cluster $cid size mismatch")
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, s"cluster $cid mass")
+    }
+    val nClusters = out.map(_._2).distinct.length
+    // total mass = #clusters exactly
+    assert(math.abs(out.map(_._4).sum - nClusters) < 1e-9)
+    // ESS = (Σw)²/Σw² = C²/Σ_c 1/k_c: between C and n, and equal to
+    // the per-cluster-size reference
+    val sw = out.map(_._4).sum
+    val sw2 = out.map(w => w._4 * w._4).sum
+    val ess = sw * sw / sw2
+    val ref = {
+      val sizes = out.groupBy(_._2).map(_._2.length)
+      nClusters.toDouble * nClusters / sizes.map(1.0 / _).sum
+    }
+    assert(math.abs(ess - ref) < 1e-6, s"ESS $ess != reference $ref")
+    assert(ess >= nClusters - 1e-9 && ess <= out.length + 1e-9)
+    assert(out.forall(w => w._4 > 0 && w._4 <= 1.0))
+  }
+
   // ------------------------------------------------ k-center coreset
   test("kCenterCoreset: greedy farthest-point order on a line") {
     val df = Seq(0L -> 0f, 1L -> 1f, 2L -> 2f, 3L -> 10f, 4L -> 20f)
