@@ -4661,6 +4661,66 @@ object QueriesLlm {
       LEFT JOIN ksz ON ksz.cluster_id = kcl.cluster_id
       ORDER BY doc_id"""))
 
+  /** Stupid-backoff bigram scoring of held-out docs: train counts on
+    * the md5 80% split, score val/test with S(b|a)=c(ab)/c(a) or
+    * α·(c(b)+1)/(N+V); see [[TextAnalysis.backoffScore]]. */
+  private val q217 = Q("q217_backoff_lm",
+    (s, dir) => TextAnalysis.backoffScore(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 < 80 AS tr
+        FROM documents),
+      uni AS (SELECT unnest(t) AS a FROM arr WHERE tr),
+      ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM uni GROUP BY 1),
+      nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                    CAST(SUM(ca) AS BIGINT) AS n FROM ca),
+      trbg AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i])) AS a,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i + 1])) AS b
+        FROM arr WHERE tr),
+      cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+              FROM trbg GROUP BY 1, 2),
+      hobg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i])) AS a,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i + 1])) AS b
+        FROM arr WHERE NOT tr),
+      sc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN cab.cab IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_backoff,
+               CAST(SUM(CAST(-ln(
+                 CASE WHEN cab.cab IS NOT NULL
+                   THEN CAST(cab.cab AS DOUBLE) / CAST(ca.ca AS DOUBLE)
+                   ELSE 0.4 * CAST(COALESCE(cb.ca, 0) + 1 AS DOUBLE)
+                        / CAST(nv.n + nv.v AS DOUBLE) END)
+                 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+                 AS avg_neg_logscore
+        FROM hobg
+        LEFT JOIN cab USING (a, b)
+        LEFT JOIN ca USING (a)
+        LEFT JOIN ca cb ON cb.a = hobg.b
+        CROSS JOIN nv
+        GROUP BY doc_id)
+      SELECT h.doc_id,
+             COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+             COALESCE(sc.n_backoff, 0) AS n_backoff,
+             CASE WHEN sc.n_bigrams > 0
+               THEN CAST(sc.n_backoff AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)
+               END AS backoff_rate,
+             sc.avg_neg_logscore
+      FROM (SELECT doc_id FROM arr WHERE NOT tr) h
+      LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4671,5 +4731,5 @@ object QueriesLlm {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
 }

@@ -343,6 +343,80 @@ object TextAnalysis {
         coalesce(col("perplexity") > flagAbove, lit(false)))
   }
 
+  /** Stupid-backoff bigram scoring of HELD-OUT documents (Brants et
+    * al. 2007 — the LM smoothing built for MapReduce-scale counts):
+    * train bigram/unigram counts on the md5-bucket train split
+    * ([[graft.llm.Corpus.split]], same 80% cut as q58), then score
+    * every val/test document's bigrams as
+    * S(b|a) = c(ab)/c(a) when the bigram was seen in training, else
+    * α·(c(b)+1)/(N+V) — the α-discounted unigram with an add-one
+    * floor so OOV words score α/(N+V) instead of −∞. Unlike
+    * [[lmPerplexity]] (in-corpus, add-one) this is a genuine
+    * out-of-sample readout: `backoff_rate` (fraction of bigrams the
+    * trained table missed) is the distribution-shift signal, and
+    * `avg_neg_logscore` ranks held-out docs by how surprising they
+    * are to the training distribution.
+    *
+    * Scale shape: the tokenized frame persists once and feeds train
+    * counts + held-out bigrams (the lmPerplexity cache contract);
+    * unigram/bigram counts are vocabulary-sized with map-side
+    * combine; all three score joins key on terms; N and V are two
+    * driver scalars off a vocabulary-sized aggregate. Stupid backoff
+    * needs no normalization pass — that's exactly why it scales. */
+  def backoffScore(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        (graft.llm.Corpus.split(col(idCol)) === "train").as("__train"),
+        toks.as("toks"))
+      .persist()
+    val uni = base.filter(col("__train"))
+      .select(explode(col("toks")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+      .persist()
+    // V and N: one vocabulary-sized aggregate → two driver scalars
+    // (warms both caches)
+    val nv = uni.agg(count(lit(1)).as("v"), sum(col("ca")).as("n")).collect()(0)
+    val vocab = nv.getLong(0)
+    val nTrain = if (nv.isNullAt(1)) 0L else nv.getLong(1)
+    require(nTrain > 0, "backoffScore: empty training split")
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df.select(col(idCol),
+      explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val cab = bigrams(base.filter(col("__train")))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val floorDen = (nTrain + vocab).toDouble
+    val s = when(col("cab").isNotNull,
+        col("cab").cast("double") / col("ca").cast("double"))
+      .otherwise(lit(alpha) *
+        (coalesce(col("cb"), lit(0L)) + 1).cast("double") / lit(floorDen))
+    val scored = bigrams(base.filter(!col("__train")))
+      .join(cab, Seq("a", "b"), "left")
+      .join(uni, Seq("a"), "left")
+      .join(uni.select(col("a").as("b"), col("ca").as("cb")), Seq("b"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(when(col("cab").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_backoff"),
+        graft.functions.GraftFunctions.davg(-log(s), 12)
+          .as("avg_neg_logscore"))
+    // every held-out doc appears, bigram-less ones with NULL scores
+    base.filter(!col("__train")).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        when(col("n_bigrams") > 0, col("n_backoff").cast("double")
+          / col("n_bigrams").cast("double")).as("backoff_rate"),
+        col("avg_neg_logscore"))
+  }
+
   /** CCNet perplexity tiers (Wenzek et al. 2020): per-language
     * head/middle/tail quality buckets by LM perplexity — the corpus
     * partitioning CCNet ships (train on head, mine middle, drop tail).

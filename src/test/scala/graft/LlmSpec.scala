@@ -954,6 +954,60 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3L).getAs[Long]("n_bigrams") == 0L)
   }
 
+  test("backoffScore: held-out stupid backoff matches a single-threaded reference") {
+    import spark.implicits._
+    // deterministic synthetic corpus: shared pool + id-specific rare
+    // tokens so held-out docs contain bigrams the train split missed
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val rows = (1L to 60L).map { id =>
+      val toks = (0 until 8).map(j => pool(((id * 7 + j * 3) % 5).toInt)) :+
+        s"rare$id" :+ pool((id % 5).toInt)
+      (id, toks.mkString(" "))
+    }
+    val got = TextAnalysis.backoffScore(rows.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // reference: same md5-bucket split, same formula, plain Scala
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+    val (train, held) = rows.partition { case (id, _) => bucket(id) < 80 }
+    assert(held.nonEmpty && train.nonEmpty)
+    val trainToks = train.flatMap(_._2.split("\\s+"))
+    val ca = trainToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = trainToks.size.toLong
+    val v = ca.size.toLong
+    val cab = train.flatMap(_._2.split("\\s+").sliding(2).map(w => (w(0), w(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var sawBackoff = false
+    held.foreach { case (id, text) =>
+      val bgs = text.split("\\s+").sliding(2).map(w => (w(0), w(1))).toSeq
+      val scores = bgs.map { bg =>
+        cab.get(bg) match {
+          case Some(c) => c.toDouble / ca(bg._1)
+          case None => 0.4 * (ca.getOrElse(bg._2, 0L) + 1).toDouble / (n + v)
+        }
+      }
+      val nBack = bgs.count(bg => !cab.contains(bg))
+      if (nBack > 0) sawBackoff = true
+      val r = got(id)
+      assert(r.getAs[Long]("n_bigrams") == bgs.size.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_backoff") == nBack.toLong, s"doc $id backoff")
+      val want = scores.map(s => -math.log(s)).sum / bgs.size
+      assert(math.abs(r.getAs[Double]("avg_neg_logscore") - want) < 1e-9,
+        s"doc $id score")
+      assert(math.abs(r.getAs[Double]("backoff_rate")
+        - nBack.toDouble / bgs.size) < 1e-12)
+    }
+    assert(sawBackoff, "fixture should exercise the backoff branch")
+    assert(got.keySet == held.map(_._1).toSet,
+      "exactly the held-out docs are scored")
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)
