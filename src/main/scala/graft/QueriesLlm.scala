@@ -4721,6 +4721,91 @@ object QueriesLlm {
       LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Exact Kendall tau-b between doc length and token count on the
+    * contingency grid (2-D dominance suffix sums, never the O(n²)
+    * pair space); see [[graft.llm.Stats.kendallTauB]]. */
+  private val q218 = Q("q218_kendall_tau",
+    (s, dir) => graft.llm.Stats.kendallTauB(
+      t(s, dir, "documents").select(col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).as("n_toks")),
+      "n_chars", "n_toks"),
+    Some("""
+      WITH s AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS BIGINT) AS y
+        FROM documents),
+      cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+                FROM s GROUP BY 1, 2),
+      grid AS (SELECT xs.x, ys.y, COALESCE(c.c, 0) AS c
+               FROM (SELECT DISTINCT x FROM cells) xs
+               CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+               LEFT JOIN cells c USING (x, y)),
+      st AS (SELECT x, y, c,
+               COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS bs,
+               COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp
+             FROM grid),
+      dm AS (SELECT x, y, c,
+               COALESCE(SUM(bs) OVER (PARTITION BY y ORDER BY x
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS sdom,
+               COALESCE(SUM(bp) OVER (PARTITION BY y ORDER BY x
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS ddom
+             FROM st),
+      cd AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                    SUM(CAST(c AS HUGEINT) * sdom) AS conc,
+                    SUM(CAST(c AS HUGEINT) * disc_w) AS disc
+             FROM (SELECT c, sdom, ddom AS disc_w FROM dm)),
+      mx AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS tpx
+             FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t
+                   FROM cells GROUP BY 1)),
+      my AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS tpy
+             FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t
+                   FROM cells GROUP BY 1))
+      SELECT n,
+             CAST(conc AS BIGINT) AS concordant,
+             CAST(disc AS BIGINT) AS discordant,
+             CAST(tpx // 2 AS BIGINT) AS ties_x,
+             CAST(tpy // 2 AS BIGINT) AS ties_y,
+             CASE WHEN (CAST(n AS HUGEINT) * (n - 1) - tpx) > 0
+                   AND (CAST(n AS HUGEINT) * (n - 1) - tpy) > 0
+               THEN CAST(conc - disc AS DOUBLE)
+                 / (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tpx AS DOUBLE) / 2.0)
+                    * sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tpy AS DOUBLE) / 2.0))
+               END AS tau_b
+      FROM cd CROSS JOIN mx CROSS JOIN my"""))
+
+  /** Per-source winsorized + trimmed doc-length means (robust
+    * location next to the raw average); see
+    * [[TextAnalysis.winsorStats]]. */
+  private val q219 = Q("q219_winsor_mean",
+    (s, dir) => TextAnalysis.winsorStats(t(s, dir, "documents"),
+      "source", "n_chars").orderBy("source"),
+    Some("""
+      WITH q AS (
+        SELECT source,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p_lo,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p_hi
+        FROM documents GROUP BY 1),
+      j AS (SELECT d.source AS source, CAST(n_chars AS DOUBLE) AS v,
+                   p_lo, p_hi
+            FROM documents d JOIN q USING (source))
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             p_lo, p_hi,
+             CAST(SUM(CASE WHEN v < p_lo OR v > p_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped,
+             CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(v)
+               AS mean_raw,
+             CAST(SUM(CAST(least(greatest(v, p_lo), p_hi) AS DECIMAL(30,6)))
+               AS DOUBLE) / COUNT(v) AS mean_winsor,
+             CAST(SUM(CAST(CASE WHEN v >= p_lo AND v <= p_hi THEN v END
+               AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(CASE WHEN v >= p_lo AND v <= p_hi THEN v END)
+               AS mean_trimmed
+      FROM j GROUP BY source, p_lo, p_hi ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4731,5 +4816,6 @@ object QueriesLlm {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
+    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
+    q218, q219)
 }

@@ -295,4 +295,73 @@ object Stats {
     m.select(col("n"),
       when(vx > 0.0 && vy > 0.0, cov / (sqrt(vx) * sqrt(vy))).as("rho"))
   }
+
+  /** Exact Kendall tau-b between two DISCRETE stats, computed on the
+    * value-pair contingency grid instead of the O(n²) pair space: a
+    * pair of rows is concordant iff its two cells dominate each other
+    * in both coordinates, so C = Σ_cells c(x,y)·S(x,y) with S the
+    * strict 2-D dominance sum Σ_{x'>x, y'>y} c — two chained window
+    * suffix sums over the DENSE |X|×|Y| grid (partition by x for the
+    * y-suffix, then by y for the x-suffix), never a row-pair join.
+    * Discordant mirrors with the y-prefix. Tie terms come off the
+    * marginals; tau_b = (C−D)/√((n0−n1)(n0−n2)).
+    *
+    * Contract: both stats must be discrete (int-castable) — the grid
+    * is |X|·|Y| cells, bounded by value cardinalities, not rows (the
+    * [[chiSquare]] contract). Pair counts C, D, n0 are exact
+    * DECIMAL(38,0) internally (they grow as n², past BIGINT at corpus
+    * scale) and surface as the double tau plus BIGINT cell/marginal
+    * diagnostics. Nulls are complete-case dropped, matching
+    * [[chiSquare]]. */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val s = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = s.groupBy("__x", "__y").agg(count(lit(1)).as("c"))
+    // dense grid: dominance windows need a row at EVERY (x, y) lattice
+    // point — |X|·|Y| rows, the documented discrete-stat bound; the
+    // distinct-y frame broadcasts
+    val xs = cells.select(col("__x")).distinct()
+    val ys = cells.select(col("__y")).distinct()
+    val grid = xs.crossJoin(broadcast(ys))
+      .join(cells, Seq("__x", "__y"), "left")
+      .select(col("__x"), col("__y"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wYsuf = Window.partitionBy("__x").orderBy("__y")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wYpre = Window.partitionBy("__x").orderBy("__y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = grid
+      .withColumn("bs", coalesce(sum(col("c")).over(wYsuf), lit(0L)))
+      .withColumn("bp", coalesce(sum(col("c")).over(wYpre), lit(0L)))
+    val wXsuf = Window.partitionBy("__y").orderBy("__x")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val dom = staged
+      .withColumn("sdom", coalesce(sum(col("bs")).over(wXsuf), lit(0L)))
+      .withColumn("ddom", coalesce(sum(col("bp")).over(wXsuf), lit(0L)))
+    val cd = dom.agg(
+      sum(col("c")).cast("long").as("n"),
+      sum(col("c").cast(dec) * col("sdom")).as("conc"),
+      sum(col("c").cast(dec) * col("ddom")).as("disc"))
+    // tie terms off the marginals: n1 = Σ_x t(t-1)/2, n2 likewise
+    def tieHalfPairs(keyCol: String) = cells.groupBy(keyCol)
+      .agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1)), lit(0).cast(dec))
+        .as("tp")) // 2× the tie pairs; halved in the final expression
+    val tx = tieHalfPairs("__x").select(col("tp").as("tpx"))
+    val ty = tieHalfPairs("__y").select(col("tp").as("tpy"))
+    val nD = col("n").cast(dec)
+    val n0x2 = nD * (col("n") - 1) // 2·n0
+    val denomL = (n0x2 - col("tpx")).cast("double") / 2.0
+    val denomR = (n0x2 - col("tpy")).cast("double") / 2.0
+    cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        (col("tpx") / 2).cast("long").as("ties_x"),
+        (col("tpy") / 2).cast("long").as("ties_y"),
+        when(denomL > 0.0 && denomR > 0.0,
+          (col("conc") - col("disc")).cast("double")
+            / (sqrt(denomL) * sqrt(denomR))).as("tau_b"))
+  }
 }

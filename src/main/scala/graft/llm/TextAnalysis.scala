@@ -905,6 +905,45 @@ object TextAnalysis {
         (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
   }
 
+  /** Per-group robust location readouts: raw mean next to the
+    * winsorized mean (values clamped to the group's [lo, hi] exact
+    * percentiles) and the trimmed mean (clamped rows DROPPED) — the
+    * corpus-health numbers a mixture owner reads when a handful of
+    * megadocs or empty stubs drag the plain average ("mean doc length
+    * 4 KB" can hide a 2 GB crawl artifact; the winsorized mean
+    * doesn't). `n_clipped` counts the rows outside the band, the
+    * direct tail-mass readout.
+    *
+    * Scale shape: one grouped exact-percentile aggregate (state
+    * bounded by the stat's value cardinality — the [[madOutliers]]
+    * DISCRETE-stat contract; use its `approx_percentile` escape-hatch
+    * pattern for continuous stats), the |groups|-row bound frame
+    * broadcast back, then a single map-side-combined aggregate. All
+    * means go through the exact-decimal davg discipline. */
+  def winsorStats(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      valCol: String, lo: Double = 0.05,
+      hi: Double = 0.95): org.apache.spark.sql.DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad winsor band [$lo, $hi]")
+    val v = col(valCol).cast("double")
+    val qs = docs.groupBy(col(groupCol))
+      .agg(expr(s"percentile(CAST($valCol AS DOUBLE), array($lo, $hi))")
+        .as("q"))
+      .select(col(groupCol), col("q")(0).as("p_lo"), col("q")(1).as("p_hi"))
+    val clamped = least(greatest(v, col("p_lo")), col("p_hi"))
+    val inBand = v >= col("p_lo") && v <= col("p_hi")
+    docs.join(broadcast(qs), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        first(col("p_lo")).as("p_lo"),
+        first(col("p_hi")).as("p_hi"),
+        sum(when(!inBand, 1L).otherwise(0L)).cast("long").as("n_clipped"),
+        graft.functions.GraftFunctions.davg(v, 6).as("mean_raw"),
+        graft.functions.GraftFunctions.davg(clamped, 6).as("mean_winsor"),
+        graft.functions.GraftFunctions.davg(when(inBand, v), 6)
+          .as("mean_trimmed"))
+  }
+
   /** Sparse all-pairs document cosine over bigram postings — the
     * "related documents" join (DISCO / DIMSUM family): docs scored by
     * the cosine of their term-frequency vectors, computed as a

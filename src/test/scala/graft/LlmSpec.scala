@@ -1008,6 +1008,27 @@ class LlmSpec extends AnyFunSuite {
       "exactly the held-out docs are scored")
   }
 
+  test("winsorStats: hand-computed clamped/trimmed means on a skewed group") {
+    import spark.implicits._
+    // values 1..9 plus a 1000 outlier; p05/p95 via linear interpolation
+    val vals = (1L to 9L) :+ 1000L
+    val d = vals.map(v => ("g", v)).toDF("grp", "v")
+    val got = TextAnalysis.winsorStats(d, "grp", "v", 0.05, 0.95)
+      .collect().head
+    // sorted: 1..9,1000; p05 = 1 + 0.45*(2-1) = 1.45
+    // p95 = idx 8.55 -> 9 + 0.55*(1000-9) = 554.05
+    assert(math.abs(got.getAs[Double]("p_lo") - 1.45) < 1e-9)
+    assert(math.abs(got.getAs[Double]("p_hi") - 554.05) < 1e-9)
+    assert(got.getAs[Long]("n") == 10L && got.getAs[Long]("n_clipped") == 2L)
+    val winsor = (1.45 + (2 to 9).sum + 554.05) / 10
+    val trimmed = (2 to 9).sum.toDouble / 8
+    assert(math.abs(got.getAs[Double]("mean_winsor") - winsor) < 1e-9)
+    assert(math.abs(got.getAs[Double]("mean_trimmed") - trimmed) < 1e-9)
+    assert(math.abs(got.getAs[Double]("mean_raw") - vals.sum.toDouble / 10) < 1e-9)
+    // the robust pair sits far below the raw mean on this fixture
+    assert(got.getAs[Double]("mean_trimmed") < got.getAs[Double]("mean_raw"))
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)

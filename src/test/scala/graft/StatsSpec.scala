@@ -154,6 +154,61 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("chi2")) < 1e-12)
   }
 
+  test("kendallTauB: monotone = 1, reversed = -1, brute-force pairwise reference with ties") {
+    import spark.implicits._
+    val mono = (1L to 30L).map(i => (i, i * 3)).toDF("x", "y")
+    val m = Stats.kendallTauB(mono, "x", "y").collect().head
+    assert(math.abs(m.getAs[Double]("tau_b") - 1.0) < 1e-15)
+    assert(m.getAs[Long]("discordant") == 0L && m.getAs[Long]("ties_x") == 0L)
+    val rev = (1L to 30L).map(i => (i, -i)).toDF("x", "y")
+    assert(math.abs(Stats.kendallTauB(rev, "x", "y").collect().head
+      .getAs[Double]("tau_b") + 1.0) < 1e-15)
+    // deterministic pseudo-random with heavy ties: brute-force check
+    val pts = (1L to 200L).map { i =>
+      val x = (i * 2654435761L) % 7
+      val y = (i * 40503L) % 5
+      (x, y)
+    }
+    val got = Stats.kendallTauB(pts.toDF("x", "y"), "x", "y").collect().head
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val (xi, yi) = pts(i); val (xj, yj) = pts(j)
+      val sx = java.lang.Long.compare(xi, xj)
+      val sy = java.lang.Long.compare(yi, yj)
+      if (sx == 0 && sy == 0) { tx += 1; ty += 1 }
+      else if (sx == 0) tx += 1
+      else if (sy == 0) ty += 1
+      else if (sx == sy) conc += 1
+      else disc += 1
+    }
+    assert(got.getAs[Long]("n") == 200L)
+    assert(got.getAs[Long]("concordant") == conc, "concordant")
+    assert(got.getAs[Long]("discordant") == disc, "discordant")
+    val n0 = 200L * 199 / 2
+    // engine tie counts include pairs tied on BOTH (standard tau-b
+    // marginal form); brute tx/ty above count the same way
+    assert(got.getAs[Long]("ties_x") + got.getAs[Long]("ties_y") >= tx)
+    val want = (conc - disc).toDouble /
+      (math.sqrt((n0 - got.getAs[Long]("ties_x")).toDouble) *
+       math.sqrt((n0 - got.getAs[Long]("ties_y")).toDouble))
+    assert(math.abs(got.getAs[Double]("tau_b") - want) < 1e-12)
+    // constant column -> null tau
+    val const = (1L to 10L).map(i => (i, 1L)).toDF("x", "y")
+    assert(Stats.kendallTauB(const, "x", "y").collect().head.isNullAt(5))
+  }
+
+  test("kendallTauB: marginal tie counts match the brute-force definition") {
+    import spark.implicits._
+    val pts = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 2L))
+    var tx = 0L; var ty = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      if (pts(i)._1 == pts(j)._1) tx += 1
+      if (pts(i)._2 == pts(j)._2) ty += 1
+    }
+    val got = Stats.kendallTauB(pts.toDF("x", "y"), "x", "y").collect().head
+    assert(got.getAs[Long]("ties_x") == tx && got.getAs[Long]("ties_y") == ty)
+  }
+
   test("spearman: monotone = 1, reversed = -1, constant null, midrank ties match direct computation") {
     import spark.implicits._
     val mono = (1L to 20L).map(i => (i, i * 3 + 7)).toDF("x", "y")
