@@ -4806,6 +4806,70 @@ object QueriesLlm {
                AS mean_trimmed
       FROM j GROUP BY source, p_lo, p_hi ORDER BY source"""))
 
+  /** Participation ratio of the embedding covariance — effective
+    * dimensionality (Σλ)²/Σλ² without an eigendecomposition; see
+    * [[Pca.effectiveDim]]. Shares the one-pass second-moment kernel
+    * with the q172 family. */
+  private val q220 = Q("q220_effective_dim",
+    (s, dir) => Pca.effectiveDim(t(s, dir, "embeddings"), dims = PcaDims),
+    Some(s"""
+      WITH e AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+                 FROM embeddings),
+      g AS (SELECT gi.i AS i, gj.j AS j
+            FROM generate_series(1,$PcaDims) gi(i),
+                 generate_series(1,$PcaDims) gj(j)),
+      mm AS (SELECT i, j,
+               CAST(SUM(CAST(x[i] * x[j] AS DECIMAL(30,12))) AS DOUBLE) AS m
+             FROM e, g GROUP BY i, j),
+      mu AS (SELECT t.i AS dim,
+               CAST(SUM(CAST(x[t.i] AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM e, generate_series(1,$PcaDims) t(i) GROUP BY t.i),
+      cv AS (SELECT mm.i AS i, mm.j AS j, mi.n AS n,
+               (mm.m / CAST(mi.n AS DOUBLE)) - (mi.mu * mj.mu) AS cv
+             FROM mm JOIN mu mi ON mi.dim = mm.i
+                     JOIN mu mj ON mj.dim = mm.j),
+      f AS (SELECT MIN(n) AS n,
+              CAST(SUM(CAST(CASE WHEN i = j THEN cv END AS DECIMAL(30,12)))
+                AS DOUBLE) AS trace,
+              CAST(SUM(CAST(cv * cv AS DECIMAL(30,18))) AS DOUBLE) AS fro2
+            FROM cv)
+      SELECT CAST($PcaDims AS BIGINT) AS dims, n, trace, fro2,
+             CASE WHEN fro2 > 0.0 THEN trace * trace / fro2 END AS pr,
+             CASE WHEN fro2 > 0.0 THEN trace * trace / fro2 / $PcaDims
+               END AS pr_ratio
+      FROM f"""))
+
+  /** Cross-source 3-gram overlap matrix (Jaccard + containment of
+    * distinct shingle sets) — the "same content, different label"
+    * source triage; see [[TextAnalysis.sourceOverlap]]. */
+  private val q221 = Q("q221_source_overlap",
+    (s, dir) => TextAnalysis.sourceOverlap(t(s, dir, "documents"),
+      "source", "text", n = 3).orderBy("src_a", "src_b"),
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT source AS src,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> array_to_string(t[i:i+2], ' '))) AS sh
+        FROM (SELECT source,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents)),
+      sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_sh
+             FROM sh GROUP BY 1),
+      pr AS (SELECT a.src AS src_a, b.src AS src_b,
+                    CAST(COUNT(*) AS BIGINT) AS shared
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+             GROUP BY 1, 2)
+      SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, shared,
+             CAST(shared AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) AS jaccard,
+             CAST(shared AS DOUBLE)
+               / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+      FROM pr JOIN sz sa ON sa.src = pr.src_a
+              JOIN sz sb ON sb.src = pr.src_b
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4817,5 +4881,5 @@ object QueriesLlm {
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q219)
+    q218, q219, q220, q221)
 }

@@ -271,4 +271,51 @@ object Pca {
         (x, v) => x.cast("double") - col("proj") * v))
       .withColumn("resid_norm", Similarity.norm(col("residual")))
   }
+
+  /** Effective dimensionality of the embedding corpus — the
+    * participation ratio PR = tr(C)² / ‖C‖²_F of the CENTERED
+    * covariance, equal to (Σλ)²/Σλ² over the eigen-spectrum but
+    * computed WITHOUT an eigendecomposition (trace and Frobenius norm
+    * are basis-free). PR ranges from 1 (all variance on one axis —
+    * embedding collapse, the failure mode contrastive pipelines watch
+    * for) to `dims` (perfectly isotropic); `pr_ratio` normalizes to
+    * (0, 1]. The anisotropy readout that motivates the
+    * all-but-the-top step lives in one scalar.
+    *
+    * Scale shape: the same ONE [[secondMoment]] pass (dims²-bounded
+    * buffers) plus a dims-row mean aggregate; covariance cells are
+    * formed on the dims² grid and folded through exact-decimal sums
+    * (order-independent, oracle-replayable). Nothing here scales with
+    * corpus size except the two aggregates' single passes. */
+  def effectiveDim(corpus: DataFrame, embedCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    val mom = secondMoment(corpus, embedCol, dims)
+    val xd = transform(col(embedCol), e => e.cast("double"))
+    // dims-row mean frame; n rides along (identical on every row)
+    val means = corpus
+      .select(posexplode(slice(xd, 1, dims)).as(Seq("p", "xv")))
+      .groupBy("p")
+      .agg(dsum(col("xv"), 12).as("sx"), count(lit(1)).as("n"))
+      .select((col("p") + 1).cast("long").as("dim"),
+        (col("sx") / col("n").cast("double")).as("mu"), col("n"))
+    val cov = mom
+      .join(broadcast(means.select(col("dim").as("i"), col("mu").as("mu_i"),
+        col("n"))), Seq("i"))
+      .join(broadcast(means.select(col("dim").as("j"),
+        col("mu").as("mu_j"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        (col("m") / col("n").cast("double")
+          - col("mu_i") * col("mu_j")).as("cv"))
+    cov.agg(
+        first(col("n")).as("n"),
+        dsum(when(col("i") === col("j"), col("cv")), 12).as("trace"),
+        dsum(col("cv") * col("cv"), 18).as("fro2"))
+      .select(lit(dims.toLong).as("dims"), col("n"), col("trace"),
+        col("fro2"),
+        when(col("fro2") > 0.0, col("trace") * col("trace") / col("fro2"))
+          .as("pr"),
+        when(col("fro2") > 0.0,
+          col("trace") * col("trace") / col("fro2") / dims).as("pr_ratio"))
+  }
 }

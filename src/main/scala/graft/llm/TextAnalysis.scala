@@ -845,6 +845,49 @@ object TextAnalysis {
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-source n-gram overlap matrix: for every source pair, the
+    * Jaccard and containment of their DISTINCT word-shingle sets —
+    * the "are these two crawls/feeds the same content under different
+    * labels" triage that runs BEFORE doc-level dedup (a source pair
+    * with high containment means one is close to a subset of the
+    * other and the smaller one adds little). Emits
+    * (src_a, src_b, n_a, n_b, shared, jaccard, containment) for
+    * src_a < src_b.
+    *
+    * Scale shape: the native [[graft.functions.WordShingles]] kernel
+    * dedups within-doc; one DISTINCT to (source, shingle) postings;
+    * the self-join keys on the shingle and its output is
+    * Σ_shingle df(shingle)² ≤ |shingles|·|sources|² — sources number
+    * in the dozens, so the pair stream is postings-sized, never
+    * corpus². The final fold is a |sources|²-row aggregate. */
+  def sourceOverlap(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val post = docs.select(col(groupCol).as("src"),
+        explode(graft.functions.WordShingles.column(
+          docs.sparkSession, col(textCol), n, distinct = true)).as("sh"))
+      .distinct()
+    val sizes = post.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val pairs = post.select(col("src").as("src_a"), col("sh"))
+      .join(post.select(col("src").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("long").as("shared"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+          .as("jaccard"),
+        (col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
   /** Robust per-group outlier flags by median/MAD — the
     * scale-invariant filter quality pipelines use where mean/stddev
     * breaks on heavy-tailed doc stats (a handful of giant pages

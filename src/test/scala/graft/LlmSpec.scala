@@ -1029,6 +1029,27 @@ class LlmSpec extends AnyFunSuite {
     assert(got.getAs[Double]("mean_trimmed") < got.getAs[Double]("mean_raw"))
   }
 
+  test("sourceOverlap: hand-computed jaccard/containment on planted shingle sets") {
+    import spark.implicits._
+    // srcA shingles {a b c, b c d}; srcB {a b c, b c d, c d e} (superset);
+    // srcC {x y z} (disjoint); within-source duplicates collapse
+    val d = Seq(
+      ("A", "a b c d"), ("A", "a b c"), // A: {abc, bcd} (dup abc collapses)
+      ("B", "a b c d e"),               // B: {abc, bcd, cde}
+      ("C", "x y z")                    // C: {xyz}
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlap(d, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // only the (A, B) pair shares shingles; C is disjoint from both
+    assert(out.keySet == Set(("A", "B")))
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_a") == 2L && ab.getAs[Long]("n_b") == 3L)
+    assert(ab.getAs[Long]("shared") == 2L)
+    assert(math.abs(ab.getAs[Double]("jaccard") - 2.0 / 3) < 1e-15)
+    assert(math.abs(ab.getAs[Double]("containment") - 1.0) < 1e-15,
+      "A is contained in B")
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)

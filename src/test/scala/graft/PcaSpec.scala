@@ -124,6 +124,31 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("effectiveDim: analytic PR on a two-axis corpus, dims bound, partition-invariant") {
+    import spark.implicits._
+    // mean-zero corpus: ±a on axis 1, ±b on axis 2 (4 rows, dims=4)
+    // covariance diag = (a²/2, b²/2, 0, 0) -> PR = (va+vb)²/(va²+vb²)
+    val a = 4.0f; val b = 2.0f
+    val rows = Seq(
+      Seq(a, 0f, 0f, 0f), Seq(-a, 0f, 0f, 0f),
+      Seq(0f, b, 0f, 0f), Seq(0f, -b, 0f, 0f))
+    val d = rows.toDF("embedding")
+    val got = Pca.effectiveDim(d, dims = 4).collect().head
+    val va = a * a / 2.0; val vb = b * b / 2.0
+    val want = (va + vb) * (va + vb) / (va * va + vb * vb)
+    assert(got.getAs[Long]("n") == 4L && got.getAs[Long]("dims") == 4L)
+    assert(math.abs(got.getAs[Double]("pr") - want) < 1e-6, s"pr=$got")
+    assert(math.abs(got.getAs[Double]("pr_ratio") - want / 4) < 1e-7)
+    // fixture embeddings: PR in (1, dims], and bit-stable under
+    // repartitioning (the exact-decimal discipline)
+    val e1 = Pca.effectiveDim(emb).collect().head
+    assert(e1.getAs[Double]("pr") > 1.0 &&
+      e1.getAs[Double]("pr") <= 64.0 + 1e-9)
+    val e2 = Pca.effectiveDim(emb.repartition(13)).collect().head
+    assert(e1.getAs[Double]("trace") == e2.getAs[Double]("trace"))
+    assert(e1.getAs[Double]("fro2") == e2.getAs[Double]("fro2"))
+  }
+
   test("pmiPairs ranks a planted collocation above independent pairs") {
     import spark.implicits._
     // "aa bb" always adjacent (perfect collocation); "cc"/"dd" frequent
