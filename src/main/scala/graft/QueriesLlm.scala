@@ -4870,6 +4870,184 @@ object QueriesLlm {
               JOIN sz sb ON sb.src = pr.src_b
       ORDER BY src_a, src_b"""))
 
+  /** Held-out OOV rate by n-gram order (1..3) against the md5 train
+    * split — the coverage-decay curve; see [[TextAnalysis.oovRate]]. */
+  private val q222 = Q("q222_oov_rate",
+    (s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"),
+      "doc_id", "text", maxN = 3).orderBy("ngram_order"),
+    Some("""
+      WITH arr AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 < 80 AS tr
+        FROM documents),
+      t1 AS (SELECT DISTINCT unnest(t) AS g FROM arr WHERE tr),
+      h1 AS (SELECT unnest(t) AS g FROM arr WHERE NOT tr),
+      t2 AS (SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS g
+             FROM arr WHERE tr),
+      h2 AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS g
+             FROM arr WHERE NOT tr),
+      t3 AS (SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+             FROM arr WHERE tr),
+      h3 AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+             FROM arr WHERE NOT tr),
+      r1 AS (SELECT CAST(1 AS BIGINT) AS ngram_order,
+                    CAST(COUNT(*) AS BIGINT) AS n_held,
+                    CAST(SUM(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_oov
+             FROM h1 h LEFT JOIN t1 t ON t.g = h.g),
+      r2 AS (SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                    CAST(SUM(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT)
+             FROM h2 h LEFT JOIN t2 t ON t.g = h.g),
+      r3 AS (SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                    CAST(SUM(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT)
+             FROM h3 h LEFT JOIN t3 t ON t.g = h.g),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+      SELECT ngram_order, n_held, n_oov,
+             CASE WHEN n_held > 0
+               THEN CAST(n_oov AS DOUBLE) / CAST(n_held AS DOUBLE)
+               END AS oov_rate
+      FROM u ORDER BY ngram_order"""))
+
+  /** Per-source dedup savings: docs and token mass removed by the
+    * keep-longest near-dup resolution; see [[Dedup.dedupSavings]].
+    * Oracle extends the q170 keeper replay with a per-source fold. */
+  private val q223 = Q("q223_dedup_savings",
+    (s, dir) => Dedup.dedupSavings(t(s, dir, "documents"),
+      "doc_id", "text", "source", "n_chars").orderBy("source"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+                UNION ALL SELECT id_b, id_a FROM p2),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      kcl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      kbase AS (SELECT d.doc_id, d.source,
+                       COALESCE(kcl.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars,
+                       len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+                         AS tok
+                FROM documents d LEFT JOIN kcl ON kcl.id = d.doc_id),
+      kkp AS (SELECT cluster_id, doc_id AS keeper FROM (
+               SELECT cluster_id, doc_id,
+                      row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY n_chars DESC, doc_id ASC) AS rk FROM kbase)
+              WHERE rk = 1)
+      SELECT kbase.source AS source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN kbase.doc_id = kkp.keeper THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept_docs,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN kbase.doc_id = kkp.keeper THEN tok ELSE 0 END)
+               AS BIGINT) AS n_kept_tokens,
+             CASE WHEN SUM(tok) > 0
+               THEN CAST(SUM(tok) - SUM(CASE WHEN kbase.doc_id = kkp.keeper
+                      THEN tok ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(tok) AS DOUBLE) END AS dup_token_frac
+      FROM kbase JOIN kkp USING (cluster_id)
+      GROUP BY kbase.source ORDER BY source"""))
+
+  /** Cramér's V association between source and language — the
+    * normalized "which metadata field leaks which" readout; see
+    * [[graft.llm.Stats.cramersV]]. */
+  private val q224 = Q("q224_cramers_v",
+    (s, dir) => graft.llm.Stats.cramersV(
+      t(s, dir, "documents"), "source", "lang"),
+    Some("""
+      WITH cells AS (SELECT source AS a, lang AS b,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                     FROM documents GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      sp AS (SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(cells.o, 0) AS o
+             FROM ra CROSS JOIN cb
+             LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      t2 AS (SELECT sp.*,
+               (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+                 / CAST(tot.n AS DOUBLE) AS e
+             FROM sp CROSS JOIN tot),
+      f AS (SELECT (SELECT n FROM tot) AS n,
+              CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+              CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+              CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                AS BIGINT) AS dof,
+              CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                / e AS DECIMAL(30,12))) AS DOUBLE) AS chi2
+            FROM t2)
+      SELECT n, n_a, n_b, dof, chi2,
+             CASE WHEN n > 0 AND least(n_a, n_b) - 1 > 0
+               THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(n_a, n_b) - 1 AS DOUBLE))) END AS cramers_v
+      FROM f"""))
+
+  /** Per-source hapax legomena share of the vocabulary (lexical
+    * richness / crawl-noise readout); see
+    * [[TextAnalysis.hapaxStats]]. */
+  private val q225 = Q("q225_hapax_ratio",
+    (s, dir) => TextAnalysis.hapaxStats(t(s, dir, "documents"),
+      "source", "text").orderBy("source"),
+    Some("""
+      WITH tk AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents),
+      c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2)
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis,
+             CASE WHEN COUNT(*) > 0
+               THEN CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) END AS hapax_ratio
+      FROM c GROUP BY source ORDER BY source"""))
+
+  /** Per-source log-normal fit of doc length (μ/σ of ln, fitted
+    * median and mean); see [[TextAnalysis.logNormalFit]]. */
+  private val q226 = Q("q226_lognormal_fit",
+    (s, dir) => TextAnalysis.logNormalFit(t(s, dir, "documents"),
+      "source", "n_chars").orderBy("source"),
+    Some("""
+      WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+                 FROM documents),
+      a AS (SELECT source,
+              CAST(COUNT(CASE WHEN v > 0 THEN 1 END) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN v <= 0 OR v IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpos,
+              CAST(SUM(CAST(CASE WHEN v > 0 THEN ln(v) END
+                AS DECIMAL(30,12))) AS DOUBLE) AS slx,
+              CAST(SUM(CAST(CASE WHEN v > 0 THEN ln(v) * ln(v) END
+                AS DECIMAL(30,12))) AS DOUBLE) AS slx2
+            FROM b GROUP BY 1)
+      SELECT source, n, n_nonpos,
+             CASE WHEN n > 0 THEN slx / CAST(n AS DOUBLE) END AS mu_log,
+             CASE WHEN n > 1 THEN sqrt(greatest(
+               slx2 / CAST(n AS DOUBLE)
+                 - (slx / CAST(n AS DOUBLE)) * (slx / CAST(n AS DOUBLE)),
+               0.0)) END AS sigma_log,
+             CASE WHEN n > 0 THEN exp(slx / CAST(n AS DOUBLE)) END
+               AS median_fit,
+             CASE WHEN n > 1 THEN exp(slx / CAST(n AS DOUBLE)
+               + greatest(slx2 / CAST(n AS DOUBLE)
+                 - (slx / CAST(n AS DOUBLE)) * (slx / CAST(n AS DOUBLE)),
+                 0.0) / 2.0) END AS mean_fit
+      FROM a ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -4881,5 +5059,5 @@ object QueriesLlm {
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q219, q220, q221)
+    q218, q219, q220, q221, q222, q223, q224, q225, q226)
 }

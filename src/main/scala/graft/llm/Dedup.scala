@@ -825,4 +825,38 @@ object Dedup {
           .as("weight")),
         checkpointDir)
     }
+
+  /** Per-group dedup savings: how many documents and TOKENS the
+    * keep-best near-dup resolution ([[clusterKeepers]]) removes from
+    * each source — the number that justifies (or kills) a dedup pass
+    * before anyone runs it at full scale, and the per-source
+    * duplication-rate scoreboard afterwards. `dup_token_frac` is the
+    * fraction of a group's token mass carried by non-keeper
+    * duplicates.
+    *
+    * Scale shape: one [[clusterKeepers]] pass (LSH loan, duplicate-
+    * sized clustering), one keyed join of its narrow (id, kept) frame
+    * back onto (id, group, token-count) rows, one map-side-combined
+    * group aggregate. Token counts are exact BIGINTs. */
+  def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, scoreCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val keepers = clusterKeepers(docs, idCol, textCol, scoreCol,
+      checkpointDir)
+    docs.select(col(idCol), col(groupCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__tok"))
+      .join(keepers.select(col(idCol), col("kept")), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long")
+          .as("n_kept_docs"),
+        sum(col("__tok")).cast("long").as("n_tokens"),
+        sum(when(col("kept"), col("__tok")).otherwise(0L)).cast("long")
+          .as("n_kept_tokens"))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_kept_tokens")).cast("double")
+            / col("n_tokens").cast("double")))
+  }
 }

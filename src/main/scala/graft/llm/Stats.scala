@@ -147,6 +147,24 @@ object Stats {
         ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"), col("chi2"))
   }
 
+  /** Cramér's V on top of [[chiSquare]]: the [0, 1]-normalized
+    * association strength V = √(χ²/(n·(min(r,c)−1))) that makes
+    * category-pair associations COMPARABLE across different table
+    * shapes (raw χ² grows with n and table size, so "which metadata
+    * field leaks the label most" needs the normalized form).
+    * Degenerate tables (a single category on either side) yield a
+    * null V, matching the null-τ/null-ρ convention. Same scale shape
+    * and complete-case handling as [[chiSquare]] — one extra scalar
+    * expression on its one-row result. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = chiSquare(df, aCol, bCol)
+    val minSide = least(col("n_a"), col("n_b")) - 1L
+    base.withColumn("cramers_v",
+      when(col("n") > 0 && minSide > 0,
+        sqrt(col("chi2") / (col("n").cast("double")
+          * minSide.cast("double")))))
+  }
+
   /** Poisson(1) cumulative-distribution thresholds, capped at 7 draws
     * (P(X > 7) < 1.1e-5; a capped draw biases the CI by less than the
     * resampling noise floor). LITERAL constants, never computed via

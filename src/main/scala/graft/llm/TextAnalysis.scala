@@ -888,6 +888,107 @@ object TextAnalysis {
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
 
+  /** Held-out OOV rate by n-gram order: the fraction of the md5
+    * val/test split's k-gram OCCURRENCES (k = 1..maxN) that training
+    * never saw — the coverage curve a tokenizer/LM owner reads next
+    * to [[backoffScore]]: order 1 is classic OOV, the higher orders
+    * show how fast contextual coverage decays (bigram OOV >> unigram
+    * OOV means the corpus is lexically covered but combinatorially
+    * novel). One row per order.
+    *
+    * Scale shape: per order, the train side is a DISTINCT k-gram set
+    * (subcorpus-vocabulary-sized, the coverage join key) and the held
+    * side streams occurrences through one keyed left join into a
+    * map-side-combined count — the [[ngramNovelty]] shape. The native
+    * [[graft.functions.WordShingles]] kernel emits k-grams in one
+    * codegen pass, no per-order re-tokenization shuffle. */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxN: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1, s"maxN must be positive, got $maxN")
+    val sp = docs.sparkSession
+    val isTrain = graft.llm.Corpus.split(col(idCol)) === "train"
+    (1 to maxN).map { k =>
+      val train = docs.filter(isTrain)
+        .select(explode(graft.functions.WordShingles.column(
+          sp, col(textCol), k, distinct = true)).as("g"))
+        .distinct()
+        .withColumn("__seen", lit(1))
+      val held = docs.filter(!isTrain)
+        .select(explode(graft.functions.WordShingles.column(
+          sp, col(textCol), k, distinct = false)).as("g"))
+      held.join(train, Seq("g"), "left")
+        .agg(count(lit(1)).cast("long").as("n_held"),
+          sum(when(col("__seen").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_oov"))
+        .select(lit(k.toLong).as("ngram_order"), col("n_held"), col("n_oov"),
+          when(col("n_held") > 0,
+            col("n_oov").cast("double") / col("n_held").cast("double"))
+            .as("oov_rate"))
+    }.reduce(_.union(_))
+  }
+
+  /** Per-group hapax legomena stats: how much of each source's
+    * VOCABULARY occurs exactly once (and the dis legomena, twice) —
+    * the classic lexical-richness / crawl-noise readout: a source
+    * whose hapax share spikes is usually full of serial numbers,
+    * usernames or OCR shrapnel, and it is the segment BPE training
+    * wastes merges on. Emits (group, n_tokens, n_terms, n_hapax,
+    * n_dis, hapax_ratio).
+    *
+    * Scale shape: one (group, term) count with map-side combine —
+    * vocabulary-sized per group — folded to a |groups|-row frame;
+    * exact BIGINTs, one IEEE division. */
+  def hapaxStats(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_terms"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long")
+          .as("n_dis"))
+      .withColumn("hapax_ratio",
+        when(col("n_terms") > 0,
+          col("n_hapax").cast("double") / col("n_terms").cast("double")))
+
+  /** Per-group log-normal fit of a positive doc stat: μ and σ of
+    * ln(x) (exact-decimal sums, so the fit is partition-invariant)
+    * plus the implied fitted median e^μ and mean e^(μ+σ²/2) — the
+    * two-parameter summary that actually describes doc-length
+    * distributions (heavy-tailed, multiplicative), where mean/stddev
+    * alone mislead. Rows with x ≤ 0 are dropped and counted, surfaced
+    * as `n_nonpos` so degenerate stats fail loudly in review, not
+    * silently in the fit.
+    *
+    * Scale shape: one map-side-combined aggregate per group carrying
+    * (n, Σln x, Σ(ln x)²) through the dsum decimal discipline; the
+    * moments→parameters algebra is a |groups|-row scalar map. */
+  def logNormalFit(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      valCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    val v = col(valCol).cast("double")
+    val lx = when(v > 0.0, log(v))
+    val agg = docs.groupBy(col(groupCol))
+      .agg(
+        count(lx).cast("long").as("n"),
+        sum(when(v <= 0.0 || v.isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_nonpos"),
+        dsum(lx, 12).as("slx"),
+        dsum(lx * lx, 12).as("slx2"))
+    val mu = col("slx") / col("n").cast("double")
+    val sig2 = col("slx2") / col("n").cast("double") - mu * mu
+    agg.select(col(groupCol), col("n"), col("n_nonpos"),
+      when(col("n") > 0, mu).as("mu_log"),
+      when(col("n") > 1, sqrt(greatest(sig2, lit(0.0)))).as("sigma_log"),
+      when(col("n") > 0, exp(mu)).as("median_fit"),
+      when(col("n") > 1, exp(mu + greatest(sig2, lit(0.0)) / 2.0))
+        .as("mean_fit"))
+  }
+
   /** Robust per-group outlier flags by median/MAD — the
     * scale-invariant filter quality pipelines use where mean/stddev
     * breaks on heavy-tailed doc stats (a handful of giant pages

@@ -1050,6 +1050,85 @@ class LlmSpec extends AnyFunSuite {
       "A is contained in B")
   }
 
+  test("oovRate: matches a single-threaded reference per n-gram order") {
+    import spark.implicits._
+    val pool = Vector("red", "blue", "green", "gold")
+    val rows = (1L to 50L).map { id =>
+      val toks = (0 until 6).map(j => pool(((id * 5 + j * 7) % 4).toInt)) :+
+        s"uniq$id"
+      (id, toks.mkString(" "))
+    }
+    val got = TextAnalysis.oovRate(rows.toDF("doc_id", "text"),
+      "doc_id", "text", maxN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+    val (train, held) = rows.partition { case (id, _) => bucket(id) < 80 }
+    for (k <- 1 to 2) {
+      def grams(t: String) = t.split("\\s+").sliding(k).map(_.mkString(" ")).toSeq
+      val seen = train.flatMap(r => grams(r._2)).toSet
+      val heldGrams = held.flatMap(r => grams(r._2))
+      val oov = heldGrams.count(g => !seen.contains(g))
+      assert(got(k.toLong) == ((heldGrams.size.toLong, oov.toLong)),
+        s"order $k")
+    }
+    // the per-doc unique token makes order-1 OOV strictly positive
+    assert(got(1L)._2 > 0L)
+  }
+
+  test("hapaxStats and logNormalFit: hand-computed per-group values") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", "a a b c"),  // s1 terms: a:2 b:1 c:1 -> hapax 2, dis 0
+      ("s1", "b d"),      //   merged: a:2 b:2 c:1 d:1 -> hapax 2, dis 2
+      ("s2", "x")
+    ).toDF("source", "text")
+    val h = TextAnalysis.hapaxStats(d, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(h("s1").getAs[Long]("n_tokens") == 6L)
+    assert(h("s1").getAs[Long]("n_terms") == 4L)
+    assert(h("s1").getAs[Long]("n_hapax") == 2L)
+    assert(h("s1").getAs[Long]("n_dis") == 2L)
+    assert(math.abs(h("s1").getAs[Double]("hapax_ratio") - 0.5) < 1e-15)
+    assert(h("s2").getAs[Long]("n_hapax") == 1L)
+
+    val v = Seq(("g", 10L), ("g", 100L), ("g", 1000L), ("g", 0L))
+      .toDF("grp", "v")
+    val f = TextAnalysis.logNormalFit(v, "grp", "v").collect().head
+    assert(f.getAs[Long]("n") == 3L && f.getAs[Long]("n_nonpos") == 1L)
+    val ls = Seq(10.0, 100.0, 1000.0).map(math.log)
+    val mu = ls.sum / 3
+    val sig = math.sqrt(ls.map(x => x * x).sum / 3 - mu * mu)
+    assert(math.abs(f.getAs[Double]("mu_log") - mu) < 1e-9)
+    assert(math.abs(f.getAs[Double]("sigma_log") - sig) < 1e-9)
+    assert(math.abs(f.getAs[Double]("median_fit") - math.exp(mu)) < 1e-6)
+  }
+
+  test("dedupSavings: token mass conserved and keeper-consistent on the fixture") {
+    val d = docs
+    val out = Dedup.dedupSavings(d, "doc_id", "text", "source", "n_chars")
+      .collect()
+    val totTokens = d.select(
+      sum(size(TextAnalysis.tokens(col("text")))).cast("long"))
+      .collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == totTokens)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == d.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_kept_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // keeper count must equal clusterKeepers' kept count
+    val kept = Dedup.clusterKeepers(d, "doc_id", "text", "n_chars")
+      .filter(col("kept")).count()
+    assert(out.map(_.getAs[Long]("n_kept_docs")).sum == kept)
+    // the fixture has planted dups -> some group loses token mass
+    assert(out.exists(_.getAs[Double]("dup_token_frac") > 0.0))
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)

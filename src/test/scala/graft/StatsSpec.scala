@@ -197,6 +197,21 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.kendallTauB(const, "x", "y").collect().head.isNullAt(5))
   }
 
+  test("cramersV: perfect association = 1, independence = 0, degenerate null") {
+    import spark.implicits._
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    assert(math.abs(Stats.cramersV(perfect, "u", "v").collect().head
+      .getAs[Double]("cramers_v") - 1.0) < 1e-12)
+    val indep = (for { a <- Seq("a", "b"); b <- Seq("x", "y") }
+      yield (a, b)).toDF("u", "v")
+    assert(math.abs(Stats.cramersV(indep, "u", "v").collect().head
+      .getAs[Double]("cramers_v")) < 1e-12)
+    val degen = Seq(("a", "x"), ("a", "y")).toDF("u", "v")
+    val d = Stats.cramersV(degen, "u", "v").collect().head
+    assert(d.isNullAt(d.fieldIndex("cramers_v")))
+  }
+
   test("kendallTauB: marginal tie counts match the brute-force definition") {
     import spark.implicits._
     val pts = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 2L))
