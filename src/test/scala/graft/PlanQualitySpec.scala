@@ -820,4 +820,91 @@ class PlanQualitySpec extends AnyFunSuite {
       l.contains("HashAggregate") && l.contains("partial_count")),
       "hourly count must map-side combine: " + plan.take(3000))
   }
+
+  test("q215/q216 split + weights: loan-materialized — actions scan pinned rows") {
+    for (name <- Seq("q215_leakage_split", "q216_softdedup_weights")) {
+      val plan = physical(name)
+      // clusterKeepers discipline: the narrow per-doc frame pins INSIDE
+      // withLshPairs; later actions must never re-run the LSH chain
+      assert(plan.contains("ExistingRDD"), s"$name\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name\n${plan.take(2000)}")
+    }
+  }
+
+  test("q217 backoff: keyed count joins only — no cartesian, no nested loop") {
+    val plan = physical("q217_backoff_lm")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // N and V ship as driver-scalar literals, so no 1-row join exists
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "train counts must map-side combine: " + plan.take(3000))
+  }
+
+  test("q218 kendall: dense grid via broadcast, windows carry a partition key") {
+    val plan = physical("q218_kendall_tau")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the |Y|-row distinct frame must broadcast against |X|
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // every dominance window is partitioned (per-x or per-y), never a
+    // single global sort of the grid
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(w =>
+      w.contains("__x") || w.contains("__y")), windows.mkString("\n"))
+  }
+
+  test("q219 winsor: |groups|-row percentile bounds broadcast back, no sort-merge") {
+    val plan = physical("q219_winsor_mean")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bounds frame must broadcast: " + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q220 effective dim: one-pass moment kernel + broadcast mean joins") {
+    val plan = physical("q220_effective_dim")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the typed second-moment aggregate must keep its partial phase
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      plan.take(3000))
+    // dims-row mean frames broadcast onto the dims² grid
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q221 source overlap: postings join keyed, size frames broadcast") {
+    val plan = physical("q221_source_overlap")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row size frames must broadcast: " + plan.take(3000))
+  }
+
+  test("q222 oov rate: per-order coverage joins are keyed, counts map-side combined") {
+    val plan = physical("q222_oov_rate")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "held counts must map-side combine: " + plan.take(3000))
+  }
+
+  test("q223 dedup savings: keeper frame pinned, token fold map-side combined") {
+    val plan = physical("q223_dedup_savings")
+    assert(plan.contains("ExistingRDD"),
+      "keeper frame must be loan-materialized: " + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "group fold must map-side combine: " + plan.take(3000))
+  }
+
+  test("q225/q226 hapax + lognormal: pure aggregates, no join anywhere") {
+    for (name <- Seq("q225_hapax_ratio", "q226_lognormal_fit")) {
+      val plan = physical(name)
+      assert(!plan.contains("Join"), s"$name\n${plan.take(2000)}")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+        s"$name must map-side combine\n${plan.take(2000)}")
+    }
+  }
 }
