@@ -5048,6 +5048,56 @@ object QueriesLlm {
                  0.0) / 2.0) END AS mean_fit
       FROM a ORDER BY source"""))
 
+  /** Near-dup cluster-size histogram incl. singletons — the SHAPE of
+    * the corpus's duplication; see [[Dedup.clusterSizeDist]]. */
+  private val q227 = Q("q227_cluster_sizes",
+    (s, dir) => Dedup.clusterSizeDist(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("cluster_size"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+                UNION ALL SELECT id_b, id_a FROM p2),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      kcl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      ks AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             FROM kcl GROUP BY 1),
+      h AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM ks GROUP BY 1
+            UNION ALL
+            SELECT CAST(1 AS BIGINT),
+                   (SELECT COUNT(*) FROM documents)
+                     - (SELECT COUNT(*) FROM kcl))
+      SELECT cluster_size, n_clusters,
+             CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+      FROM h WHERE n_clusters > 0 ORDER BY cluster_size"""))
+
+  /** Token-mass concentration by source (HHI, effective source count,
+    * top share); see [[TextAnalysis.sourceConcentration]]. */
+  private val q228 = Q("q228_source_hhi",
+    (s, dir) => TextAnalysis.sourceConcentration(
+      t(s, dir, "documents"), "source", "text"),
+    Some("""
+      WITH g AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                 AS BIGINT) AS g_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(g_tokens) AS BIGINT) AS n_tokens FROM g),
+      sh AS (SELECT n_tokens,
+               CAST(g_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sh
+             FROM g CROSS JOIN tot),
+      f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+              MIN(n_tokens) AS n_tokens,
+              CAST(SUM(CAST(sh * sh AS DECIMAL(30,18))) AS DOUBLE) AS hhi,
+              MAX(sh) AS top_share
+            FROM sh)
+      SELECT n_groups, n_tokens, hhi, top_share,
+             CASE WHEN hhi > 0.0 THEN 1.0 / hhi END AS eff_groups
+      FROM f"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5059,5 +5109,5 @@ object QueriesLlm {
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q219, q220, q221, q222, q223, q224, q225, q226)
+    q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
 }

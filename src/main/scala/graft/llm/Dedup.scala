@@ -859,4 +859,37 @@ object Dedup {
           (col("n_tokens") - col("n_kept_tokens")).cast("double")
             / col("n_tokens").cast("double")))
   }
+
+  /** Near-dup cluster-size histogram: (cluster_size → n_clusters,
+    * n_docs) including the singleton row — the SHAPE of the corpus's
+    * duplication (a fat tail of large clusters means template spam /
+    * mirror farms and predicts big keeper savings; all-pairs-of-two
+    * means organic near-misses). The first chart on any dedup
+    * dashboard.
+    *
+    * Scale shape: one LSH loan pass, duplicate-sized clustering, a
+    * cluster-keyed count, then a ≤ \|distinct sizes\|-row histogram
+    * fold; the singleton count is total − clustered, two scalar
+    * aggregates. Loan-materialized. */
+  def clusterSizeDist(docs: DataFrame, idCol: String, textCol: String,
+      checkpointDir: Option[String] = None): DataFrame =
+    withLshPairs(docs, idCol, textCol) { pairs =>
+      val clusters = graft.llm.Corpus.dupClusters(pairs)
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      val hist = sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+      val nDocs = docs.select(count(lit(1)).as("__total"))
+      val nClustered = clusters.select(count(lit(1)).as("__clustered"))
+      val singletons = nDocs.crossJoin(broadcast(nClustered))
+        .select(lit(1L).as("cluster_size"),
+          (col("__total") - col("__clustered")).as("n_clusters"))
+      pin(hist.unionByName(singletons)
+        .filter(col("n_clusters") > 0)
+        .select(col("cluster_size").cast("long").as("cluster_size"),
+          col("n_clusters").cast("long").as("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).cast("long")
+            .as("n_docs")),
+        checkpointDir)
+    }
 }

@@ -989,6 +989,39 @@ object TextAnalysis {
         .as("mean_fit"))
   }
 
+  /** Corpus concentration by group (Herfindahl–Hirschman): HHI =
+    * Σ share², effective group count 1/HHI, and the top group's
+    * share — the one-row mixture-design readout ("our 20 sources are
+    * effectively 3.2") that decides whether temperature sampling /
+    * domain caps are even needed. Shares are of TOKEN mass, not doc
+    * count, since tokens are what training consumes.
+    *
+    * Scale shape: one map-side-combined per-group token count →
+    * \|groups\|-row frame; shares are exact-BIGINT ratios; the HHI
+    * fold runs through the dsum decimal discipline on \|groups\|
+    * rows. */
+  def sourceConcentration(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    val perGroup = docs
+      .select(col(groupCol), size(tokens(col(textCol))).cast("long")
+        .as("__tok"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__tok")).as("g_tokens"))
+    val tot = perGroup.agg(sum(col("g_tokens")).as("n_tokens"))
+    val share = col("g_tokens").cast("double") /
+      col("n_tokens").cast("double")
+    perGroup.crossJoin(broadcast(tot))
+      .select(col("n_tokens"), share.as("sh"))
+      .agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        first(col("n_tokens")).cast("long").as("n_tokens"),
+        dsum(col("sh") * col("sh"), 18).as("hhi"),
+        max(col("sh")).as("top_share"))
+      .withColumn("eff_groups",
+        when(col("hhi") > 0.0, lit(1.0) / col("hhi")))
+  }
+
   /** Robust per-group outlier flags by median/MAD — the
     * scale-invariant filter quality pipelines use where mean/stddev
     * breaks on heavy-tailed doc stats (a handful of giant pages

@@ -1129,6 +1129,42 @@ class LlmSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Double]("dup_token_frac") > 0.0))
   }
 
+  test("clusterSizeDist: histogram mass equals the corpus, sizes match dupClusters") {
+    val d = docs
+    val hist = Dedup.clusterSizeDist(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every doc appears exactly once across the histogram
+    assert(hist.values.map(_._2).sum == d.count())
+    hist.foreach { case (sz, (nc, nd)) => assert(nd == sz * nc, s"size $sz") }
+    // non-singleton rows replay dupClusters' size distribution
+    val ref = Dedup.withLshPairs(d, "doc_id", "text") { p =>
+      graft.llm.Corpus.dupClusters(p).groupBy("cluster_id").count()
+        .groupBy("count").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    ref.foreach { case (sz, nc) =>
+      assert(hist(sz)._1 == nc, s"size $sz clusters") }
+    assert(hist.contains(1L) && hist(1L)._1 > 0, "singletons present")
+  }
+
+  test("sourceConcentration: hand-computed HHI; uniform corpus maxes eff_groups") {
+    import spark.implicits._
+    // s1: 6 tokens, s2: 2 tokens -> shares .75/.25, HHI = .625
+    val d = Seq(("s1", "a b c d e f"), ("s2", "x y")).toDF("source", "text")
+    val got = TextAnalysis.sourceConcentration(d, "source", "text")
+      .collect().head
+    assert(got.getAs[Long]("n_groups") == 2L)
+    assert(got.getAs[Long]("n_tokens") == 8L)
+    assert(math.abs(got.getAs[Double]("hhi") - 0.625) < 1e-12)
+    assert(math.abs(got.getAs[Double]("top_share") - 0.75) < 1e-15)
+    assert(math.abs(got.getAs[Double]("eff_groups") - 1.6) < 1e-9)
+    // perfectly uniform: eff_groups = n_groups
+    val u = Seq(("a", "w w"), ("b", "w w"), ("c", "w w")).toDF("source", "text")
+    val gu = TextAnalysis.sourceConcentration(u, "source", "text")
+      .collect().head
+    assert(math.abs(gu.getAs[Double]("eff_groups") - 3.0) < 1e-9)
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)

@@ -898,6 +898,23 @@ class PlanQualitySpec extends AnyFunSuite {
       "group fold must map-side combine: " + plan.take(3000))
   }
 
+  test("q227 cluster sizes: loan-materialized histogram, actions scan pinned rows") {
+    val plan = physical("q227_cluster_sizes")
+    assert(plan.contains("ExistingRDD"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q228 source hhi: 1-row total broadcasts, group counts map-side combined") {
+    val plan = physical("q228_source_hhi")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row total must broadcast: " + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "token counts must map-side combine: " + plan.take(3000))
+  }
+
   test("q225/q226 hapax + lognormal: pure aggregates, no join anywhere") {
     for (name <- Seq("q225_hapax_ratio", "q226_lognormal_fit")) {
       val plan = physical(name)
