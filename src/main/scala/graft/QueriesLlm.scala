@@ -5098,6 +5098,69 @@ object QueriesLlm {
              CASE WHEN hhi > 0.0 THEN 1.0 / hhi END AS eff_groups
       FROM f"""))
 
+  /** Distinct-n diversity (Li et al. 2016) per source, orders 1-3;
+    * see [[TextAnalysis.distinctN]]. */
+  private val q229 = Q("q229_distinct_n",
+    (s, dir) => TextAnalysis.distinctN(t(s, dir, "documents"),
+      "source", "text", maxN = 3).orderBy("ngram_order", "source"),
+    Some("""
+      WITH arr AS (
+        SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      g1 AS (SELECT source, unnest(t) AS g FROM arr),
+      g2 AS (SELECT source, unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS g FROM arr),
+      g3 AS (SELECT source, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' '))) AS g FROM arr),
+      r1 AS (SELECT source, CAST(1 AS BIGINT) AS ngram_order,
+                    CAST(COUNT(*) AS BIGINT) AS n_grams,
+                    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+             FROM g1 GROUP BY source),
+      r2 AS (SELECT source, CAST(2 AS BIGINT),
+                    CAST(COUNT(*) AS BIGINT),
+                    CAST(COUNT(DISTINCT g) AS BIGINT)
+             FROM g2 GROUP BY source),
+      r3 AS (SELECT source, CAST(3 AS BIGINT),
+                    CAST(COUNT(*) AS BIGINT),
+                    CAST(COUNT(DISTINCT g) AS BIGINT)
+             FROM g3 GROUP BY source),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+      SELECT source, ngram_order, n_grams, n_distinct,
+             CASE WHEN n_grams > 0
+               THEN CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+               END AS distinct_ratio
+      FROM u ORDER BY ngram_order, source"""))
+
+  /** Analytic LSH S-curve planner over candidate (bands, rows)
+    * splits of the 12-hash signature; see [[Dedup.lshTuningCurve]].
+    * Multiplication-chain math — no pow() portability hazard. */
+  private val q230 = Q("q230_lsh_scurve",
+    (s, dir) => Dedup.lshTuningCurve(s)
+      .orderBy("bands", "rows_per_band", "threshold"),
+    Some("""
+      WITH g AS (SELECT CAST(k AS DOUBLE) / 20.0 AS t
+                 FROM generate_series(1, 19) g(k)),
+      c1 AS (SELECT CAST(4 AS BIGINT) AS bands,
+                    CAST(3 AS BIGINT) AS rows_per_band, t,
+                    1.0 - q * q * q * q AS p
+             FROM (SELECT t, 1.0 - t * t * t AS q FROM g)),
+      c2 AS (SELECT CAST(2 AS BIGINT), CAST(6 AS BIGINT), t,
+                    1.0 - q * q AS p
+             FROM (SELECT t, 1.0 - t * t * t * t * t * t AS q FROM g)),
+      c3 AS (SELECT CAST(3 AS BIGINT), CAST(4 AS BIGINT), t,
+                    1.0 - q * q * q AS p
+             FROM (SELECT t, 1.0 - t * t * t * t AS q FROM g)),
+      c4 AS (SELECT CAST(6 AS BIGINT), CAST(2 AS BIGINT), t,
+                    1.0 - q * q * q * q * q * q AS p
+             FROM (SELECT t, 1.0 - t * t AS q FROM g)),
+      u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+            UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+      SELECT bands, rows_per_band, t AS threshold, p AS p_candidate
+      FROM u ORDER BY bands, rows_per_band, threshold"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5109,5 +5172,6 @@ object QueriesLlm {
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
+    q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
+    q229, q230)
 }

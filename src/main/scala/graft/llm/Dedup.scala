@@ -892,4 +892,36 @@ object Dedup {
             .as("n_docs")),
         checkpointDir)
     }
+
+  /** Analytic LSH S-curves — the (bands, rows) PLANNER: for each
+    * candidate banding of the minhash signature, the probability a
+    * doc pair at jaccard t becomes an LSH candidate,
+    * P = 1 − (1 − t^r)^b. Read next to [[thresholdCurve]] (measured
+    * pairs-vs-threshold) to pick the banding whose S-curve knee sits
+    * on the policy threshold: more bands → catches lower-t pairs but
+    * more verify work; more rows per band → sharper cutoff. The
+    * engine default (12 hashes = 4 bands × 3 rows) is the first
+    * config.
+    *
+    * Determinism: powers unroll into multiplication chains at plan
+    * build (configs are literals), so both engines evaluate identical
+    * IEEE multiply sequences — no pow() portability hazard. Pure
+    * math, |configs|·steps rows, no data touched. */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)] = Seq((4, 3), (2, 6), (3, 4), (6, 2)),
+      steps: Int = 19): DataFrame = {
+    require(steps >= 1 && configs.nonEmpty, "need configs and steps")
+    configs.map { case (b, r) =>
+      require(b >= 1 && r >= 1, s"bad LSH config ($b, $r)")
+      val t = col("id").cast("double") / lit((steps + 1).toDouble)
+      val tr = (1 to r).map(_ => t).reduce(_ * _)
+      val q = lit(1.0) - tr
+      val qb = (1 to b).map(_ => q).reduce(_ * _)
+      spark.range(1, steps + 1).select(
+        lit(b.toLong).as("bands"),
+        lit(r.toLong).as("rows_per_band"),
+        t.as("threshold"),
+        (lit(1.0) - qb).as("p_candidate"))
+    }.reduce(_.union(_))
+  }
 }

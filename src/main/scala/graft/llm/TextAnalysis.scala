@@ -1022,6 +1022,37 @@ object TextAnalysis {
         when(col("hhi") > 0.0, lit(1.0) / col("hhi")))
   }
 
+  /** Distinct-n diversity per group (the distinct-1/2/3 metrics of
+    * Li et al. 2016): distinct k-gram count over total k-gram
+    * occurrences — the repetitiveness readout generation-quality
+    * evals use, and for corpora the complement of [[hapaxStats]]:
+    * a source whose distinct-2 craters is template output repeating
+    * the same transitions. One row per (group, order).
+    *
+    * Scale shape: per order one (group, k-gram) count with map-side
+    * combine (vocabulary-sized per group), folded to |groups| rows;
+    * the native WordShingles kernel emits k-grams in one codegen
+    * pass. Orders union — |orders|·|groups| output rows. */
+  def distinctN(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, maxN: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1, s"maxN must be positive, got $maxN")
+    val sp = docs.sparkSession
+    (1 to maxN).map { k =>
+      docs.select(col(groupCol),
+          explode(graft.functions.WordShingles.column(
+            sp, col(textCol), k, distinct = false)).as("g"))
+        .groupBy(col(groupCol), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(groupCol))
+        .agg(sum(col("c")).cast("long").as("n_grams"),
+          count(lit(1)).cast("long").as("n_distinct"))
+        .select(col(groupCol), lit(k.toLong).as("ngram_order"),
+          col("n_grams"), col("n_distinct"),
+          when(col("n_grams") > 0, col("n_distinct").cast("double")
+            / col("n_grams").cast("double")).as("distinct_ratio"))
+    }.reduce(_.union(_))
+  }
+
   /** Robust per-group outlier flags by median/MAD — the
     * scale-invariant filter quality pipelines use where mean/stddev
     * breaks on heavy-tailed doc stats (a handful of giant pages

@@ -1165,6 +1165,38 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(gu.getAs[Double]("eff_groups") - 3.0) < 1e-9)
   }
 
+  test("distinctN: hand-computed diversity per order; repetition craters distinct-2") {
+    import spark.implicits._
+    val d = Seq(
+      ("rep", "go go go go"),       // 1-grams: 4 occ 1 distinct; 2-grams: 3 occ 1 distinct
+      ("div", "a b c d")            // 4/4; 3/3
+    ).toDF("source", "text")
+    val got = TextAnalysis.distinctN(d, "source", "text", maxN = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("rep", 1L)) == ((4L, 1L)) && got(("rep", 2L)) == ((3L, 1L)))
+    assert(got(("div", 1L)) == ((4L, 4L)) && got(("div", 2L)) == ((3L, 3L)))
+  }
+
+  test("lshTuningCurve: analytic values, monotone in t, band/row trade-off") {
+    val got = Dedup.lshTuningCurve(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getDouble(2)), r.getDouble(3)))
+      .toMap
+    // engine default 4x3 at t=0.5: 1 - (1 - 0.125)^4
+    val q = 1.0 - 0.5 * 0.5 * 0.5
+    assert(math.abs(got((4L, 3L, 0.5)) - (1.0 - q * q * q * q)) < 1e-15)
+    // monotone nondecreasing in threshold for every config
+    got.keys.map(k => (k._1, k._2)).foreach { case (b, r) =>
+      val curve = (1 to 19).map(k => got((b, r, k / 20.0)))
+      assert(curve.zip(curve.tail).forall { case (a, c) => c >= a }, s"($b,$r)")
+    }
+    // many-bands/short-rows catches more LOW-similarity pairs than
+    // few-bands/long-rows (same 12 hashes): 6x2 dominates 2x6 at t=0.2
+    assert(got((6L, 2L, 0.2)) > got((2L, 6L, 0.2)))
+    // and every config is near-certain on true near-dups
+    assert(got((6L, 2L, 0.95)) > 0.9 && got((2L, 6L, 0.95)) > 0.9)
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)
