@@ -5161,6 +5161,42 @@ object QueriesLlm {
       SELECT bands, rows_per_band, t AS threshold, p AS p_candidate
       FROM u ORDER BY bands, rows_per_band, threshold"""))
 
+  /** Sorted-neighborhood near-dup pairs (simhash sort key, window 4,
+    * exact shingle-jaccard verify) — the classic SNM blocking beside
+    * LSH; see [[Dedup.sortedNeighborPairs]]. */
+  private val q231 = Q("q231_sorted_neighbors",
+    (s, dir) => Dedup.sortedNeighborPairs(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("id_a", "id_b"),
+    Some("""
+      WITH s AS (
+        SELECT doc_id, text,
+               CAST(list_sum(list_transform(generate_series(0, 15), j ->
+                 CASE WHEN 2 * len(list_filter(toks, t ->
+                        strpos('89abcdef', substring(md5(t), j + 1, 1)) > 0))
+                      >= len(toks)
+                      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                 AS sh
+        FROM (SELECT doc_id, text,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)),
+      r AS (SELECT doc_id, row_number() OVER (ORDER BY sh, doc_id) AS gr
+            FROM s),
+      dst AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(length(text) - 4, 1)),
+                i -> substring(text, i, 5))) AS shs
+              FROM documents),
+      c AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+            FROM r a JOIN r b ON b.gr > a.gr AND b.gr <= a.gr + 3),
+      j AS (SELECT ia, ib,
+              CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+                / CAST(len(da.shs) + len(db.shs)
+                       - len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+                AS jaccard
+            FROM c JOIN dst da ON da.doc_id = ia
+                   JOIN dst db ON db.doc_id = ib)
+      SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, jaccard
+      FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5173,5 +5209,5 @@ object QueriesLlm {
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230)
+    q229, q230, q231)
 }

@@ -924,4 +924,63 @@ object Dedup {
         (lit(1.0) - qb).as("p_candidate"))
     }.reduce(_.union(_))
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995, the
+    * OTHER classic dedup blocking beside LSH bands): sort the corpus
+    * by a locality key — the 16-bit simhash, so similar texts land
+    * adjacent — and verify exact shingle jaccard only between docs
+    * within `window` positions of each other in that order. Finds a
+    * different recall profile than minhash-LSH (simhash locality is
+    * weighted-token-set, LSH bands are shingle-set sample agreement),
+    * which is why production dedup stacks run both and union the
+    * pairs.
+    *
+    * Scale shape: the GLOBAL sort order is realized WITHOUT a global
+    * sort — the two-level banded rank (within-band `row_number` on
+    * the band shuffle + a 2^bandBits-row broadcast offset table,
+    * the budgetSelect construction). Candidates are the exact global
+    * (rank, rank+d) adjacencies for d < window, produced by a keyed
+    * equi-join on the rank (each row explodes into window−1 probe
+    * keys — O(n·window) candidate stream, never n²). Verification is
+    * the native [[graft.functions.JaccardShingles]] codegen kernel
+    * per candidate (re-shingling each doc `window−1` times — the
+    * right trade at small constant windows; switch to precomputed
+    * shingle-set joins if `window` grows past ~16). */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, threshold: Double = 0.5,
+      bandBits: Int = 8): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(bandBits >= 1 && bandBits <= 16, s"bad bandBits $bandBits")
+    val sp = docs.sparkSession
+    val par = sp.sparkContext.defaultParallelism
+    val base = docs.repartition(par).select(col(idCol).as("id"),
+        col(textCol).as("text"),
+        graft.functions.SimHash16.column(sp,
+          TextAnalysis.tokens(col(textCol))).as("sh"))
+      .withColumn("band", shiftright(col("sh"), 16 - bandBits))
+    val wnd = Window.partitionBy("band").orderBy(col("sh"), col("id"))
+    val ranked = base.withColumn("rn", row_number().over(wnd))
+    // band offsets: the only unpartitioned window runs on the
+    // 2^bandBits-row count frame, then broadcasts back
+    val offs = ranked.groupBy("band").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(
+        Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("off"))
+    val g = ranked.join(broadcast(offs), Seq("band"))
+      .select(col("id"), col("text"), (col("off") + col("rn")).as("gr"))
+      .persist()
+    val probes = g.select(col("id").as("__ia"), col("text").as("__ta"),
+        explode(sequence(lit(1), lit(window - 1))).as("d"), col("gr"))
+      .select(col("__ia"), col("__ta"), (col("gr") + col("d")).as("gk"))
+    val cands = probes.join(
+      g.select(col("gr").as("gk"), col("id").as("__ib"),
+        col("text").as("__tb")), Seq("gk"))
+    cands
+      .withColumn("jaccard", graft.functions.JaccardShingles.column(
+        sp, col("__ta"), col("__tb")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+  }
 }

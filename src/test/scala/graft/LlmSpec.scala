@@ -1197,6 +1197,37 @@ class LlmSpec extends AnyFunSuite {
     assert(got((6L, 2L, 0.95)) > 0.9 && got((2L, 6L, 0.95)) > 0.9)
   }
 
+  test("sortedNeighborPairs: equals the single-threaded window walk over the simhash order") {
+    val d = docs
+    val got = Dedup.sortedNeighborPairs(d, "doc_id", "text", window = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: engine simhash values, driver-side sort + window walk,
+    // the SAME shingle-jaccard kernel
+    val rows = d.select(col("doc_id"), col("text"),
+        Dedup.simhash16(col("text")).as("sh")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    val want = scala.collection.mutable.Map[(Long, Long), Double]()
+    for (i <- rows.indices; dd <- 1 until 4; if i + dd < rows.length) {
+      val a = rows(i); val b = rows(i + dd)
+      val j = graft.functions.JaccardShinglesHelper.jaccard(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a._2),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b._2), 5)
+      if (j >= 0.5) want((math.min(a._1, b._1), math.max(a._1, b._1))) = j
+    }
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    got.foreach { case (k, v) => assert(v == want(k), s"pair $k") }
+    assert(got.nonEmpty, "planted near-dups should land adjacent in simhash order")
+    // bandBits granularity must not change the pair set (global rank
+    // is exact regardless of banding)
+    val coarse = Dedup.sortedNeighborPairs(d, "doc_id", "text",
+      window = 4, bandBits = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coarse == got.keySet)
+  }
+
   test("mixture sample: per-source rates honored, selection deterministic") {
     val d = docs
     val weights = Map("src0" -> 1.0, "src1" -> 0.0)

@@ -915,6 +915,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "token counts must map-side combine: " + plan.take(3000))
   }
 
+  test("q231 sorted neighbors: rank window banded, offsets broadcast, candidates keyed") {
+    val plan = physical("q231_sorted_neighbors")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the data-sized row_number window must carry the band partition
+    // key; only the 2^bandBits-row offset frame may sort unpartitioned
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("band")),
+      dataWindows.mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the offset table must broadcast: " + plan.take(3000))
+  }
+
   test("q225/q226 hapax + lognormal: pure aggregates, no join anywhere") {
     for (name <- Seq("q225_hapax_ratio", "q226_lognormal_fit")) {
       val plan = physical(name)
