@@ -5197,6 +5197,61 @@ object QueriesLlm {
       SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, jaccard
       FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** Theil's uncertainty coefficient source↔lang (asymmetric "who
+    * determines whom" beside q224's symmetric V); see
+    * [[graft.llm.Stats.uncertaintyCoeff]]. */
+  private val q232 = Q("q232_uncertainty_coeff",
+    (s, dir) => graft.llm.Stats.uncertaintyCoeff(
+      t(s, dir, "documents"), "source", "lang"),
+    Some("""
+      WITH cells AS (SELECT source AS a, lang AS b,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                     FROM documents GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      mi AS (SELECT CAST(SUM(CAST(
+               (CAST(o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln((CAST(o AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                    / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+               AS DECIMAL(30,12))) AS DOUBLE) AS mi
+             FROM cells JOIN ra USING (a) JOIN cb USING (b)
+             CROSS JOIN tot),
+      ha AS (SELECT CAST(SUM(CAST(
+               -(CAST(ra AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln(CAST(ra AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               AS DECIMAL(30,12))) AS DOUBLE) AS h_a
+             FROM ra CROSS JOIN tot),
+      hb AS (SELECT CAST(SUM(CAST(
+               -(CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln(CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               AS DECIMAL(30,12))) AS DOUBLE) AS h_b
+             FROM cb CROSS JOIN tot)
+      SELECT tot.n AS n, h_a, h_b, mi,
+             CASE WHEN h_a > 0.0 THEN mi / h_a END AS u_a_given_b,
+             CASE WHEN h_b > 0.0 THEN mi / h_b END AS u_b_given_a
+      FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""))
+
+  /** Curriculum training order with round-robin source interleave
+    * (best-first by n_chars within each source); see
+    * [[Corpus.curriculumOrder]]. */
+  private val q233 = Q("q233_curriculum",
+    (s, dir) => Corpus.curriculumOrder(t(s, dir, "documents"),
+      "doc_id", "source", "n_chars").orderBy("doc_id"),
+    Some("""
+      WITH r AS (SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+                     AS grp_rank
+                 FROM documents),
+      g AS (SELECT source,
+              CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS gi
+            FROM (SELECT DISTINCT source FROM documents)),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM g)
+      SELECT doc_id, source, n_chars, grp_rank,
+             (grp_rank - 1) * ng + gi + 1 AS position
+      FROM r JOIN g USING (source) CROSS JOIN c ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5209,5 +5264,5 @@ object QueriesLlm {
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231)
+    q229, q230, q231, q232, q233)
 }

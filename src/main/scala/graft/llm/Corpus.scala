@@ -529,4 +529,40 @@ object Corpus {
       case None => run()
     }
   }
+
+  /** Curriculum training order with round-robin source interleaving:
+    * rank documents within each group by a difficulty/quality score
+    * (best first by default), then assign the GLOBAL position
+    * (rank−1)·|groups| + group_index + 1 — so consecutive training
+    * positions rotate through the sources while each source streams
+    * its own best-first curriculum. The deterministic data-ordering
+    * op in front of sequence packing: loss curves are
+    * order-sensitive, and "balanced source exposure within any
+    * prefix" is the property mixture owners actually want from an
+    * interleave. Positions are globally unique and monotone within a
+    * group; once a short group exhausts, its slots simply go unused
+    * (consumers order by position — gaps are harmless).
+    *
+    * Scale shape: one group-keyed rank window (the only data-sized
+    * shuffle), one |groups|-row index frame (its ordering window runs
+    * on |groups| rows) broadcast back, position = pure arithmetic —
+    * NO global sort: the interleave formula IS the global order. */
+  def curriculumOrder(docs: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, bestFirst: Boolean = true): DataFrame = {
+    val ord =
+      if (bestFirst) Seq(col(scoreCol).desc, col(idCol).asc)
+      else Seq(col(scoreCol).asc, col(idCol).asc)
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    val ranked = docs.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("grp_rank", row_number().over(w).cast("long"))
+    val gidx = docs.select(col(groupCol)).distinct()
+      .withColumn("__gi",
+        (row_number().over(Window.orderBy(col(groupCol))) - 1).cast("long"))
+    val ng = gidx.agg(count(lit(1)).as("__ng"))
+    ranked.join(broadcast(gidx), Seq(groupCol))
+      .crossJoin(broadcast(ng))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("grp_rank"),
+        ((col("grp_rank") - 1) * col("__ng") + col("__gi") + 1)
+          .cast("long").as("position"))
+  }
 }

@@ -165,6 +165,49 @@ object Stats {
           * minSide.cast("double")))))
   }
 
+  /** Theil's uncertainty coefficient between two categorical columns —
+    * the ASYMMETRIC companion to [[cramersV]]: U(a|b) = I(a;b)/H(a)
+    * reads "knowing b removes this fraction of a's uncertainty", so
+    * U(label|source) ≈ 1 with U(source|label) small means source
+    * determines the label but not vice versa — direction Cramér's V
+    * cannot express. Emits both directions plus the entropies and MI.
+    *
+    * Numerics: MI is summed DIRECTLY per cell (the q214 discipline —
+    * never H(a)+H(b)−H(a,b), which cancels catastrophically near
+    * independence); every p·ln term decimal-rounds before the exact
+    * sum so the result is partition-invariant. Complete-case nulls,
+    * value-cardinality-bounded cell frame (the [[chiSquare]]
+    * contract). */
+  def uncertaintyCoeff(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("__a").agg(sum("o").as("ra"))
+    val cb = cells.groupBy("__b").agg(sum("o").as("cb"))
+    val n = cells.agg(sum("o").as("n"))
+    val nD = col("n").cast("double")
+    val miTerm = (col("o").cast("double") / nD) *
+      log((col("o").cast("double") * nD) /
+        (col("ra").cast("double") * col("cb").cast("double")))
+    val mi = cells
+      .join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(broadcast(n))
+      .agg(first(col("n")).as("n"), dsum(miTerm, 12).as("mi"))
+    def entropy(marg: DataFrame, c: String, out: String) = marg
+      .crossJoin(broadcast(n))
+      .agg(dsum(-(col(c).cast("double") / nD)
+        * log(col(c).cast("double") / nD), 12).as(out))
+    mi
+      .crossJoin(broadcast(entropy(ra, "ra", "h_a")))
+      .crossJoin(broadcast(entropy(cb, "cb", "h_b")))
+      .select(col("n").cast("long").as("n"), col("h_a"), col("h_b"),
+        col("mi"),
+        when(col("h_a") > 0.0, col("mi") / col("h_a")).as("u_a_given_b"),
+        when(col("h_b") > 0.0, col("mi") / col("h_b")).as("u_b_given_a"))
+  }
+
   /** Poisson(1) cumulative-distribution thresholds, capped at 7 draws
     * (P(X > 7) < 1.1e-5; a capped draw biases the CI by less than the
     * resampling noise floor). LITERAL constants, never computed via

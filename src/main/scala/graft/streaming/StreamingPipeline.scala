@@ -117,6 +117,39 @@ object StreamingPipeline {
       refGroup = ref.toString, bins = bins)
   }
 
+  /** Per-epoch n-gram novelty over the COMMITTED corpus: for each
+    * ingest epoch, the fraction of its distinct word shingles whose
+    * FIRST committed occurrence (lowest epoch, ties broken by the
+    * epoch itself) is that epoch — the incremental-crawl value
+    * readout beside [[epochTvd]]/[[epochPsi]]: an epoch whose novelty
+    * craters is re-crawling what the corpus already holds, and the
+    * budget it burns buys no new tokens. Epochs are additive with the
+    * corpus-wide view by construction: the sum of n_new over epochs
+    * equals the corpus's total distinct shingle count
+    * (spec-asserted).
+    *
+    * Scale shape: the [[graft.llm.TextAnalysis.ngramNovelty]] shape
+    * keyed on the epoch instead of the doc — distinct (epoch,
+    * shingle) via the native kernel, one shingle-keyed min-aggregate,
+    * one keyed join-back, one epoch-keyed fold. */
+  def epochNovelty(spark: SparkSession, corpusDir: String,
+      n: Int = 5): DataFrame = {
+    val sh = readCommitted(spark, corpusDir)
+      .select(col("epoch"),
+        explode(graft.functions.WordShingles.column(
+          spark, col("clean_text"), n, distinct = true)).as("shingle"))
+      .distinct()
+    val first = sh.groupBy("shingle").agg(min(col("epoch")).as("first_epoch"))
+    sh.join(first, Seq("shingle"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("first_epoch") === col("epoch"), 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .withColumn("novelty",
+        when(col("n_shingles") > 0, col("n_new").cast("double")
+          / col("n_shingles").cast("double")))
+  }
+
   /** Raw tx schema as landed by the source (FIXTURES.md A1). */
   val txSchema: StructType = StructType(Seq(
     StructField("txid", StringType),

@@ -527,4 +527,36 @@ class CorpusSpec extends AnyFunSuite {
         budgetTokens = 10L).collect()
     assert(small.forall(r => math.abs(r.getAs[Double]("utilization") - 1.0) < 1e-12))
   }
+
+  test("curriculumOrder: best-first within group, round-robin interleave, unique positions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "X", 5L), (2L, "X", 3L), (3L, "X", 1L),
+      (4L, "Y", 9L), (5L, "Y", 2L)
+    ).toDF("doc_id", "source", "score")
+    val out = Corpus.curriculumOrder(docs, "doc_id", "source", "score")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    // X is group 0 (alphabetical), Y group 1; positions interleave
+    assert(out(1L) == (("X", 1L, 1L)) && out(4L) == (("Y", 1L, 2L)))
+    assert(out(2L) == (("X", 2L, 3L)) && out(5L) == (("Y", 2L, 4L)))
+    assert(out(3L) == (("X", 3L, 5L)))
+    assert(out.values.map(_._3).toSeq.distinct.size == 5, "positions unique")
+    // fixture: positions stay unique corpus-wide and every prefix of
+    // the order is group-balanced while all groups are live
+    val fix = Tables.load(spark, dir, "documents")
+    val ord = Corpus.curriculumOrder(fix, "doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(4), r.getString(1)))
+    assert(ord.map(_._1).distinct.length == ord.length)
+    val nSrc = ord.map(_._2).distinct.length
+    val firstRound = ord.sortBy(_._1).take(nSrc).map(_._2)
+    assert(firstRound.distinct.length == nSrc,
+      "the first |sources| positions must hit every source once")
+    // bestFirst=false reverses the within-group order
+    val asc = Corpus.curriculumOrder(docs, "doc_id", "source", "score",
+      bestFirst = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(asc(3L) == 1L && asc(1L) == 3L)
+  }
 }

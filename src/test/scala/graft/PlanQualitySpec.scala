@@ -928,6 +928,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "the offset table must broadcast: " + plan.take(3000))
   }
 
+  test("q233 curriculum: rank window group-keyed, index/count frames broadcast, no global sort below the gate's own orderBy") {
+    val plan = physical("q233_curriculum")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the data-sized row_number window must carry the source partition
+    // key; the |groups|-row index frame's window has no such key but
+    // runs on a grouped-distinct input, never the corpus
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("row_number") && l.contains("n_chars")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("source")),
+      dataWindows.mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the group-index frame must broadcast: " + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q225/q226 hapax + lognormal: pure aggregates, no join anywhere") {
     for (name <- Seq("q225_hapax_ratio", "q226_lognormal_fit")) {
       val plan = physical(name)

@@ -212,6 +212,30 @@ class StatsSpec extends AnyFunSuite {
     assert(d.isNullAt(d.fieldIndex("cramers_v")))
   }
 
+  test("uncertaintyCoeff: asymmetric determinism, independence = 0, bijection = 1 both ways") {
+    import spark.implicits._
+    // a determines b fully (a1,a2 -> x; a3 -> y) but b does not
+    // determine a: U(b|a) = 1, U(a|b) < 1
+    val asym = Seq(("a1", "x"), ("a2", "x"), ("a3", "y"))
+      .toDF("u", "v")
+    val r = Stats.uncertaintyCoeff(asym, "u", "v").collect().head
+    assert(math.abs(r.getAs[Double]("u_b_given_a") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("u_a_given_b") < 1.0 - 1e-9)
+    // MI here equals H(b) exactly
+    assert(math.abs(r.getAs[Double]("mi") - r.getAs[Double]("h_b")) < 1e-12)
+    // independence: every term's ln is exactly 0
+    val indep = (for { a <- Seq("a", "b"); b <- Seq("x", "y") }
+      yield (a, b)).toDF("u", "v")
+    val ri = Stats.uncertaintyCoeff(indep, "u", "v").collect().head
+    assert(ri.getAs[Double]("mi") == 0.0 &&
+      ri.getAs[Double]("u_a_given_b") == 0.0)
+    // bijection: both directions 1
+    val bij = Seq(("a", "x"), ("b", "y"), ("c", "z")).toDF("u", "v")
+    val rb = Stats.uncertaintyCoeff(bij, "u", "v").collect().head
+    assert(math.abs(rb.getAs[Double]("u_a_given_b") - 1.0) < 1e-12)
+    assert(math.abs(rb.getAs[Double]("u_b_given_a") - 1.0) < 1e-12)
+  }
+
   test("kendallTauB: marginal tie counts match the brute-force definition") {
     import spark.implicits._
     val pts = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 2L))

@@ -586,4 +586,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(psi(0) == 0.0, s"reference epoch must score exactly 0: $psi")
     assert(psi(1) > 0.0, psi.toString)
   }
+
+  test("epochNovelty: first epoch fully novel, recrawl scores zero, torn epoch invisible") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-epoch-novelty").toString
+    val corpus = s"$base/corpus"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val textB = "one two three four five six seven eight nine ten"
+    Seq((1L, textA), (2L, textB))
+      .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=0")
+    // epoch 1 re-crawls textA verbatim and adds one genuinely new doc
+    Seq((3L, textA),
+      (4L, "red orange yellow green blue indigo violet shade amber"))
+      .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=1")
+    // epoch 2 is a PURE recrawl — zero novelty is the alarm condition
+    Seq((5L, textB)).toDF("doc_id", "clean_text")
+      .write.parquet(s"$corpus/epoch=2")
+    Seq((9L, "torn torn torn torn torn torn torn torn"))
+      .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=3")
+    Files.delete(java.nio.file.Paths.get(s"$corpus/epoch=3/_SUCCESS"))
+
+    val nov = StreamingPipeline.epochNovelty(spark, corpus).collect()
+      .map(r => r.getAs[Int]("epoch") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_new"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(nov.keySet == Set(0, 1, 2), "torn epoch leaked into novelty")
+    assert(nov(0)._3 == 1.0, s"first epoch must be fully novel: $nov")
+    assert(nov(2)._2 == 0L && nov(2)._3 == 0.0,
+      s"pure recrawl must score zero: $nov")
+    assert(nov(1)._3 > 0.0 && nov(1)._3 < 1.0,
+      s"mixed epoch strictly between: $nov")
+    // additivity: per-epoch n_new sums to the corpus's distinct count
+    val total = StreamingPipeline.readCorpus(spark, corpus)
+      .select(explode(graft.functions.WordShingles.column(
+        spark, col("clean_text"), 5, distinct = true)).as("s"))
+      .distinct().count()
+    assert(nov.values.map(_._2).sum == total)
+  }
 }
