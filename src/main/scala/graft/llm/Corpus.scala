@@ -549,11 +549,20 @@ object Corpus {
     * NO global sort: the interleave formula IS the global order. */
   def curriculumOrder(docs: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, bestFirst: Boolean = true): DataFrame = {
+    // Contract: non-null group keys. A null group would still order,
+    // but null placement differs across engines (Spark sorts nulls
+    // first ascending, DuckDB last), so the group INDEX — and with it
+    // every position — would silently disagree with an oracle replay.
+    // Fail loudly instead.
+    val checkedGroup = when(col(groupCol).isNull, raise_error(lit(
+      s"curriculumOrder: null $groupCol (group keys must be non-null)")))
+      .otherwise(col(groupCol))
     val ord =
       if (bestFirst) Seq(col(scoreCol).desc, col(idCol).asc)
       else Seq(col(scoreCol).asc, col(idCol).asc)
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
-    val ranked = docs.select(col(idCol), col(groupCol), col(scoreCol))
+    val ranked = docs
+      .select(col(idCol), checkedGroup.as(groupCol), col(scoreCol))
       .withColumn("grp_rank", row_number().over(w).cast("long"))
     val gidx = docs.select(col(groupCol)).distinct()
       .withColumn("__gi",

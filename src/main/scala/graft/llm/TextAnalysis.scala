@@ -1127,7 +1127,9 @@ object TextAnalysis {
     * DISCRETE-stat contract; use its `approx_percentile` escape-hatch
     * pattern for continuous stats), the |groups|-row bound frame
     * broadcast back, then a single map-side-combined aggregate. All
-    * means go through the exact-decimal davg discipline. */
+    * means go through the exact-decimal davg discipline. Null stat
+    * values count in `n` but in no mean and never as clipped (the
+    * SQL aggregate convention both engines share). */
   def winsorStats(docs: org.apache.spark.sql.DataFrame, groupCol: String,
       valCol: String, lo: Double = 0.05,
       hi: Double = 0.95): org.apache.spark.sql.DataFrame = {

@@ -558,5 +558,12 @@ class CorpusSpec extends AnyFunSuite {
       bestFirst = false).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(asc(3L) == 1L && asc(1L) == 3L)
+    // null group keys fail loudly (engine null-ordering divergence)
+    val nullGrp = Seq((1L, Some("X"), 1L), (2L, None, 2L))
+      .toDF("doc_id", "source", "score")
+    val ex = intercept[Exception] {
+      Corpus.curriculumOrder(nullGrp, "doc_id", "source", "score").collect()
+    }
+    assert(ex.getMessage.contains("non-null"))
   }
 }
