@@ -5252,6 +5252,50 @@ object QueriesLlm {
              (grp_rank - 1) * ng + gi + 1 AS position
       FROM r JOIN g USING (source) CROSS JOIN c ORDER BY doc_id"""))
 
+  /** Min-K% Prob membership/contamination score (mean neg-logprob of
+    * each doc's 20% least likely bigrams under the corpus LM); see
+    * [[TextAnalysis.minKProb]]. */
+  private val q234 = Q("q234_mink_prob",
+    (s, dir) => TextAnalysis.minKProb(t(s, dir, "documents"),
+      "doc_id", "text", kPct = 0.2).orderBy("doc_id"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (SELECT unnest(t) AS a FROM arr),
+      ca AS (SELECT a, COUNT(*) AS ca FROM uni GROUP BY 1),
+      v AS (SELECT COUNT(*) AS v FROM ca),
+      dbg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i])) AS a,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i + 1])) AS b
+        FROM arr),
+      cab AS (SELECT a, b, COUNT(*) AS cab FROM dbg GROUP BY 1, 2),
+      sc AS (SELECT doc_id,
+               -ln(CAST(cab.cab + 1 AS DOUBLE) / (ca.ca + v.v)) AS lp
+             FROM dbg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+      rk AS (SELECT doc_id, lp,
+               row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC)
+                 AS rk,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+             FROM sc),
+      f AS (SELECT doc_id, CAST(n AS BIGINT) AS n,
+              CAST(ceil(n * 0.2) AS BIGINT) AS m,
+              CAST(SUM(CAST(CASE WHEN rk <= CAST(ceil(n * 0.2) AS BIGINT)
+                THEN lp END AS DECIMAL(30,12))) AS DOUBLE)
+                / CAST(CAST(ceil(n * 0.2) AS BIGINT) AS DOUBLE)
+                AS mink_score
+            FROM rk GROUP BY doc_id, n)
+      SELECT d.doc_id,
+             COALESCE(f.n, 0) AS n_bigrams,
+             COALESCE(f.m, 0) AS k_used,
+             f.mink_score
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN f USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5264,5 +5308,5 @@ object QueriesLlm {
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232, q233)
+    q229, q230, q231, q232, q233, q234)
 }

@@ -343,6 +343,61 @@ object TextAnalysis {
         coalesce(col("perplexity") > flagAbove, lit(false)))
   }
 
+  /** Min-K% Prob membership/contamination score (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models"): per
+    * document, the mean negative log-probability of its k% LEAST
+    * likely bigrams under the corpus-trained add-one LM — the
+    * pretraining-data detector's core statistic: a document the model
+    * finds unsurprising even at its WORST tokens was very likely
+    * trained on, while the full-document average ([[lmPerplexity]])
+    * lets a few memorized spans hide behind normal text. Low score →
+    * likely member / likely contamination against an eval set.
+    *
+    * Determinism under ties: the bottom-k set is chosen by
+    * neg-logprob rank, and ties at the boundary carry EQUAL values,
+    * so the mean is well-defined no matter which tied bigram the rank
+    * picks — the oracle replays bit-for-bit without a tie-break
+    * column. Scale shape: the q125 count joins (vocabulary-sized,
+    * map-side combined) plus ONE doc-keyed window — partitioned by
+    * the document, never a global sort. */
+  def minKProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, kPct: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    require(kPct > 0 && kPct <= 1, s"kPct must be in (0, 1], got $kPct")
+    val toks = tokens(col(textCol))
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), toks.as("toks")).persist()
+    val uni = base.select(explode(col("toks")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca")).persist()
+    val vocab = uni.count()
+    val docBigrams = base.select(col(idCol), explode(
+        zip_with(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bi = docBigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val lp = -log((col("cab") + 1).cast("double") / (col("ca") + vocab))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__lp").desc)
+    val scored = docBigrams
+      .join(bi, Seq("a", "b")).join(uni, Seq("a"))
+      .select(col(idCol), lp.as("__lp"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("__m", ceil(col("__n") * lit(kPct)).cast("long"))
+      .groupBy(idCol)
+      .agg(first(col("__n")).cast("long").as("n_bigrams"),
+        first(col("__m")).cast("long").as("k_used"),
+        (graft.functions.GraftFunctions.dsum(
+          when(col("__rk") <= col("__m"), col("__lp")), 12)
+          / first(col("__m")).cast("double")).as("mink_score"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"),
+        col("mink_score"))
+  }
+
   /** Stupid-backoff bigram scoring of HELD-OUT documents (Brants et
     * al. 2007 — the LM smoothing built for MapReduce-scale counts):
     * train bigram/unigram counts on the md5-bucket train split

@@ -1197,6 +1197,48 @@ class LlmSpec extends AnyFunSuite {
     assert(got((6L, 2L, 0.95)) > 0.9 && got((2L, 6L, 0.95)) > 0.9)
   }
 
+  test("minKProb: matches a single-threaded bottom-k reference; memorized text scores low") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val d = Seq(
+      (1L, common), (2L, common), (3L, common),  // memorized span
+      (4L, "zeta xylem quartz vortex glyph nymph"), // all-rare bigrams
+      (5L, "x")                                     // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.minKProb(d, "doc_id", "text", kPct = 0.4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // reference: add-one bigram LM over the whole corpus, bottom-40%
+    val texts = Seq(1L -> common, 2L -> common, 3L -> common,
+      4L -> "zeta xylem quartz vortex glyph nymph", 5L -> "x")
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val ca = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val v = ca.size
+    val cab = toks.flatMap(_._2.sliding(2).filter(_.size == 2)
+        .map(w => (w(0), w(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    toks.filter(_._2.size >= 2).foreach { case (id, ts) =>
+      val lps = ts.sliding(2).map { w =>
+        -math.log((cab((w(0), w(1))) + 1).toDouble / (ca(w(0)) + v))
+      }.toSeq.sortBy(-_)
+      val n = lps.size
+      val m = math.ceil(n * 0.4).toLong
+      val want = lps.take(m.toInt)
+        .map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / m
+      val r = got(id)
+      assert(r.getAs[Long]("n_bigrams") == n.toLong, s"doc $id")
+      assert(r.getAs[Long]("k_used") == m, s"doc $id k")
+      assert(math.abs(r.getAs[Double]("mink_score") - want) < 1e-9, s"doc $id")
+    }
+    // membership signal: the memorized doc's WORST bigrams are still
+    // common -> lower score than the all-rare doc
+    assert(got(1L).getAs[Double]("mink_score")
+      < got(4L).getAs[Double]("mink_score"))
+    // bigram-less doc present with null score
+    assert(got(5L).getAs[Long]("n_bigrams") == 0L &&
+      got(5L).isNullAt(got(5L).fieldIndex("mink_score")))
+  }
+
   test("sortedNeighborPairs: equals the single-threaded window walk over the simhash order") {
     val d = docs
     val got = Dedup.sortedNeighborPairs(d, "doc_id", "text", window = 4)
