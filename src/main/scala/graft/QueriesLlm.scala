@@ -5296,6 +5296,16 @@ object QueriesLlm {
       LEFT JOIN f USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** k-anonymity screen over (source, lang) quasi-identifiers; see
+    * [[Corpus.kAnonymity]]. */
+  private val q235 = Q("q235_k_anonymity",
+    (s, dir) => Corpus.kAnonymity(t(s, dir, "documents"),
+      Seq("source", "lang"), k = 5L).orderBy("source", "lang"),
+    Some("""
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             COUNT(*) < 5 AS at_risk
+      FROM documents GROUP BY source, lang ORDER BY source, lang"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5308,5 +5318,5 @@ object QueriesLlm {
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232, q233, q234)
+    q229, q230, q231, q232, q233, q234, q235)
 }

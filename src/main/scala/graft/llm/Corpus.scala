@@ -530,6 +530,25 @@ object Corpus {
     }
   }
 
+  /** k-anonymity risk readout over quasi-identifier columns: group
+    * sizes of every observed quasi-identifier combination, flagging
+    * combinations rarer than k — the standard re-identification risk
+    * screen run on metadata BEFORE a corpus (or its stats) is shared:
+    * a (source, lang, …) combo observed twice points at two specific
+    * documents no aggregate can hide. Combos ordered risky-first.
+    *
+    * Scale shape: ONE map-side-combined group count — the frame is
+    * combination-cardinality-sized, never row-sized; the flag is a
+    * narrow compare. */
+  def kAnonymity(docs: DataFrame, quasiCols: Seq[String],
+      k: Long = 5L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    docs.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < k)
+  }
+
   /** Curriculum training order with round-robin source interleaving:
     * rank documents within each group by a difficulty/quality score
     * (best first by default), then assign the GLOBAL position

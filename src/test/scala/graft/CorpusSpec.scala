@@ -566,4 +566,25 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("non-null"))
   }
+
+  test("kAnonymity: rare combos flagged, mass conserved, parameters validated") {
+    import spark.implicits._
+    val d = (Seq.fill(6)(("s1", "en")) ++ Seq.fill(2)(("s1", "fr")) ++
+      Seq(("s2", "en"))).zipWithIndex
+      .map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val out = Corpus.kAnonymity(d, Seq("source", "lang"), k = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("s1", "en")) == ((6L, false)))
+    assert(out(("s1", "fr")) == ((2L, true)))
+    assert(out(("s2", "en")) == ((1L, true)))
+    assert(out.values.map(_._1).sum == 9L, "every doc in exactly one combo")
+    intercept[IllegalArgumentException] {
+      Corpus.kAnonymity(d, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.kAnonymity(d, Seq("source"), k = 1L)
+    }
+  }
 }
