@@ -5296,6 +5296,65 @@ object QueriesLlm {
       LEFT JOIN f USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Language-ID confusion matrix (declared lang vs the langId
+    * heuristic, with per-declared shares); see
+    * [[TextAnalysis.langConfusion]]. Oracle extends the q18 replay
+    * with the matrix fold. */
+  private val q236 = Q("q236_lang_confusion",
+    (s, dir) => TextAnalysis.langConfusion(t(s, dir, "documents"),
+      "lang", "text").orderBy("lang", "predicted_lang"),
+    Some {
+      val markers = TextAnalysis.langMarkers
+      val scoreDefs = markers.map { case (l, ms) =>
+        s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$l"
+      }.mkString(",\n               ")
+      val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+      val cases = markers.map { case (l, _) =>
+        s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+      }.mkString("\n               ")
+      s"""
+      WITH pred AS (
+        SELECT lang,
+               CASE $cases
+                 ELSE 'und' END AS predicted_lang
+        FROM (SELECT lang, $scoreDefs
+              FROM (SELECT lang,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                    FROM documents))),
+      cm AS (SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM pred GROUP BY 1, 2),
+      t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS t
+            FROM cm GROUP BY 1)
+      SELECT cm.lang AS lang, predicted_lang, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE) AS frac_of_declared
+      FROM cm JOIN t USING (lang) ORDER BY lang, predicted_lang"""
+    })
+
+  /** Per-source char-bigram entropy (compressibility / script-mix
+    * proxy); see [[TextAnalysis.charBigramEntropy]]. */
+  private val q237 = Q("q237_char_entropy",
+    (s, dir) => TextAnalysis.charBigramEntropy(t(s, dir, "documents"),
+      "source", "text").orderBy("source"),
+    Some("""
+      WITH g AS (
+        SELECT source,
+               unnest(list_transform(
+                 generate_series(1, greatest(length(s) - 1, 1)),
+                 i -> substring(s, i, 2))) AS g
+        FROM (SELECT source, trim(lower(text)) AS s FROM documents)),
+      c AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM g GROUP BY 1, 2),
+      t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1),
+      f AS (SELECT c.source AS source, MIN(t.t) AS n_grams,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(SUM(CAST(-(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+                * ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+                AS DECIMAL(30,12))) AS DOUBLE) AS entropy_nats
+            FROM c JOIN t USING (source) GROUP BY c.source)
+      SELECT source, n_grams, n_distinct, entropy_nats,
+             entropy_nats / 0.6931471805599453 AS entropy_bits
+      FROM f ORDER BY source"""))
+
   /** k-anonymity screen over (source, lang) quasi-identifiers; see
     * [[Corpus.kAnonymity]]. */
   private val q235 = Q("q235_k_anonymity",
@@ -5318,5 +5377,5 @@ object QueriesLlm {
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232, q233, q234, q235)
+    q229, q230, q231, q232, q233, q234, q235, q236, q237)
 }

@@ -343,6 +343,62 @@ object TextAnalysis {
         coalesce(col("perplexity") > flagAbove, lit(false)))
   }
 
+  /** Language-ID confusion matrix: declared `lang` metadata vs the
+    * [[langId]] heuristic's prediction, with each cell's share of its
+    * declared row — the metadata-QA readout that catches mislabeled
+    * crawl slices (a declared-en row whose mass sits under
+    * predicted-fr is a feed labeling bug, not a model error) before a
+    * mixture trusts the labels. Scale shape: one narrow predict map,
+    * one map-side-combined (declared, predicted) count, a
+    * |langs|-row total broadcast back. */
+  def langConfusion(docs: org.apache.spark.sql.DataFrame, langCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cm = docs
+      .select(col(langCol), langId(col(textCol)).as("predicted_lang"))
+      .groupBy(col(langCol), col("predicted_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val tot = cm.groupBy(col(langCol)).agg(sum(col("n_docs")).as("__t"))
+    cm.join(broadcast(tot), Seq(langCol))
+      .select(col(langCol), col("predicted_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("__t").cast("double"))
+          .as("frac_of_declared"))
+  }
+
+  /** Per-group character-bigram entropy (nats and bits): the
+    * compressibility / script-mix proxy next to the token-level
+    * [[graft.functions.UnigramEntropyExpr]] readout — char-bigram
+    * entropy is what an entropy-coding tokenizer can exploit, so a
+    * source whose bits-per-gram craters is repetitive boilerplate and
+    * one whose bits spike is mixed-script or binary-ish noise.
+    * Short texts follow the shingle convention: a sub-`2`-char doc
+    * contributes its whole text as one gram.
+    *
+    * Scale shape: one explode → (group, gram) map-side-combined count
+    * (char-bigram vocabulary is tiny), |groups|-row totals broadcast
+    * back, entropy terms decimal-rounded then exactly summed (the
+    * q214 discipline). */
+  def charBigramEntropy(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    val s = trim(lower(col(textCol)))
+    val grams = transform(
+      sequence(lit(1), greatest(length(s) - 1, lit(1))),
+      i => s.substr(i, lit(2)))
+    val counts = docs.select(col(groupCol), explode(grams).as("g"))
+      .groupBy(col(groupCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("__t"))
+    val p = col("c").cast("double") / col("__t").cast("double")
+    val ln2 = 0.6931471805599453 // shortest-repr double of ln 2
+    counts.join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("__t")).cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        dsum(-p * log(p), 12).as("entropy_nats"))
+      .withColumn("entropy_bits", col("entropy_nats") / ln2)
+  }
+
   /** Min-K% Prob membership/contamination score (Shi et al. 2023,
     * "Detecting Pretraining Data from Large Language Models"): per
     * document, the mean negative log-probability of its k% LEAST

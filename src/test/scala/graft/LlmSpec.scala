@@ -1239,6 +1239,45 @@ class LlmSpec extends AnyFunSuite {
       got(5L).isNullAt(got(5L).fieldIndex("mink_score")))
   }
 
+  test("langConfusion: mass conserved, per-declared shares sum to 1, cells match per-doc predictions") {
+    val d = docs
+    val cm = TextAnalysis.langConfusion(d, "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(cm.values.map(_._1).sum == d.count())
+    cm.keys.map(_._1).toSeq.distinct.foreach { l =>
+      val s = cm.filter(_._1._1 == l).values.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"shares for declared $l sum to $s")
+    }
+    // cells agree with the per-doc q18 projection
+    val perDoc = d.select(col("lang"),
+        TextAnalysis.langId(col("text")).as("p")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(cm.view.mapValues(_._1).toMap == perDoc)
+  }
+
+  test("charBigramEntropy: hand-computed entropy, zero for pure repetition") {
+    import spark.implicits._
+    val d = Seq(("rep", "aaaa"), ("mix", "abab"), ("tiny", "x"))
+      .toDF("source", "text")
+    val got = TextAnalysis.charBigramEntropy(d, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("rep").getAs[Long]("n_grams") == 3L)
+    assert(got("rep").getAs[Double]("entropy_nats") == 0.0)
+    // "abab": grams ab, ba, ab -> p = (2/3, 1/3)
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = (rnd(-(2.0 / 3) * math.log(2.0 / 3))
+      + rnd(-(1.0 / 3) * math.log(1.0 / 3))).toDouble
+    assert(math.abs(got("mix").getAs[Double]("entropy_nats") - want) < 1e-12)
+    assert(math.abs(got("mix").getAs[Double]("entropy_bits")
+      - want / 0.6931471805599453) < 1e-12)
+    // sub-2-char doc contributes its whole text as one gram
+    assert(got("tiny").getAs[Long]("n_grams") == 1L &&
+      got("tiny").getAs[Long]("n_distinct") == 1L)
+  }
+
   test("sortedNeighborPairs: equals the single-threaded window walk over the simhash order") {
     val d = docs
     val got = Dedup.sortedNeighborPairs(d, "doc_id", "text", window = 4)
