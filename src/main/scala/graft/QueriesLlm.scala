@@ -5355,6 +5355,46 @@ object QueriesLlm {
              entropy_nats / 0.6931471805599453 AS entropy_bits
       FROM f ORDER BY source"""))
 
+  /** Distinctive terms per source by Dirichlet-prior log-odds z-score
+    * (Monroe et al. 2008 "Fightin' Words"); see
+    * [[TextAnalysis.logOddsTerms]]. */
+  private val q238 = Q("q238_log_odds",
+    (s, dir) => TextAnalysis.logOddsTerms(t(s, dir, "documents"),
+      "source", "text", topK = 5).orderBy("source", "rk"),
+    Some("""
+      WITH tk AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents),
+      csw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS csw
+              FROM tk GROUP BY 1, 2),
+      cw AS (SELECT w, CAST(SUM(csw) AS BIGINT) AS cw FROM csw GROUP BY 1),
+      ns AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS ns
+             FROM csw GROUP BY 1),
+      tot AS (SELECT CAST(SUM(csw) AS BIGINT) AS n FROM csw),
+      s1 AS (SELECT source, w, csw, cw, ns, n,
+               10.0 * CAST(cw AS DOUBLE) / CAST(n AS DOUBLE) AS aw
+             FROM csw JOIN cw USING (w) JOIN ns USING (source)
+             CROSS JOIN tot),
+      s2 AS (SELECT source, w, csw,
+               CAST(csw AS DOUBLE) + aw AS in_s,
+               CAST(ns AS DOUBLE) + 10.0 - CAST(csw AS DOUBLE) - aw
+                 AS out_s,
+               (CAST(cw AS DOUBLE) - CAST(csw AS DOUBLE)) + aw AS in_r,
+               (CAST(n AS DOUBLE) - CAST(ns AS DOUBLE)) + 10.0
+                 - (CAST(cw AS DOUBLE) - CAST(csw AS DOUBLE)) - aw AS out_r
+             FROM s1),
+      s3 AS (SELECT source, w AS term, csw AS n_in_group,
+               (ln(in_s / out_s) - ln(in_r / out_r))
+                 / sqrt(1.0 / in_s + 1.0 / in_r) AS z
+             FROM s2),
+      r AS (SELECT source, term, n_in_group, z,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY z DESC, term ASC) AS BIGINT) AS rk
+            FROM s3)
+      SELECT source, rk, term, n_in_group, z
+      FROM r WHERE rk <= 5 ORDER BY source, rk"""))
+
   /** k-anonymity screen over (source, lang) quasi-identifiers; see
     * [[Corpus.kAnonymity]]. */
   private val q235 = Q("q235_k_anonymity",
@@ -5377,5 +5417,5 @@ object QueriesLlm {
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232, q233, q234, q235, q236, q237)
+    q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
 }

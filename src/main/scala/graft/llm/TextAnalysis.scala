@@ -399,6 +399,52 @@ object TextAnalysis {
       .withColumn("entropy_bits", col("entropy_nats") / ln2)
   }
 
+  /** Distinctive terms per source by log-odds ratio with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words") — the principled "what characterizes this
+    * source" readout: raw tf-idf over-rewards rare typos, plain
+    * log-odds over-rewards hapaxes; the Dirichlet prior (scaled by
+    * each term's corpus frequency) shrinks both, and the z-score
+    * divides by the estimated variance so sources of different sizes
+    * rank comparably. Emits the top-k terms per source by z.
+    *
+    * Scale shape: one (source, term) count with map-side combine, a
+    * vocab-keyed join to term totals, |sources|-row and 1-row totals
+    * broadcast; the top-k window partitions on the source. All
+    * arithmetic is expression-ordered for oracle replay. */
+  def logOddsTerms(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, topK: Int = 5,
+      priorMass: Double = 10.0): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1 && priorMass > 0, "need topK >= 1, priorMass > 0")
+    val csw = docs.select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(groupCol), col("w"))
+      .agg(count(lit(1)).as("csw"))
+    val cw = csw.groupBy("w").agg(sum(col("csw")).as("cw"))
+    val ns = csw.groupBy(col(groupCol)).agg(sum(col("csw")).as("ns"))
+    val nTot = csw.agg(sum(col("csw")).as("n"))
+    val aw = lit(priorMass) * col("cw").cast("double") / col("n").cast("double")
+    val inS = col("csw").cast("double") + aw
+    val outS = col("ns").cast("double") + lit(priorMass) -
+      col("csw").cast("double") - aw
+    val cwr = col("cw").cast("double") - col("csw").cast("double")
+    val inR = cwr + aw
+    val outR = (col("n").cast("double") - col("ns").cast("double")) +
+      lit(priorMass) - cwr - aw
+    val delta = log(inS / outS) - log(inR / outR)
+    val z = delta / sqrt(lit(1.0) / inS + lit(1.0) / inR)
+    csw
+      .join(cw, Seq("w"))
+      .join(broadcast(ns), Seq(groupCol))
+      .crossJoin(broadcast(nTot))
+      .select(col(groupCol), col("w").as("term"),
+        col("csw").cast("long").as("n_in_group"), z.as("z"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("z").desc, col("term"))))
+      .filter(col("rk") <= topK)
+      .select(col(groupCol), col("rk").cast("long").as("rk"), col("term"),
+        col("n_in_group"), col("z"))
+  }
+
   /** Min-K% Prob membership/contamination score (Shi et al. 2023,
     * "Detecting Pretraining Data from Large Language Models"): per
     * document, the mean negative log-probability of its k% LEAST

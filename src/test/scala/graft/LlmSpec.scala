@@ -1197,6 +1197,32 @@ class LlmSpec extends AnyFunSuite {
     assert(got((6L, 2L, 0.95)) > 0.9 && got((2L, 6L, 0.95)) > 0.9)
   }
 
+  test("logOddsTerms: planted exclusive term tops its source; shared filler never ranks") {
+    import spark.implicits._
+    // every doc shares filler; srcA additionally repeats "anchor",
+    // srcB repeats "beacon"; one rare typo appears once in srcA
+    val filler = "the quick brown fox and the lazy dog again"
+    val d = (
+      (1 to 10).map(i => (i.toLong, "srcA", s"$filler anchor anchor")) ++
+      (11 to 20).map(i => (i.toLong, "srcB", s"$filler beacon beacon")) :+
+      ((21L, "srcA", s"$filler typo"))
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.logOddsTerms(d, "source", "text", topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got(("srcA", 1L)) == "anchor", s"got $got")
+    assert(got(("srcB", 1L)) == "beacon")
+    // the single-occurrence typo must NOT outrank the repeated anchor
+    // (the Dirichlet prior shrinks hapaxes — the point of the method)
+    val typoRank = got.collectFirst {
+      case ((s, rk), t) if s == "srcA" && t == "typo" => rk }
+    assert(typoRank.forall(_ > 1L), s"typo ranked $typoRank")
+    // shared filler words never top either source
+    val fillerWords = filler.split(" ").toSet
+    assert(!fillerWords.contains(got(("srcA", 1L))))
+    assert(!fillerWords.contains(got(("srcB", 1L))))
+  }
+
   test("minKProb: matches a single-threaded bottom-k reference; memorized text scores low") {
     import spark.implicits._
     val common = "the quick brown fox jumps over the lazy dog"
