@@ -192,7 +192,7 @@ object Stats {
       log((col("o").cast("double") * nD) /
         (col("ra").cast("double") * col("cb").cast("double")))
     val mi = cells
-      .join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .join(broadcast(ra), Seq("__a")).join(broadcast(cb), Seq("__b"))
       .crossJoin(broadcast(n))
       .agg(first(col("n")).as("n"), dsum(miTerm, 12).as("mi"))
     def entropy(marg: DataFrame, c: String, out: String) = marg

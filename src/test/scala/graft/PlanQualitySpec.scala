@@ -943,6 +943,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q234 mink prob: rank window doc-keyed, count joins keyed with partial aggregates") {
+    val plan = physical("q234_mink_prob")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      windows.mkString("\n"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      "LM counts must map-side combine: " + plan.take(3000))
+  }
+
+  test("q232 uncertainty coeff: marginals broadcast, no sort-merge") {
+    val plan = physical("q232_uncertainty_coeff")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "category marginals must broadcast: " + plan.take(3000))
+  }
+
+  test("q236/q237 lang confusion + char entropy: totals broadcast, partial counts") {
+    for (name <- Seq("q236_lang_confusion", "q237_char_entropy")) {
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"), s"$name\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$name\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name totals must broadcast\n${plan.take(2000)}")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+        s"$name counts must map-side combine\n${plan.take(2000)}")
+    }
+  }
+
+  test("q238 log odds: top-k window source-partitioned, small totals broadcast") {
+    val plan = physical("q238_log_odds")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      windows.mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("q225/q226 hapax + lognormal: pure aggregates, no join anywhere") {
     for (name <- Seq("q225_hapax_ratio", "q226_lognormal_fit")) {
       val plan = physical(name)
