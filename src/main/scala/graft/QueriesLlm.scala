@@ -5183,7 +5183,8 @@ object QueriesLlm {
             FROM s),
       dst AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(length(text) - 4, 1)),
-                i -> substring(text, i, 5))) AS shs
+                i -> ('0x' || substr(md5(substring(text, i, 5)), 1, 15))::BIGINT))
+                AS shs
               FROM documents),
       c AS (SELECT a.doc_id AS ia, b.doc_id AS ib
             FROM r a JOIN r b ON b.gr > a.gr AND b.gr <= a.gr + 3),
