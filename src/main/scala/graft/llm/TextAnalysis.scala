@@ -373,20 +373,21 @@ object TextAnalysis {
     * Short texts follow the shingle convention: a sub-`2`-char doc
     * contributes its whole text as one gram.
     *
-    * Scale shape: one explode → (group, gram) map-side-combined count
-    * (char-bigram vocabulary is tiny), |groups|-row totals broadcast
-    * back, entropy terms decimal-rounded then exactly summed (the
-    * q214 discipline). */
+    * Scale shape: the native [[graft.functions.CharGramCounts]]
+    * kernel pre-counts each doc's bigrams in one codegen pass, so the
+    * explode ships one row per DISTINCT in-doc bigram (alphabet²-
+    * capped) instead of one per character; the (group, gram) sum is
+    * map-side combined, |groups|-row totals broadcast back, entropy
+    * terms decimal-rounded then exactly summed (the q214
+    * discipline). */
   def charBigramEntropy(docs: org.apache.spark.sql.DataFrame,
       groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import graft.functions.GraftFunctions.dsum
-    val s = trim(lower(col(textCol)))
-    val grams = transform(
-      sequence(lit(1), greatest(length(s) - 1, lit(1))),
-      i => s.substr(i, lit(2)))
-    val counts = docs.select(col(groupCol), explode(grams).as("g"))
-      .groupBy(col(groupCol), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val counts = docs.select(col(groupCol),
+        explode(graft.functions.CharGramCounts.column(
+          docs.sparkSession, col(textCol))).as("gc"))
+      .groupBy(col(groupCol), col("gc.g").as("g"))
+      .agg(sum(col("gc.c")).as("c"))
     val tot = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("__t"))
     val p = col("c").cast("double") / col("__t").cast("double")
     val ln2 = 0.6931471805599453 // shortest-repr double of ln 2

@@ -1302,6 +1302,13 @@ class LlmSpec extends AnyFunSuite {
     // sub-2-char doc contributes its whole text as one gram
     assert(got("tiny").getAs[Long]("n_grams") == 1L &&
       got("tiny").getAs[Long]("n_distinct") == 1L)
+    // kernel edges: empty text -> one empty gram; trim+lower folded in
+    val edge = Seq(("e", ""), ("t", "  AbAb  ")).toDF("source", "text")
+    val ge = TextAnalysis.charBigramEntropy(edge, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ge("e").getAs[Long]("n_grams") == 1L)
+    // "abab" after trim+lower: ab, ba, ab -> same entropy as "mix"
+    assert(math.abs(ge("t").getAs[Double]("entropy_nats") - want) < 1e-12)
   }
 
   test("sortedNeighborPairs: equals the single-threaded window walk over the simhash order") {
