@@ -3781,10 +3781,17 @@ object QueriesLlm {
   /** Winnowing fingerprints (MOSS): word 4-gram hashes, 4-window
     * minima, distinct selected values per doc; see
     * [[TextAnalysis.winnowFingerprints]] for the guarantee and the
-    * value-set tie-break argument. */
+    * value-set tie-break argument. The gate projects the sorted
+    * fingerprint set to ONE comma-joined string column — the
+    * driver's comparator sorts/hashes scalar cells only, so a
+    * top-level array column is ungradeable (r13's one red row). */
   private val q190 = Q("q190_winnow_fingerprint",
     (s, dir) => TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
-      "doc_id", "text", k = 4, w = 4).orderBy("doc_id"),
+      "doc_id", "text", k = 4, w = 4)
+      .withColumn("fingerprints",
+        array_join(transform(col("fingerprints"),
+          x => x.cast("string")), ","))
+      .orderBy("doc_id"),
     Some("""
       WITH arr AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -3803,12 +3810,12 @@ object QueriesLlm {
               WHERE pos <= greatest(ng - 3, 1)),
       fp AS (SELECT doc_id, CAST(MAX(ng) AS BIGINT) AS n_grams,
                CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
-               list(w ORDER BY w) AS fingerprints
+               array_to_string(list(w ORDER BY w), ',') AS fingerprints
              FROM sel GROUP BY 1)
       SELECT d.doc_id,
              COALESCE(n_grams, 0) AS n_grams,
              COALESCE(n_fingerprints, 0) AS n_fingerprints,
-             COALESCE(fingerprints, CAST([] AS BIGINT[])) AS fingerprints
+             COALESCE(fingerprints, '') AS fingerprints
       FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY doc_id"""))
 
   /** Population Stability Index of doc length per source against

@@ -547,6 +547,9 @@ object Corpus {
     docs.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .withColumn("at_risk", col("n_docs") < k)
+      // riskiest-first as documented: rarest combos lead, quasi cols
+      // break ties deterministically (combo-cardinality-sized sort)
+      .orderBy(col("n_docs").asc +: quasiCols.map(c => col(c).asc): _*)
   }
 
   /** Curriculum training order with round-robin source interleaving:

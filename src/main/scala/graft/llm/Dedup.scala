@@ -949,16 +949,26 @@ object Dedup {
     * replace (measured 4.78 → 0.64 s min at sf0.1, window 4). */
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, threshold: Double = 0.5,
-      bandBits: Int = 8): DataFrame = {
+      bandBits: Int = 0, materialize: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    require(bandBits >= 1 && bandBits <= 16, s"bad bandBits $bandBits")
+    require(bandBits >= 0 && bandBits <= 16, s"bad bandBits $bandBits")
     val sp = docs.sparkSession
     val par = sp.sparkContext.defaultParallelism
+    // bandBits = 0 derives the band count from parallelism (4×
+    // oversubscribed, floored at 2^8 = 256, capped by the 16-bit
+    // simhash) — a constant would pin the within-band rank windows
+    // at corpus/256 rows per task on a big cluster. Banding is a
+    // parallel decomposition only: the two-level rank reconstructs
+    // the SAME global order for any band count.
+    val bb = if (bandBits > 0) bandBits
+      else math.min(16, math.max(8,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1, par * 4L - 1))))
     val base = docs.repartition(par).select(col(idCol).as("id"),
         hashedShingles(col(textCol)).as("shs"),
         graft.functions.SimHash16.column(sp,
           TextAnalysis.tokens(col(textCol))).as("sh"))
-      .withColumn("band", shiftright(col("sh"), 16 - bandBits))
+      .withColumn("band", shiftright(col("sh"), 16 - bb))
     val wnd = Window.partitionBy("band").orderBy(col("sh"), col("id"))
     val ranked = base.withColumn("rn", row_number().over(wnd))
     // band offsets: the only unpartitioned window runs on the
@@ -980,10 +990,19 @@ object Dedup {
     val inter = size(array_intersect(col("__sa"), col("__sb")))
     val jac = inter.cast("double") /
       (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
-    cands
+    val pairs = cands
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+    // Loan closed here by default: the (small, duplicate-pair-sized)
+    // result is pinned eagerly and the ranked-frame cache released
+    // before return — the materializeAndRelease rule, so repeated
+    // calls in a long-lived session don't accumulate cached ranked
+    // frames. `materialize = false` hands back the lazy plan WITH the
+    // cache still held (the lshPairs lazy contract: callers own the
+    // release) — for plan inspection and one-shot sessions.
+    if (materialize) materializeAndRelease(pairs, checkpointDir, Seq(g))
+    else pairs
   }
 }

@@ -50,9 +50,22 @@ object Stats {
           .as("rank2"))
   }
 
-  /** Band for a [0,1]-ish score: 64 equal slices, clamped. */
-  private def unitBand(v: Column): Column =
-    greatest(least(floor(v * 64).cast("long"), lit(63L)), lit(0L))
+  /** Band count for the banded-rank decomposition, derived from the
+    * session's parallelism (4× oversubscribed, floored at 64) instead
+    * of a constant — a fixed 64 would pin the within-band rank
+    * windows' parallelism at 64 tasks regardless of cluster size,
+    * leaving corpus/64 rows per task at 100 TB. Banding is a parallel
+    * decomposition only: rank2 is exact for ANY band count, so the
+    * derived count never changes results, just task granularity. */
+  private[llm] def derivedBandCount(sp: org.apache.spark.sql.SparkSession)
+      : Int = math.max(64, sp.sparkContext.defaultParallelism * 4)
+
+  /** Band for a [0,1]-ish score: parallelism-derived equal slices,
+    * clamped ([[derivedBandCount]]). */
+  private def unitBand(v: Column): Column = {
+    val n = derivedBandCount(org.apache.spark.sql.SparkSession.active)
+    greatest(least(floor(v * n).cast("long"), lit(n - 1L)), lit(0L))
+  }
 
   /** Band for a non-negative integral stat: bit length. Negative
     * values would band AFTER all positives (bin(-1) is 64 ones),
@@ -372,8 +385,13 @@ object Stats {
     * [[chiSquare]] contract). Pair counts C, D, n0 are exact
     * DECIMAL(38,0) internally (they grow as n², past BIGINT at corpus
     * scale) and surface as the double tau plus BIGINT cell/marginal
-    * diagnostics. Nulls are complete-case dropped, matching
-    * [[chiSquare]]. */
+    * diagnostics. Diagnostic range: `concordant`/`discordant` are
+    * BIGINT output columns, so past n ≈ 4.3e9 rows (n² > 2^63) the
+    * long cast overflows them to NULL — tau_b itself stays correct at
+    * any n because it is computed from the decimal sums BEFORE the
+    * cast. Callers needing exact pair counts past that range should
+    * read the decimal internals, not the diagnostic columns. Nulls
+    * are complete-case dropped, matching [[chiSquare]]. */
   def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val s = df.select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
@@ -417,10 +435,14 @@ object Stats {
     val denomR = (n0x2 - col("tpy")).cast("double") / 2.0
     cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
       .select(col("n"),
-        col("conc").cast("long").as("concordant"),
-        col("disc").cast("long").as("discordant"),
-        (col("tpx") / 2).cast("long").as("ties_x"),
-        (col("tpy") / 2).cast("long").as("ties_y"),
+        // try_cast: past n ≈ 4.3e9 the exact decimal pair counts no
+        // longer fit BIGINT — degrade the diagnostics to NULL (under
+        // default ANSI a plain cast would abort the job) while tau_b
+        // below stays exact off the decimals
+        expr("try_cast(conc AS BIGINT)").as("concordant"),
+        expr("try_cast(disc AS BIGINT)").as("discordant"),
+        expr("try_cast(tpx / 2 AS BIGINT)").as("ties_x"),
+        expr("try_cast(tpy / 2 AS BIGINT)").as("ties_y"),
         when(denomL > 0.0 && denomR > 0.0,
           (col("conc") - col("disc")).cast("double")
             / (sqrt(denomL) * sqrt(denomR))).as("tau_b"))

@@ -1232,12 +1232,12 @@ object TextAnalysis {
       groupCol: String, valCol: String, k: Double = 3.0): org.apache.spark.sql.DataFrame = {
     val v = col(valCol).cast("double")
     val med = docs.groupBy(col(groupCol))
-      .agg(expr(s"percentile(CAST($valCol AS DOUBLE), 0.5)").as("med"))
+      .agg(percentile(v, lit(0.5)).as("med"))
     val dev = docs.join(broadcast(med), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("med"),
         abs(v - col("med")).as("absdev"))
     val mad = dev.groupBy(col(groupCol))
-      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
     dev.join(broadcast(mad), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("med"), col("mad"),
         (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
@@ -1259,13 +1259,13 @@ object TextAnalysis {
       accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
     val v = col(valCol).cast("double")
     val med = docs.groupBy(col(groupCol))
-      .agg(expr(s"approx_percentile(CAST($valCol AS DOUBLE), 0.5, $accuracy)")
-        .as("med"))
+      .agg(approx_percentile(v, lit(0.5), lit(accuracy)).as("med"))
     val dev = docs.join(broadcast(med), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("med"),
         abs(v - col("med")).as("absdev"))
     val mad = dev.groupBy(col(groupCol))
-      .agg(expr(s"approx_percentile(absdev, 0.5, $accuracy)").as("mad"))
+      .agg(approx_percentile(col("absdev"), lit(0.5), lit(accuracy))
+        .as("mad"))
     dev.join(broadcast(mad), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("med"), col("mad"),
         (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
@@ -1294,8 +1294,7 @@ object TextAnalysis {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bad winsor band [$lo, $hi]")
     val v = col(valCol).cast("double")
     val qs = docs.groupBy(col(groupCol))
-      .agg(expr(s"percentile(CAST($valCol AS DOUBLE), array($lo, $hi))")
-        .as("q"))
+      .agg(percentile(v, array(lit(lo), lit(hi))).as("q"))
       .select(col(groupCol), col("q")(0).as("p_lo"), col("q")(1).as("p_hi"))
     val clamped = least(greatest(v, col("p_lo")), col("p_hi"))
     val inBand = v >= col("p_lo") && v <= col("p_hi")
@@ -1808,8 +1807,8 @@ object TextAnalysis {
     // and the inner ref join would silently empty the result — the
     // worst failure mode a production drift alarm can have
     val edges = docs.filter(col(groupCol) === refGroup)
-      .agg(expr(s"percentile(CAST($valCol AS DOUBLE), array(${pcts.mkString(",")}))")
-        .as("__e0"), count(lit(1)).as("__rn"))
+      .agg(percentile(x, array(pcts.map(lit): _*)).as("__e0"),
+        count(lit(1)).as("__rn"))
       .select(when(col("__rn") === 0L,
         raise_error(lit(s"psiDrift: reference group '$refGroup' has no rows"))
           .cast("array<double>"))

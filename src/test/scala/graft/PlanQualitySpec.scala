@@ -916,7 +916,13 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q231 sorted neighbors: rank window banded, offsets broadcast, candidates keyed") {
-    val plan = physical("q231_sorted_neighbors")
+    // lazy variant: the gate materializes (localCheckpoint) so its
+    // executed plan is just the pinned-rows scan; the pins below
+    // inspect the plan that materialization RUNS
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lazyPairs = graft.llm.Dedup.sortedNeighborPairs(
+      docs, "doc_id", "text", materialize = false)
+    val plan = lazyPairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     // the data-sized row_number window must carry the band partition
     // key; only the 2^bandBits-row offset frame may sort unpartitioned

@@ -17,6 +17,21 @@ class QueriesSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
       assert(df.columns.distinct.length == df.columns.length,
         s"duplicate output columns in ${q.name}")
+      // Gradeability lint (the r13 q190 lesson): the driver's pandas
+      // comparator sorts then hashes every cell, and numpy arrays /
+      // dicts are unhashable — a top-level Array/Map/Struct column
+      // makes the gate err even when the values are right. Project
+      // collections to a canonical scalar (join to string, or explode
+      // to one row per element) before they leave a gate query.
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val complexCols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(complexCols.isEmpty,
+        s"${q.name} emits driver-ungradeable complex column(s): " +
+          complexCols.mkString(", "))
     }
   }
 
