@@ -5413,6 +5413,162 @@ object QueriesLlm {
              COUNT(*) < 5 AS at_risk
       FROM documents GROUP BY source, lang ORDER BY source, lang"""))
 
+  /** Misra-Gries heavy-hitter tokens, capacity 64 (> the fixture
+    * vocabulary, so the summary is exact and the oracle is plain
+    * counting — the sketch-gate discipline of q46/q50); the
+    * deterministic error bound ⌊n/65⌋ rides along. See
+    * [[graft.llm.Frequent.heavyHitters]] for the merge rule. */
+  private val q239 = Q("q239_heavy_hitters",
+    (s, dir) => graft.llm.Frequent.heavyHitters(t(s, dir, "documents"),
+      "text", capacity = 64, minCount = 1L)
+      .orderBy(col("est_count").desc, col("term")),
+    Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      t2 AS (SELECT term FROM toks WHERE length(term) > 0),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t2)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS est_count,
+             CAST(n_tokens // 65 AS BIGINT) AS err_bound
+      FROM t2 CROSS JOIN n GROUP BY term, n_tokens
+      ORDER BY est_count DESC, term"""))
+
+  /** Exact rolling 7-day distinct active users per day over the
+    * densified day spine; see [[graft.ops.EventOps.rollingActiveUsers]]
+    * for the latest-activity-wins decomposition that avoids both the
+    * count-distinct window and the day×corpus re-scan. */
+  private val q240 = Q("q240_rolling_active",
+    (s, dir) => graft.ops.EventOps.rollingActiveUsers(
+      t(s, dir, "events"), windowDays = 7).orderBy("day"),
+    Some("""
+      WITH acts AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM acts),
+      spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      SELECT s.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM spine s LEFT JOIN acts a ON a.day BETWEEN s.day - 6 AND s.day
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Symmetric int8 quantization round-trip error per embedding; see
+    * [[Similarity.int8QuantStats]] for the FAISS-SQ8 scheme and the
+    * reorder-drift bound. */
+  private val q241 = Q("q241_int8_quant",
+    (s, dir) => Similarity.int8QuantStats(t(s, dir, "embeddings"),
+      "vec_id").orderBy("vec_id"),
+    Some("""
+      WITH b AS (SELECT vec_id,
+          list_transform(embedding[1:64], e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (SELECT vec_id, v,
+          list_max(list_transform(v, e -> abs(e))) AS scale FROM b),
+      e AS (SELECT vec_id, scale,
+          list_transform(v, x -> CASE WHEN scale > 0 THEN
+              x - greatest(-127.0, least(127.0,
+                floor((x * 127.0) / scale + 0.5))) * scale / 127.0
+            ELSE x END) AS d
+        FROM s)
+      SELECT vec_id, scale,
+        list_sum(list_transform(d, x -> x * x)) / len(d) AS mse,
+        sqrt(list_max(list_transform(d, x -> x * x))) AS max_abs_err
+      FROM e ORDER BY vec_id"""))
+
+  /** Split-conformal doc-length threshold per language at α = 0.1
+    * (the k-th order statistic with finite-sample correction); see
+    * [[graft.llm.Stats.conformalThreshold]]. */
+  private val q242 = Q("q242_conformal",
+    (s, dir) => graft.llm.Stats.conformalThreshold(t(s, dir, "documents"),
+      "lang", "n_chars", alpha = 0.1).orderBy("lang"),
+    Some("""
+      WITH s AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+                 FROM documents
+                 WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM s GROUP BY 1, 2),
+      cum AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM cells),
+      tot AS (SELECT g, CAST(MAX(cum) AS BIGINT) AS n,
+                CAST(ceil(CAST(MAX(cum) + 1 AS DOUBLE) * 0.9) AS BIGINT) AS k
+              FROM cum GROUP BY 1),
+      hit AS (SELECT g, v AS threshold, cum AS chit,
+                row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+              FROM (SELECT cum.g, cum.v, cum.cum
+                    FROM cum JOIN tot USING (g) WHERE cum.cum >= tot.k))
+      SELECT t.g AS lang, t.n, t.k,
+             CASE WHEN t.k <= t.n THEN h.threshold END AS threshold,
+             CASE WHEN t.k <= t.n THEN CAST(h.chit AS DOUBLE) / t.n END
+               AS coverage
+      FROM tot t LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h USING (g)
+      ORDER BY lang"""))
+
+  /** Character-class mix + dominant script per document; see
+    * [[TextAnalysis.scriptMix]]. */
+  private val q243 = Q("q243_script_mix",
+    (s, dir) => TextAnalysis.scriptMix(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("doc_id"),
+    Some("""
+      WITH b AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n,
+          CAST(length(text) - length(regexp_replace(text,
+            '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+          CAST(length(text) - length(regexp_replace(text,
+            '[0-9]', '', 'g')) AS BIGINT) AS digit,
+          CAST(length(text) - length(regexp_replace(text,
+            '[ \t\n\r]', '', 'g')) AS BIGINT) AS space
+        FROM documents),
+      c AS (SELECT doc_id, n, latin, digit, space,
+              n - latin - digit - space AS other FROM b)
+      SELECT doc_id, n AS n_chars_total, latin AS n_latin,
+             digit AS n_digit, space AS n_space, other AS n_other,
+             CASE WHEN n > 0 THEN CAST(latin AS DOUBLE) / n END AS latin_frac,
+             CASE WHEN n > 0 THEN CAST(digit AS DOUBLE) / n END AS digit_frac,
+             CASE WHEN n > 0 THEN CAST(space AS DOUBLE) / n END AS space_frac,
+             CASE WHEN n > 0 THEN CAST(other AS DOUBLE) / n END AS other_frac,
+             CASE WHEN n > 0 THEN
+               CASE WHEN latin >= digit AND latin >= space AND latin >= other
+                      THEN 'latin'
+                    WHEN digit >= space AND digit >= other THEN 'digit'
+                    WHEN space >= other THEN 'space'
+                    ELSE 'other' END END AS dominant
+      FROM c ORDER BY doc_id"""))
+
+  /** Per-source exact AUC of the q197/q207-configured scorer — the
+    * slice readout over the same trained weights; see
+    * [[graft.llm.Stats.aucByGroup]]. */
+  private val q244 = Q("q244_auc_by_group",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      val scored = QualityClassifier.score(feat, "doc_id", w)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.llm.Stats.aucByGroup(scored, "source").orderBy("source")
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      sc AS (SELECT d.source AS g, s.p, s.y
+             FROM scored_lr s JOIN documents d USING (doc_id)),
+      dd AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+             FROM sc GROUP BY 1, 2),
+      r AS (SELECT g, p, cnt, pos,
+              2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1 AS rank2
+            FROM dd),
+      a AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   SUM(CAST(pos AS HUGEINT) * rank2) AS s2
+            FROM r GROUP BY 1)
+      SELECT g AS source, n, n_pos, n - n_pos AS n_neg,
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+             END AS auc
+      FROM a ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5425,5 +5581,6 @@ object QueriesLlm {
     q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
+    q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
+    q239, q240, q241, q242, q243, q244)
 }

@@ -1481,4 +1481,44 @@ object Similarity {
         (coalesce(col("n_overlap"), lit(0L)).cast("double") /
           lit(k.toDouble)).as("recall"))
   }
+
+  /** Symmetric per-vector int8 quantization round-trip quality: for
+    * each embedding, scale = max |e_i|, q_i = ⌊e_i·127/scale + ½⌋
+    * (clamped to ±127 against fp edge cases), dequantized error
+    * readouts mse and max-abs — the numbers that decide whether a
+    * serving index can store int8 (4× smaller, SIMD-dot-friendly)
+    * instead of float32. This is SCALAR quantization, the complement
+    * of [[pqTrain]]'s vector quantization: PQ compresses by codebook
+    * (lossy in direction), int8 by precision (lossy in magnitude) —
+    * production ANN stacks (FAISS `SQ8`) quantize residuals with
+    * exactly this scheme.
+    *
+    * An all-zero vector quantizes to all zeros with scale 0 and zero
+    * error (the CASE both engines share).
+    *
+    * Determinism: scale is an exact max of float-widened doubles;
+    * each q_i is one floor of an IEEE expression, identical in
+    * DuckDB; mse sums 64 squared errors left-to-right — reorder drift
+    * is bounded by dims·ulp·Σerr² ≈ 1e-17, seven orders inside the
+    * gate's 1e-9 rounding.
+    *
+    * Scale shape: a pure per-row map riding the scan — zero shuffle,
+    * zero state; at 100 TB this is a column writer, not a job. */
+  def int8QuantStats(vectors: DataFrame, idCol: String,
+      embCol: String = "embedding", dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val xd = transform(slice(col(embCol), 1, dims), e => e.cast("double"))
+    val s = array_max(transform(xd, e => abs(e)))
+    def quant(e: Column): Column = when(s > 0.0,
+      greatest(lit(-127.0), least(lit(127.0),
+        floor((e * 127.0) / s + 0.5)))).otherwise(lit(0.0))
+    val errs = transform(xd, e => {
+      val d = e - quant(e) * s / 127.0
+      d * d
+    })
+    vectors.select(col(idCol), s.as("scale"),
+      (aggregate(errs, lit(0.0), (acc, x) => acc + x) /
+        size(xd).cast("double")).as("mse"),
+      sqrt(array_max(errs)).as("max_abs_err"))
+  }
 }

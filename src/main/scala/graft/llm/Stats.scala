@@ -447,4 +447,89 @@ object Stats {
           (col("conc") - col("disc")).cast("double")
             / (sqrt(denomL) * sqrt(denomR))).as("tau_b"))
   }
+
+  /** Per-group split-conformal threshold (Vovk; Lei et al.): the
+    * k-th smallest score with k = ⌈(n+1)(1−α)⌉ — the
+    * FINITE-SAMPLE-valid cut: any exchangeable future score lands at
+    * or below it with probability ≥ 1−α, no distributional
+    * assumption. This is how a quality/perplexity filter threshold
+    * gets a guarantee instead of a vibe: calibrate on a held-out
+    * group, read the threshold, filter at it. Groups too small to
+    * certify (k > n, i.e. n < ⌈(1−α)/α⌉-ish) emit a NULL threshold —
+    * the honest answer, not max().
+    *
+    * Output: (group, n, k, threshold, coverage) with coverage the
+    * REALIZED fraction ≤ threshold (≥ (1−α) by construction; the gap
+    * above it is the tie/discreteness slack).
+    *
+    * Scale shape: one (group, score)-keyed count (map-side combined),
+    * a group-partitioned cumulative window on the DISTINCT-score
+    * frame (value-cardinality-sized — the [[chiSquare]] discrete
+    * contract), |groups|-row joins broadcast. */
+  def conformalThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val s = df.select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"))
+      .filter(col("__g").isNotNull && col("__s").isNotNull)
+    val cells = s.groupBy("__g", "__s").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("__g").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells.withColumn("cum", sum(col("c")).over(wCum))
+    val tot = cum.groupBy("__g").agg(max(col("cum")).cast("long").as("n"))
+      .withColumn("k",
+        ceil((col("n") + 1L).cast("double") * (1.0 - alpha)).cast("long"))
+    val hit = cum.join(broadcast(tot), Seq("__g"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("__g")
+      .agg(min(struct(col("__s"), col("cum"))).as("__t"))
+      .select(col("__g"), col("__t.__s").as("threshold"),
+        col("__t.cum").cast("long").as("__chit"))
+    tot.join(hit, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("k"),
+        when(col("k") <= col("n"), col("threshold")).as("threshold"),
+        when(col("k") <= col("n"),
+          col("__chit").cast("double") / col("n").cast("double"))
+          .as("coverage"))
+  }
+
+  /** Per-slice exact ROC-AUC — [[auc]] stratified by a group column,
+    * the fairness/monitoring readout ("the scorer is fine overall and
+    * broken on src7" is invisible to the global number). Same
+    * Mann-Whitney midrank construction; the rank window partitions by
+    * GROUP over each group's distinct-score frame, so every rank2 is
+    * the within-group exact integer. Degenerate slices (one class)
+    * emit null auc, matching [[auc]].
+    *
+    * Scale shape: one (group, score)-keyed count aggregate, a
+    * group-partitioned window on the distinct-score frame
+    * (value-cardinality per group, never row-sized), one group-keyed
+    * fold. Rank sums in DECIMAL(38,0) (the pmiPairs lesson). */
+  def aucByGroup(scored: DataFrame, groupCol: String,
+      probCol: String = "quality_score",
+      labelCol: String = "label"): DataFrame = {
+    val s = scored.select(col(groupCol).as("__g"), col(probCol).as("__p"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__g").isNotNull)
+    val byScore = s.groupBy("__g", "__p")
+      .agg(count(lit(1)).as("cnt"), sum("__y").as("pos"))
+    val wBefore = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("rank2",
+      lit(2L) * coalesce(sum(col("cnt")).over(wBefore), lit(0L)) +
+        col("cnt") + 1L)
+    val a = ranked.groupBy("__g").agg(
+      sum(col("cnt")).as("n"),
+      sum(col("pos")).as("n_pos"),
+      sum(col("pos").cast(dec) * col("rank2")).as("__s2"))
+    val nPos = col("n_pos")
+    val nNeg = col("n") - col("n_pos")
+    a.select(col("__g").as(groupCol),
+      col("n").cast("long").as("n"),
+      nPos.cast("long").as("n_pos"), nNeg.cast("long").as("n_neg"),
+      when(nPos > 0 && nNeg > 0,
+        (col("__s2") - (nPos.cast(dec) * (nPos + 1L))).cast("double") /
+          (lit(2.0) * nPos.cast("double") * nNeg.cast("double")))
+        .as("auc"))
+  }
 }

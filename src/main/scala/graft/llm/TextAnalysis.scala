@@ -2159,4 +2159,44 @@ object TextAnalysis {
     ranked.join(pooled, Seq("__pos"))
       .select(col(idCol), col(groupCol), col(valCol), col("q_norm"))
   }
+
+  /** Per-document character-class mix: counts and fractions of latin
+    * letters, digits, and whitespace, plus the remainder bucket and
+    * the dominant class — the script-profile features a multilingual
+    * pipeline routes on BEFORE language-ID (langid's marker vote only
+    * makes sense on letter-dominated text; a 90%-digit "document" is
+    * a table dump, an other-dominated one is non-latin script or
+    * binary junk, and both take different cleaning paths).
+    *
+    * Counts via the regexp-strip-length trick (one regexp_replace per
+    * class — the [[readability]] discipline: ASCII classes only, so
+    * Java regex and RE2 agree); fractions are single IEEE divisions
+    * of exact longs; `dominant` breaks ties by the fixed
+    * latin > digit > space > other precedence both engines replay.
+    * Empty docs emit zero counts and null fractions/dominant.
+    *
+    * Scale shape: a pure per-row map riding the scan — zero shuffle
+    * (the q17 text-stats shape). */
+  def scriptMix(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("long")
+    def stripped(cls: String): Column =
+      (n - length(regexp_replace(t, cls, ""))).cast("long")
+    val latin = stripped("[A-Za-z]")
+    val digit = stripped("[0-9]")
+    val space = stripped("[ \\t\\n\\r]")
+    val other = n - latin - digit - space
+    def frac(c: Column): Column = when(n > 0, c.cast("double") / n.cast("double"))
+    docs.select(col(idCol), n.as("n_chars_total"),
+      latin.as("n_latin"), digit.as("n_digit"),
+      space.as("n_space"), other.as("n_other"),
+      frac(latin).as("latin_frac"), frac(digit).as("digit_frac"),
+      frac(space).as("space_frac"), frac(other).as("other_frac"),
+      when(n > 0,
+        when(latin >= digit && latin >= space && latin >= other, "latin")
+          .when(digit >= space && digit >= other, "digit")
+          .when(space >= other, "space")
+          .otherwise("other")).as("dominant"))
+  }
 }

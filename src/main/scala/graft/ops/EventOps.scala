@@ -72,4 +72,52 @@ object EventOps {
       z.as("z"),
       coalesce(z > zCut, lit(false)).as("burst"))
   }
+
+  /** EXACT rolling `windowDays`-day distinct active users per day —
+    * the DAU/WAU/MAU readout — computed DISTRIBUTED, with no
+    * count-distinct window and no day×corpus re-scan. The trick:
+    * a user counts toward day d iff their LATEST activity day a ≤ d
+    * satisfies d − a < windowDays; "latest ≤ d" means d precedes the
+    * user's NEXT activity day. So each (user, activity-day) pair
+    * contributes to exactly the days [a, min(next−1, a+w−1)] — at
+    * most `windowDays` rows per pair, each attributable without
+    * looking at any other user. (The approximate path for when even
+    * (user, day) dedup is too hot is a mergeable [[graft.llm.HllSketch]]
+    * per day; this is the exact one.)
+    *
+    * Output: one row per day of the observed [min, max] activity
+    * spine — silent days INCLUDED at zero, the same densification
+    * argument as [[burstDetect]]'s hour spine (a gap is exactly the
+    * row a usage monitor must see).
+    *
+    * Scale shape: ONE map-side-combined (user, day) dedup aggregate,
+    * a user-keyed lead window, a ≤ windowDays-row explode, a day-keyed
+    * count; the spine frames are |days|- and 1-row. Every shuffle is
+    * keyed; nothing is day×users. */
+  def rollingActiveUsers(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive, got $windowDays")
+    val acts = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+      .filter(col("__u").isNotNull && col("__day").isNotNull)
+      .distinct()
+    val nxt = lead(col("__day"), 1).over(
+      Window.partitionBy(col("__u")).orderBy(col("__day")))
+    val bounds = acts.agg(min(col("__day")).as("__d0"),
+      max(col("__day")).as("__d1"))
+    val contrib = acts.withColumn("__nxt", nxt)
+      .select(col("__day"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
+        col("__nxt"))
+      .select(date_add(col("__day"), col("__i")).as("day"), col("__nxt"))
+      .filter(col("__nxt").isNull || col("day") < col("__nxt"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("__d1"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val spine = bounds.select(explode(sequence(col("__d0"), col("__d1"),
+      expr("interval 1 day"))).as("day"))
+    spine.join(contrib, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).cast("long").as("n_active"))
+  }
 }

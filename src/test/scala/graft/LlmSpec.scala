@@ -2567,4 +2567,59 @@ class LlmSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("zero-norm")),
       e.toString)
   }
+
+  test("scriptMix: exact class counts, precedence tie-break, empty doc nulls") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ab1 2\tX"),  // 3 latin, 2 digit, 2 space
+      (2L, ""),           // empty: zero counts, null fracs/dominant
+      (3L, "12 ab"),      // 2 latin, 2 digit, 1 space: tie -> latin
+      (4L, "@@@@"))       // all other
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_chars_total") == 7L)
+    assert(r1.getAs[Long]("n_latin") == 3L &&
+      r1.getAs[Long]("n_digit") == 2L && r1.getAs[Long]("n_space") == 2L &&
+      r1.getAs[Long]("n_other") == 0L)
+    assert(r1.getAs[String]("dominant") == "latin")
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_chars_total") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("latin_frac")) &&
+      r2.isNullAt(r2.fieldIndex("dominant")))
+    assert(out(2).getAs[String]("dominant") == "latin",
+      "latin wins the fixed precedence on ties")
+    val r4 = out(3)
+    assert(r4.getAs[Long]("n_other") == 4L &&
+      r4.getAs[String]("dominant") == "other")
+    assert(math.abs(r4.getAs[Double]("other_frac") - 1.0) < 1e-15)
+  }
+
+  test("int8QuantStats: hand-computed round-trip errors, zero vector exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, -2.0f, 4.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8QuantStats(d, "vec_id", dims = 4)
+      .orderBy("vec_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Double]("scale") == 4.0)
+    // replicate the exact scheme in driver doubles
+    val v = Seq(1.0, -2.0, 4.0, 0.5)
+    val errs = v.map { x =>
+      val q = math.max(-127.0, math.min(127.0,
+        math.floor((x * 127.0) / 4.0 + 0.5)))
+      val dd = x - q * 4.0 / 127.0
+      dd * dd
+    }
+    assert(math.abs(r1.getAs[Double]("mse") - errs.sum / 4.0) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("max_abs_err") -
+      math.sqrt(errs.max)) < 1e-15)
+    val r2 = out(1)
+    assert(r2.getAs[Double]("scale") == 0.0 &&
+      r2.getAs[Double]("mse") == 0.0 &&
+      r2.getAs[Double]("max_abs_err") == 0.0)
+  }
 }

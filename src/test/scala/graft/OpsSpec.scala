@@ -145,4 +145,31 @@ class OpsSpec extends AnyFunSuite {
     assert(deep.getAs[Long]("n_events") == 1L)
     assert(deep.isNullAt(deep.fieldIndex("z")))
   }
+
+  test("rollingActiveUsers: equals brute-force rolling distinct, silent days at zero") {
+    import spark.implicits._
+    // user 1: days 0,1,9; user 2: day 0 only; user 3: days 4..5 —
+    // with w=3 this exercises re-activity inside the window (no
+    // double count), expiry, a silent-day gap (days 8 with nobody
+    // active under w=3), and multi-event days (dedup)
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(day: Int, u: Long, k: Int) = (0 until k).map(i =>
+      (new java.sql.Timestamp(t0.getTime + day * 86400000L + i * 1000L), u))
+    val rows = at(0, 1L, 3) ++ at(1, 1L, 1) ++ at(9, 1L, 2) ++
+      at(0, 2L, 1) ++ at(4, 3L, 1) ++ at(5, 3L, 2)
+    val out = graft.ops.EventOps.rollingActiveUsers(
+      rows.toDF("ts", "user_id"), windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // brute force: distinct users with an activity day in [d-2, d]
+    val acts = Map(1L -> Set(0, 1, 9), 2L -> Set(0), 3L -> Set(4, 5))
+    val want = (0 to 9).map { d =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(d).toString
+      day -> acts.count { case (_, ds) =>
+        ds.exists(a => a <= d && a > d - 3) }.toLong
+    }
+    assert(out.toSeq == want.toSeq)
+    // the spine is dense: day 8 exists with zero actives
+    assert(out(8)._2 == 0L)
+  }
 }

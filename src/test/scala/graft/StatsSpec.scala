@@ -280,4 +280,59 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(Stats.spearman(tied, "x", "y").collect().head
       .getAs[Double]("rho") - expect) < 1e-12)
   }
+
+  test("conformalThreshold: k-th order statistic, ties, and too-small-to-certify groups") {
+    import spark.implicits._
+    // group a: scores 1..9, alpha=0.1 -> k = ceil(10*0.9) = 9 ->
+    // threshold = 9th smallest = 9, coverage 1.0
+    // group b: 4 rows -> k = ceil(5*0.9) = 5 > 4 -> NULL threshold
+    // group c: 19 rows with ties -> k = ceil(20*0.9) = 18; scores
+    // are ten 1s then nine 2s -> cum(1)=10 < 18 <= cum(2)=19 ->
+    // threshold 2, coverage 19/19 = 1.0 (tie slack visible when the
+    // hit value's cum exceeds k)
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) ++
+      (1 to 4).map(i => ("b", i.toDouble)) ++
+      Seq.fill(10)(("c", 1.0)) ++ Seq.fill(9)(("c", 2.0)))
+      .toDF("g", "s")
+    val out = Stats.conformalThreshold(df, "g", "s", alpha = 0.1)
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n") == 9L && a.getAs[Long]("k") == 9L)
+    assert(a.getAs[Double]("threshold") == 9.0)
+    assert(a.getAs[Double]("coverage") == 1.0)
+    val b = out(1)
+    assert(b.getAs[Long]("k") == 5L && b.isNullAt(b.fieldIndex("threshold")))
+    assert(b.isNullAt(b.fieldIndex("coverage")))
+    val c = out(2)
+    assert(c.getAs[Long]("k") == 18L)
+    assert(c.getAs[Double]("threshold") == 2.0)
+    assert(c.getAs[Double]("coverage") == 1.0)
+    // coverage >= 1 - alpha whenever certified (the conformal
+    // guarantee, realized on the calibration set)
+    Seq(a, c).foreach(r =>
+      assert(r.getAs[Double]("coverage") >= 0.9 - 1e-15))
+  }
+
+  test("aucByGroup: per-slice equals Stats.auc run on the slice, degenerate slice null") {
+    import spark.implicits._
+    val df = Seq(
+      // slice A: perfect separation -> 1.0
+      ("A", 0.9, 1L), ("A", 0.8, 1L), ("A", 0.3, 0L), ("A", 0.1, 0L),
+      // slice B: one tie pair -> 0.875
+      ("B", 0.8, 1L), ("B", 0.5, 1L), ("B", 0.5, 0L), ("B", 0.2, 0L),
+      // slice C: positives only -> null
+      ("C", 0.7, 1L), ("C", 0.6, 1L))
+      .toDF("src", "quality_score", "label")
+    val out = Stats.aucByGroup(df, "src").orderBy("src").collect()
+    assert(math.abs(out(0).getAs[Double]("auc") - 1.0) < 1e-15)
+    assert(math.abs(out(1).getAs[Double]("auc") - 0.875) < 1e-15)
+    assert(out(2).isNullAt(out(2).fieldIndex("auc")))
+    // cross-check every slice against the global auc on that slice
+    for (g <- Seq("A", "B")) {
+      val whole = Stats.auc(df.filter(col("src") === g))
+        .collect().head.getAs[Double]("auc")
+      val sliced = out(if (g == "A") 0 else 1).getAs[Double]("auc")
+      assert(math.abs(whole - sliced) < 1e-15)
+    }
+  }
 }
