@@ -5569,6 +5569,56 @@ object QueriesLlm {
              END AS auc
       FROM a ORDER BY source"""))
 
+  /** Good-Turing unseen mass + Chao1 vocabulary richness — the
+    * "does more data buy new vocabulary" headline; see
+    * [[TextAnalysis.vocabRichness]]. */
+  private val q245 = Q("q245_vocab_richness",
+    (s, dir) => TextAnalysis.vocabRichness(t(s, dir, "documents"), "text"),
+    Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      spec AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+               FROM toks GROUP BY 1),
+      a AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS vocab,
+              CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+            FROM spec)
+      SELECT n_tokens, vocab, n1, n2,
+             CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass,
+             CAST(vocab AS DOUBLE) + (CAST(n1 AS DOUBLE)
+               * CAST(n1 - 1 AS DOUBLE)) / (2.0 * CAST(n2 + 1 AS DOUBLE))
+               AS chao1
+      FROM a"""))
+
+  /** Most-repeated winnow fingerprints (boilerplate/template heads —
+    * the memorization-risk spans); see [[TextAnalysis.winnowHeads]]
+    * and the q190 selection guarantee. */
+  private val q246 = Q("q246_winnow_heads",
+    (s, dir) => TextAnalysis.winnowHeads(t(s, dir, "documents"),
+      "doc_id", "text", k = 4, w = 4, minDocs = 2L)
+      .orderBy(col("n_docs").desc, col("fingerprint")),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      g AS (SELECT doc_id, p.i AS pos,
+              ('0x' || substr(md5(p.g), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 3),
+                      i -> {'i': i, 'g': array_to_string(t[i:i+3], ' ')})) AS p
+                  FROM arr WHERE len(t) >= 4)),
+      wm AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w,
+               COUNT(*) OVER (PARTITION BY doc_id) AS ng
+             FROM g),
+      sel AS (SELECT DISTINCT doc_id, w FROM wm
+              WHERE pos <= greatest(ng - 3, 1))
+      SELECT w AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM sel GROUP BY 1 HAVING COUNT(*) >= 2
+      ORDER BY n_docs DESC, fingerprint"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5582,5 +5632,5 @@ object QueriesLlm {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
-    q239, q240, q241, q242, q243, q244)
+    q239, q240, q241, q242, q243, q244, q245, q246)
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -282,9 +283,69 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
 
+  /** Training memos (the [[Pca.topComponent]] discipline): a session
+    * that trains the same quantizer on the same corpus plan twice —
+    * the q134/q143/q145/q147 family's exact situation, and any
+    * notebook re-running an index build — pays Lloyd's iterations
+    * once. Keyed on (session, canonicalized analyzed plan, params):
+    * `sameResult` semantics, so `.filter`/`.repartition` variants key
+    * separately while repeated reads of the same table share. The
+    * cached artifact is the COLLECTED centroid/codebook table —
+    * k·dims (≤ a few thousand) doubles, the same bounded-driver-state
+    * argument as the BPE vocab and the PCA grid — replayed as a local
+    * relation, so a memo hit costs zero jobs. Values are identical by
+    * construction (training is deterministic given the plan: seeded
+    * from the first vectors, exact-decimal means). Same staleness
+    * contract as Spark's relation cache; [[clearTrainingMemo]] resets. */
+  private val TrainMemoCap = 32
+  private val kmMemo = new java.util.LinkedHashMap[
+      (SparkSession, LogicalPlan, Int, Int, Int, Boolean),
+      Array[(Long, Seq[Double])]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, LogicalPlan, Int, Int, Int, Boolean),
+          Array[(Long, Seq[Double])]]): Boolean = size > TrainMemoCap
+  }
+  private val pqMemo = new java.util.LinkedHashMap[
+      (SparkSession, LogicalPlan, Int, Int, Int, Int),
+      Array[(Int, Int, Seq[Double])]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, LogicalPlan, Int, Int, Int, Int),
+          Array[(Int, Int, Seq[Double])]]): Boolean = size > TrainMemoCap
+  }
+
+  def clearTrainingMemo(): Unit = {
+    kmMemo.synchronized(kmMemo.clear())
+    pqMemo.synchronized(pqMemo.clear())
+  }
+
+  /** (k-means entries, PQ entries) — test observability for the memo
+    * hit/miss contract. */
+  private[graft] def trainingMemoSizes: (Int, Int) =
+    (kmMemo.synchronized(kmMemo.size), pqMemo.synchronized(pqMemo.size))
+
   /** Lloyd's body over an already-prepped (ideally persisted) frame —
-    * the caller owns the cache (the [[pqTrainOnSubs]] contract). */
+    * the caller owns the cache (the [[pqTrainOnSubs]] contract).
+    * Memoized per (session, prep plan, params) — see [[kmMemo]]. */
   private def kmeansOnPrep(prep: DataFrame, k: Int, iters: Int,
+      dims: Int, checkpointDir: Option[String],
+      exactMeans: Boolean): DataFrame = {
+    val sp = prep.sparkSession
+    val key = (sp, prep.queryExecution.analyzed.canonicalized,
+      k, iters, dims, exactMeans)
+    kmMemo.synchronized(Option(kmMemo.get(key))) match {
+      case Some(rows) =>
+        sp.createDataFrame(rows.toIndexedSeq).toDF("cid", "c_emb")
+      case None =>
+        val cents = kmeansOnPrepUncached(prep, k, iters, dims,
+          checkpointDir, exactMeans)
+        val rows = cents.collect().map(r =>
+          (r.getLong(0), r.getSeq[Double](1)))
+        kmMemo.synchronized(kmMemo.put(key, rows))
+        sp.createDataFrame(rows.toIndexedSeq).toDF("cid", "c_emb")
+    }
+  }
+
+  private def kmeansOnPrepUncached(prep: DataFrame, k: Int, iters: Int,
       dims: Int, checkpointDir: Option[String],
       exactMeans: Boolean): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
@@ -415,8 +476,27 @@ object Similarity {
       .withColumn("xx", dot(col("sv"), col("sv")))
 
   /** Training body over an already-prepped (ideally persisted)
-    * subvector table — the caller owns the cache. */
+    * subvector table — the caller owns the cache. Memoized per
+    * (session, subs plan, params) — see [[kmMemo]]'s rationale. */
   private def pqTrainOnSubs(subs: DataFrame, m: Int, ksub: Int,
+      iters: Int, dims: Int, checkpointDir: Option[String]): DataFrame = {
+    val sp = subs.sparkSession
+    val key = (sp, subs.queryExecution.analyzed.canonicalized,
+      m, ksub, iters, dims)
+    pqMemo.synchronized(Option(pqMemo.get(key))) match {
+      case Some(rows) =>
+        sp.createDataFrame(rows.toIndexedSeq).toDF("sub", "cid", "c")
+      case None =>
+        val books = pqTrainOnSubsUncached(subs, m, ksub, iters, dims,
+          checkpointDir)
+        val rows = books.collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        pqMemo.synchronized(pqMemo.put(key, rows))
+        sp.createDataFrame(rows.toIndexedSeq).toDF("sub", "cid", "c")
+    }
+  }
+
+  private def pqTrainOnSubsUncached(subs: DataFrame, m: Int, ksub: Int,
       iters: Int, dims: Int, checkpointDir: Option[String]): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val dsub = dims / m

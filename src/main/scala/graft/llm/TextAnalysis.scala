@@ -1609,6 +1609,59 @@ object TextAnalysis {
           col("n_r").cast("double")).as("gt_r_star"))
   }
 
+  /** Corpus vocabulary-richness summary — the "how much vocabulary
+    * haven't we crawled yet" readout: Good-Turing unseen mass
+    * n₁/N (the probability the NEXT token is a never-seen type —
+    * Good 1953; the number that says whether more data buys new
+    * vocabulary or repeats) and the bias-corrected Chao1 richness
+    * estimate V + n₁(n₁−1)/(2(n₂+1)) (Chao 1984: a lower bound on
+    * the TRUE vocabulary size including unseen types). Complements
+    * [[freqSpectrum]] (which carries the per-r Good-Turing discounts)
+    * and [[heapsCurve]] (growth trajectory) with the one-row
+    * headline both are read for.
+    *
+    * Determinism: all five counts are exact longs off one spectrum;
+    * the two estimates are single IEEE expressions of them.
+    *
+    * Scale shape: one token-keyed count (map-side combined), one
+    * spectrum fold over the vocab-sized frame — the freqSpectrum
+    * shape; output is ONE row. */
+  def vocabRichness(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spec = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+    val agg = spec.agg(
+      sum(col("r")).cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("vocab"),
+      sum(when(col("r") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("r") === 2L, 1L).otherwise(0L)).cast("long").as("n2"))
+    agg.select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+      (col("n1").cast("double") / col("n_tokens").cast("double"))
+        .as("unseen_mass"),
+      (col("vocab").cast("double") +
+        (col("n1").cast("double") * (col("n1") - 1L).cast("double")) /
+          (lit(2.0) * (col("n2") + 1L).cast("double"))).as("chao1"))
+  }
+
+  /** Most-repeated winnow fingerprints across the corpus — the
+    * memorization-risk span heads: a fingerprint selected by ≥
+    * `minDocs` documents marks a shared ≥ w+k−1-word run (the
+    * [[winnowFingerprints]] guarantee), and the head of THIS list is
+    * boilerplate/licence/template text a dedup pass should learn
+    * about first. Output (fingerprint, n_docs), heaviest first.
+    *
+    * Scale shape: the per-doc kernel rides the scan; the explode
+    * emits the w-fold-discounted fingerprint stream; ONE
+    * fingerprint-keyed count (map-side combined) — never a pair
+    * join, never a doc×doc anything. */
+  def winnowHeads(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 4,
+      minDocs: Long = 2L): org.apache.spark.sql.DataFrame =
+    winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(explode(col("fingerprints")).as("fingerprint"))
+      .groupBy("fingerprint").agg(count(lit(1)).cast("long").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Pairwise Jensen-Shannon divergence between per-source unigram
     * distributions — the symmetric, bounded ([0, ln 2]) companion to
     * [[sourceTvd]]'s corpus-relative distance: the mixture designer's

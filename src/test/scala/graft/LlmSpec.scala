@@ -2596,6 +2596,72 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(r4.getAs[Double]("other_frac") - 1.0) < 1e-15)
   }
 
+  test("vocabRichness: hand-computed spectrum, Good-Turing mass and Chao1") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1, d=1 -> N=7 V=4 n1=2 n2=1
+    val d = Seq("a a b", "a b c d").toDF("text")
+    val r = TextAnalysis.vocabRichness(d, "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 7L && r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 1L)
+    assert(math.abs(r.getAs[Double]("unseen_mass") - 2.0 / 7.0) < 1e-15)
+    // chao1 = 4 + 2*1/(2*2) = 4.5
+    assert(math.abs(r.getAs[Double]("chao1") - 4.5) < 1e-15)
+    // saturated corpus: no singletons -> zero unseen mass, chao1 = V
+    val sat = Seq("x x y y", "x y").toDF("text")
+    val rs = TextAnalysis.vocabRichness(sat, "text").collect().head
+    assert(rs.getAs[Double]("unseen_mass") == 0.0)
+    assert(rs.getAs[Double]("chao1") == 2.0)
+  }
+
+  test("winnowHeads: shared span surfaces, unique docs don't") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, shared + " unique1 tail1"),
+      (2L, shared + " unique2 tail2"),
+      (3L, "totally different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val heads = TextAnalysis.winnowHeads(d, "doc_id", "text").collect()
+    // the >= w+k-1 = 7-word shared run guarantees >= 1 shared
+    // fingerprint between docs 1 and 2; doc 3 shares nothing
+    assert(heads.nonEmpty, "shared span must leave a shared fingerprint")
+    assert(heads.forall(_.getAs[Long]("n_docs") == 2L))
+    // cross-check: heads are exactly the intersection of the two
+    // docs' fingerprint sets, minus doc 3's
+    val fps = TextAnalysis.winnowFingerprints(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3).toSet).toMap
+    val wantHeads = (fps(1L) & fps(2L)) -- fps(3L)
+    assert(heads.map(_.getAs[Long]("fingerprint")).toSet == wantHeads)
+  }
+
+  test("kmeans training memo: same plan+params hits, different params miss, values identical") {
+    Similarity.clearTrainingMemo()
+    assert(Similarity.trainingMemoSizes == ((0, 0)))
+    val c1 = Similarity.kmeansCentroids(emb, k = 8, iters = 2,
+      exactMeans = true)
+    val rows1 = c1.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(Similarity.trainingMemoSizes._1 == 1)
+    // fresh DataFrame over the same table, same params -> memo HIT
+    // (no new entry) served as a collected local relation — the
+    // Pca.topComponent contract: repeat training costs zero jobs
+    val c2 = Similarity.kmeansCentroids(
+      graft.sources.Tables.load(spark, dir, "embeddings"),
+      k = 8, iters = 2, exactMeans = true)
+    assert(Similarity.trainingMemoSizes._1 == 1, "same plan must hit")
+    assert(c2.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      c2.queryExecution.optimizedPlan.toString.take(500))
+    val rows2 = c2.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(rows1.map(_._1).sameElements(rows2.map(_._1)))
+    rows1.zip(rows2).foreach { case ((_, a), (_, b)) => assert(a == b) }
+    // different params -> miss -> a second entry, trained fresh
+    Similarity.kmeansCentroids(emb, k = 4, iters = 2, exactMeans = true)
+      .collect()
+    assert(Similarity.trainingMemoSizes._1 == 2, "new params must miss")
+    Similarity.clearTrainingMemo()
+  }
+
   test("int8QuantStats: hand-computed round-trip errors, zero vector exact") {
     import spark.implicits._
     val d = Seq(

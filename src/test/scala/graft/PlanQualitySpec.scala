@@ -999,4 +999,62 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name must map-side combine\n${plan.take(2000)}")
     }
   }
+
+  test("q239 heavy hitters: MG sketch folds map-side, only bounded buffers shuffle") {
+    val plan = physical("q239_heavy_hitters")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the partial typed aggregate IS the scale claim: each map task
+    // ships one <= capacity-entry buffer, never a vocabulary shuffle
+    assert(plan.contains("partial_misragries"),
+      "MG must partial-aggregate map-side: " + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      plan.take(3000))
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      "scan must prune to the text column: " + plan.take(3000))
+  }
+
+  test("q240 rolling actives: dedup map-side combined, lead window user-keyed, 1-row bound broadcast") {
+    val plan = physical("q240_rolling_active")
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // the data-sized window must carry the user partition key
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__u")),
+      windows.mkString("\n"))
+    // (user, day) dedup map-side combines before its shuffle
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("keys=[__u") && !l.contains("functions=[count")),
+      "dedup aggregate missing: " + plan.take(4000))
+    // max-day cap and spine both broadcast, never shuffled joins
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
+  test("q241 int8 quant + q243 script mix: pure scan riders — no join, no aggregate, no window") {
+    for (name <- Seq("q241_int8_quant", "q243_script_mix")) {
+      val plan = physical(name)
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"$name\n${plan.take(2000)}")
+      assert(!plan.contains("HashAggregate"),
+        s"$name must stay a per-row map\n${plan.take(2000)}")
+    }
+  }
+
+  test("q242 conformal + q244 sliced auc: windows group-keyed on distinct-value frames, joins broadcast") {
+    for (name <- Seq("q242_conformal", "q244_auc_by_group")) {
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"), s"$name\n${plan.take(3000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$name\n${plan.take(3000)}")
+      val windows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty && windows.forall(w =>
+        w.contains("__g") || w.contains("partition")),
+        s"$name windows must be group-partitioned:\n" +
+          windows.mkString("\n"))
+      assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial_count")),
+        s"$name distinct-score counts must map-side combine\n" +
+          plan.take(3000))
+    }
+  }
 }
