@@ -5619,6 +5619,50 @@ object QueriesLlm {
       FROM sel GROUP BY 1 HAVING COUNT(*) >= 2
       ORDER BY n_docs DESC, fingerprint"""))
 
+  /** CUSUM sustained-shift detection on daily event volume (Page
+    * 1954), recursion-free via the running-sum − running-min closed
+    * form; see [[graft.ops.EventOps.cusumShift]]. */
+  private val q247 = Q("q247_cusum_shift",
+    (s, dir) => graft.ops.EventOps.cusumShift(t(s, dir, "events"),
+      k = 0.5, h = 4.0).orderBy("event_type", "day"),
+    Some("""
+      WITH counts AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      daily AS (SELECT s.event_type, s.day, COALESCE(c.n, 0) AS n_events
+                FROM spine s LEFT JOIN counts c USING (event_type, day)),
+      mom AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+                CAST(SUM(n_events) AS BIGINT) AS s1,
+                SUM(CAST(n_events AS HUGEINT) * n_events) AS s2
+              FROM daily GROUP BY 1),
+      zt AS (SELECT d.event_type, d.day, d.n_events,
+               CASE WHEN nd >= 2 AND greatest((CAST(s2 AS DOUBLE)
+                   - CAST(nd AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)))
+                   / (CAST(nd AS DOUBLE) - 1.0), 0.0) > 0.0
+               THEN (CAST(d.n_events AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+                 / sqrt(greatest((CAST(s2 AS DOUBLE)
+                   - CAST(nd AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)))
+                   / (CAST(nd AS DOUBLE) - 1.0), 0.0))
+               END AS z
+             FROM daily d JOIN mom USING (event_type)),
+      c AS (SELECT *, SUM(z - 0.5) OVER w AS cp,
+              SUM(0.0 - z - 0.5) OVER w AS cn
+            FROM zt WINDOW w AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      st AS (SELECT *, cp - least(0.0, MIN(cp) OVER w) AS cusum_pos,
+               cn - least(0.0, MIN(cn) OVER w) AS cusum_neg
+             FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, day, n_events, z, cusum_pos, cusum_neg,
+             COALESCE(cusum_pos > 4.0 OR cusum_neg > 4.0, FALSE) AS alarm
+      FROM st ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5632,5 +5676,5 @@ object QueriesLlm {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
-    q239, q240, q241, q242, q243, q244, q245, q246)
+    q239, q240, q241, q242, q243, q244, q245, q246, q247)
 }

@@ -73,6 +73,80 @@ object EventOps {
       coalesce(z > zCut, lit(false)).as("burst"))
   }
 
+  /** CUSUM level-shift detection on daily event volume per type
+    * (Page 1954): the sequential change-point statistic that catches
+    * what [[burstDetect]]'s z-score cannot — a SUSTAINED small shift.
+    * A +15% volume drift flags no single hour (every z is ~0.4) but
+    * accumulates in S⁺ within days; conversely a one-hour spike that
+    * trips z barely moves the CUSUM. Production monitors run both.
+    *
+    * Statistic: z_d standardized against the series' own mean/sd
+    * (the two-pass target-value convention), slack k in sd units,
+    * S⁺_d = max(0, S⁺_{d−1} + z_d − k), S⁻ mirrored; alarm when
+    * either exceeds `h`.
+    *
+    * The recursion is computed WITHOUT recursion: max(0, ·)-folded
+    * sums have the closed form S_d = C_d − min(0, min_{j≤d} C_j)
+    * with C the plain running sum of (z − k) — so the whole detector
+    * is two chained windows (running sum, then running min) per
+    * side, type-partitioned over the DENSE day spine: distributed,
+    * engine-portable, and replayed verbatim by the DuckDB oracle.
+    * Cross-engine drift is bounded at summation-reassociation ulps
+    * (DuckDB may tree-sum a window frame) — orders of magnitude
+    * inside the gate's 1e-9 rounding on O(1)-scale statistics.
+    *
+    * Degenerate series (sd = 0 or < 2 days) emit null z/cusum and
+    * never alarm.
+    *
+    * Scale shape: the data-sized work is ONE map-side-combined
+    * (type, day) count; spine densify, moments, and all four windows
+    * run on the |types|·|days| aggregate series (the burstDetect
+    * argument). */
+  def cusumShift(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", k: Double = 0.5,
+      h: Double = 4.0): DataFrame = {
+    require(k >= 0 && h > 0, s"need k >= 0 and h > 0, got k=$k h=$h")
+    val counts = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = counts.groupBy(col(typeCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(typeCol),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("day"))
+    val daily = spine.join(counts, Seq(typeCol, "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+    // per-type target moments, exact sums (the burstDetect decimal
+    // discipline) — |types| rows, broadcast back
+    val mom = daily.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("__nd"),
+      sum(col("n_events")).as("__s1"),
+      sum(col("n_events").cast(DecimalType(38, 0)) * col("n_events"))
+        .as("__s2"))
+    val nD = col("__nd").cast("double")
+    val mean = col("__s1").cast("double") / nD
+    val variance = greatest(
+      (col("__s2").cast("double") - nD * mean * mean) / (nD - lit(1.0)),
+      lit(0.0))
+    val withZ = daily.join(broadcast(mom), Seq(typeCol))
+      .withColumn("__z", when(col("__nd") >= 2L && variance > 0.0,
+        (col("n_events").cast("double") - mean) / sqrt(variance)))
+    val wRun = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // two stages: the running sums first, then the running min OF the
+    // running sums (windows cannot nest in one projection); same
+    // partitioning + ordering, so the plan sorts once
+    val staged = withZ
+      .withColumn("__cp", sum(col("__z") - k).over(wRun))
+      .withColumn("__cn", sum(lit(0.0) - col("__z") - k).over(wRun))
+    val sPos = col("__cp") - least(lit(0.0), min(col("__cp")).over(wRun))
+    val sNeg = col("__cn") - least(lit(0.0), min(col("__cn")).over(wRun))
+    staged.select(col(typeCol), col("day"), col("n_events"),
+      col("__z").as("z"),
+      sPos.as("cusum_pos"), sNeg.as("cusum_neg"),
+      coalesce(sPos > h || sNeg > h, lit(false)).as("alarm"))
+  }
+
   /** EXACT rolling `windowDays`-day distinct active users per day —
     * the DAU/WAU/MAU readout — computed DISTRIBUTED, with no
     * count-distinct window and no day×corpus re-scan. The trick:

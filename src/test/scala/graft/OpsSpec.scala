@@ -146,6 +146,53 @@ class OpsSpec extends AnyFunSuite {
     assert(deep.isNullAt(deep.fieldIndex("z")))
   }
 
+  test("cusumShift: sustained small shift alarms where the z-gate stays silent; equals the recursive fold") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    def at(day: Int, typ: String, n: Int) = (0 until n).map(i =>
+      (new java.sql.Timestamp(t0.getTime + day * 86400000L + i * 1000L), typ))
+    // "drift": 20 days at 100 ± 2 (alternating), then 15 days at 112 —
+    // a ~1.9-sd sustained shift no single day of which is a 3-sd burst
+    val drift = (0 until 20).flatMap(d =>
+      at(d, "drift", if (d % 2 == 0) 98 else 102)) ++
+      (20 until 35).flatMap(d => at(d, "drift", 112))
+    // "spike": noisy 98/102 baseline with ONE 110 day — z trips
+    // (~3.7 sd) but the CUSUM jump is z−k ≈ 3.2 < h and decays (a
+    // huge single spike legitimately CAN alarm: one 6-sd observation
+    // IS shift evidence — hence the calibrated 110, not 150)
+    val spike = (0 until 35).flatMap(d =>
+      at(d, "spike", if (d == 17) 110 else if (d % 2 == 0) 98 else 102))
+    val out = graft.ops.EventOps.cusumShift(
+      (drift ++ spike).toDF("ts", "event_type"), k = 0.5, h = 4.0)
+      .orderBy("event_type", "day").collect()
+    val (dr, sp) = out.partition(_.getString(0) == "drift")
+    // no single drift day is a 3-sd burst...
+    assert(dr.forall(r => math.abs(r.getAs[Double]("z")) < 3.0))
+    // ...but the CUSUM accumulates: the shifted era alarms on the
+    // POSITIVE side (and, two-sided vs the blended target, the long
+    // low era may alarm negative later on — expected semantics)
+    assert(dr.filter(_.getDate(1).toString >= "2024-05-21")
+      .exists(r => r.getAs[Boolean]("alarm") &&
+        r.getAs[Double]("cusum_pos") > 4.0),
+      "sustained shift must alarm on the positive side")
+    // accumulation takes time: the first week cannot alarm
+    assert(dr.take(7).forall(!_.getAs[Boolean]("alarm")),
+      "alarms need accumulation")
+    // the spike's own day trips z but the CUSUM never crosses h
+    assert(sp.exists(r => r.getAs[Double]("z") > 3.0))
+    assert(sp.forall(!_.getAs[Boolean]("alarm")),
+      "a one-day spike must not CUSUM-alarm")
+    // closed form == the literal recursive fold, per type
+    for ((_, rows) <- out.groupBy(_.getString(0))) {
+      var s = 0.0
+      rows.sortBy(_.getDate(1).toString).foreach { r =>
+        s = math.max(0.0, s + r.getAs[Double]("z") - 0.5)
+        assert(math.abs(r.getAs[Double]("cusum_pos") - s) < 1e-9,
+          s"closed form diverged at ${r.getDate(1)}")
+      }
+    }
+  }
+
   test("rollingActiveUsers: equals brute-force rolling distinct, silent days at zero") {
     import spark.implicits._
     // user 1: days 0,1,9; user 2: day 0 only; user 3: days 4..5 —
