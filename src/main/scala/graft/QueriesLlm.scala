@@ -5663,6 +5663,44 @@ object QueriesLlm {
              COALESCE(cusum_pos > 4.0 OR cusum_neg > 4.0, FALSE) AS alarm
       FROM st ORDER BY event_type, day"""))
 
+  /** Precision/recall/F1 threshold sweep of the q197/q207-configured
+    * scorer — the filter-cut decision table; see
+    * [[QualityClassifier.prCurve]]. */
+  private val q248 = Q("q248_pr_curve",
+    (s, dir) => {
+      val feat = QualityClassifier.features(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      QualityClassifier.prCurve(
+        QualityClassifier.score(feat, "doc_id", w)).orderBy("threshold")
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      th AS (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+             FROM generate_series(1, 9) t(i)),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+            FROM scored_lr),
+      cm AS (SELECT th.threshold,
+               CAST(SUM(CASE WHEN s.p >= th.threshold AND s.y = 1.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s.p >= th.threshold AND s.y = 0.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+             FROM th CROSS JOIN scored_lr s GROUP BY 1),
+      pr AS (SELECT threshold, tp, fp, pos - tp AS fn,
+               n - pos - fp AS tn,
+               CASE WHEN tp + fp > 0 THEN
+                 CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS p_,
+               CASE WHEN pos > 0 THEN
+                 CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END AS r_
+             FROM cm CROSS JOIN a)
+      SELECT threshold, tp, fp, fn, tn,
+             p_ AS "precision", r_ AS recall,
+             CASE WHEN p_ IS NOT NULL AND r_ IS NOT NULL
+                   AND p_ + r_ > 0.0
+               THEN 2.0 * p_ * r_ / (p_ + r_) END AS f1
+      FROM pr ORDER BY threshold"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5676,5 +5714,5 @@ object QueriesLlm {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
-    q239, q240, q241, q242, q243, q244, q245, q246, q247)
+    q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
 }

@@ -125,6 +125,58 @@ object QualityClassifier {
       .withColumn("gap", abs(col("frac_pos") - col("mean_p")))
   }
 
+  /** Precision/recall/F1 sweep over score thresholds — the table
+    * that turns a scorer into a FILTER: AUC says the ordering is
+    * good, calibration says the probabilities mean something; this
+    * says what a cut at 0.7 actually costs in kept-junk (precision)
+    * and lost-good-docs (recall) at corpus scale. One row per
+    * threshold with the full confusion counts, so downstream can
+    * re-derive any metric.
+    *
+    * Scale shape: ONE map-side-combined aggregate computing every
+    * threshold's TP/FP as conditional sums in the same pass (2·|T|
+    * counters riding one fold — no per-threshold scan, no
+    * threshold×rows explode); the per-threshold rows then unpack
+    * from the single aggregate row. Determinism: all counts exact
+    * longs; precision/recall/F1 are fixed-shape IEEE expressions of
+    * them (F1 composed from the two computed doubles, the same
+    * shape the oracle replays). */
+  def prCurve(scored: DataFrame, probCol: String = "quality_score",
+      labelCol: String = "label",
+      thresholds: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val s = scored.select(col(probCol).cast("double").as("__p"),
+      col(labelCol).cast("long").as("__y"))
+    val aggs =
+      Seq(count(lit(1)).as("__n"), sum(col("__y")).as("__pos")) ++
+      thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("__p") >= t && col("__y") === 1L, 1L).otherwise(0L))
+          .as(s"__tp$i"),
+        sum(when(col("__p") >= t && col("__y") === 0L, 1L).otherwise(0L))
+          .as(s"__fp$i"))
+      }
+    val one = s.agg(aggs.head, aggs.tail: _*)
+    val packed = one.select(col("__n"), col("__pos"),
+      explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"__tp$i").as("tp"),
+          col(s"__fp$i").as("fp"))
+      }: _*)).as("__x"))
+    val tp = col("__x.tp").cast("long")
+    val fp = col("__x.fp").cast("long")
+    val fn = (col("__pos") - tp).cast("long")
+    val tn = (col("__n") - col("__pos") - fp).cast("long")
+    val precision = when(tp + fp > 0L,
+      tp.cast("double") / (tp + fp).cast("double"))
+    val recall = when(col("__pos") > 0L,
+      tp.cast("double") / col("__pos").cast("double"))
+    val f1 = when(precision.isNotNull && recall.isNotNull &&
+        precision + recall > 0.0,
+      lit(2.0) * precision * recall / (precision + recall))
+    packed.select(col("__x.threshold").as("threshold"),
+      tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"),
+      precision.as("precision"), recall.as("recall"), f1.as("f1"))
+  }
+
   /** Expected Calibration Error — the one-number summary of
     * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|frac_pos_b − mean_p_b|,
     * the standard reliability headline (Guo et al., ICML'17) a

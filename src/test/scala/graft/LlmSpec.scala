@@ -2596,6 +2596,26 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(r4.getAs[Double]("other_frac") - 1.0) < 1e-15)
   }
 
+  test("prCurve: hand-computed confusion at a threshold, degenerate labels null") {
+    import spark.implicits._
+    val scored = Seq((0.9, 1L), (0.8, 0L), (0.6, 1L), (0.3, 0L))
+      .toDF("quality_score", "label")
+    val r = graft.llm.QualityClassifier.prCurve(scored,
+      thresholds = Seq(0.5)).collect().head
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L)
+    assert(r.getAs[Long]("fn") == 0L && r.getAs[Long]("tn") == 1L)
+    assert(math.abs(r.getAs[Double]("precision") - 2.0 / 3.0) < 1e-15)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(math.abs(r.getAs[Double]("f1") - 0.8) < 1e-15)
+    // no positives: recall/f1 null; precision still defined if tp+fp>0
+    val neg = Seq((0.9, 0L), (0.2, 0L)).toDF("quality_score", "label")
+    val rn = graft.llm.QualityClassifier.prCurve(neg,
+      thresholds = Seq(0.5)).collect().head
+    assert(rn.isNullAt(rn.fieldIndex("recall")) &&
+      rn.isNullAt(rn.fieldIndex("f1")))
+    assert(rn.getAs[Double]("precision") == 0.0)
+  }
+
   test("vocabRichness: hand-computed spectrum, Good-Turing mass and Chao1") {
     import spark.implicits._
     // counts: a=3, b=2, c=1, d=1 -> N=7 V=4 n1=2 n2=1
