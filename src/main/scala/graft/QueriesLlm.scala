@@ -5701,6 +5701,65 @@ object QueriesLlm {
                THEN 2.0 * p_ * r_ / (p_ + r_) END AS f1
       FROM pr ORDER BY threshold"""))
 
+  /** Isotonic (PAV) calibration map of the q197/q207-configured
+    * scorer; the oracle replays the textbook minimax closed form
+    * iso_j = max_{i≤j} min_{k≥j} avg(i..k) over the distinct-score
+    * frame (O(n²) pairs — cardinality-bounded by the discrete
+    * contract); see [[QualityClassifier.isotonicCalibration]]. */
+  private val q249 = Q("q249_isotonic",
+    (s, dir) => {
+      val feat = QualityClassifier.features(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      QualityClassifier.isotonicCalibration(
+        QualityClassifier.score(feat, "doc_id", w)).orderBy("quality_score")
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      cells AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS w,
+                  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+                FROM scored_lr GROUP BY 1),
+      pre AS (SELECT p, w, pos,
+                CAST(row_number() OVER (ORDER BY p) AS BIGINT) AS rn,
+                CAST(SUM(w) OVER (ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS wc,
+                CAST(SUM(pos) OVER (ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pc
+              FROM cells),
+      pairs AS (SELECT a.rn AS i, b.rn AS k,
+                  CAST(b.pc - COALESCE(a2.pc, 0) AS DOUBLE)
+                    / CAST(b.wc - COALESCE(a2.wc, 0) AS DOUBLE) AS avg
+                FROM pre a JOIN pre b ON b.rn >= a.rn
+                LEFT JOIN pre a2 ON a2.rn = a.rn - 1),
+      m AS (SELECT i, k AS j,
+              MIN(avg) OVER (PARTITION BY i ORDER BY k DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv
+            FROM pairs),
+      iso AS (SELECT j, MAX(mv) AS iso_prob FROM m GROUP BY 1)
+      SELECT pre.p AS quality_score, pre.w AS n, pre.pos AS pos,
+             iso.iso_prob
+      FROM pre JOIN iso ON iso.j = pre.rn ORDER BY quality_score"""))
+
+  /** Exactly-balanced stratified 5-fold assignment (rank-mod-k on the
+    * md5 order within each language); see
+    * [[Corpus.stratifiedKFold]] for the contrast with hash-bucket
+    * splits. */
+  private val q250 = Q("q250_stratified_kfold",
+    (s, dir) => Corpus.stratifiedKFold(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id", k = 5).orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang,
+             CAST((row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               - 1) % 5 AS BIGINT) AS fold
+      FROM (SELECT doc_id, lang,
+              ('0x' || substr(md5(doc_id::VARCHAR || ':fold'), 1, 15))::BIGINT
+                AS h
+            FROM documents)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5714,5 +5773,6 @@ object QueriesLlm {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
-    q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
+    q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
+    q250)
 }

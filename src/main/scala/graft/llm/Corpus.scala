@@ -30,6 +30,35 @@ object Corpus {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic stratified k-fold assignment — the
+    * cross-validation prep [[split]]'s percentage buckets cannot
+    * give: hash-bucket folds are only APPROXIMATELY balanced (a
+    * small stratum can land 30/70), while rank-mod-k is EXACTLY
+    * balanced within every stratum (fold sizes differ by ≤ 1), which
+    * is what per-fold metric variance estimates assume. Assignment
+    * depends only on (key, salt, the stratum's membership), so
+    * re-runs reproduce folds; unlike [[split]], ADDING documents to a
+    * stratum can renumber its folds — k-fold is an evaluation-time
+    * construct over a FROZEN set, not an ingest-time split (use
+    * [[split]] for that; the scaladoc contrast is the point).
+    *
+    * Scale shape: md5 rides the scan; ONE stratum-keyed rank window
+    * is the only data-sized shuffle (the curriculumOrder shape; a
+    * mega-stratum takes the budgetSelect banded-rank construction if
+    * it ever dominates). */
+  def stratifiedKFold(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int, salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":" + salt))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__kh"), col(keyCol))
+    df.withColumn("__kh", h)
+      .withColumn("fold",
+        ((row_number().over(w) - 1) % k).cast("long"))
+      .drop("__kh")
+  }
+
   /** Deterministic stratified sample: within each stratum, keep the
     * `frac` fraction of rows with the smallest md5(key) — an
     * order-free, reproducible "random" sample per group (ceil so a

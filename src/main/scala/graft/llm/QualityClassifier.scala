@@ -177,6 +177,73 @@ object QualityClassifier {
       precision.as("precision"), recall.as("recall"), f1.as("f1"))
   }
 
+  /** Isotonic calibration map by pool-adjacent-violators (Ayer et
+    * al. 1955; Zadrozny & Elkan 2002 for classifier calibration): the
+    * non-parametric monotone least-squares fit of label rate to
+    * score — the standard calibrator when Platt's sigmoid shape is
+    * wrong, and the map a production filter applies so its cut
+    * thresholds read as precision targets. Output: one row per
+    * distinct score, (score, n, pos, iso_prob) with iso_prob the
+    * fitted monotone probability.
+    *
+    * Discrete contract (the [[graft.llm.Stats.chiSquare]] rule): the
+    * distinct-score frame must be value-cardinality-bounded —
+    * quantize continuous scores upstream. The PAV fold itself runs on
+    * the driver over that bounded frame (the BPE-vocab / PCA-grid
+    * bounded-collect argument: O(distinct scores), independent of
+    * corpus size); the corpus-sized work is ONE map-side-combined
+    * (score) count.
+    *
+    * Determinism: merge decisions compare block means by exact
+    * BIGINT cross-multiplication (pos_a·w_b vs pos_b·w_a — no
+    * doubles in control flow), and each fitted value is ONE division
+    * of exact longs, so the map is bit-stable and equals the DuckDB
+    * oracle's minimax replay (iso_j = max_{i≤j} min_{k≥j}
+    * avg(i..k), the textbook closed form PAV solves). */
+  def isotonicCalibration(scored: DataFrame,
+      probCol: String = "quality_score",
+      labelCol: String = "label"): DataFrame = {
+    val sp = scored.sparkSession
+    val cells = scored.select(col(probCol).cast("double").as("__p"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .groupBy("__p")
+      .agg(count(lit(1)).as("__w"), sum(col("__y")).as("__pos"))
+      .orderBy("__p")
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    // PAV: maintain a stack of blocks (span, weight, pos); merge while
+    // the last two violate monotonicity (exact integer comparison)
+    case class Block(upto: Int, w: Long, pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    cells.zipWithIndex.foreach { case ((_, w, pos), i) =>
+      stack += Block(i, w, pos)
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        // mean_a >= mean_b  <=>  pos_a*w_b >= pos_b*w_a — exact, in
+        // BigInt: block weights are corpus-sized, so the cross
+        // products pass 2^63 long before the means get close
+        BigInt(a.pos) * b.w >= BigInt(b.pos) * a.w
+      }) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.remove(stack.length - 1)
+        stack += Block(b.upto, a.w + b.w, a.pos + b.pos)
+      }
+    }
+    val iso = new Array[Double](cells.length)
+    var lo = 0
+    stack.foreach { blk =>
+      val v = blk.pos.toDouble / blk.w.toDouble
+      (lo to blk.upto).foreach(iso(_) = v)
+      lo = blk.upto + 1
+    }
+    val out = cells.zipWithIndex.map { case ((p, w, pos), i) =>
+      (p, w, pos, iso(i))
+    }
+    sp.createDataFrame(out.toIndexedSeq)
+      .toDF(probCol, "n", "pos", "iso_prob")
+  }
+
   /** Expected Calibration Error — the one-number summary of
     * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|frac_pos_b − mean_p_b|,
     * the standard reliability headline (Guo et al., ICML'17) a

@@ -587,4 +587,29 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.kAnonymity(d, Seq("source"), k = 1L)
     }
   }
+
+  test("stratifiedKFold: exactly balanced per stratum, deterministic, salt-sensitive") {
+    val d = ((1L to 23L).map(i => (i, "en")) ++
+      (100L to 104L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    val out = Corpus.stratifiedKFold(d, "lang", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact balance: fold sizes within a stratum differ by <= 1
+    for ((_, rows) <- out.groupBy(_._2)) {
+      val sizes = rows.groupBy(_._3).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+      assert(rows.map(_._3).forall(f => f >= 0 && f < 5))
+    }
+    // en: 23 docs -> folds sized {5,5,5,4,4}; fr: 5 docs -> one each
+    assert(out.filter(_._2 == "fr").map(_._3).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    // deterministic across invocations
+    val again = Corpus.stratifiedKFold(d, "lang", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different salt reshuffles at least one assignment
+    val salted = Corpus.stratifiedKFold(d, "lang", "doc_id", k = 5,
+      salt = "other").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq != salted.sortBy(_._1).toSeq)
+  }
 }

@@ -2596,6 +2596,45 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(r4.getAs[Double]("other_frac") - 1.0) < 1e-15)
   }
 
+  test("isotonicCalibration: classic PAV pools, monotone, equals brute-force minimax") {
+    import spark.implicits._
+    // textbook case: rates [0, 1, 0, 1] -> PAV pools the middle
+    // violator pair: [0, 1/2, 1/2, 1]
+    val d = Seq((0.1, 0L), (0.2, 1L), (0.3, 0L), (0.4, 1L))
+      .toDF("quality_score", "label")
+    val out = graft.llm.QualityClassifier.isotonicCalibration(d)
+      .orderBy("quality_score").collect()
+    assert(out.map(_.getAs[Double]("iso_prob")).toSeq ==
+      Seq(0.0, 0.5, 0.5, 1.0))
+    // pseudo-random discrete case: monotone AND equal to the minimax
+    // closed form iso_j = max_{i<=j} min_{k>=j} avg(i..k)
+    val rnd = new scala.util.Random(7)
+    val cells = (1 to 25).map(i =>
+      (i / 100.0, rnd.nextInt(5) + 1L, rnd.nextInt(4).toLong))
+      .map { case (p, w, pos) => (p, w, math.min(pos, w)) }
+    val rows = cells.flatMap { case (p, w, pos) =>
+      Seq.fill(pos.toInt)((p, 1L)) ++ Seq.fill((w - pos).toInt)((p, 0L)) }
+    val got = graft.llm.QualityClassifier.isotonicCalibration(
+      rows.toDF("quality_score", "label"))
+      .orderBy("quality_score").collect()
+      .map(r => (r.getDouble(0), r.getAs[Double]("iso_prob")))
+    assert(got.sliding(2).forall(s => s.head._2 <= s.last._2), "monotone")
+    val n = cells.length
+    val wArr = cells.map(_._2).toArray
+    val pArr = cells.map(_._3).toArray
+    def avg(i: Int, k: Int): Double =
+      (i to k).map(pArr).sum.toDouble / (i to k).map(wArr).sum.toDouble
+    val minimax = (0 until n).map(j =>
+      (0 to j).map(i => (j until n).map(k => avg(i, k)).min).max)
+    got.map(_._2).zip(minimax).zipWithIndex.foreach { case ((a, b), j) =>
+      assert(math.abs(a - b) < 1e-12, s"pos $j: pav=$a minimax=$b")
+    }
+    // least-squares property spot check: the fit never exceeds the
+    // pooled total rate at the top and never undercuts at the bottom
+    val totalRate = pArr.sum.toDouble / wArr.sum.toDouble
+    assert(got.head._2 <= totalRate && got.last._2 >= totalRate)
+  }
+
   test("prCurve: hand-computed confusion at a threshold, degenerate labels null") {
     import spark.implicits._
     val scored = Seq((0.9, 1L), (0.8, 0L), (0.6, 1L), (0.3, 0L))
