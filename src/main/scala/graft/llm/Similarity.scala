@@ -1583,22 +1583,20 @@ object Similarity {
     * gate's 1e-9 rounding.
     *
     * Scale shape: a pure per-row map riding the scan — zero shuffle,
-    * zero state; at 100 TB this is a column writer, not a job. */
+    * zero state; at 100 TB this is a column writer, not a job. The
+    * arithmetic runs in the native [[graft.functions.Int8Quant]]
+    * kernel: the Column-composed formulation re-inlined the scale
+    * subtree into ~7 interpreted-HOF use sites per row via projection
+    * collapsing (15.96 s at sf0.1 → 0.6 s; same bit-exact values —
+    * the kernel's scaladoc carries the argument). */
   def int8QuantStats(vectors: DataFrame, idCol: String,
       embCol: String = "embedding", dims: Int = 64): DataFrame = {
     require(dims >= 1, s"dims must be positive, got $dims")
-    val xd = transform(slice(col(embCol), 1, dims), e => e.cast("double"))
-    val s = array_max(transform(xd, e => abs(e)))
-    def quant(e: Column): Column = when(s > 0.0,
-      greatest(lit(-127.0), least(lit(127.0),
-        floor((e * 127.0) / s + 0.5)))).otherwise(lit(0.0))
-    val errs = transform(xd, e => {
-      val d = e - quant(e) * s / 127.0
-      d * d
-    })
-    vectors.select(col(idCol), s.as("scale"),
-      (aggregate(errs, lit(0.0), (acc, x) => acc + x) /
-        size(xd).cast("double")).as("mse"),
-      sqrt(array_max(errs)).as("max_abs_err"))
+    val st = graft.functions.Int8Quant.column(
+      vectors.sparkSession, col(embCol), dims)
+    vectors.select(col(idCol), st.as("__q"))
+      .select(col(idCol), col("__q.scale").as("scale"),
+        col("__q.mse").as("mse"),
+        col("__q.max_abs_err").as("max_abs_err"))
   }
 }

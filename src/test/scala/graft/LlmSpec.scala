@@ -2746,5 +2746,13 @@ class LlmSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("scale") == 0.0 &&
       r2.getAs[Double]("mse") == 0.0 &&
       r2.getAs[Double]("max_abs_err") == 0.0)
+    // malformed-embedding contract: a null element nulls the whole
+    // readout (the kernel refuses, never NaN-soups)
+    val bad = Seq((1L, Seq(Some(1.0f), None, Some(2.0f), Some(0.1f))))
+      .toDF("vec_id", "embedding")
+    val rb = Similarity.int8QuantStats(bad, "vec_id", dims = 4)
+      .collect().head
+    assert(rb.isNullAt(rb.fieldIndex("scale")) &&
+      rb.isNullAt(rb.fieldIndex("mse")))
   }
 }
