@@ -5760,6 +5760,90 @@ object QueriesLlm {
             FROM documents)
       ORDER BY doc_id"""))
 
+  /** Hybrid retrieval: BM25 lexical top-10 (the q146 scorer) fused
+    * with exact dense cosine top-10 (the q26 scorer) by Reciprocal
+    * Rank Fusion, k0 = 60; see [[Similarity.rrfFuse]]. Queries pair
+    * the q146 texts with query vectors vec_id 1-3 over the shared id
+    * space. */
+  private val q251 = Q("q251_rrf_hybrid",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "dup key scan"), (2L, "hash join merge"),
+        (3L, "stream window sort the")).toDF("query_id", "query_text")
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), queries,
+          "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val den = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb, 10)
+        .select(col("query_id"), col("vec_id").as("id"), col("rank"))
+      Similarity.rrfFuse(lex, den).orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q(query_id, query_text) AS (VALUES
+        (CAST(1 AS BIGINT), 'dup key scan'),
+        (CAST(2 AS BIGINT), 'hash join merge'),
+        (CAST(3 AS BIGINT), 'stream window sort the')),
+      qt AS (SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(lower(query_text)), '\\s+'))
+                 AS term
+             FROM q),
+      base AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+               FROM documents),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      toks AS (SELECT doc_id, unnest(t) AS term FROM base),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM toks JOIN (SELECT DISTINCT term FROM qt) USING (term)
+             GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE)))) AS c
+        FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats),
+      bscored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1, 2),
+      lex AS (SELECT query_id, doc_id AS id, rank FROM (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM bscored) WHERE rank <= 10),
+      qe AS (SELECT vec_id AS query_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      cs AS (SELECT query_id, vec_id,
+               ${duckCos("q_emb", "embedding")} AS cos
+             FROM embeddings JOIN qe ON vec_id <> query_id),
+      den AS (SELECT query_id, vec_id AS id, rank FROM (
+          SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM cs) WHERE rank <= 10),
+      ids AS (SELECT query_id, id FROM lex
+              UNION SELECT query_id, id FROM den),
+      f AS (SELECT ids.query_id, ids.id,
+              COALESCE(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0)
+                AS rrf_score,
+              l.rank AS rank_a, d.rank AS rank_b
+            FROM ids
+            LEFT JOIN lex l ON l.query_id = ids.query_id AND l.id = ids.id
+            LEFT JOIN den d ON d.query_id = ids.query_id AND d.id = ids.id)
+      SELECT query_id, rank, id, rrf_score, rank_a, rank_b FROM (
+        SELECT f.*, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, id ASC) AS BIGINT) AS rank FROM f)
+      WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5774,5 +5858,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250)
+    q250, q251)
 }

@@ -1562,6 +1562,42 @@ object Similarity {
           lit(k.toDouble)).as("recall"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    * combine two rankings of the same id space per query by
+    * score(id) = Σ_r 1/(k0 + rank_r(id)) — THE standard hybrid-
+    * retrieval combiner (lexical BM25 + dense ANN) because it needs
+    * no score normalization across heterogeneous scorers, only
+    * ranks, and k0 ≈ 60 damps the head so one list's top hit can't
+    * drown the other's consensus. Ids present in only one list
+    * contribute that one term (the SQL coalesce-0 convention).
+    * Output per query: the fused top-k with both source ranks kept
+    * nullable for debuggability.
+    *
+    * Scale shape: both inputs are ALREADY top-k frames (|queries|·k
+    * rows — the retrieval operators did the data-sized work), so the
+    * fuse is a keyed outer join + one per-query window on a
+    * candidate set of ≤ 2k rows. Determinism: each term is one IEEE
+    * division of exact integers, summed in fixed (a, b) order. */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String = "query_id",
+      idCol: String = "id", rankCol: String = "rank", k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(k0 >= 1 && topK >= 1, s"bad rrf params k0=$k0 topK=$topK")
+    val fa = a.select(col(queryCol), col(idCol),
+      col(rankCol).cast("long").as("rank_a"))
+    val fb = b.select(col(queryCol), col(idCol),
+      col(rankCol).cast("long").as("rank_b"))
+    def term(r: Column): Column =
+      coalesce(lit(1.0) / (lit(k0.toDouble) + r.cast("double")), lit(0.0))
+    val fused = fa.join(fb, Seq(queryCol, idCol), "full_outer")
+      .withColumn("rrf_score", term(col("rank_a")) + term(col("rank_b")))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(queryCol), col("rank"), col(idCol), col("rrf_score"),
+        col("rank_a"), col("rank_b"))
+  }
+
   /** Symmetric per-vector int8 quantization round-trip quality: for
     * each embedding, scale = max |e_i|, q_i = ⌊e_i·127/scale + ½⌋
     * (clamped to ±127 against fp edge cases), dequantized error

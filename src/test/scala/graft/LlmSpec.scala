@@ -2596,6 +2596,28 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(r4.getAs[Double]("other_frac") - 1.0) < 1e-15)
   }
 
+  test("rrfFuse: consensus beats either head, single-list ids fuse with one term") {
+    import spark.implicits._
+    // list A ranks: x=1, y=2, z=3; list B: y=1, w=2, x=3.
+    // y (2,1) and x (1,3) are consensus; z and w appear once.
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 40L, 2L), (1L, 10L, 3L))
+      .toDF("query_id", "id", "rank")
+    val out = graft.llm.Similarity.rrfFuse(a, b, k0 = 60, topK = 10)
+      .orderBy("rank").collect()
+    def t(r: Long) = 1.0 / (60.0 + r)
+    // y: 1/62 + 1/61 beats x: 1/61 + 1/63
+    assert(out(0).getAs[Long]("id") == 20L)
+    assert(math.abs(out(0).getAs[Double]("rrf_score") - (t(2) + t(1))) == 0.0)
+    assert(out(1).getAs[Long]("id") == 10L)
+    // single-list ids carry one term and null source rank
+    val z = out.find(_.getAs[Long]("id") == 30L).get
+    assert(z.getAs[Double]("rrf_score") == t(3) &&
+      z.isNullAt(z.fieldIndex("rank_b")))
+    assert(out.length == 4)
+  }
+
   test("isotonicCalibration: classic PAV pools, monotone, equals brute-force minimax") {
     import spark.implicits._
     // textbook case: rates [0, 1, 0, 1] -> PAV pools the middle
