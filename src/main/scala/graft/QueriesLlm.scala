@@ -5844,6 +5844,41 @@ object QueriesLlm {
           ORDER BY rrf_score DESC, id ASC) AS BIGINT) AS rank FROM f)
       WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** Manku simhash near-dup pairs: 60-bit fingerprint, 4×15-bit
+    * pigeonhole blocks, exact hamming ≤ 3 verify; see
+    * [[Dedup.simhashPairs]] for the recall-1 argument. */
+  private val q252 = Q("q252_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
+      "doc_id", "text", maxHamming = 3).orderBy("id_a", "id_b"),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS token FROM arr),
+      nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM arr),
+      bits AS (SELECT doc_id, j,
+          ((strpos('0123456789abcdef',
+              substring(md5(token), (j // 4) + 1, 1)) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2 AS bit
+        FROM tok CROSS JOIN generate_series(0, 59) g(j)),
+      votes AS (SELECT doc_id, j, CAST(SUM(bit) AS BIGINT) AS v
+                FROM bits GROUP BY 1, 2),
+      sh AS (SELECT v.doc_id,
+          CAST(SUM(CASE WHEN 2 * v.v >= nn.n
+            THEN CAST(pow(2, v.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        FROM votes v JOIN nn ON v.doc_id = nn.doc_id GROUP BY 1),
+      blocks AS (SELECT doc_id, sh, i AS blk,
+          (sh // CAST(pow(2, 15 * i) AS BIGINT)) % 32768 AS bval
+        FROM sh CROSS JOIN generate_series(0, 3) b(i)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sh AS sa, b.sh AS sb
+               FROM blocks a JOIN blocks b
+                 ON a.blk = b.blk AND a.bval = b.bval
+                   AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5858,5 +5893,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251)
+    q250, q251, q252)
 }

@@ -947,6 +947,55 @@ object Dedup {
     * 2·(window−1) times per doc as a per-pair re-shingle would, and
     * the long arrays shuffle ~10× cheaper than the texts they
     * replace (measured 4.78 → 0.64 s min at sf0.1, window 4). */
+  /** Manku-Jain-Das Sarma simhash near-dup pairs (WWW'07 — "Detecting
+    * near-duplicates for web crawling", the algorithm behind Google's
+    * crawl dedup): 60-bit SimHash per document, split into 4 disjoint
+    * 15-bit blocks; by pigeonhole, any pair within Hamming distance
+    * ≤ 3 agrees EXACTLY on at least one block, so candidates are the
+    * 4 block-keyed equi-joins and the verify is one
+    * `bit_count(xor)` — no estimate anywhere, the recall for
+    * hamming ≤ maxHamming is exactly 1 by construction (for
+    * maxHamming < 4). The third member of the dedup-blocking family:
+    * minhash-LSH samples SHINGLE-SET agreement, sorted-neighborhood
+    * exploits sort-key LOCALITY, simhash blocks bound HAMMING
+    * distance on the weighted-token fingerprint.
+    *
+    * Scale shape: the fingerprint is a zero-shuffle scan rider
+    * (native [[graft.functions.SimHash60]] kernel, one md5 per
+    * token); candidates shuffle on (block, value) — Σ bucket² per
+    * block, never n² (the Manku paper's table-probe, expressed as a
+    * join); verify is a 64-bit xor+popcount per candidate. A pair
+    * agreeing on several blocks is counted once (the canonical
+    * (id_a < id_b) pair is distinct-ed before verify — cheaper than
+    * verifying duplicates). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole with 4 blocks certifies maxHamming <= 3, got $maxHamming")
+    val sp = docs.sparkSession
+    val base = docs.repartition(sp.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash60.column(sp,
+          TextAnalysis.tokens(col(textCol))).as("sh"))
+    val blocks = base.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("blk"),
+        shiftright(col("sh"), 15 * i).bitwiseAND(lit(32767L))
+          .as("bval"))): _*)).as("__b"))
+      .select(col("id"), col("sh"), col("__b.blk").as("blk"),
+        col("__b.bval").as("bval"))
+    val cands = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("__sa"), col("b.sh").as("__sb"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, threshold: Double = 0.5,
       bandBits: Int = 0, materialize: Boolean = true,

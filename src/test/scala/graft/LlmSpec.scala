@@ -2596,6 +2596,27 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(r4.getAs[Double]("other_frac") - 1.0) < 1e-15)
   }
 
+  test("simhashPairs: recall 1 vs brute-force hamming scan on the fixture, exact dups at 0") {
+    val d = docs.limit(200)
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // brute-force reference over the SAME kernel fingerprints: every
+    // pair within hamming 3 MUST be found (the 4-block pigeonhole
+    // guarantee is exact, not probabilistic), none beyond it, and
+    // reported distances match
+    val sh = d.select(col("doc_id"), graft.functions.SimHash60.column(
+        spark, TextAnalysis.tokens(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture's exact dups must pair at hamming 0")
+    assert(want.values.exists(_ == 0L))
+  }
+
   test("rrfFuse: consensus beats either head, single-list ids fuse with one term") {
     import spark.implicits._
     // list A ranks: x=1, y=2, z=3; list B: y=1, w=2, x=3.
