@@ -1040,6 +1040,69 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q246 winnow heads: fingerprint-keyed count map-side combined, no join, text-only scan") {
+    val plan = physical("q246_winnow_heads")
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("partial_count") && l.contains("fingerprint")),
+      "fingerprint count must map-side combine: " + plan.take(2500))
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan.take(2500))
+  }
+
+  test("q247 cusum: every window type-partitioned, moments broadcast, no cartesian") {
+    val plan = physical("q247_cusum_shift")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      windows.mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q249 isotonic: driver PAV emits a local relation (bounded-collect contract)") {
+    val plan = physical("q249_isotonic")
+    assert(plan.contains("LocalTableScan"),
+      "the fitted map must be a collected local relation: " + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("q250 kfold: rank window stratum-partitioned, two-column scan, no join") {
+    val plan = physical("q250_stratified_kfold")
+    assert(!plan.contains("Join"), plan.take(2500))
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("lang")),
+      windows.mkString("\n"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan.take(2500))
+  }
+
+  test("q251 rrf: fused top-k windows query-partitioned with group-limit pushdown, no cartesian") {
+    val plan = physical("q251_rrf_hybrid")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // rank-filter pushdown: the per-query top-k windows must carry
+    // WindowGroupLimit so only k rows per query survive each side
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("query_id")),
+      windows.mkString("\n"))
+  }
+
+  test("q252 simhash pairs: candidates keyed on (block, value), pair dedupe partial, no cartesian") {
+    val plan = physical("q252_simhash_pairs")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the self-join must be an equi-join on the pigeonhole key — a
+    // broadcast or shuffled hash/merge join listing blk and bval
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("blk")).getOrElse("")
+    assert(joinLine.contains("bval"),
+      "candidate join must key on (blk, bval): " + plan.take(3000))
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("id_a")), "pair dedupe must aggregate: " + plan.take(3000))
+  }
+
   test("q242 conformal + q244 sliced auc: windows group-keyed on distinct-value frames, joins broadcast") {
     for (name <- Seq("q242_conformal", "q244_auc_by_group")) {
       val plan = physical(name)
