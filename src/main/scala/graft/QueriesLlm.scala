@@ -5879,6 +5879,53 @@ object QueriesLlm {
       FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       ORDER BY id_a, id_b"""))
 
+  /** Cross-validated AUC: the q207 scorer evaluated per
+    * [[Corpus.stratifiedKFold]] fold via [[graft.llm.Stats.aucByGroup]]
+    * — the CV-variance readout that says whether a single-split AUC
+    * is luck. Pure composition of two verified operators; the gate
+    * pins the composition's determinism end-to-end. */
+  private val q253 = Q("q253_cv_auc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      val folds = Corpus.stratifiedKFold(
+        docs.select(col("doc_id"), col("lang")), "lang", "doc_id", k = 5)
+        .select(col("doc_id"), col("fold"))
+      graft.llm.Stats.aucByGroup(
+        QualityClassifier.score(feat, "doc_id", w)
+          .join(folds, Seq("doc_id")), "fold").orderBy("fold")
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      kf AS (SELECT doc_id,
+               CAST((row_number() OVER (PARTITION BY lang
+                 ORDER BY h, doc_id) - 1) % 5 AS BIGINT) AS fold
+             FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':fold'),
+                       1, 15))::BIGINT AS h
+                   FROM documents)),
+      sc AS (SELECT kf.fold AS g, s.p, s.y
+             FROM scored_lr s JOIN kf USING (doc_id)),
+      dd AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+             FROM sc GROUP BY 1, 2),
+      r AS (SELECT g, p, cnt, pos,
+              2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1 AS rank2
+            FROM dd),
+      a AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   SUM(CAST(pos AS HUGEINT) * rank2) AS s2
+            FROM r GROUP BY 1)
+      SELECT g AS fold, n, n_pos, n - n_pos AS n_neg,
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+             END AS auc
+      FROM a ORDER BY fold"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5893,5 +5940,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252)
+    q250, q251, q252, q253)
 }
