@@ -5926,6 +5926,49 @@ object QueriesLlm {
              END AS auc
       FROM a ORDER BY fold"""))
 
+  /** Binary-quantization recall@10: hamming ranking over 60-bit sign
+    * codes vs exact cosine top-10 — the 1-bit end of the
+    * quantization ladder (PQ q136, int8 q241); see
+    * [[Similarity.binaryQuantRecall]]. */
+  private val q254 = Q("q254_bq_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryQuantRecall(emb.filter(col("vec_id") < 10),
+        emb, k = 10).orderBy("query_id")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+      codes AS (SELECT vec_id,
+          CAST(list_sum(list_transform(generate_series(0, 59), i ->
+            CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > 0
+              THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+            AS code
+        FROM embeddings),
+      qc AS (SELECT q.query_id, codes.code AS q_code
+             FROM q JOIN codes ON codes.vec_id = q.query_id),
+      bq AS (SELECT query_id, vec_id FROM (
+          SELECT qc.query_id, c.vec_id,
+            row_number() OVER (PARTITION BY qc.query_id
+              ORDER BY bit_count(xor(c.code, qc.q_code)) ASC,
+                c.vec_id ASC) AS rank
+          FROM codes c JOIN qc ON c.vec_id <> qc.query_id)
+        WHERE rank <= 10),
+      cs AS (SELECT query_id, vec_id,
+               ${duckCos("q_emb", "embedding")} AS cos
+             FROM embeddings JOIN q ON vec_id <> query_id),
+      ex AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cs) WHERE rank <= 10),
+      ov AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             FROM ex e JOIN bq USING (query_id, vec_id) GROUP BY 1)
+      SELECT q.query_id,
+             CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+      FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5940,5 +5983,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253)
+    q250, q251, q252, q253, q254)
 }

@@ -1562,6 +1562,61 @@ object Similarity {
           lit(k.toDouble)).as("recall"))
   }
 
+  /** 60-bit sign code for binary quantization: bit i set ⇔
+    * embedding[i+1] > 0 (the first 60 dims — BIGINT-safe on every
+    * engine, the repo's 60-bit convention). One HOF fold per ROW
+    * (not per pair — pairs compare codes with xor+popcount). */
+  def binarySignCode(emb: Column, bits: Int = 60): Column = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, i) => acc + when(element_at(emb, i + 1) > 0f,
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+  }
+
+  /** Binary-quantization retrieval quality: recall@k of HAMMING
+    * ranking over 1-bit sign codes against exact cosine top-k — the
+    * readout that decides whether a serving index can drop to
+    * 1 bit/dim (32× smaller than float32, xor+popcount distance; the
+    * aggressive end of the quantization ladder after [[pqTopK]] and
+    * [[int8QuantStats]], and what vector stores ship as "BQ"). Run
+    * on a query sample per corpus snapshot; BQ serves when recall@k
+    * at rerank-depth k holds.
+    *
+    * Scale shape: codes are a per-row fold riding the scan (8 bytes
+    * per vector — the index that fits in memory at any corpus size);
+    * the hamming ranking broadcasts the |queries|-row code table and
+    * scores with one xor+popcount per (query, vector); both top-k
+    * frames join on (query, neighbor) — k·|queries| rows.
+    * Determinism: hamming is an exact integer; both rankings break
+    * ties by (distance, vec_id). */
+  def binaryQuantRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      binarySignCode(col("embedding"), bits).as("q_code")))
+    val c = corpus.repartition(par(corpus))
+      .select(col("vec_id"), binarySignCode(col("embedding"), bits).as("code"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val bq = c.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("q_code"))).cast("long")
+          .as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id"))
+    val overlap = exact.join(broadcast(bq), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).cast("long").as("n_overlap"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(broadcast(overlap), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
     * combine two rankings of the same id space per query by
     * score(id) = Σ_r 1/(k0 + rank_r(id)) — THE standard hybrid-

@@ -2596,6 +2596,32 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(r4.getAs[Double]("other_frac") - 1.0) < 1e-15)
   }
 
+  test("binaryQuantRecall: sign codes exact, identical-sign query recalls its cosine twin") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] = {
+      // pad to 60 dims alternating tiny +/- so codes are well-defined
+      val pad = (xs.size until 60).map(i => if (i % 2 == 0) 0.01f else -0.01f)
+      xs.map(_.toFloat) ++ pad
+    }
+    // code check: bits follow element signs exactly
+    val d0 = Seq((1L, vec(1.0, -1.0, 2.0, -0.5))).toDF("vec_id", "embedding")
+    val code = d0.select(graft.llm.Similarity
+      .binarySignCode(col("embedding"), bits = 4).as("c"))
+      .collect().head.getLong(0)
+    assert(code == ((1L << 0) | (1L << 2)), s"got $code")
+    // recall: query 1's nearest by cosine is its scaled twin (same
+    // signs everywhere -> hamming 0) so BQ top-1 == exact top-1
+    val d = Seq(
+      (1L, vec(1.0, 1.0, -1.0, 1.0)),
+      (2L, vec(2.0, 2.0, -2.0, 2.0)),   // scaled twin of 1
+      (3L, vec(-1.0, -1.0, 1.0, -1.0))) // antipode
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.binaryQuantRecall(
+      d.filter(col("vec_id") === 1L), d, k = 1).collect().head
+    assert(out.getAs[Long]("n_overlap") == 1L &&
+      out.getAs[Double]("recall") == 1.0)
+  }
+
   test("simhashPairs: recall 1 vs brute-force hamming scan on the fixture, exact dups at 0") {
     val d = docs.limit(200)
     val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
