@@ -5969,6 +5969,39 @@ object QueriesLlm {
              CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 10.0 AS recall
       FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id"""))
 
+  /** Padding waste under arrival-order vs length-sorted batching
+    * (batch 8, cap 512) per source — the sorted-batching decision
+    * table; see [[Corpus.paddingWaste]]. */
+  private val q255 = Q("q255_padding_waste",
+    (s, dir) => Corpus.paddingWaste(t(s, dir, "documents"),
+      "source", "doc_id", "text", batchSize = 8, maxLen = 512)
+      .orderBy("source"),
+    Some("""
+      WITH base AS (SELECT source AS g, doc_id AS id,
+          least(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS BIGINT), 512) AS len,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+      a AS (SELECT g, len, (row_number() OVER (PARTITION BY g
+              ORDER BY h, id) - 1) // 8 AS b FROM base),
+      ab AS (SELECT g, b, MAX(len) AS mx, SUM(len) AS s, COUNT(*) AS n
+             FROM a GROUP BY 1, 2),
+      af AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(n * mx) - SUM(s) AS DOUBLE)
+                 / CAST(SUM(n * mx) AS DOUBLE) AS pf_a
+             FROM ab GROUP BY 1),
+      s2 AS (SELECT g, len, (row_number() OVER (PARTITION BY g
+               ORDER BY len DESC, id) - 1) // 8 AS b FROM base),
+      sb AS (SELECT g, b, MAX(len) AS mx, SUM(len) AS s, COUNT(*) AS n
+             FROM s2 GROUP BY 1, 2),
+      sf AS (SELECT g,
+               CAST(SUM(n * mx) - SUM(s) AS DOUBLE)
+                 / CAST(SUM(n * mx) AS DOUBLE) AS pf_s
+             FROM sb GROUP BY 1)
+      SELECT af.g AS source, n_docs, pf_a AS pad_frac_arrival,
+             pf_s AS pad_frac_sorted, pf_a - pf_s AS saved_frac
+      FROM af JOIN sf USING (g) ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -5983,5 +6016,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254)
+    q250, q251, q252, q253, q254, q255)
 }

@@ -559,6 +559,55 @@ object Corpus {
     }
   }
 
+  /** Padding-waste accounting for batch composition — the number
+    * that justifies length-sorted batching: with per-group batches of
+    * `batchSize` rows padded to the batch max (capped at `maxLen`),
+    * what fraction of token slots is padding under ARRIVAL order
+    * (deterministic md5 shuffle — the honest i.i.d. baseline) vs
+    * LENGTH-SORTED order? The gap is the compute a trainer burns on
+    * pad tokens; production loaders sort-batch precisely to close it
+    * (the packSequences alternative when sequences must stay whole
+    * and unconcatenated).
+    *
+    * pad_frac = Σ_rows (batch_max − len) / Σ_rows batch_max, exact
+    * longs into one IEEE division; lengths are truncated at `maxLen`
+    * first (a megadoc pads the cap, not the sky).
+    *
+    * Scale shape: two group-partitioned rank windows (arrival = md5
+    * order, sorted = length order) over (group, id, len) rows — the
+    * curriculumOrder shape, nothing corpus-wide; per-batch maxima are
+    * a (group, batch) keyed aggregate, map-side combined. */
+  def paddingWaste(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, batchSize: Int = 8, maxLen: Int = 512): DataFrame = {
+    require(batchSize >= 1 && maxLen >= 1,
+      s"bad params batchSize=$batchSize maxLen=$maxLen")
+    val base = docs.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      least(size(graft.llm.TextAnalysis.tokens(col(textCol))).cast("long"),
+        lit(maxLen.toLong)).as("__len"),
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("__h"))
+    def frac(orderCols: Seq[Column], name: String): DataFrame = {
+      val w = Window.partitionBy(col("__g")).orderBy(orderCols: _*)
+      val batched = base
+        .withColumn("__b", ((row_number().over(w) - 1) / batchSize)
+          .cast("long"))
+      val perBatch = batched.groupBy("__g", "__b")
+        .agg(max(col("__len")).as("__mx"), sum(col("__len")).as("__s"),
+          count(lit(1)).as("__n"))
+      perBatch.groupBy("__g").agg(
+        sum(col("__n")).cast("long").as("n_docs"),
+        ((sum(col("__n") * col("__mx")) - sum(col("__s"))).cast("double") /
+          sum(col("__n") * col("__mx")).cast("double")).as(name))
+    }
+    val arrival = frac(Seq(col("__h"), col("__id")), "pad_frac_arrival")
+    val sorted = frac(Seq(col("__len").desc, col("__id")), "pad_frac_sorted")
+    arrival.join(sorted.drop("n_docs"), Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_docs"),
+        col("pad_frac_arrival"), col("pad_frac_sorted"),
+        (col("pad_frac_arrival") - col("pad_frac_sorted"))
+          .as("saved_frac"))
+  }
+
   /** k-anonymity risk readout over quasi-identifier columns: group
     * sizes of every observed quasi-identifier combination, flagging
     * combinations rarer than k — the standard re-identification risk

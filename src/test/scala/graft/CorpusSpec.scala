@@ -612,4 +612,32 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sortBy(_._1).toSeq != salted.sortBy(_._1).toSeq)
   }
+
+  test("paddingWaste: hand-computed fractions, sorted batching never worse") {
+    // one group, batch 2, lengths 1/1/9/9 (texts of n tokens):
+    // sorted batches {9,9},{1,1} -> zero padding;
+    // any order pairing a 1 with a 9 wastes 8 slots of 20
+    val d = Seq((1L, "a"), (2L, "b"),
+      (3L, Seq.fill(9)("w").mkString(" ")),
+      (4L, Seq.fill(9)("v").mkString(" ")))
+      .map { case (i, t) => (i, "g1", t) }
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.paddingWaste(d, "source", "doc_id", "text",
+      batchSize = 2, maxLen = 512).collect().head
+    assert(out.getAs[Long]("n_docs") == 4L)
+    assert(out.getAs[Double]("pad_frac_sorted") == 0.0)
+    val arr = out.getAs[Double]("pad_frac_arrival")
+    // arrival order is the md5 shuffle: either zero (lucky pairing)
+    // or exactly 16/36
+    assert(arr == 0.0 || math.abs(arr - 16.0 / 36.0) < 1e-15, s"arr=$arr")
+    assert(out.getAs[Double]("saved_frac") == arr - 0.0)
+    // truncation: a megadoc pads to the cap, not its own length
+    val mega = Seq((1L, "g", "short doc"),
+      (2L, "g", Seq.fill(50)("x").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val m = Corpus.paddingWaste(mega, "source", "doc_id", "text",
+      batchSize = 2, maxLen = 10).collect().head
+    // batch max = 10 (capped), lens 2 and 10 -> waste 8/20
+    assert(math.abs(m.getAs[Double]("pad_frac_sorted") - 8.0 / 20.0) < 1e-15)
+  }
 }
