@@ -5978,8 +5978,8 @@ object QueriesLlm {
       .orderBy("source"),
     Some("""
       WITH base AS (SELECT source AS g, doc_id AS id,
-          least(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
-            AS BIGINT), 512) AS len,
+          least(COALESCE(CAST(len(regexp_split_to_array(trim(lower(text)),
+            '\s+')) AS BIGINT), 0), 512) AS len,
           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
         FROM documents),
       a AS (SELECT g, len, (row_number() OVER (PARTITION BY g
@@ -6002,6 +6002,83 @@ object QueriesLlm {
              pf_s AS pad_frac_sorted, pf_a - pf_s AS saved_frac
       FROM af JOIN sf USING (g) ORDER BY source"""))
 
+  /** The composed dedup pipeline — LSH + sorted-neighborhood + simhash
+    * pair streams unioned into ONE connected-components pass (min-id
+    * labels); see [[Dedup.blockedDedupClusters]]. The oracle replays
+    * all three blockers (the q23/q231/q252 constructions verbatim,
+    * sorted-neighbor verification reusing the minhash CTEs' hashed
+    * shingle sets `d`), unions them, and closes transitively with the
+    * q57 recursive CTE. */
+  private val q256 = Q("q256_blocked_dedup",
+    (s, dir) => Dedup.blockedDedupClusters(t(s, dir, "documents"),
+      "doc_id", "text")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      lshp AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      sns AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(0, 15), j ->
+                 CASE WHEN 2 * len(list_filter(toks, t ->
+                        strpos('89abcdef', substring(md5(t), j + 1, 1)) > 0))
+                      >= len(toks)
+                      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                 AS f16
+        FROM (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents)),
+      snr AS (SELECT doc_id, row_number() OVER (ORDER BY f16, doc_id) AS gr
+              FROM sns),
+      snc AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM snr a JOIN snr b ON b.gr > a.gr AND b.gr <= a.gr + 3),
+      snj AS (SELECT ia, ib,
+                CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                  / CAST(len(da.sh) + len(db.sh)
+                         - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                  AS jaccard
+              FROM snc JOIN d da ON da.doc_id = ia
+                     JOIN d db ON db.doc_id = ib),
+      snp AS (SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b
+              FROM snj WHERE jaccard >= 0.5),
+      arr AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS token FROM arr),
+      nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM arr),
+      bits AS (SELECT doc_id, j,
+          ((strpos('0123456789abcdef',
+              substring(md5(token), (j // 4) + 1, 1)) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2 AS bit
+        FROM tok CROSS JOIN generate_series(0, 59) g(j)),
+      votes AS (SELECT doc_id, j, CAST(SUM(bit) AS BIGINT) AS v
+                FROM bits GROUP BY 1, 2),
+      sh60 AS (SELECT v.doc_id,
+          CAST(SUM(CASE WHEN 2 * v.v >= nn.n
+            THEN CAST(pow(2, v.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        FROM votes v JOIN nn ON v.doc_id = nn.doc_id GROUP BY 1),
+      blocks AS (SELECT doc_id, sh, i AS blk,
+          (sh // CAST(pow(2, 15 * i) AS BIGINT)) % 32768 AS bval
+        FROM sh60 CROSS JOIN generate_series(0, 3) gb(i)),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.sh AS sa, y.sh AS sb
+               FROM blocks x JOIN blocks y
+                 ON x.blk = y.blk AND x.bval = y.bval
+                   AND x.doc_id < y.doc_id),
+      simp AS (SELECT id_a, id_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+      allp AS (SELECT DISTINCT id_a, id_b FROM (
+               SELECT id_a, id_b FROM lshp
+               UNION ALL SELECT id_a, id_b FROM snp
+               UNION ALL SELECT id_a, id_b FROM simp)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM allp
+                UNION ALL SELECT id_b, id_a FROM allp),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+      SELECT id AS doc_id, MIN(r) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6016,5 +6093,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255)
+    q250, q251, q252, q253, q254, q255, q256)
 }

@@ -581,9 +581,14 @@ object Corpus {
       textCol: String, batchSize: Int = 8, maxLen: Int = 512): DataFrame = {
     require(batchSize >= 1 && maxLen >= 1,
       s"bad params batchSize=$batchSize maxLen=$maxLen")
+    // null text counts as a ZERO-token row, not a maxLen one:
+    // least() skips nulls (both engines), so without the coalesce a
+    // missing-text row would silently score as a full maxLen-token
+    // document and inflate both pad fractions
     val base = docs.select(col(groupCol).as("__g"), col(idCol).as("__id"),
-      least(size(graft.llm.TextAnalysis.tokens(col(textCol))).cast("long"),
-        lit(maxLen.toLong)).as("__len"),
+      least(coalesce(
+        size(graft.llm.TextAnalysis.tokens(col(textCol))).cast("long"),
+        lit(0L)), lit(maxLen.toLong)).as("__len"),
       conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
         .cast("long").as("__h"))
     def frac(orderCols: Seq[Column], name: String): DataFrame = {

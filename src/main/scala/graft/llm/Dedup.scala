@@ -996,6 +996,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The COMPOSED production dedup pipeline: all three blockers the
+    * engine ships — minhash-LSH ([[lshPairs]], shingle-set-sample
+    * agreement), sorted-neighborhood ([[sortedNeighborPairs]],
+    * sort-key locality), and Manku simhash blocks ([[simhashPairs]],
+    * bounded hamming on the weighted-token fingerprint) — run over
+    * the SAME corpus, their pair streams unioned into one canonical
+    * candidate set, and resolved by connected components
+    * ([[graft.llm.Corpus.dupClusters]], min-id labels). This is the
+    * call a real dedup stack makes: each blocker has recall holes the
+    * others cover (LSH misses low-jaccard/high-semantic pairs that
+    * simhash's weighted vote catches; simhash's hamming bound misses
+    * long-doc partial overlap that shingle jaccard catches; the
+    * neighborhood window catches near-sorted clusters both hash
+    * schemes split), and the union is what the keeper policy
+    * downstream actually consumes.
+    *
+    * Output: (id, cluster_id) for every document that shares a
+    * component with at least one other — the dupClusters contract
+    * (singletons excluded).
+    *
+    * Scale shape: each blocker keeps its own bounded candidate
+    * contract (band-key shuffle / O(n·window) rank adjacency /
+    * Σ bucket² per 15-bit block — nothing corpus²); the union is
+    * pair-stream-sized, distinct-ed BEFORE clustering because true
+    * duplicates trip all three blockers and tripled edges would
+    * inflate the CC input for nothing; clustering is the byte-gated
+    * driver union-find with the large-star/small-star distributed
+    * fallback. LSH intermediates are consumed through the
+    * [[withLshPairs]] loan and dupClusters is eager on both paths,
+    * so every cache is released by return. */
+  def blockedDedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      lshThreshold: Double = 0.5, snWindow: Int = 4,
+      snThreshold: Double = 0.5, maxHamming: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame =
+    withLshPairs(docs, idCol, textCol, threshold = lshThreshold) { lsh =>
+      val sn = sortedNeighborPairs(docs, idCol, textCol,
+        window = snWindow, threshold = snThreshold,
+        materialize = true, checkpointDir = checkpointDir)
+      val sim = simhashPairs(docs, idCol, textCol, maxHamming)
+      // all three emit canonical (id_a < id_b) pairs by construction
+      val pairs = lsh.select(col("id_a"), col("id_b"))
+        .unionByName(sn.select(col("id_a"), col("id_b")))
+        .unionByName(sim.select(col("id_a"), col("id_b")))
+        .distinct()
+      graft.llm.Corpus.dupClusters(pairs, checkpointDir = checkpointDir)
+    }
+
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, threshold: Double = 0.5,
       bandBits: Int = 0, materialize: Boolean = true,

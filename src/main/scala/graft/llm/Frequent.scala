@@ -132,5 +132,9 @@ object Frequent {
       .filter(col("est_count") >= minCount)
       .select(col("term"), col("est_count").cast("long").as("est_count"),
         col("err_bound"))
+      // the documented order, applied here rather than promised to the
+      // caller: survivors are <= capacity rows, so the sort is
+      // sketch-sized, never stream-sized
+      .orderBy(col("est_count").desc, col("term").asc)
   }
 }

@@ -40,8 +40,9 @@ import org.apache.spark.sql.{Encoder, Encoders}
   *    grid — bounded like the BPE vocab collect, O(dims²·iters)
   *    regardless of corpus size.
   *  - [[topComponent]] results are memoized per (session, canonical
-  *    plan, params): the q172/q173/q177 family shares ONE training
-  *    pass instead of re-running it per consumer.
+  *    plan, input-file snapshot, params): the q172/q173/q177 family
+  *    shares ONE training pass instead of re-running it per consumer,
+  *    and an in-place file overwrite keys a fresh retrain.
   *  - [[project]] is a narrow map (native [[graft.functions.DotProduct]]
   *    codegen, broadcast-free: the component ships as a literal).
   *
@@ -155,19 +156,22 @@ object Pca {
 
   /** Memo for [[topComponent]]: the projection/removal gates re-train
     * on the same corpus, and the training pass is the expensive part.
-    * Keyed on (session, canonicalized logical plan, column, dims,
-    * iters) — `sameResult` semantics, so `.repartition(n)` variants
-    * key separately (they ARE different plans) while repeated reads of
-    * the same table share. Small LRU (the key pins the analyzed plan).
-    * Caveat: files mutated behind an already-read path within one
-    * session serve the stale result — same contract as Spark's own
-    * relation cache; [[clearTopComponentCache]] resets. */
+    * Keyed on (session, canonicalized logical plan, input-file
+    * snapshot, column, dims, iters) — `sameResult` semantics, so
+    * `.repartition(n)` variants key separately (they ARE different
+    * plans) while repeated reads of the same table share. The
+    * [[Lineage.inputSnapshot]] component makes overwrite-in-place key
+    * a MISS (fresh retrain) for file-backed corpora; non-file inputs
+    * fall back to plan-only keying — the relation-cache caveat,
+    * scoped to sources with no file identity.
+    * Small LRU (the key pins the analyzed plan);
+    * [[clearTopComponentCache]] resets unconditionally. */
   private val MemoCap = 32
   private val memo = new java.util.LinkedHashMap[
-      (SparkSession, LogicalPlan, String, Int, Int), (Array[Double], Double)](
-      16, 0.75f, true) {
+      (SparkSession, LogicalPlan, Long, String, Int, Int),
+      (Array[Double], Double)](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, LogicalPlan, String, Int, Int),
+        e: java.util.Map.Entry[(SparkSession, LogicalPlan, Long, String, Int, Int),
           (Array[Double], Double)]): Boolean = size > MemoCap
   }
 
@@ -190,7 +194,7 @@ object Pca {
       dims: Int = 64, iters: Int = 12): (Array[Double], Double) = {
     require(iters >= 1, s"iters must be positive, got $iters")
     val key = (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized,
-      embedCol, dims, iters)
+      Lineage.inputSnapshot(corpus), embedCol, dims, iters)
     memo.synchronized(Option(memo.get(key))) match {
       case Some((v, lam)) => (v.clone(), lam)
       case None =>

@@ -287,29 +287,40 @@ object Similarity {
     * that trains the same quantizer on the same corpus plan twice —
     * the q134/q143/q145/q147 family's exact situation, and any
     * notebook re-running an index build — pays Lloyd's iterations
-    * once. Keyed on (session, canonicalized analyzed plan, params):
-    * `sameResult` semantics, so `.filter`/`.repartition` variants key
+    * once. Keyed on (session, canonicalized analyzed plan, input-file
+    * snapshot, params): `sameResult` semantics, so
+    * `.filter`/`.repartition` variants key
     * separately while repeated reads of the same table share. The
     * cached artifact is the COLLECTED centroid/codebook table —
     * k·dims (≤ a few thousand) doubles, the same bounded-driver-state
     * argument as the BPE vocab and the PCA grid — replayed as a local
     * relation, so a memo hit costs zero jobs. Values are identical by
     * construction (training is deterministic given the plan: seeded
-    * from the first vectors, exact-decimal means). Same staleness
-    * contract as Spark's relation cache; [[clearTrainingMemo]] resets. */
+    * from the first vectors, exact-decimal means).
+    *
+    * ==Staleness==
+    * The key ALSO carries [[Lineage.inputSnapshot]] — a fingerprint of
+    * the leaf files' (path, size, mtime) — so overwriting the corpus
+    * in place and retraining keys a MISS and retrains (LlmSpec pins
+    * this). Non-file corpora (in-memory, JDBC) have an empty snapshot
+    * and fall back to plan-only keying: for those, data mutated behind
+    * an identical plan within one session serves the memoized result —
+    * the relation-cache caveat, now scoped to exactly the sources
+    * where file identity doesn't exist. [[clearTrainingMemo]] resets
+    * unconditionally. */
   private val TrainMemoCap = 32
   private val kmMemo = new java.util.LinkedHashMap[
-      (SparkSession, LogicalPlan, Int, Int, Int, Boolean),
+      (SparkSession, LogicalPlan, Long, Int, Int, Int, Boolean),
       Array[(Long, Seq[Double])]](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, LogicalPlan, Int, Int, Int, Boolean),
+        e: java.util.Map.Entry[(SparkSession, LogicalPlan, Long, Int, Int, Int, Boolean),
           Array[(Long, Seq[Double])]]): Boolean = size > TrainMemoCap
   }
   private val pqMemo = new java.util.LinkedHashMap[
-      (SparkSession, LogicalPlan, Int, Int, Int, Int),
+      (SparkSession, LogicalPlan, Long, Int, Int, Int, Int),
       Array[(Int, Int, Seq[Double])]](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, LogicalPlan, Int, Int, Int, Int),
+        e: java.util.Map.Entry[(SparkSession, LogicalPlan, Long, Int, Int, Int, Int),
           Array[(Int, Int, Seq[Double])]]): Boolean = size > TrainMemoCap
   }
 
@@ -331,7 +342,7 @@ object Similarity {
       exactMeans: Boolean): DataFrame = {
     val sp = prep.sparkSession
     val key = (sp, prep.queryExecution.analyzed.canonicalized,
-      k, iters, dims, exactMeans)
+      Lineage.inputSnapshot(prep), k, iters, dims, exactMeans)
     kmMemo.synchronized(Option(kmMemo.get(key))) match {
       case Some(rows) =>
         sp.createDataFrame(rows.toIndexedSeq).toDF("cid", "c_emb")
@@ -482,7 +493,7 @@ object Similarity {
       iters: Int, dims: Int, checkpointDir: Option[String]): DataFrame = {
     val sp = subs.sparkSession
     val key = (sp, subs.queryExecution.analyzed.canonicalized,
-      m, ksub, iters, dims)
+      Lineage.inputSnapshot(subs), m, ksub, iters, dims)
     pqMemo.synchronized(Option(pqMemo.get(key))) match {
       case Some(rows) =>
         sp.createDataFrame(rows.toIndexedSeq).toDF("sub", "cid", "c")

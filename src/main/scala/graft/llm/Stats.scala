@@ -61,9 +61,14 @@ object Stats {
       : Int = math.max(64, sp.sparkContext.defaultParallelism * 4)
 
   /** Band for a [0,1]-ish score: parallelism-derived equal slices,
-    * clamped ([[derivedBandCount]]). */
-  private def unitBand(v: Column): Column = {
-    val n = derivedBandCount(org.apache.spark.sql.SparkSession.active)
+    * clamped ([[derivedBandCount]]). Takes the INPUT FRAME's session —
+    * `SparkSession.active` could belong to a different session in a
+    * multi-session JVM (granularity-only, results are band-count
+    * invariant, but the rest of this file threads the frame's own
+    * session and this should too). */
+  private def unitBand(v: Column,
+      sp: org.apache.spark.sql.SparkSession): Column = {
+    val n = derivedBandCount(sp)
     greatest(least(floor(v * n).cast("long"), lit(n - 1L)), lit(0L))
   }
 
@@ -99,7 +104,7 @@ object Stats {
     // ONE scan of the scored pipeline: the rank construction consumes
     // the same distinct-score frame the pos counts came from
     val ranked = avgRank2Counted(byScore.select(col("__p"), col("cnt")),
-        "__p", unitBand(col("__p")))
+        "__p", unitBand(col("__p"), scored.sparkSession))
       .join(byScore.select(col("__p"), col("pos")), Seq("__p"))
     val a = ranked.agg(
       sum(col("cnt")).as("n"),

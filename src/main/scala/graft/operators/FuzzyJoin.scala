@@ -106,14 +106,26 @@ object FuzzyJoin {
       .select(col("__ida"), col("__idb"))
 
     // Strings too short to segment (len < k = d+1) never reach the
-    // segment join: verify them directly against all length-
-    // compatible partners (≤ len+d < 2d+1 chars — a tiny, bounded
-    // slice of the corpus).
+    // segment join. The verify slice is all-pairs, but over DISTINCT
+    // short texts, not rows: |distinct strings shorter than the
+    // bound| is alphabet-capped (≤ Σ_{l<2d+1} |Σ|^l), a STRUCTURAL
+    // limit independent of corpus size — a short-text-heavy corpus
+    // (usernames, tags) with a million copies of "jo" contributes ONE
+    // row to the cross join, and row multiplicity rides back in on
+    // the two text equi-joins. (Cross-joining the ROWS, as this used
+    // to, is a data-dependent n² exactly on those corpora —
+    // FuzzyJoinSpec's short-heavy case pins the fixed shape.)
+    val lShortTxt = L.filter(col("__la") < k)
+      .select(col("__ta"), col("__la")).distinct()
+    val rShortTxt = R.filter(col("__lb") < k + maxDist)
+      .select(col("__tb"), col("__lb")).distinct()
+    val shortTxtPairs = lShortTxt.crossJoin(rShortTxt)
+      .filter(abs(col("__la") - col("__lb")) <= maxDist &&
+        levenshtein(col("__ta"), col("__tb")) <= maxDist)
+      .select(col("__ta"), col("__tb"))
     val smallPairs = L.filter(col("__la") < k)
-      .select(col("__ida"), col("__la"))
-      .crossJoin(R.filter(col("__lb") < k + maxDist)
-        .select(col("__idb"), col("__lb")))
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .join(shortTxtPairs, Seq("__ta"))
+      .join(R.select(col("__idb"), col("__tb")), Seq("__tb"))
       .select(col("__ida"), col("__idb"))
 
     val allCand = segCand.unionByName(smallPairs).distinct()

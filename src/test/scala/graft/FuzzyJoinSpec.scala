@@ -86,6 +86,53 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(run(l3, r3, d = 2) == brute(l3, r3, 2))
   }
 
+  test("short-string-heavy corpus (username/tag shape): distinct-collapsed slice matches brute force") {
+    // Lots of DUPLICATE short strings — the corpus shape where the
+    // old row-level short-slice crossJoin went n². The fixed path
+    // cross-verifies DISTINCT short texts only (alphabet-bounded)
+    // and joins multiplicity back; results must equal brute force
+    // exactly, including the all-duplicates pairs.
+    val pool = Seq("a", "ab", "ba", "b", "", "aa", "bb", "jo")
+    val l = (0 until 48).map(i => i.toLong -> pool(i % pool.size))
+    val r = (0 until 48).map(i =>
+      (i + 100).toLong -> pool((i * 3 + 1) % pool.size))
+    assert(run(l, r, d = 2) == brute(l, r, 2))
+    // mixed: short slice plus segmentable strings in one corpus —
+    // the union of the two candidate paths must stay lossless
+    val l2 = l.take(12) ++ Seq(900L -> "warehouse", 901L -> "stream")
+    val r2 = r.take(12) ++ Seq(910L -> "warehouze", 911L -> "streams")
+    assert(run(l2, r2, d = 2) == brute(l2, r2, 2))
+  }
+
+  test("short-slice cross join runs on DISTINCT texts (plan shape)") {
+    import spark.implicits._
+    val l = (0 until 30).map(i => i.toLong -> "ab").toDF("id_a", "ta")
+    val r = (0 until 30).map(i => (i + 100).toLong -> "ba").toDF("id_b", "tb")
+    val plan = FuzzyJoin.join(l, "id_a", "ta", r, "id_b", "tb", maxDist = 2)
+      .queryExecution.optimizedPlan
+    // every non-equi join's inputs must sit under an Aggregate (the
+    // distinct collapse) — no row-level cross/nested-loop join
+    // anywhere (the pushed-down length/levenshtein predicate makes
+    // the optimized cross join an Inner join with a non-equi
+    // condition, so detect by "condition carries no EqualTo")
+    val crosses = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.forall(c => !c.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualTo]))
+        => j
+    }
+    assert(crosses.nonEmpty, "expected the short-slice cross join")
+    crosses.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val hasDistinct = side.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isDefined
+        assert(hasDistinct,
+          s"cross-join side must be distinct-collapsed:\n$side")
+      }
+    }
+  }
+
   test("fixture-scale equivalence with brute force (random-ish corpus)") {
     import spark.implicits._
     val words = Seq("metric", "stream", "vector", "shard", "corpus", "tokens")

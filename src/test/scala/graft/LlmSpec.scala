@@ -2790,6 +2790,83 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainingMemo()
   }
 
+  test("blockedDedupClusters: exactly CC(min-id) over the union of all three blockers' pairs") {
+    // The composed pipeline must equal a driver union-find replay
+    // over the three individually-verified pair streams — exact map
+    // equality, so a blocker dropped from the union, a lost pair, or
+    // a wrong label all fail loudly.
+    val lsh = Dedup.withLshPairs(docs, "doc_id", "text") { p =>
+      p.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val sn = Dedup.sortedNeighborPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val union = (lsh ++ sn ++ sim).toSet
+    assert(lsh.nonEmpty && sim.nonEmpty,
+      "fixture must trip at least LSH and simhash for a meaningful test")
+    // driver union-find with min-root labels (the dupClusters rule)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    union.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = parent.keys.map(id => id -> find(id)).toMap
+    val got = Dedup.blockedDedupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"cluster map mismatch: got ${got.size} rows, want ${want.size}")
+    // and the union genuinely adds over LSH alone on this fixture —
+    // otherwise the composition gate would be vacuous
+    assert(union.size > lsh.length || sn.nonEmpty || sim.nonEmpty)
+  }
+
+  test("training memo staleness: overwrite-in-place keys a MISS and retrains fresh") {
+    // The r14 ADVICE item: a plan-only key has relation-cache
+    // staleness (InMemoryFileIndex equality is rootPaths-only, so an
+    // in-place overwrite canonicalizes to the SAME plan). The key now
+    // carries Lineage.inputSnapshot — (path, size, mtime) of the leaf
+    // files — so the overwrite must key a miss and retrain on the new
+    // bytes, never serve the old centroids.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("memo-stale")
+      .toString
+    def write(shift: Double): Unit =
+      (0 until 32).map(i =>
+        (i.toLong, Seq.tabulate(4)(j => i * 0.25 + j * 1.5 + shift)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(tmp)
+    def train(): Array[(Long, Seq[Double])] =
+      Similarity.kmeansCentroids(spark.read.parquet(tmp), k = 4,
+        iters = 2, dims = 4, exactMeans = true)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    Similarity.clearTrainingMemo()
+    write(0.0)
+    val before = train()
+    assert(Similarity.trainingMemoSizes._1 == 1)
+    write(100.0) // same path, same canonicalized plan, new bytes
+    val after = train()
+    assert(Similarity.trainingMemoSizes._1 == 2,
+      "overwrite-in-place must key a memo MISS (fresh snapshot)")
+    assert(before.map(_._2) != after.map(_._2),
+      "retrain must reflect the new data, not the memoized centroids")
+    // unchanged files still hit: a third read of the same (new) data
+    // adds no entry
+    train()
+    assert(Similarity.trainingMemoSizes._1 == 2,
+      "unchanged files must still memo-hit")
+    Similarity.clearTrainingMemo()
+    assert(Similarity.trainingMemoSizes == ((0, 0)))
+  }
+
   test("int8QuantStats: hand-computed round-trip errors, zero vector exact") {
     import spark.implicits._
     val d = Seq(

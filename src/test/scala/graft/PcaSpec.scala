@@ -82,6 +82,25 @@ class PcaSpec extends AnyFunSuite {
     assert(!(v2 eq v1) && v2.drop(1).sameElements(v1.drop(1)))
   }
 
+  test("topComponent memo staleness: overwrite-in-place retrains fresh") {
+    // Same contract as Similarity's training memo: the key carries
+    // Lineage.inputSnapshot, so new bytes behind the same path (same
+    // canonicalized plan) must retrain, not serve stale loadings.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pca-stale").toString
+    def write(scale: Double): Unit =
+      (0 until 24).map(i => (i.toLong,
+        Seq.tabulate(4)(j => ((i % 5) * (j + 1)).toFloat * scale.toFloat)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(tmp)
+    write(1.0)
+    val (_, lam1) = Pca.topComponent(spark.read.parquet(tmp), dims = 4)
+    write(3.0) // eigenvalue scales by 9× — unmistakably fresh data
+    val (_, lam2) = Pca.topComponent(spark.read.parquet(tmp), dims = 4)
+    assert(math.abs(lam2 - 9.0 * lam1) < 1e-6 * math.abs(lam2),
+      s"retrain must see the new data: lam1=$lam1 lam2=$lam2")
+  }
+
   test("topComponent is invariant to partitioning (exact decimal sums)") {
     val (v1, l1) = Pca.topComponent(emb.repartition(13))
     val (v2, l2) = Pca.topComponent(emb.coalesce(1))

@@ -1103,6 +1103,41 @@ class PlanQualitySpec extends AnyFunSuite {
       && l.contains("id_a")), "pair dedupe must aggregate: " + plan.take(3000))
   }
 
+  test("q256 blocked dedup: unioned pair streams all keyed — no cartesian, no nested loop, pair dedupe aggregates") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // the LAZY composition (what blockedDedupClusters feeds CC):
+    // materialize=false variants so the full candidate machinery of
+    // all three blockers is visible in ONE physical plan
+    val lsh = graft.llm.Dedup.lshPairs(docs, "doc_id", "text")
+    val sn = graft.llm.Dedup.sortedNeighborPairs(docs, "doc_id", "text",
+      materialize = false)
+    val sim = graft.llm.Dedup.simhashPairs(docs, "doc_id", "text")
+    try {
+      val pairs = lsh.select(col("id_a"), col("id_b"))
+        .unionByName(sn.select(col("id_a"), col("id_b")))
+        .unionByName(sim.select(col("id_a"), col("id_b")))
+        .distinct()
+      val plan = pairs.queryExecution.executedPlan.toString
+      // every blocker's candidate join is keyed (band hash / global
+      // rank / (blk, bval)) — any unkeyed join is a corpus² regression
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+      // the canonical-pair dedupe before CC must be an aggregate on
+      // the pair key (map-side combinable), not a sort-based distinct
+      assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+        && l.contains("id_a")),
+        "pair dedupe must aggregate on the pair key: " + plan.take(4000))
+    } finally {
+      // the lazy variants legitimately pin caches (caller-owned
+      // release contract) — release what this test added
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
+  }
+
   test("q242 conformal + q244 sliced auc: windows group-keyed on distinct-value frames, joins broadcast") {
     for (name <- Seq("q242_conformal", "q244_auc_by_group")) {
       val plan = physical(name)
