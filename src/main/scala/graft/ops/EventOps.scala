@@ -116,22 +116,39 @@ object EventOps {
           expr("interval 1 day"))).as("day"))
     val daily = spine.join(counts, Seq(typeCol, "day"), "left")
       .na.fill(0L, Seq("n_events"))
-    // per-type target moments, exact sums (the burstDetect decimal
-    // discipline) — |types| rows, broadcast back
-    val mom = daily.groupBy(col(typeCol)).agg(
+    cusumOnSeries(daily, typeCol, "day", "n_events", k, h)
+  }
+
+  /** The CUSUM detector body over an ALREADY-AGGREGATED series frame
+    * — shared by [[cusumShift]] (daily event volume, dense day spine)
+    * and the streaming epoch variant
+    * ([[graft.streaming.StreamingPipeline.epochCusum]], committed
+    * ingest epochs). Series are independent per `keyCol`, ordered by
+    * `ordCol`; moments use the exact-decimal fold; the Page recursion
+    * is the closed-form two-chained-windows construction documented
+    * on [[cusumShift]]. Degenerate series (sd = 0 or < 2 points)
+    * emit null z/cusum and never alarm.
+    * Output: (keyCol, ordCol, valCol, z, cusum_pos, cusum_neg, alarm)
+    * — callers own spine semantics (densify or not) BEFORE calling. */
+  private[graft] def cusumOnSeries(series: DataFrame, keyCol: String,
+      ordCol: String, valCol: String, k: Double, h: Double): DataFrame = {
+    require(k >= 0 && h > 0, s"need k >= 0 and h > 0, got k=$k h=$h")
+    // per-key target moments, exact sums (the burstDetect decimal
+    // discipline) — |keys| rows, broadcast back
+    val mom = series.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__nd"),
-      sum(col("n_events")).as("__s1"),
-      sum(col("n_events").cast(DecimalType(38, 0)) * col("n_events"))
+      sum(col(valCol)).as("__s1"),
+      sum(col(valCol).cast(DecimalType(38, 0)) * col(valCol))
         .as("__s2"))
     val nD = col("__nd").cast("double")
     val mean = col("__s1").cast("double") / nD
     val variance = greatest(
       (col("__s2").cast("double") - nD * mean * mean) / (nD - lit(1.0)),
       lit(0.0))
-    val withZ = daily.join(broadcast(mom), Seq(typeCol))
+    val withZ = series.join(broadcast(mom), Seq(keyCol))
       .withColumn("__z", when(col("__nd") >= 2L && variance > 0.0,
-        (col("n_events").cast("double") - mean) / sqrt(variance)))
-    val wRun = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+        (col(valCol).cast("double") - mean) / sqrt(variance)))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     // two stages: the running sums first, then the running min OF the
     // running sums (windows cannot nest in one projection); same
@@ -141,7 +158,7 @@ object EventOps {
       .withColumn("__cn", sum(lit(0.0) - col("__z") - k).over(wRun))
     val sPos = col("__cp") - least(lit(0.0), min(col("__cp")).over(wRun))
     val sNeg = col("__cn") - least(lit(0.0), min(col("__cn")).over(wRun))
-    staged.select(col(typeCol), col("day"), col("n_events"),
+    staged.select(col(keyCol), col(ordCol), col(valCol),
       col("__z").as("z"),
       sPos.as("cusum_pos"), sNeg.as("cusum_neg"),
       coalesce(sPos > h || sNeg > h, lit(false)).as("alarm"))

@@ -150,6 +150,36 @@ object StreamingPipeline {
           / col("n_shingles").cast("double")))
   }
 
+  /** CUSUM sustained-shift detection on per-epoch ingest VOLUME over
+    * the COMMITTED corpus sink — the streaming sibling of
+    * [[graft.ops.EventOps.cusumShift]] (q247) and the third member of
+    * the continuous drift triad beside [[epochTvd]] (content mix) and
+    * [[epochPsi]] (length shape): TVD/PSI flag WHAT an epoch feeds
+    * the corpus, CUSUM flags a sustained change in HOW MUCH — a
+    * source quietly dying (S⁻ accumulates) or a crawler runaway (S⁺)
+    * that no single epoch's z-score trips.
+    *
+    * Epochs are their own spine: committed epochs only (torn epochs
+    * invisible, the [[readCommitted]] contract), ordered by epoch
+    * index, NOT zero-densified — unlike calendar days, a missing
+    * epoch index means "not committed yet", not "zero traffic", so
+    * inventing a zero row would fire a false S⁻ alarm on every
+    * out-of-order commit window.
+    *
+    * Scale shape: ONE epoch-keyed count (map-side combined) over the
+    * committed scan; the detector itself runs on the |epochs|-row
+    * series ([[graft.ops.EventOps.cusumOnSeries]] — closed-form Page
+    * recursion, two chained windows, no driver fold). */
+  def epochCusum(spark: SparkSession, corpusDir: String,
+      k: Double = 0.5, h: Double = 4.0): DataFrame =
+    graft.ops.EventOps.cusumOnSeries(
+      readCommitted(spark, corpusDir)
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("__series", lit("corpus")),
+      "__series", "epoch", "n_docs", k, h)
+      .drop("__series")
+
   /** Raw tx schema as landed by the source (FIXTURES.md A1). */
   val txSchema: StructType = StructType(Seq(
     StructField("txid", StringType),

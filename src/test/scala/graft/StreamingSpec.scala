@@ -587,6 +587,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(psi(1) > 0.0, psi.toString)
   }
 
+  test("epochCusum: sustained volume shift alarms, Page recursion matches driver replay, torn epoch invisible") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-epoch-cusum").toString
+    val corpus = s"$base/corpus"
+    // five quiet epochs then a sustained 4x jump — the shape a single
+    // epoch's z-score never trips but CUSUM accumulates
+    val sizes = Seq(2, 2, 2, 2, 2, 8, 8, 8)
+    sizes.zipWithIndex.foreach { case (n, e) =>
+      (0 until n).map(i => (e * 100L + i, s"epoch $e doc $i body words"))
+        .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=$e")
+    }
+    Seq((999L, "torn torn torn")).toDF("doc_id", "clean_text")
+      .write.parquet(s"$corpus/epoch=8")
+    Files.delete(java.nio.file.Paths.get(s"$corpus/epoch=8/_SUCCESS"))
+
+    val k = 0.5; val h = 1.5
+    val out = StreamingPipeline.epochCusum(spark, corpus, k = k, h = h)
+      .collect().map(r => r.getAs[Int]("epoch") -> r).toMap
+    assert(out.keySet == sizes.indices.toSet, "torn epoch leaked")
+    // additivity with the committed corpus: the detector's input
+    // series IS the per-epoch committed volume, summing to the whole
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum ==
+      StreamingPipeline.readCorpus(spark, corpus).count())
+    sizes.zipWithIndex.foreach { case (n, e) =>
+      assert(out(e).getAs[Long]("n_docs") == n.toLong, s"epoch $e") }
+    // exact driver replay of the standardization + Page recursion —
+    // the closed-form windows must reproduce the textbook fold
+    val xs = sizes.map(_.toDouble)
+    val mean = xs.sum / xs.size
+    val sd = math.sqrt(
+      xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
+    var sp = 0.0; var sn = 0.0
+    sizes.zipWithIndex.foreach { case (n, e) =>
+      val z = (n - mean) / sd
+      sp = math.max(0.0, sp + z - k)
+      sn = math.max(0.0, sn - z - k)
+      val r = out(e)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-9, s"z epoch $e")
+      assert(math.abs(r.getAs[Double]("cusum_pos") - sp) < 1e-9,
+        s"cusum_pos epoch $e")
+      assert(math.abs(r.getAs[Double]("cusum_neg") - sn) < 1e-9,
+        s"cusum_neg epoch $e")
+      assert(r.getAs[Boolean]("alarm") == (sp > h || sn > h), s"epoch $e")
+    }
+    // the sustained up-shift alarms on the POSITIVE side only, and
+    // only once enough shifted epochs accumulated (not at the jump)
+    assert(!out(5).getAs[Boolean]("alarm") && !out(6).getAs[Boolean]("alarm"))
+    assert(out(7).getAs[Boolean]("alarm") &&
+      out(7).getAs[Double]("cusum_pos") > h)
+    assert(out.values.forall(_.getAs[Double]("cusum_neg") <= h),
+      "quiet stretch must not trip the negative side")
+  }
+
   test("epochNovelty: first epoch fully novel, recrawl scores zero, torn epoch invisible") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-epoch-novelty").toString
