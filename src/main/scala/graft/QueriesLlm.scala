@@ -6079,6 +6079,152 @@ object QueriesLlm {
       SELECT id AS doc_id, MIN(r) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** End-to-end hybrid retrieval over the FULL serving stack: BM25
+    * postings top-10 + dense ANN top-10 probed from the PERSISTED IVF
+    * index (seed centroids — the deterministic build the oracle can
+    * replay), fused by RRF; see [[Similarity.hybridSearchIndexed]].
+    * q251 gates the fusion on pre-cut lists; this gates the whole
+    * request path, index build included. */
+  private val q257 = Q("q257_hybrid_indexed",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "dup key scan"), (2L, "hash join merge"),
+        (3L, "stream window sort the")).toDF("query_id", "query_text")
+      val emb = t(s, dir, "embeddings")
+      val idx = indexDir("hyb", dir)(p =>
+        Similarity.buildIvfIndex(emb, p,
+          centroids = Some(emb.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))))
+      Similarity.hybridSearchIndexed(s, idx, t(s, dir, "documents"),
+        "doc_id", "text", queries,
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+        k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q(query_id, query_text) AS (VALUES
+        (CAST(1 AS BIGINT), 'dup key scan'),
+        (CAST(2 AS BIGINT), 'hash join merge'),
+        (CAST(3 AS BIGINT), 'stream window sort the')),
+      qt AS (SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(lower(query_text)), '\\s+'))
+                 AS term
+             FROM q),
+      base AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+               FROM documents),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      toks AS (SELECT doc_id, unnest(t) AS term FROM base),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM toks JOIN (SELECT DISTINCT term FROM qt) USING (term)
+             GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE)))) AS c
+        FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats),
+      bscored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1, 2),
+      lex AS (SELECT query_id, doc_id AS id, rank FROM (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM bscored) WHERE rank <= 10),
+      cc AS (SELECT vec_id AS cid, embedding AS c_emb
+             FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, cc.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCos("e.embedding", "cc.c_emb")} DESC,
+                     cc.cid ASC) AS r
+          FROM embeddings e CROSS JOIN cc)
+        WHERE r = 1),
+      probed AS (
+        SELECT query_id, q_emb, cid FROM (
+          SELECT qv.vec_id AS query_id, qv.embedding AS q_emb, cc.cid,
+                 row_number() OVER (PARTITION BY qv.vec_id
+                   ORDER BY ${duckCos("qv.embedding", "cc.c_emb")} DESC,
+                     cc.cid ASC) AS r
+          FROM embeddings qv CROSS JOIN cc WHERE qv.vec_id IN (1, 2, 3))
+        WHERE r <= 2),
+      dscored AS (
+        SELECT query_id, vec_id, ${duckCos("q_emb", "embedding")} AS cos
+        FROM assigned JOIN probed USING (cid)
+        WHERE vec_id <> query_id),
+      den AS (SELECT query_id, vec_id AS id, rank FROM (
+          SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM dscored) WHERE rank <= 10),
+      ids AS (SELECT query_id, id FROM lex
+              UNION SELECT query_id, id FROM den),
+      f AS (SELECT ids.query_id, ids.id,
+              COALESCE(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0)
+                AS rrf_score,
+              l.rank AS rank_a, d.rank AS rank_b
+            FROM ids
+            LEFT JOIN lex l ON l.query_id = ids.query_id AND l.id = ids.id
+            LEFT JOIN den d ON d.query_id = ids.query_id AND d.id = ids.id)
+      SELECT query_id, rank, id, rrf_score, rank_a, rank_b FROM (
+        SELECT f.*, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, id ASC) AS BIGINT) AS rank FROM f)
+      WHERE rank <= 10 ORDER BY query_id, rank"""))
+
+  /** Per-source precision/recall/F1 sweep of the q248 scorer — the
+    * slice fairness table beside q244's per-fold AUC; see
+    * [[QualityClassifier.prCurveByGroup]]. */
+  private val q258 = Q("q258_pr_by_group",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = QualityClassifier.features(
+        docs, "doc_id", "text", col("lang") === "en", enStop)
+      val w = QualityClassifier.train(feat, iters = 3, lr = 8.0)
+      QualityClassifier.prCurveByGroup(
+        QualityClassifier.score(feat, "doc_id", w)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source").orderBy("source", "threshold")
+    },
+    Some(s"""${duckLrScoredAt("8.0")},
+      th AS (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+             FROM generate_series(1, 9) t(i)),
+      sg AS (SELECT s.doc_id, d.source AS g, s.p, s.y
+             FROM scored_lr s JOIN documents d USING (doc_id)),
+      a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+            FROM sg GROUP BY 1),
+      cm AS (SELECT sg.g, th.threshold,
+               CAST(SUM(CASE WHEN sg.p >= th.threshold AND sg.y = 1.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN sg.p >= th.threshold AND sg.y = 0.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+             FROM th CROSS JOIN sg GROUP BY 1, 2),
+      pr AS (SELECT cm.g, threshold, tp, fp, pos - tp AS fn,
+               n - pos - fp AS tn,
+               CASE WHEN tp + fp > 0 THEN
+                 CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS p_,
+               CASE WHEN pos > 0 THEN
+                 CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END AS r_
+             FROM cm JOIN a USING (g))
+      SELECT g AS source, threshold, tp, fp, fn, tn,
+             p_ AS "precision", r_ AS recall,
+             CASE WHEN p_ IS NOT NULL AND r_ IS NOT NULL
+                   AND p_ + r_ > 0.0
+               THEN 2.0 * p_ * r_ / (p_ + r_) END AS f1
+      FROM pr ORDER BY source, threshold"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6093,5 +6239,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255, q256)
+    q250, q251, q252, q253, q254, q255, q256, q257, q258)
 }

@@ -177,6 +177,55 @@ object QualityClassifier {
       precision.as("precision"), recall.as("recall"), f1.as("f1"))
   }
 
+  /** Per-slice precision/recall/F1 threshold sweep: [[prCurve]]
+    * computed independently for every value of `groupCol` in ONE
+    * grouped pass (the [[graft.llm.Stats.aucByGroup]] slice
+    * discipline) — the fairness/segment decision table that catches a
+    * cut that is right globally and wrong for one source or language
+    * slice, which the global q248 sweep averages away.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined
+    * groupBy aggregate carrying 2·|thresholds|+2 conditional sums;
+    * the explode emits |groups|·|thresholds| rows. No threshold×rows
+    * blow-up, no per-group pass. */
+  def prCurveByGroup(scored: DataFrame, groupCol: String,
+      probCol: String = "quality_score", labelCol: String = "label",
+      thresholds: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val s = scored.select(col(groupCol).as("__g"),
+      col(probCol).cast("double").as("__p"),
+      col(labelCol).cast("long").as("__y"))
+    val aggs =
+      Seq(count(lit(1)).as("__n"), sum(col("__y")).as("__pos")) ++
+      thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("__p") >= t && col("__y") === 1L, 1L).otherwise(0L))
+          .as(s"__tp$i"),
+        sum(when(col("__p") >= t && col("__y") === 0L, 1L).otherwise(0L))
+          .as(s"__fp$i"))
+      }
+    val one = s.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    val packed = one.select(col("__g"), col("__n"), col("__pos"),
+      explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"__tp$i").as("tp"),
+          col(s"__fp$i").as("fp"))
+      }: _*)).as("__x"))
+    val tp = col("__x.tp").cast("long")
+    val fp = col("__x.fp").cast("long")
+    val fn = (col("__pos") - tp).cast("long")
+    val tn = (col("__n") - col("__pos") - fp).cast("long")
+    val precision = when(tp + fp > 0L,
+      tp.cast("double") / (tp + fp).cast("double"))
+    val recall = when(col("__pos") > 0L,
+      tp.cast("double") / col("__pos").cast("double"))
+    val f1 = when(precision.isNotNull && recall.isNotNull &&
+        precision + recall > 0.0,
+      lit(2.0) * precision * recall / (precision + recall))
+    packed.select(col("__g").as(groupCol),
+      col("__x.threshold").as("threshold"),
+      tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"),
+      precision.as("precision"), recall.as("recall"), f1.as("f1"))
+  }
+
   /** Isotonic calibration map by pool-adjacent-violators (Ayer et
     * al. 1955; Zadrozny & Elkan 2002 for classifier calibration): the
     * non-parametric monotone least-squares fit of label rate to

@@ -1664,6 +1664,39 @@ object Similarity {
         col("rank_a"), col("rank_b"))
   }
 
+  /** ONE-CALL hybrid retrieval over the full serving stack: BM25
+    * lexical top-k over the document table
+    * ([[graft.llm.TextAnalysis.bm25TopK]]) fused by [[rrfFuse]] with
+    * dense ANN top-k probed from a PERSISTED IVF index
+    * ([[ivfTopKIndexed]]) — the end-to-end request path of a hybrid
+    * retrieval service (build the index offline with
+    * [[buildIvfIndex]], serve queries online with this). q251 gates
+    * the fusion over pre-cut candidate lists; this is the whole
+    * stack in one call, gated end-to-end (q257).
+    *
+    * `queries` carries (query_id, query_text); `queryVecs` carries
+    * (vec_id, embedding) over the SAME id space (a production caller
+    * passes each request's text plus its embedding).
+    *
+    * Scale shape: each leg keeps its own 100 TB contract — BM25 is a
+    * broadcast query-term semi-join over postings with a per-query
+    * top-k window (shuffle = matching postings only); the IVF probe
+    * broadcasts centroids and scans the `nprobe` probed list
+    * directories only. The fuse adds one (query, id) full-outer join
+    * on two k-row-per-query frames and one query-partitioned top-k
+    * window — request-sized, never corpus-sized. */
+  def hybridSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryVecs: DataFrame, k: Int = 10,
+      nprobe: Int = 2, k0: Int = 60): DataFrame = {
+    val lex = graft.llm.TextAnalysis.bm25TopK(docs, queries, idCol,
+        textCol, k)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val den = ivfTopKIndexed(spark, indexPath, queryVecs, k, nprobe)
+      .select(col("query_id"), col("vec_id").as("id"), col("rank"))
+    rrfFuse(lex, den, k0 = k0, topK = k)
+  }
+
   /** Symmetric per-vector int8 quantization round-trip quality: for
     * each embedding, scale = max |e_i|, q_i = ⌊e_i·127/scale + ½⌋
     * (clamped to ±127 against fp edge cases), dequantized error

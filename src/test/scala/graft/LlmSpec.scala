@@ -2724,6 +2724,82 @@ class LlmSpec extends AnyFunSuite {
     assert(rn.getAs[Double]("precision") == 0.0)
   }
 
+  test("prCurveByGroup: hand-computed per-slice confusion; every slice equals prCurve on that slice") {
+    import spark.implicits._
+    val scored = Seq(
+      ("s1", 0.9, 1L), ("s1", 0.8, 0L), ("s1", 0.6, 1L), ("s1", 0.3, 0L),
+      ("s2", 0.9, 0L), ("s2", 0.2, 0L))
+      .toDF("source", "quality_score", "label")
+    val out = graft.llm.QualityClassifier.prCurveByGroup(scored, "source",
+      thresholds = Seq(0.5)).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val r1 = out("s1")
+    assert(r1.getAs[Long]("tp") == 2L && r1.getAs[Long]("fp") == 1L &&
+      r1.getAs[Long]("fn") == 0L && r1.getAs[Long]("tn") == 1L)
+    assert(math.abs(r1.getAs[Double]("precision") - 2.0 / 3.0) < 1e-15 &&
+      r1.getAs[Double]("recall") == 1.0 &&
+      math.abs(r1.getAs[Double]("f1") - 0.8) < 1e-15)
+    // the no-positive slice keeps its own degenerate nulls — the
+    // global sweep (q248) would have averaged it away
+    val r2 = out("s2")
+    assert(r2.isNullAt(r2.fieldIndex("recall")) &&
+      r2.isNullAt(r2.fieldIndex("f1")) &&
+      r2.getAs[Double]("precision") == 0.0)
+    // slice-equality across all default thresholds: each group's rows
+    // must equal prCurve run on that slice alone
+    val grouped = graft.llm.QualityClassifier.prCurveByGroup(scored, "source")
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getAs[Double]("threshold") ->
+          (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+            r.getAs[Long]("tn"))).toMap }
+    for (src <- Seq("s1", "s2")) {
+      val slice = graft.llm.QualityClassifier.prCurve(
+        scored.filter(col("source") === src)).collect()
+        .map(r => r.getAs[Double]("threshold") ->
+          (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+            r.getAs[Long]("tn"))).toMap
+      assert(grouped(src) == slice, s"slice $src must match prCurve")
+    }
+  }
+
+  test("hybridSearchIndexed: equals RRF over the two legs computed independently") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hyb").toString
+    Similarity.buildIvfIndex(emb, tmp,
+      centroids = Some(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))))
+    val queries = Seq((1L, "dup key scan"), (2L, "hash join merge"))
+      .toDF("query_id", "query_text")
+    val qv = emb.filter(col("vec_id").isin(1L, 2L))
+    val k = 5
+    val got = Similarity.hybridSearchIndexed(spark, tmp, docs,
+      "doc_id", "text", queries, qv, k = k, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("id"), r.getAs[Double]("rrf_score"))).toMap
+    // independent replay: collect each leg, fold RRF on the driver
+    val lex = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text", k)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id")) -> r.getAs[Long]("rank")).toMap
+    val den = Similarity.ivfTopKIndexed(spark, tmp, qv, k, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id")) -> r.getAs[Int]("rank").toLong).toMap
+    for (q <- Seq(1L, 2L)) {
+      val ids = (lex.keySet ++ den.keySet).filter(_._1 == q).map(_._2)
+      val want = ids.toSeq.map { id =>
+        val s = lex.get((q, id)).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          den.get((q, id)).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+      want.zipWithIndex.foreach { case ((id, s), i) =>
+        val (gid, gs) = got((q, i + 1L))
+        assert(gid == id && math.abs(gs - s) < 1e-12,
+          s"query $q rank ${i + 1}: got ($gid, $gs) want ($id, $s)")
+      }
+    }
+  }
+
   test("vocabRichness: hand-computed spectrum, Good-Turing mass and Chao1") {
     import spark.implicits._
     // counts: a=3, b=2, c=1, d=1 -> N=7 V=4 n1=2 n2=1

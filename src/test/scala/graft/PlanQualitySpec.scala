@@ -1138,6 +1138,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q257 hybrid indexed: request-path plan — every window query-keyed with group-limit, no cartesian") {
+    val plan = physical("q257_hybrid_indexed")
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // both legs' top-k and the fused re-rank must push the rank
+    // filter into the window
+    assert(plan.contains("WindowGroupLimit"), plan.take(4000))
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("query_id")),
+      windows.mkString("\n"))
+  }
+
+  test("q258 pr by group: ONE group-keyed conditional-sum aggregate — no window, no threshold-row explode") {
+    val plan = physical("q258_pr_by_group")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"),
+      "the sweep must be a fold, not a window: " + plan.take(3000))
+    // the corpus-sized work is the single grouped aggregate with all
+    // 2·|thresholds| conditional sums, map-side combined
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("keys=[__g") && l.contains("partial_")),
+      "grouped sweep must map-side combine: " + plan.take(3000))
+  }
+
   test("q242 conformal + q244 sliced auc: windows group-keyed on distinct-value frames, joins broadcast") {
     for (name <- Seq("q242_conformal", "q244_auc_by_group")) {
       val plan = physical(name)
