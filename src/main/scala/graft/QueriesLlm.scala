@@ -6009,12 +6009,12 @@ object QueriesLlm {
     * sorted-neighbor verification reusing the minhash CTEs' hashed
     * shingle sets `d`), unions them, and closes transitively with the
     * q57 recursive CTE. */
-  private val q256 = Q("q256_blocked_dedup",
-    (s, dir) => Dedup.blockedDedupClusters(t(s, dir, "documents"),
-      "doc_id", "text")
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy("doc_id"),
-    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+  /** The three-blocker pair union + transitive closure, shared by the
+    * q256 cluster gate and the q259 keeper gate: q23's LSH replay
+    * (via `verified`), q231's sorted-neighbor replay (verification
+    * reusing the minhash CTEs' hashed shingle sets `d`), q252's
+    * simhash replay, unioned and closed with the q57 recursive CTE. */
+  private val duckTriBlockerCtes = s"""
       lshp AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
       sns AS (
         SELECT doc_id,
@@ -6075,9 +6075,40 @@ object QueriesLlm {
       reach(id, r) AS (
         SELECT src, src FROM edges GROUP BY src
         UNION
-        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)"""
+
+  private val q256 = Q("q256_blocked_dedup",
+    (s, dir) => Dedup.blockedDedupClusters(t(s, dir, "documents"),
+      "doc_id", "text")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,$duckTriBlockerCtes
       SELECT id AS doc_id, MIN(r) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  /** Keeper resolution over the q256 blocked clusters: keep-longest
+    * (argmax n_chars, tie → lower id) per three-blocker cluster —
+    * the last mile of the composed pipeline, the frame a filtering
+    * write consumes; see [[Dedup.blockedClusterKeepers]]. The oracle
+    * extends the q256 replay with q170's per-cluster argmax tail. */
+  private val q259 = Q("q259_blocked_keepers",
+    (s, dir) => Dedup.blockedClusterKeepers(t(s, dir, "documents"),
+      "doc_id", "text", "n_chars")
+      .orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,$duckTriBlockerCtes,
+      kcl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      kbase AS (SELECT d.doc_id,
+                       COALESCE(kcl.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM documents d LEFT JOIN kcl ON kcl.id = d.doc_id),
+      kkp AS (SELECT cluster_id, doc_id AS keeper FROM (
+               SELECT cluster_id, doc_id,
+                      row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY n_chars DESC, doc_id ASC) AS rk FROM kbase)
+              WHERE rk = 1)
+      SELECT kbase.doc_id, kbase.cluster_id, kbase.n_chars,
+             (kbase.doc_id = kkp.keeper) AS kept
+      FROM kbase JOIN kkp USING (cluster_id) ORDER BY kbase.doc_id"""))
 
   /** End-to-end hybrid retrieval over the FULL serving stack: BM25
     * postings top-10 + dense ANN top-10 probed from the PERSISTED IVF
@@ -6239,5 +6270,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255, q256, q257, q258)
+    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259)
 }

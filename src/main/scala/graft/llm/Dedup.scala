@@ -1043,6 +1043,38 @@ object Dedup {
       graft.llm.Corpus.dupClusters(pairs, checkpointDir = checkpointDir)
     }
 
+  /** Keeper resolution over [[blockedDedupClusters]] — the composed
+    * pipeline's last mile: three-blocker pair union → connected
+    * components → ONE survivor per cluster by keep-"best" (argmax
+    * `scoreCol`, tie → lower id), every input document emitted with
+    * its resolved cluster, score, and keep decision (singletons keep
+    * themselves through the left join's coalesce). The
+    * [[clusterKeepers]] policy applied to the production candidate
+    * set instead of LSH alone.
+    *
+    * Scale shape: clusters arrive EAGER and duplicate-sized from
+    * blockedDedupClusters (local relation / truncated big-star output
+    * — no lazy LSH lineage to pin, so no checkpoint is needed here);
+    * the keeper argmax aggregates clustered docs only; the final join
+    * shuffles (id, score) pairs. */
+  def blockedClusterKeepers(docs: DataFrame, idCol: String,
+      textCol: String, scoreCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = blockedDedupClusters(docs, idCol, textCol,
+      checkpointDir = checkpointDir).withColumnRenamed("id", idCol)
+    val base = docs.select(col(idCol), col(scoreCol))
+      .join(clusters, Seq(idCol), "left")
+    val keepers = base.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (-col(idCol)).as("__tb"))).as("__keeper"))
+    base.join(keepers, Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col(scoreCol),
+        coalesce(col(idCol) === col("__keeper"), lit(true)).as("kept"))
+  }
+
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, threshold: Double = 0.5,
       bandBits: Int = 0, materialize: Boolean = true,

@@ -2904,6 +2904,32 @@ class LlmSpec extends AnyFunSuite {
     assert(union.size > lsh.length || sn.nonEmpty || sim.nonEmpty)
   }
 
+  test("blockedClusterKeepers: one keeper per cluster, keep-longest, singletons keep themselves") {
+    val out = Dedup.blockedClusterKeepers(docs, "doc_id", "text", "n_chars")
+      .collect()
+    assert(out.length == docs.count(), "every input doc must be emitted")
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == 1, s"cluster $cid must keep exactly one")
+      val maxScore = rows.map(_.getAs[Long]("n_chars")).max
+      assert(kept.head.getAs[Long]("n_chars") == maxScore,
+        s"cluster $cid keeper must be longest")
+      assert(kept.head.getAs[Long]("doc_id") ==
+        rows.filter(_.getAs[Long]("n_chars") == maxScore)
+          .map(_.getAs[Long]("doc_id")).min,
+        s"cluster $cid tie must break to the lower id")
+    }
+    // membership must be exactly the blocked clustering, with
+    // singletons resolving to themselves through the left join
+    val clusters = Dedup.blockedDedupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("cluster_id") == clusters.getOrElse(id, id))
+    }
+    assert(clusters.nonEmpty, "fixture must produce non-trivial clusters")
+  }
+
   test("training memo staleness: overwrite-in-place keys a MISS and retrains fresh") {
     // The r14 ADVICE item: a plan-only key has relation-cache
     // staleness (InMemoryFileIndex equality is rootPaths-only, so an
