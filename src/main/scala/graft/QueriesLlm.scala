@@ -6256,6 +6256,81 @@ object QueriesLlm {
                THEN 2.0 * p_ * r_ / (p_ + r_) END AS f1
       FROM pr ORDER BY source, threshold"""))
 
+  /** nDCG@10 / MRR / hits@10 of the q44-configured IVF ranking
+    * against the exact brute-force top-10 as binary ground truth —
+    * the ranking-quality acceptance readout beside q254's set-overlap
+    * recall; see [[Similarity.rankingQuality]]. */
+  private val q260 = Q("q260_ranking_quality",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rankingQuality(
+        Similarity.ivfTopK(q, emb, 10, nlist = 16, nprobe = 2),
+        Similarity.bruteForceTopK(q, emb, 10), k = 10)
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCos("e.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings e CROSS JOIN c)
+        WHERE r = 1),
+      probed AS (
+        SELECT query_id, q_emb, cid FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10)
+        WHERE r <= 2),
+      iscored AS (
+        SELECT query_id, vec_id, ${duckCos("q_emb", "embedding")} AS cos
+        FROM assigned JOIN probed USING (cid)
+        WHERE vec_id <> query_id),
+      ivfr AS (SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM iscored) WHERE rank <= 10),
+      qv AS (SELECT vec_id AS query_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < 10),
+      bcs AS (SELECT query_id, vec_id,
+                ${duckCos("q_emb", "embedding")} AS cos
+              FROM embeddings JOIN qv ON vec_id <> query_id),
+      bt AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM bcs) WHERE rank <= 10),
+      mq AS (SELECT ivfr.query_id, ivfr.rank,
+               CASE WHEN bt.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+             FROM ivfr LEFT JOIN bt ON bt.query_id = ivfr.query_id
+               AND bt.vec_id = ivfr.vec_id),
+      pq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+               CAST(SUM(rel) AS BIGINT) AS hits,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS fr,
+               CAST(SUM(CAST(CASE WHEN rel = 1 THEN
+                   1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+                 ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE) AS dcg
+             FROM mq GROUP BY 1),
+      nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nrel
+             FROM bt GROUP BY 1),
+      idl AS (SELECT query_id,
+                CAST(SUM(CAST(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))
+                  AS DECIMAL(30,12))) AS DOUBLE) AS idcg
+              FROM nr CROSS JOIN generate_series(1, 10) g(i)
+              WHERE i <= least(nrel, 10) GROUP BY 1)
+      SELECT pq.query_id, n_ranked, hits,
+             COALESCE(1.0 / CAST(fr AS DOUBLE), 0.0) AS mrr,
+             dcg, idcg,
+             CASE WHEN idcg > 0.0 THEN dcg / idcg END AS ndcg
+      FROM pq JOIN idl USING (query_id) ORDER BY pq.query_id"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6270,5 +6345,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259)
+    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
 }

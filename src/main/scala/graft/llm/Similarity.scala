@@ -1697,6 +1697,59 @@ object Similarity {
     rrfFuse(lex, den, k0 = k0, topK = k)
   }
 
+  /** Ranking-quality evaluation of a candidate ranking against a
+    * ground-truth relevant set (binary gains) — the standard ANN /
+    * retrieval acceptance readout BESIDE set-overlap recall (q254):
+    * recall says how much of the truth the index returns at all,
+    * these say where it puts it. Per query: hits@k, MRR (1/rank of
+    * the first relevant result, 0 when none lands), DCG@k with
+    * binary gains (Σ_rel 1/log₂(rank+1)), the ideal DCG@k
+    * (Σ_{i≤min(k,|rel|)} 1/log₂(i+1)), and nDCG@k = DCG/IDCG
+    * (Järvelin & Kekäläinen 2002).
+    *
+    * Determinism: every discount term is ln(x)/ln(2) — the SAME
+    * expression the DuckDB oracle evaluates — and both DCG sums fold
+    * through DECIMAL(30,12) fixed-point (the dsum discipline), so
+    * partial-aggregation order cannot drift the gate hash.
+    *
+    * Scale shape: one (query, id) equi-join of two ≤k-row-per-query
+    * frames, one query-keyed aggregate, and an ideal-DCG spine of
+    * ≤ k exploded rows per query — request-sized, never
+    * corpus-sized. */
+  def rankingQuality(ranking: DataFrame, truth: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "vec_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    def discount(r: Column): Column =
+      lit(1.0) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0)))
+    val r = ranking.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") <= k)
+    val rel = truth.select(col(queryCol).as("__q"), col(idCol).as("__id"))
+      .distinct().withColumn("__rel", lit(1L))
+    val perQ = r.join(rel, Seq("__q", "__id"), "left")
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).cast("long").as("n_ranked"),
+        sum(coalesce(col("__rel"), lit(0L))).cast("long").as("hits"),
+        min(when(col("__rel") === 1L, col("__r"))).as("__fr"),
+        sum(when(col("__rel") === 1L, discount(col("__r")))
+          .otherwise(lit(0.0)).cast(dec)).cast("double").as("dcg"))
+    val ideal = rel.groupBy(col("__q"))
+      .agg(count(lit(1)).as("__nrel"))
+      .select(col("__q"), explode(sequence(lit(1L),
+        least(col("__nrel"), lit(k.toLong)))).as("__i"))
+      .groupBy(col("__q"))
+      .agg(sum(discount(col("__i")).cast(dec)).cast("double").as("idcg"))
+    perQ.join(ideal, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("n_ranked"), col("hits"),
+        when(col("__fr").isNotNull,
+          lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0))
+          .as("mrr"),
+        col("dcg"), col("idcg"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
+  }
+
   /** Symmetric per-vector int8 quantization round-trip quality: for
     * each embedding, scale = max |e_i|, q_i = ⌊e_i·127/scale + ½⌋
     * (clamped to ±127 against fp edge cases), dequantized error

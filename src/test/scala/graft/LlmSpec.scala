@@ -2800,6 +2800,41 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("rankingQuality: hand-computed nDCG/MRR/hits, perfect ranking scores exactly 1") {
+    import spark.implicits._
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // q1: ranks [10,20,30], truth {20,30,40} -> hits 2, first hit at 2
+    // q2: no overlap; q3: ranking IS the truth in order -> ndcg = 1
+    val ranking = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 50L, 1L), (2L, 60L, 2L),
+      (3L, 70L, 1L), (3L, 80L, 2L))
+      .toDF("query_id", "vec_id", "rank")
+    val truth = Seq(
+      (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 99L),
+      (3L, 70L), (3L, 80L))
+      .toDF("query_id", "vec_id")
+    val out = Similarity.rankingQuality(ranking, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("hits") == 2L && r1.getAs[Double]("mrr") == 0.5)
+    val dcg1 = 1.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    val idcg1 = 1.0 + 1.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    assert(math.abs(r1.getAs[Double]("dcg") - dcg1) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("idcg") - idcg1) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("ndcg") - dcg1 / idcg1) < 1e-9)
+    // zero overlap: everything zero, idcg still from the truth size
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("hits") == 0L && r2.getAs[Double]("mrr") == 0.0 &&
+      r2.getAs[Double]("dcg") == 0.0 && r2.getAs[Double]("ndcg") == 0.0)
+    assert(math.abs(r2.getAs[Double]("idcg") - 1.0) < 1e-12,
+      "singleton truth: idcg = 1/log2(2) = 1")
+    // perfect ranking: dcg and idcg are the SAME decimal fold -> 1.0
+    val r3 = out(3L)
+    assert(r3.getAs[Double]("ndcg") == 1.0 && r3.getAs[Double]("mrr") == 1.0)
+  }
+
   test("vocabRichness: hand-computed spectrum, Good-Turing mass and Chao1") {
     import spark.implicits._
     // counts: a=3, b=2, c=1, d=1 -> N=7 V=4 n1=2 n2=1
