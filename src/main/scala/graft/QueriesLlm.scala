@@ -6331,6 +6331,45 @@ object QueriesLlm {
              CASE WHEN idcg > 0.0 THEN dcg / idcg END AS ndcg
       FROM pq JOIN idl USING (query_id) ORDER BY pq.query_id"""))
 
+  /** Int8-quantized serving top-10 (FAISS-SQ8 codes, exact integer
+    * dots — the ranking an int8 index actually answers with), hashed
+    * directly against the DuckDB quantize+score replay; see
+    * [[Similarity.int8TopK]]. */
+  private val q261 = Q("q261_int8_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8TopK(emb.filter(col("vec_id") < 10), emb, 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH s8 AS (SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS s
+           FROM embeddings),
+      q8 AS (SELECT e.vec_id,
+               list_transform(e.embedding, x -> CASE WHEN s > 0.0
+                 THEN greatest(-127.0, least(127.0,
+                   floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5)))
+                 ELSE 0.0 END) AS c
+             FROM embeddings e JOIN s8 ON s8.vec_id = e.vec_id),
+      n8 AS (SELECT vec_id, c,
+               sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> c[i] * c[i]))) AS nrm
+             FROM q8),
+      qv AS (SELECT vec_id AS query_id, c AS qc, nrm AS qn
+             FROM n8 WHERE vec_id < 10),
+      sc AS (SELECT query_id, n8.vec_id,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> qc[i] * n8.c[i])) / (qn * n8.nrm) AS cos_q
+             FROM n8 JOIN qv ON n8.vec_id <> query_id)
+      SELECT query_id, rank, vec_id, cos_q FROM (
+        SELECT query_id, vec_id, cos_q,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_q DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM sc)
+      WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6345,5 +6384,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
+    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261)
 }

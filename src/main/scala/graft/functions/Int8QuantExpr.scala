@@ -112,3 +112,85 @@ object Int8Quant {
     call_function(s"int8_quant_$dims", c)
   }
 }
+
+/** The int8 CODES themselves (same scheme as [[Int8Quant]]:
+  * scale = max |x_i|, q_i = clamp(⌊x_i·127/scale + ½⌋, ±127); all-zero
+  * vector → all-zero codes), emitted as `array<double>` of
+  * integer-valued doubles so the existing [[DotProduct]] ascending
+  * fold scores them EXACTLY (|q_i·q_j| ≤ 127² and code dots sum well
+  * inside 2⁵³ — every partial is an exact integer in IEEE). This is
+  * the serving-side sibling of [[Int8Quant]]'s error readout: quant
+  * stats say whether int8 is safe, these are the codes a quantized
+  * index actually searches over (FAISS SQ8). A kernel, not a
+  * `transform` HOF, for the q241 reason: the per-row scale subtree
+  * consumed by all `dims` lambda elements gets re-inlined by
+  * CollapseProject into a dims× recomputation. Null array, null
+  * element, or an empty slice → null (the malformed-embedding
+  * contract). */
+object Int8CodesHelper {
+  def eval(arr: ArrayData, isFloat: Boolean, dims: Int): ArrayData = {
+    val m = math.min(arr.numElements(), dims)
+    if (m <= 0) return null
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) return null
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val a = math.abs(x)
+      if (a > s) s = a
+      i += 1
+    }
+    val out = new Array[Double](m)
+    i = 0
+    while (i < m) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      out(i) =
+        if (s > 0.0)
+          math.max(-127.0, math.min(127.0, math.floor((x * 127.0) / s + 0.5)))
+        else 0.0
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+case class Int8Codes(child: Expression, dims: Int = 64)
+  extends UnaryExpression {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"int8_codes_$dims"
+
+  override def nullSafeEval(v: Any): Any =
+    Int8CodesHelper.eval(v.asInstanceOf[ArrayData], isFloat, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Int8CodesHelper.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $helper.eval($c, $isFloat, $dims);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Codes =
+    copy(child = newChild)
+}
+
+object Int8Codes {
+  def column(spark: SparkSession, c: Column, dims: Int = 64): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"int8_codes_$dims",
+      exprs => Int8Codes(exprs.head, dims), "scala_udf")
+    call_function(s"int8_codes_$dims", c)
+  }
+}

@@ -1697,6 +1697,41 @@ object Similarity {
     rrfFuse(lex, den, k0 = k0, topK = k)
   }
 
+  /** Quantized-serving top-k: exact cosine ranking over the INT8
+    * CODES ([[graft.functions.Int8Codes]], the FAISS-SQ8 scheme whose
+    * round-trip error q241 reads out) — what an int8-quantized index
+    * actually serves: 4× smaller vectors, integer dot products. The
+    * quantized cosine is EXACT in IEEE (|q_i·q_j| ≤ 127², partials
+    * are integers well inside 2⁵³, norms are sqrt of exact integers),
+    * so unlike float-sum ANN this ranking hash-gates directly against
+    * the DuckDB replay with no decimal laundering (q261). Compare
+    * with [[bruteForceTopK]] (float baseline) via [[rankingQuality]]
+    * to read the quantization's ranking cost.
+    *
+    * Scale shape: [[bruteForceTopK]]'s — queries broadcast, codes
+    * ride the scan through the native kernel (per-row, codegen), one
+    * per-query window top-k. The scale path composes the same way IVF
+    * does for floats: quantize within probed lists only. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dims: Int = 64): DataFrame = {
+    val sp = corpus.sparkSession
+    def codes(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      graft.functions.Int8Codes.column(sp, col("embedding"), dims).as("q8"))
+    val q = broadcast(codes(queries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qc"))
+      .withColumn("q_nrm", norm(col("qc"))))
+    val c = codes(corpus.repartition(par(corpus)))
+      .withColumn("c_nrm", norm(col("q8")))
+    val scored = c.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("qc"), col("q8"), col("q_nrm"), col("c_nrm")).as("cos_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_q"))
+  }
+
   /** Ranking-quality evaluation of a candidate ranking against a
     * ground-truth relevant set (binary gains) — the standard ANN /
     * retrieval acceptance readout BESIDE set-overlap recall (q254):

@@ -3004,6 +3004,29 @@ class LlmSpec extends AnyFunSuite {
     assert(Similarity.trainingMemoSizes == ((0, 0)))
   }
 
+  test("int8TopK: codes hand-computed, quantized ranking close to the float baseline") {
+    import spark.implicits._
+    // (1,-2,4,0.5): scale 4 -> floor(x*127/4 + .5) = (32, -63, 127, 16)
+    val d = Seq((1L, Seq(1.0f, -2.0f, 4.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cs = d.orderBy("vec_id").select(
+      graft.functions.Int8Codes.column(spark, col("embedding"), 4))
+      .collect().map(_.getSeq[Double](0))
+    assert(cs(0) == Seq(32.0, -63.0, 127.0, 16.0))
+    assert(cs(1) == Seq(0.0, 0.0, 0.0, 0.0), "zero vector -> zero codes")
+    // quantized serving vs the float baseline on the fixture: 8-bit
+    // symmetric quantization barely moves a 64-dim cosine ranking —
+    // read the cost with rankingQuality, assert it stays small
+    val q = emb.filter(col("vec_id") < 10)
+    val rq = Similarity.rankingQuality(
+      Similarity.int8TopK(q, emb, 10),
+      Similarity.bruteForceTopK(q, emb, 10), k = 10).collect()
+    val meanNdcg = rq.map(_.getAs[Double]("ndcg")).sum / rq.length
+    val meanHits = rq.map(_.getAs[Long]("hits")).sum.toDouble / rq.length
+    assert(meanNdcg > 0.8, s"quantized ndcg collapsed: $meanNdcg")
+    assert(meanHits > 7.0, s"quantized top-10 overlap collapsed: $meanHits")
+  }
+
   test("int8QuantStats: hand-computed round-trip errors, zero vector exact") {
     import spark.implicits._
     val d = Seq(
