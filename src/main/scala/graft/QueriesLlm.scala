@@ -6370,6 +6370,33 @@ object QueriesLlm {
         FROM sc)
       WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** b-bit minwise estimate vs exact jaccard over the band candidates
+    * (Li & König WWW'10, b = 4 → 8× smaller signatures); see
+    * [[Dedup.bbitJaccardEst]]. The oracle reuses the minhash/band
+    * CTEs' candidate set `p` (long-truncated engine band keys and
+    * md5-string oracle band keys select the same pairs — functions of
+    * the same digest) and masks the shared signatures. */
+  private val q262 = Q("q262_bbit_minhash",
+    (s, dir) => Dedup.bbitJaccardEst(t(s, dir, "documents"),
+      "doc_id", "text").orderBy("id_a", "id_b"),
+    Some(s"""$duckMinhashCtes,$duckBandCte
+      SELECT id_a, id_b, n_agree,
+             (CAST(n_agree AS DOUBLE) / 12.0 - 1.0 / 16.0)
+               / (1.0 - 1.0 / 16.0) AS j_bbit_est,
+             jaccard
+      FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_filter(generate_series(1, 12), i ->
+                 sa.sig[i] % 16 = sb.sig[i] % 16)) AS BIGINT) AS n_agree,
+               len(list_intersect(da.sh, db.sh)) * 1.0
+                 / (len(da.sh) + len(db.sh)
+                    - len(list_intersect(da.sh, db.sh))) AS jaccard
+        FROM p JOIN s sa ON sa.doc_id = p.id_a
+               JOIN s sb ON sb.doc_id = p.id_b
+               JOIN d da ON da.doc_id = p.id_a
+               JOIN d db ON db.doc_id = p.id_b)
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6384,5 +6411,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261)
+    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262)
 }

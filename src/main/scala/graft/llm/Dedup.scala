@@ -451,6 +451,67 @@ object Dedup {
       .withColumn("bh", bandHashesLong(col("sig"), numBands, numHashes / numBands))
   }
 
+  /** b-bit minwise jaccard estimation (Li & König, WWW'10 — "b-bit
+    * minwise hashing"): keep only the lowest `b` bits of each minhash
+    * coordinate — numHashes·b bits per signature instead of
+    * numHashes·32 — and estimate jaccard from the b-bit AGREEMENT
+    * rate with the uniform-collision correction
+    * Ĵ = (P̂ − C)/(1 − C), C = 2⁻ᵇ (two non-equal minima agree on
+    * their low b bits with probability ≈ 2⁻ᵇ under the affine
+    * family's near-uniform spread; the paper's refined C₁/C₂ terms
+    * matter only at extreme sparsity). Emits every band-blocked
+    * candidate pair with the estimate BESIDE the exact shingle
+    * jaccard — the error readout that justifies shipping b-bit
+    * sketches: a 32/b× smaller signature store is the difference
+    * between a 100 TB dedup index that fits executor memory and one
+    * that doesn't.
+    *
+    * Scale shape: the [[lshPairs]] band contract — candidates come
+    * from the band-key equi-join, never corpus²; the b-bit agreement
+    * is a numHashes-element fold over arrays already co-located by
+    * the candidate join; exact-vs-estimate runs on candidates only.
+    * (The one-shot gate recomputes the narrow signature pass per
+    * join; a production caller feeds [[signatureTable]] output and
+    * persists it — same discipline as incremental dedup.) */
+  def bbitJaccardEst(docs: DataFrame, idCol: String, textCol: String,
+      b: Int = 4, numHashes: Int = 12, numBands: Int = 4): DataFrame = {
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numHashes=$numHashes must divide into numBands=$numBands")
+    val sp = docs.sparkSession
+    val modulus = 1L << b
+    val c = 1.0 / modulus.toDouble
+    val base = docs.repartition(sp.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashShingles
+          .column(sp, col(textCol), numHashes).as("ms"))
+      .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("sh"))
+      .withColumn("bh",
+        bandHashesLong(col("sig"), numBands, numHashes / numBands))
+    val bands = base.select(col("id"),
+      posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val withSides = pairs
+      .join(base.select(col("id").as("id_a"), col("sig").as("__sa"),
+        col("sh").as("__ha")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sig").as("__sb"),
+        col("sh").as("__hb")), Seq("id_b"))
+    val agree = size(filter(zip_with(col("__sa"), col("__sb"),
+      (x, y) => pmod(x, lit(modulus)) === pmod(y, lit(modulus))),
+      p => p)).cast("long")
+    val pHat = col("n_agree").cast("double") / lit(numHashes.toDouble)
+    withSides
+      .withColumn("n_agree", agree)
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        ((pHat - lit(c)) / (lit(1.0) - lit(c))).as("j_bbit_est"),
+        jaccard(col("__ha"), col("__hb")).as("jaccard"))
+  }
+
   /** Incremental near-dup pairs: verified pairs that involve at least
     * one NEW document — new×existing and new×new, never
     * existing×existing (that work was done when those docs arrived).

@@ -2939,6 +2939,33 @@ class LlmSpec extends AnyFunSuite {
     assert(union.size > lsh.length || sn.nonEmpty || sim.nonEmpty)
   }
 
+  test("bbitJaccardEst: identical docs estimate exactly 1, estimate tracks exact jaccard on candidates") {
+    import spark.implicits._
+    // two identical docs: all 12 minima equal -> all b-bit coords
+    // agree -> P=1 -> est = (1-C)/(1-C) = exactly 1.0; jaccard 1.0
+    val twin = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val tw = Dedup.bbitJaccardEst(twin, "doc_id", "text").collect()
+    assert(tw.length == 1)
+    assert(tw.head.getAs[Long]("n_agree") == 12L &&
+      tw.head.getAs[Double]("j_bbit_est") == 1.0 &&
+      tw.head.getAs[Double]("jaccard") == 1.0)
+    // fixture candidates: the estimate is noisy at 12 hashes but must
+    // (a) stay in its algebraic range, (b) track the exact jaccard
+    // closely enough to be the store-sizing readout it claims to be
+    val est = Dedup.bbitJaccardEst(docs, "doc_id", "text").collect()
+    assert(est.nonEmpty, "fixture must produce band candidates")
+    val lo = -(1.0 / 16.0) / (1.0 - 1.0 / 16.0) - 1e-12
+    est.foreach { r =>
+      val e = r.getAs[Double]("j_bbit_est")
+      assert(e >= lo && e <= 1.0 + 1e-12, s"estimate out of range: $e")
+    }
+    val mae = est.map(r => math.abs(r.getAs[Double]("j_bbit_est") -
+      r.getAs[Double]("jaccard"))).sum / est.length
+    assert(mae < 0.35, s"b-bit estimate too far from exact: mae=$mae")
+  }
+
   test("blockedClusterKeepers: one keeper per cluster, keep-longest, singletons keep themselves") {
     val out = Dedup.blockedClusterKeepers(docs, "doc_id", "text", "n_chars")
       .collect()
