@@ -470,11 +470,18 @@ object Dedup {
     * from the band-key equi-join, never corpus²; the b-bit agreement
     * is a numHashes-element fold over arrays already co-located by
     * the candidate join; exact-vs-estimate runs on candidates only.
-    * (The one-shot gate recomputes the narrow signature pass per
-    * join; a production caller feeds [[signatureTable]] output and
-    * persists it — same discipline as incremental dedup.) */
+    * The signature pass (one md5 per shingle) feeds THREE consumers
+    * (band explode + both pair sides), so it is persisted for the
+    * run and released on return under the default
+    * `materialize = true` (the [[sortedNeighborPairs]] loan rule —
+    * the result is candidate-pair-sized, cheap to pin eagerly);
+    * `materialize = false` hands back the lazy plan WITH the cache
+    * held (the [[lshPairs]] lazy contract: plan inspection and
+    * one-shot sessions own the release). */
   def bbitJaccardEst(docs: DataFrame, idCol: String, textCol: String,
-      b: Int = 4, numHashes: Int = 12, numBands: Int = 4): DataFrame = {
+      b: Int = 4, numHashes: Int = 12, numBands: Int = 4,
+      materialize: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
     require(numBands >= 1 && numHashes % numBands == 0,
       s"numHashes=$numHashes must divide into numBands=$numBands")
@@ -488,6 +495,7 @@ object Dedup {
       .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("sh"))
       .withColumn("bh",
         bandHashesLong(col("sig"), numBands, numHashes / numBands))
+      .persist()
     val bands = base.select(col("id"),
       posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
     val pairs = bands.as("x").join(bands.as("y"),
@@ -505,11 +513,13 @@ object Dedup {
       (x, y) => pmod(x, lit(modulus)) === pmod(y, lit(modulus))),
       p => p)).cast("long")
     val pHat = col("n_agree").cast("double") / lit(numHashes.toDouble)
-    withSides
+    val result = withSides
       .withColumn("n_agree", agree)
       .select(col("id_a"), col("id_b"), col("n_agree"),
         ((pHat - lit(c)) / (lit(1.0) - lit(c))).as("j_bbit_est"),
         jaccard(col("__ha"), col("__hb")).as("jaccard"))
+    if (materialize) materializeAndRelease(result, checkpointDir, Seq(base))
+    else result
   }
 
   /** Incremental near-dup pairs: verified pairs that involve at least
