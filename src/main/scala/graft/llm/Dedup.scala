@@ -1100,19 +1100,114 @@ object Dedup {
   def blockedDedupClusters(docs: DataFrame, idCol: String, textCol: String,
       lshThreshold: Double = 0.5, snWindow: Int = 4,
       snThreshold: Double = 0.5, maxHamming: Int = 3,
-      checkpointDir: Option[String] = None): DataFrame =
-    withLshPairs(docs, idCol, textCol, threshold = lshThreshold) { lsh =>
-      val sn = sortedNeighborPairs(docs, idCol, textCol,
-        window = snWindow, threshold = snThreshold,
-        materialize = true, checkpointDir = checkpointDir)
-      val sim = simhashPairs(docs, idCol, textCol, maxHamming)
-      // all three emit canonical (id_a < id_b) pairs by construction
-      val pairs = lsh.select(col("id_a"), col("id_b"))
-        .unionByName(sn.select(col("id_a"), col("id_b")))
-        .unionByName(sim.select(col("id_a"), col("id_b")))
-        .distinct()
-      graft.llm.Corpus.dupClusters(pairs, checkpointDir = checkpointDir)
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(snWindow >= 2, s"window must be >= 2, got $snWindow")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole with 4 blocks certifies maxHamming <= 3, got $maxHamming")
+    val sp = docs.sparkSession
+    val par = sp.sparkContext.defaultParallelism
+    // ONE corpus scan computes every fingerprint the three blockers
+    // need — minhash sigs + hashed shingle sets (LSH candidates and
+    // BOTH jaccard verifies), the 16-bit simhash sort key, the 60-bit
+    // simhash blocks — where calling the three public functions
+    // back-to-back scans and re-digests the text three times. At
+    // 100 TB that is the difference between one pass over the corpus
+    // and three; the candidate constructions below are verbatim
+    // replicas of lshPairs / sortedNeighborPairs / simhashPairs over
+    // the shared prep (LlmSpec pins exact pair-set equality with the
+    // three public functions, so the replicas cannot drift).
+    val toks = graft.llm.TextAnalysis.tokens(col(textCol))
+    val prep = docs.repartition(par).select(col(idCol).as("id"),
+        graft.functions.MinHashShingles
+          .column(sp, col(textCol), 12).as("ms"),
+        graft.functions.SimHash16.column(sp, toks).as("sh16"),
+        graft.functions.SimHash60.column(sp, toks).as("sh60"))
+      .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("shs"),
+        col("sh16"), col("sh60"))
+      .persist()
+
+    // --- LSH blocker (the lshCandidatesWithCaches construction) ---
+    val bandedL = prep.select(col("id"), col("sig"),
+        bandHashesLong(col("sig"), 4, 3).as("bh"))
+      .select(col("id"), col("sig"), col("bh"),
+        posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
+    val lshCand = bandedL
+      .select(col("band_idx"), col("band_hash"), col("id").as("id_a"),
+        col("sig").as("sig_a"), col("bh").as("bh_a"))
+      .join(bandedL.select(col("band_idx"), col("band_hash"),
+        col("id").as("id_b"), col("sig").as("sig_b"), col("bh").as("bh_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(size(filter(zip_with(
+        slice(col("bh_a"), lit(1), col("band_idx")),
+        slice(col("bh_b"), lit(1), col("band_idx")),
+        (x, y) => x === y), p => p)) === 0)
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), p => p)) >= 6)
+      .select("id_a", "id_b")
+    val lsh = lshCand
+      .join(prep.select(col("id").as("id_a"), col("shs").as("sh_a")),
+        Seq("id_a"))
+      .join(prep.select(col("id").as("id_b"), col("shs").as("sh_b")),
+        Seq("id_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= lshThreshold)
+      .select(col("id_a"), col("id_b"))
+
+    // --- sorted-neighborhood blocker (the sortedNeighborPairs
+    //     two-level-rank construction, parallelism-derived bands) ---
+    val bb = math.min(16, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1, par * 4L - 1))))
+    val ranked = prep.select(col("id"), col("shs"), col("sh16").as("sh"))
+      .withColumn("band", shiftright(col("sh"), 16 - bb))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band").orderBy(col("sh"), col("id"))))
+    val offs = ranked.groupBy("band").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(
+        Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("off"))
+    val g = ranked.join(broadcast(offs), Seq("band"))
+      .select(col("id"), col("shs"), (col("off") + col("rn")).as("gr"))
+      .persist()
+    val probes = g.select(col("id").as("__ia"), col("shs").as("__sa"),
+        explode(sequence(lit(1), lit(snWindow - 1))).as("d"), col("gr"))
+      .select(col("__ia"), col("__sa"), (col("gr") + col("d")).as("gk"))
+    val snInter = size(array_intersect(col("__sa"), col("__sb")))
+    val snJac = snInter.cast("double") /
+      (size(col("__sa")) + size(col("__sb")) - snInter).cast("double")
+    val sn = probes.join(
+        g.select(col("gr").as("gk"), col("id").as("__ib"),
+          col("shs").as("__sb")), Seq("gk"))
+      .withColumn("jaccard", snJac)
+      .filter(col("jaccard") >= snThreshold)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+
+    // --- simhash blocker (the simhashPairs pigeonhole blocks) ---
+    val blocks = prep.select(col("id"), col("sh60").as("sh"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("blk"),
+          shiftright(col("sh60"), 15 * i).bitwiseAND(lit(32767L))
+            .as("bval"))): _*)).as("__b"))
+      .select(col("id"), col("sh"), col("__b.blk").as("blk"),
+        col("__b.bval").as("bval"))
+    val sim = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("__sa60"), col("b.sh").as("__sb60"))
+      .distinct()
+      .filter(bit_count(col("__sa60").bitwiseXOR(col("__sb60")))
+        .cast("long") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+
+    // all three emit canonical (id_a < id_b) pairs by construction
+    val pairs = lsh.unionByName(sn).unionByName(sim).distinct()
+    try graft.llm.Corpus.dupClusters(pairs, checkpointDir = checkpointDir)
+    finally {
+      g.unpersist(blocking = false)
+      prep.unpersist(blocking = false)
     }
+  }
 
   /** Keeper resolution over [[blockedDedupClusters]] — the composed
     * pipeline's last mile: three-blocker pair union → connected
