@@ -6397,6 +6397,124 @@ object QueriesLlm {
                JOIN d db ON db.doc_id = p.id_b)
       ORDER BY id_a, id_b"""))
 
+  /** Rank-biased overlap @10 (p = 0.9) of the q44 IVF ranking vs the
+    * exact brute-force ranking — the order-aware index-swap readout
+    * beside q260's truth-anchored nDCG; see
+    * [[Similarity.rankBiasedOverlap]]. */
+  private val q263 = Q("q263_rbo",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rankBiasedOverlap(
+        Similarity.ivfTopK(q, emb, 10, nlist = 16, nprobe = 2),
+        Similarity.bruteForceTopK(q, emb, 10), k = 10, p = 0.9)
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS c_emb
+                 FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCos("e.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings e CROSS JOIN c)
+        WHERE r = 1),
+      probed AS (
+        SELECT query_id, q_emb, cid FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckCos("q.embedding", "c.c_emb")} DESC, c.cid ASC)
+                   AS r
+          FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10)
+        WHERE r <= 2),
+      iscored AS (
+        SELECT query_id, vec_id, ${duckCos("q_emb", "embedding")} AS cos
+        FROM assigned JOIN probed USING (cid)
+        WHERE vec_id <> query_id),
+      ivfr AS (SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM iscored) WHERE rank <= 10),
+      qv AS (SELECT vec_id AS query_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < 10),
+      bcs AS (SELECT query_id, vec_id,
+                ${duckCos("q_emb", "embedding")} AS cos
+              FROM embeddings JOIN qv ON vec_id <> query_id),
+      btr AS (SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM bcs) WHERE rank <= 10),
+      m AS (SELECT a.query_id, greatest(a.rank, b.rank) AS d0
+            FROM ivfr a JOIN btr b
+              ON a.query_id = b.query_id AND a.vec_id = b.vec_id),
+      ct AS (SELECT query_id,
+               CAST(pow(0.9, CAST(d AS DOUBLE) - 1.0)
+                 / CAST(d AS DOUBLE) AS DECIMAL(30,12)) AS term
+             FROM m JOIN generate_series(1, 10) g(d) ON d >= d0),
+      rq AS (SELECT query_id,
+               CAST(SUM(term) AS DOUBLE) * (1.0 - 0.9) AS rbo
+             FROM ct GROUP BY 1),
+      hit AS (SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+              FROM ivfr a JOIN btr b
+                ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+              GROUP BY 1),
+      uq AS (SELECT DISTINCT query_id FROM ivfr)
+      SELECT uq.query_id,
+             CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+             COALESCE(rbo, 0.0) AS rbo
+      FROM uq LEFT JOIN rq USING (query_id) LEFT JOIN hit USING (query_id)
+      ORDER BY uq.query_id"""))
+
+  /** Incremental simhash dedup: the doc_id % 4 == 0 slice arrives as
+    * a batch against the stored fingerprint index of the rest; pairs
+    * must equal the FULL q252 run restricted to batch-involving pairs
+    * (blocking is per-pair local, so incremental loses nothing); see
+    * [[Dedup.incrementalSimhashPairs]]. */
+  private val q264 = Q("q264_incr_simhash",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalSimhashPairs(
+        Dedup.simhashTable(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text"),
+        Dedup.simhashTable(docs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text"),
+        maxHamming = 3).orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS token FROM arr),
+      nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM arr),
+      bits AS (SELECT doc_id, j,
+          ((strpos('0123456789abcdef',
+              substring(md5(token), (j // 4) + 1, 1)) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2 AS bit
+        FROM tok CROSS JOIN generate_series(0, 59) g(j)),
+      votes AS (SELECT doc_id, j, CAST(SUM(bit) AS BIGINT) AS v
+                FROM bits GROUP BY 1, 2),
+      sh AS (SELECT v.doc_id,
+          CAST(SUM(CASE WHEN 2 * v.v >= nn.n
+            THEN CAST(pow(2, v.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        FROM votes v JOIN nn ON v.doc_id = nn.doc_id GROUP BY 1),
+      blocks AS (SELECT doc_id, sh, i AS blk,
+          (sh // CAST(pow(2, 15 * i) AS BIGINT)) % 32768 AS bval
+        FROM sh CROSS JOIN generate_series(0, 3) b(i)),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.sh AS sa, y.sh AS sb
+               FROM blocks x JOIN blocks y
+                 ON x.blk = y.blk AND x.bval = y.bval
+                   AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sa, sb)) <= 3
+        AND (id_a % 4 = 0 OR id_b % 4 = 0)
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6411,5 +6529,5 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262)
+    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264)
 }

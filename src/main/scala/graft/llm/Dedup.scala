@@ -1241,6 +1241,66 @@ object Dedup {
         coalesce(col(idCol) === col("__keeper"), lit(true)).as("kept"))
   }
 
+  /** Stored simhash fingerprint table: (id, sh) with the 60-bit Manku
+    * fingerprint — the per-doc artifact an online crawl-dedup index
+    * persists (8 bytes/doc; bucket by any block value for probe
+    * locality). The simhash sibling of [[signatureTable]]. */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sp = docs.sparkSession
+    docs.repartition(sp.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash60.column(sp,
+          TextAnalysis.tokens(col(textCol))).as("sh"))
+  }
+
+  /** Incremental Manku simhash pairs — the paper's actual ONLINE
+    * setting (WWW'07 crawl dedup: "have we seen a near-dup of this
+    * page?"): near-dup pairs involving at least one NEW document,
+    * probed against a stored fingerprint index. Only the new docs'
+    * block keys probe (against index ∪ batch), so per batch the
+    * candidate volume is Σ over the batch's block buckets — cost
+    * scales with batch × bucket size, never corpus², and
+    * existing×existing pairs are never re-examined (that work was
+    * done when those docs arrived — the [[incrementalLshPairs]]
+    * contract). `newFps`/`existingFps` are [[simhashTable]] frames.
+    * Pairs are canonical (id_a < id_b); recall within the batch
+    * boundary is exactly 1 for hamming ≤ maxHamming ≤ 3 (the
+    * pigeonhole argument is per-pair, indifferent to which side
+    * probes). */
+  def incrementalSimhashPairs(newFps: DataFrame, existingFps: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole with 4 blocks certifies maxHamming <= 3, got $maxHamming")
+    def blocks(fps: DataFrame): DataFrame = fps.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("blk"),
+          shiftright(col("sh"), 15 * i).bitwiseAND(lit(32767L))
+            .as("bval"))): _*)).as("__b"))
+      .select(col("id"), col("sh"), col("__b.blk").as("blk"),
+        col("__b.bval").as("bval"))
+    val newB = blocks(newFps)
+    val allB = blocks(existingFps.unionAll(newFps))
+    // canonicalize orientation BEFORE the distinct: a new×new pair is
+    // probed from both sides with (sh, sh') swapped — aligning sh_a
+    // to the smaller id makes the two emissions identical rows, so
+    // the same distinct that collapses multi-block agreement also
+    // collapses the double probe
+    val cands = newB.as("a").join(allB.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.sh"))
+          .otherwise(col("b.sh")).as("__sa"),
+        when(col("a.id") < col("b.id"), col("b.sh"))
+          .otherwise(col("a.sh")).as("__sb"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, threshold: Double = 0.5,
       bandBits: Int = 0, materialize: Boolean = true,

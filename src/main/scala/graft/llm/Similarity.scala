@@ -1785,6 +1785,60 @@ object Similarity {
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** Prefix rank-biased overlap at depth k (Webber, Moffat & Zobel
+    * 2010, "A similarity measure for indefinite rankings"):
+    * RBO@k = (1−p) Σ_{d=1..k} p^{d−1}·|A₁..d ∩ B₁..d|/d — the
+    * top-weighted ranking agreement beside [[rankingQuality]]'s
+    * truth-anchored nDCG: nDCG scores one ranking against relevance,
+    * RBO compares two RANKINGS to each other with geometrically
+    * decaying depth weight (p ≈ how deep the user reads) — the
+    * readout for "did swapping the index change what users see",
+    * where plain set overlap ignores order entirely.
+    *
+    * Determinism: a matched (query, id) pair entering at depth
+    * d₀ = max(rank_a, rank_b) contributes Σ_{d=d₀..k} p^{d−1}/d;
+    * each term is DECIMAL(30,12)-rounded then summed exactly (the
+    * charBigramEntropy rule — absorbs last-ulp `pow` differences
+    * between engines), and the (1−p) factor is evaluated as the SAME
+    * floating expression on both engines. Queries with zero prefix
+    * overlap emit rbo = 0 (never dropped).
+    *
+    * Scale shape: one (query, id) equi-join of two ≤k-row-per-query
+    * prefixes, a ≤k-row explode per matched pair, one query-keyed
+    * fold — request-sized. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int,
+      p: Double = 0.9, queryCol: String = "query_id",
+      idCol: String = "vec_id", rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    def prefix(df: DataFrame, rn: String): DataFrame =
+      df.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        col(rankCol).cast("long").as(rn)).filter(col(rn) <= k)
+    val fa = prefix(a, "__ra")
+    val fb = prefix(b, "__rb")
+    val matched = fa.join(fb, Seq("__q", "__id"))
+      .select(col("__q"), greatest(col("__ra"), col("__rb")).as("__d0"))
+    val contrib = matched
+      .select(col("__q"),
+        explode(sequence(col("__d0"), lit(k.toLong))).as("__d"))
+      .select(col("__q"),
+        (pow(lit(p), col("__d").cast("double") - lit(1.0)) /
+          col("__d").cast("double")).cast(dec).as("__term"))
+    val perQ = contrib.groupBy(col("__q"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        (sum(col("__term")).cast("double") * (lit(1.0) - lit(p)))
+          .as("__rbo"))
+    val hits = fa.join(fb, Seq("__q", "__id"))
+      .groupBy(col("__q")).agg(count(lit(1)).cast("long").as("__hits"))
+    fa.select(col("__q")).distinct()
+      .join(perQ.select(col("__q"), col("__rbo")), Seq("__q"), "left")
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("__hits"), lit(0L)).as("n_overlap"),
+        coalesce(col("__rbo"), lit(0.0)).as("rbo"))
+  }
+
   /** Symmetric per-vector int8 quantization round-trip quality: for
     * each embedding, scale = max |e_i|, q_i = ⌊e_i·127/scale + ½⌋
     * (clamped to ±127 against fp edge cases), dequantized error

@@ -2835,6 +2835,31 @@ class LlmSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("ndcg") == 1.0 && r3.getAs[Double]("mrr") == 1.0)
   }
 
+  test("rankBiasedOverlap: geometric closed form, swapped prefix, disjoint scores zero") {
+    import spark.implicits._
+    def rk(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("query_id", "vec_id", "rank")
+    // identical rankings: A_d = 1 at every depth -> rbo = 1 - p^k
+    val a1 = rk(Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)))
+    val r1 = Similarity.rankBiasedOverlap(a1, a1, k = 3, p = 0.5)
+      .collect().head
+    assert(r1.getAs[Long]("n_overlap") == 3L)
+    assert(math.abs(r1.getAs[Double]("rbo") - (1.0 - 0.125)) < 1e-9)
+    // swapped top-2 (A=[x,y], B=[y,x], k=2, p=.5): A_1=0, A_2=1
+    // -> rbo = (1-p)*p = 0.25
+    val ax = rk(Seq((1L, 10L, 1L), (1L, 20L, 2L)))
+    val bx = rk(Seq((1L, 20L, 1L), (1L, 10L, 2L)))
+    val r2 = Similarity.rankBiasedOverlap(ax, bx, k = 2, p = 0.5)
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("rbo") - 0.25) < 1e-9)
+    // disjoint rankings: the query survives with rbo exactly 0
+    val cy = rk(Seq((1L, 90L, 1L), (1L, 91L, 2L)))
+    val r3 = Similarity.rankBiasedOverlap(ax, cy, k = 2, p = 0.5)
+      .collect().head
+    assert(r3.getAs[Long]("n_overlap") == 0L &&
+      r3.getAs[Double]("rbo") == 0.0)
+  }
+
   test("vocabRichness: hand-computed spectrum, Good-Turing mass and Chao1") {
     import spark.implicits._
     // counts: a=3, b=2, c=1, d=1 -> N=7 V=4 n1=2 n2=1
@@ -2964,6 +2989,25 @@ class LlmSpec extends AnyFunSuite {
     val mae = est.map(r => math.abs(r.getAs[Double]("j_bbit_est") -
       r.getAs[Double]("jaccard"))).sum / est.length
     assert(mae < 0.35, s"b-bit estimate too far from exact: mae=$mae")
+  }
+
+  test("incrementalSimhashPairs: equals the full run restricted to batch-involving pairs") {
+    val cut = col("doc_id") % 3 === 0
+    val incr = Dedup.incrementalSimhashPairs(
+        Dedup.simhashTable(docs.filter(cut), "doc_id", "text"),
+        Dedup.simhashTable(docs.filter(!cut), "doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming"))
+      .toMap
+    val full = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming"))
+      .filter { case ((a, b), _) => a % 3 == 0 || b % 3 == 0 }
+      .toMap
+    assert(incr == full,
+      s"incremental (${incr.size}) must equal restricted full (${full.size})")
+    assert(incr.nonEmpty, "fixture must trip simhash pairs across the cut")
+    // existing x existing pairs never re-emitted
+    assert(incr.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
   }
 
   test("blockedClusterKeepers: one keeper per cluster, keep-longest, singletons keep themselves") {
