@@ -6515,6 +6515,56 @@ object QueriesLlm {
         AND (id_a % 4 = 0 OR id_b % 4 = 0)
       ORDER BY id_a, id_b"""))
 
+  /** l-diversity release screen over (source → lang): group size,
+    * distinct sensitive values, sensitive-distribution entropy —
+    * flagging sources whose language mix is too uniform to share;
+    * see [[Corpus.lDiversity]]. */
+  private val q265 = Q("q265_l_diversity",
+    (s, dir) => Corpus.lDiversity(t(s, dir, "documents"),
+      Seq("source"), "lang", l = 4L),
+    Some("""
+      WITH cell AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      g AS (SELECT source, lang, c,
+              CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM cell)
+      SELECT source,
+             CAST(MAX(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+             CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS DECIMAL(30,12))) AS DOUBLE) AS entropy_nats,
+             COUNT(*) < 4 AS at_risk
+      FROM g GROUP BY source
+      ORDER BY n_sensitive ASC, n_docs ASC, source ASC"""))
+
+  /** t-closeness release screen over (source → lang): per-source TVD
+    * of the language distribution vs the corpus-global one, flagging
+    * sources whose sensitive mix drifts > t from the population; see
+    * [[Corpus.tCloseness]]. */
+  private val q266 = Q("q266_t_closeness",
+    (s, dir) => Corpus.tCloseness(t(s, dir, "documents"),
+      Seq("source"), "lang", t = 0.2),
+    Some("""
+      WITH cell AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+      v AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cv FROM cell GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS tot FROM v),
+      j AS (SELECT g.source, g.n,
+              CAST(COALESCE(cell.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE) AS pg,
+              CAST(v.cv AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS pv
+            FROM g CROSS JOIN v CROSS JOIN tot
+            LEFT JOIN cell ON cell.source = g.source AND cell.lang = v.lang),
+      agg AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                CAST(SUM(CAST(abs(pg - pv) AS DECIMAL(30,12))) AS DOUBLE)
+                  / 2.0 AS tvd
+              FROM j GROUP BY source)
+      SELECT source, n_docs, tvd, tvd > 0.2 AS at_risk
+      FROM agg ORDER BY tvd DESC, source ASC"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6529,5 +6579,6 @@ object QueriesLlm {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
-    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264)
+    q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
+    q262, q263, q264, q265, q266)
 }

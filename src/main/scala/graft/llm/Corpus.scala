@@ -635,6 +635,88 @@ object Corpus {
       .orderBy(col("n_docs").asc +: quasiCols.map(c => col(c).asc): _*)
   }
 
+  /** l-diversity risk readout (Machanavajjhala et al., ICDE 2006) —
+    * the screen k-anonymity cannot do: a quasi-identifier group can
+    * be large (k-safe) yet expose its members anyway when every row
+    * in it shares the SAME sensitive value. Per quasi-combination:
+    * group size, DISTINCT sensitive values (distinct l-diversity),
+    * and the sensitive-distribution Shannon entropy in nats (entropy
+    * l-diversity — a group counts as entropy-ℓ-diverse when
+    * entropy ≥ ln ℓ, so publish the nats and let the caller pick ℓ).
+    * `at_risk` flags groups with fewer than `l` distinct values.
+    * Risky-first ordering, same contract as [[kAnonymity]].
+    *
+    * Scale shape: ONE (quasi, sensitive) map-side-combined count —
+    * the largest frame is combination-cardinality-sized — then a
+    * combo-keyed re-aggregate. Entropy terms go through the exact
+    * DECIMAL(30,12) sum (the dsum discipline) so the double hashes
+    * cross-engine. */
+  def lDiversity(docs: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long = 3L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val qc = quasiCols.map(col)
+    val cell = docs.groupBy((qc :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val wn = Window.partitionBy(qc: _*)
+    val withP = cell
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .withColumn("__p", col("__c").cast("double") / col("__n").cast("double"))
+    withP.groupBy(qc: _*)
+      .agg(
+        max(col("__n")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_sensitive"),
+        graft.functions.GraftFunctions
+          .dsum(-col("__p") * log(col("__p")), 12).as("entropy_nats"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+      .orderBy(col("n_sensitive").asc +: col("n_docs").asc +:
+        quasiCols.map(c => col(c).asc): _*)
+  }
+
+  /** t-closeness risk readout (Li, Li & Venkatasubramanian, ICDE
+    * 2007) for a categorical sensitive attribute: per quasi-group,
+    * the total-variation distance between the group's sensitive-value
+    * distribution and the corpus-global one —
+    * TVD = ½ Σ_v |p(v | group) − p(v)|, summed over the GLOBAL value
+    * domain so values absent from the group still contribute their
+    * global mass. Groups whose distribution drifts more than `t` from
+    * global are flagged: even a large, diverse group leaks when its
+    * sensitive mix is sharply skewed vs the population. Completes the
+    * release-screen triad with [[kAnonymity]] and [[lDiversity]].
+    *
+    * Scale shape: the only row-grain pass is the (quasi, sensitive)
+    * count; everything after joins combination-cardinality frames
+    * (groups × values), with the global-domain completion a
+    * |groups|×|values| crossJoin of two AGGREGATE frames — never
+    * data-sized. |diff| terms go through the exact DECIMAL(30,12)
+    * sum so the TVD double hashes cross-engine. */
+  def tCloseness(docs: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double = 0.2): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val qc = quasiCols.map(col)
+    val cell = docs.groupBy((qc :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val groups = cell.groupBy(qc: _*)
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val global = cell.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).cast("long").as("__cv"))
+      .crossJoin(cell.agg(sum(col("__c")).cast("long").as("__tot")))
+    // complete (group × global-value) grid, absent cells count 0
+    groups.crossJoin(global)
+      .join(cell, quasiCols :+ sensitiveCol, "left")
+      .withColumn("__pg",
+        coalesce(col("__c"), lit(0L)).cast("double") / col("__n").cast("double"))
+      .withColumn("__pv", col("__cv").cast("double") / col("__tot").cast("double"))
+      .groupBy(qc: _*)
+      .agg(
+        max(col("__n")).cast("long").as("n_docs"),
+        (graft.functions.GraftFunctions
+          .dsum(abs(col("__pg") - col("__pv")), 12) / 2.0).as("tvd"))
+      .withColumn("at_risk", col("tvd") > t)
+      .orderBy(col("tvd").desc +: quasiCols.map(c => col(c).asc): _*)
+  }
+
   /** Curriculum training order with round-robin source interleaving:
     * rank documents within each group by a difficulty/quality score
     * (best first by default), then assign the GLOBAL position

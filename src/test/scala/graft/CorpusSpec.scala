@@ -588,6 +588,53 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("lDiversity: distinct counts, entropy, risky-first order") {
+    import spark.implicits._
+    val d = (Seq.fill(6)(("s1", "en")) ++ Seq.fill(2)(("s1", "fr")) ++
+      Seq(("s2", "en"))).zipWithIndex
+      .map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val rows = Corpus.lDiversity(d, Seq("source"), "lang", l = 2L).collect()
+    // risky-first: the single-language source leads
+    assert(rows.map(_.getString(0)).toSeq == Seq("s2", "s1"))
+    val bySrc = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(bySrc("s2") == ((1L, 1L, 0.0, true)))
+    val (n1, d1, e1, r1) = bySrc("s1")
+    assert(n1 == 8L && d1 == 2L && !r1)
+    // H = -(0.75 ln 0.75 + 0.25 ln 0.25)
+    val expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(e1 - expected) < 1e-9, s"entropy $e1 vs $expected")
+    intercept[IllegalArgumentException] {
+      Corpus.lDiversity(d, Nil, "lang")
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.lDiversity(d, Seq("source"), "lang", l = 1L)
+    }
+  }
+
+  test("tCloseness: TVD vs global incl. absent values, worst-first order") {
+    import spark.implicits._
+    val d = (Seq.fill(6)(("s1", "en")) ++ Seq.fill(2)(("s1", "fr")) ++
+      Seq(("s2", "en"))).zipWithIndex
+      .map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val rows = Corpus.tCloseness(d, Seq("source"), "lang", t = 0.1).collect()
+    // worst-first: s2 (all-en vs global 7/9 en) leads
+    assert(rows.map(_.getString(0)).toSeq == Seq("s2", "s1"))
+    val bySrc = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // s2: |1 - 7/9| + |0 - 2/9| = 4/9 → tvd 2/9; fr contributes though absent
+    assert(math.abs(bySrc("s2")._2 - 2.0 / 9) < 1e-9)
+    assert(bySrc("s2")._1 == 1L && bySrc("s2")._3)
+    // s1: |6/8 - 7/9| + |2/8 - 2/9| = 2/36 → tvd 1/36
+    assert(math.abs(bySrc("s1")._2 - 1.0 / 36) < 1e-9)
+    assert(!bySrc("s1")._3)
+    intercept[IllegalArgumentException] {
+      Corpus.tCloseness(d, Seq("source"), "lang", t = 0.0)
+    }
+  }
+
   test("stratifiedKFold: exactly balanced per stratum, deterministic, salt-sensitive") {
     val d = ((1L to 23L).map(i => (i, "en")) ++
       (100L to 104L).map(i => (i, "fr"))).toDF("doc_id", "lang")
