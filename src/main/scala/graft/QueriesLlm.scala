@@ -6565,6 +6565,45 @@ object QueriesLlm {
       SELECT source, n_docs, tvd, tvd > 0.2 AS at_risk
       FROM agg ORDER BY tvd DESC, source ASC"""))
 
+  /** Benford first-digit conformity of l_extendedprice (scale 2 —
+    * currency cents): per-digit observed vs log10(1+1/d) expectation
+    * with χ² and Nigrini MAD; see [[graft.llm.Stats.benfordTest]]. */
+  private val q267 = Q("q267_benford",
+    (s, dir) => graft.llm.Stats.benfordTest(t(s, dir, "lineitem"),
+      "l_extendedprice", scale = 2),
+    Some("""
+      WITH v AS (
+        SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+          AS BIGINT) AS v
+        FROM lineitem),
+      dg AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+             FROM v WHERE v >= 1),
+      o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM dg GROUP BY 1),
+      fd AS (SELECT CAST(g.d AS INTEGER) AS digit,
+               COALESCE(n_obs, 0) AS n_obs
+             FROM generate_series(1, 9) g(d)
+             LEFT JOIN o ON o.digit = g.d),
+      tt AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM fd),
+      sc AS (SELECT digit, n_obs,
+               CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
+               ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS p_benford,
+               n
+             FROM fd CROSS JOIN tt),
+      sm AS (SELECT
+               CAST(SUM(CAST(
+                 (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+                 / (CAST(n AS DOUBLE) * p_benford)
+                 AS DECIMAL(30,12))) AS DOUBLE) AS chi2,
+               CAST(SUM(CAST(abs(p_obs - p_benford)
+                 AS DECIMAL(30,12))) AS DOUBLE) / 9.0 AS mad
+             FROM sc)
+      SELECT digit, n_obs, p_obs, p_benford, chi2, mad
+      FROM sc CROSS JOIN sm
+      ORDER BY digit"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6580,5 +6619,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266)
+    q262, q263, q264, q265, q266, q267)
 }

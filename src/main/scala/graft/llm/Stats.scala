@@ -165,6 +165,57 @@ object Stats {
         ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"), col("chi2"))
   }
 
+  /** Benford's-law conformity test (Newcomb 1881, Benford 1938;
+    * Nigrini's forensic-accounting screen): first-significant-digit
+    * distribution of a positive numeric column vs the logarithmic
+    * Benford expectation P(d) = log10(1 + 1/d), with the χ² statistic
+    * (8 dof) and Nigrini's mean-absolute-deviation conformity score.
+    * The standard data-quality screen for fabricated or truncated
+    * numeric feeds: naturally-occurring multiplicative data conforms,
+    * invented or clipped data does not.
+    *
+    * The digit is extracted EXACTLY: `floor(x·10^scale + 0.5)` → the
+    * integer's leading decimal char — no log10-of-double boundary
+    * hazard, identical across engines (pass `scale` = the column's
+    * decimal places, e.g. 2 for currency). Rows with a non-positive
+    * or null scaled value are excluded (Benford is defined on
+    * positive magnitudes).
+    *
+    * Scale shape: ONE map-side-combined 9-group count; the digit
+    * domain completion, total, and expected terms all live on 9-row
+    * frames. χ²/MAD terms decimal-round before the exact sum. */
+  def benfordTest(df: DataFrame, valueCol: String, scale: Int = 0): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(scale >= 0 && scale <= 9, s"scale must be in [0,9], got $scale")
+    val spark = df.sparkSession
+    val iv = floor(col(valueCol).cast("double")
+      * lit(math.pow(10, scale)) + lit(0.5)).cast("long")
+    val observed = df.select(iv.as("__v")).filter(col("__v") >= 1L)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast("long").as("n_obs"))
+    val domain = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val full = broadcast(domain).join(observed, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val scored = full
+      .crossJoin(broadcast(full.agg(sum("n_obs").cast("long").as("__n"))))
+      .withColumn("p_obs",
+        col("n_obs").cast("double") / col("__n").cast("double"))
+      .withColumn("p_benford",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)))
+    val e = col("__n").cast("double") * col("p_benford")
+    val chiTerm = (col("n_obs").cast("double") - e) *
+      (col("n_obs").cast("double") - e) / e
+    val summary = scored.agg(
+      dsum(chiTerm, 12).as("chi2"),
+      (dsum(abs(col("p_obs") - col("p_benford")), 12) / 9.0).as("mad"))
+    scored.select(col("digit"), col("n_obs"), col("p_obs"), col("p_benford"))
+      .crossJoin(broadcast(summary))
+      .orderBy("digit")
+  }
+
   /** Cramér's V on top of [[chiSquare]]: the [0, 1]-normalized
     * association strength V = √(χ²/(n·(min(r,c)−1))) that makes
     * category-pair associations COMPARABLE across different table

@@ -77,6 +77,38 @@ class StatsSpec extends AnyFunSuite {
       .getAs[Double]("chi2") - (2.0 / 3.0 + 2.0)) < 1e-9)
   }
 
+  test("benfordTest: exact digit extraction, domain completion, conformity contrast") {
+    import spark.implicits._
+    // hand-planted digits: 30x 1.xx, 17x 2.xx, 10x 9.xx — others absent
+    val vals = (Seq.fill(30)(1.23) ++ Seq.fill(17)(2.5) ++
+      Seq.fill(10)(9.99) ++ Seq(-4.0, 0.0)).toDF("v")
+    val rows = Stats.benfordTest(vals, "v", scale = 2).collect()
+    assert(rows.length == 9, "all nine digits present")
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9), "ordered by digit")
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1) == 30L && byDigit(2) == 17L && byDigit(9) == 10L)
+    assert(byDigit(3) == 0L && byDigit(7) == 0L, "absent digits complete to 0")
+    assert(rows.map(_.getLong(1)).sum == 57L, "non-positive rows excluded")
+    val p1 = rows.head.getDouble(3)
+    assert(math.abs(p1 - math.log10(2.0)) < 1e-12, "P(1) = log10 2")
+    // scale handles sub-unit magnitudes: 0.071 @ scale 3 → 71 → digit 7
+    val small = Seq(0.071).toDF("v")
+    val sr = Stats.benfordTest(small, "v", scale = 3).collect()
+    assert(sr.find(_.getInt(0) == 7).get.getLong(1) == 1L)
+    // conformity contrast: Benford-ish sample scores far below uniform
+    val benfordish = (1 to 2000).map(i =>
+      math.pow(10.0, (i * 0.618033988749895) % 1.0)).toDF("v")
+    val uniform = (1 to 2000).map(i => 1.0 + (i % 9)).toDF("v")
+    val chiB = Stats.benfordTest(benfordish, "v", 2).head.getAs[Double]("chi2")
+    val chiU = Stats.benfordTest(uniform, "v", 2).head.getAs[Double]("chi2")
+    assert(chiB < 20.0, s"log-uniform sample conforms, chi2 = $chiB")
+    assert(chiU > 100.0, s"uniform digits reject, chi2 = $chiU")
+    assert(chiU > 10 * chiB)
+    intercept[IllegalArgumentException] {
+      Stats.benfordTest(vals, "v", scale = -1)
+    }
+  }
+
   test("poissonBootstrapCi: CI brackets the exact mean, repartition-invariant, draw rate sane") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
