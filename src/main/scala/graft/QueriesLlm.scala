@@ -6604,6 +6604,58 @@ object QueriesLlm {
       FROM sc CROSS JOIN sm
       ORDER BY digit"""))
 
+  /** EWMA control chart on daily event volume — the smoothed-drift
+    * companion to q247's CUSUM, closed-form (no recursion); see
+    * [[graft.ops.EventOps.ewmaChart]]. */
+  private val q268 = Q("q268_ewma_chart",
+    (s, dir) => graft.ops.EventOps.ewmaChart(t(s, dir, "events"),
+      lambda = 0.2, nSigma = 3.0, maxLag = 64)
+      .orderBy("event_type", "day"),
+    Some("""
+      WITH counts AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, d0, CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      daily AS (SELECT s.event_type, s.day,
+                  CAST(date_diff('day', s.d0, s.day) + 1 AS BIGINT) AS t,
+                  COALESCE(c.n, 0) AS n_events
+                FROM spine s LEFT JOIN counts c USING (event_type, day)),
+      mom AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+                CAST(SUM(n_events) AS BIGINT) AS s1,
+                SUM(CAST(n_events AS HUGEINT) * n_events) AS s2
+              FROM daily GROUP BY 1),
+      ws AS (SELECT a.event_type, a.day, a.t, a.n_events,
+               CAST(SUM(CAST(0.2 * CAST(i.n_events AS DOUBLE)
+                 * pow(1.0 - 0.2, CAST(a.t - i.t AS DOUBLE))
+                 AS DECIMAL(30,12))) AS DOUBLE) AS wsum
+             FROM daily a JOIN daily i ON i.event_type = a.event_type
+               AND i.t <= a.t AND i.t > a.t - 64
+             GROUP BY 1, 2, 3, 4),
+      fin AS (SELECT w.event_type, w.day, w.n_events,
+                w.wsum + (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+                  * pow(1.0 - 0.2, CAST(least(w.t, 64) AS DOUBLE)) AS ewma,
+                CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+                CASE WHEN nd >= 2 AND greatest((CAST(s2 AS DOUBLE)
+                    - CAST(nd AS DOUBLE)
+                      * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)))
+                    / (CAST(nd AS DOUBLE) - 1.0), 0.0) > 0.0
+                THEN 3.0 * sqrt(greatest((CAST(s2 AS DOUBLE)
+                    - CAST(nd AS DOUBLE)
+                      * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)))
+                    / (CAST(nd AS DOUBLE) - 1.0), 0.0))
+                  * sqrt((0.2 / (2.0 - 0.2))
+                    * (1.0 - pow(1.0 - 0.2, 2.0 * CAST(w.t AS DOUBLE))))
+                END AS hw
+              FROM ws w JOIN mom USING (event_type))
+      SELECT event_type, day, n_events, ewma,
+             mu + hw AS ucl, mu - hw AS lcl,
+             COALESCE(ewma > mu + hw OR ewma < mu - hw, FALSE) AS alarm
+      FROM fin ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6619,5 +6671,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267)
+    q262, q263, q264, q265, q266, q267, q268)
 }

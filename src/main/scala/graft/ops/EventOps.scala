@@ -164,6 +164,91 @@ object EventOps {
       coalesce(sPos > h || sNeg > h, lit(false)).as("alarm"))
   }
 
+  /** EWMA control chart on daily event volume per type (Roberts
+    * 1959): the exponentially-weighted companion to [[cusumShift]] —
+    * CUSUM is optimal for a step shift of known size (the slack k);
+    * the EWMA chart tracks the level itself and flags when the
+    * smoothed series leaves μ ± L·σ_z, catching slow drifts and
+    * giving operators the smoothed trajectory, not just an alarm bit.
+    * Production monitors run both (plus [[burstDetect]] for spikes).
+    *
+    * The recursion z_t = λ·x_t + (1−λ)·z_{t−1}, z_0 = μ is computed
+    * WITHOUT recursion via its weighted-sum closed form, truncated at
+    * `maxLag`: z_t = λ·Σ_{lag<min(t,maxLag)} (1−λ)^lag · x_{t−lag}
+    * + (1−λ)^min(t,maxLag) · μ — the pre-window state is the target
+    * mean, so weights total EXACTLY 1 and the truncated form equals
+    * the textbook recursion whenever maxLag ≥ t (dropped terms are
+    * ≤ (1−λ)^maxLag ≈ 6e-7 of a z-unit at the defaults). Control
+    * limits use the exact-t variance inflation
+    * σ_z(t) = σ·√(λ/(2−λ)·(1−(1−λ)^{2t})), so early days get the
+    * tighter startup bound. Target μ, σ are the series' own moments
+    * (the [[cusumShift]] two-pass convention); degenerate series
+    * (σ = 0 or < 2 days) emit null limits and never alarm.
+    *
+    * Scale shape: the data-sized work is ONE map-side-combined
+    * (type, day) count; the dense spine, moments, and the lag
+    * self-join all live on the |types|·|days| aggregate series, and
+    * the join emits ≤ maxLag rows per series point — bounded, keyed,
+    * never data-sized. Weight terms decimal-round before the exact
+    * sum (the dsum discipline) so the smoothed doubles hash
+    * cross-engine. */
+  def ewmaChart(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", lambda: Double = 0.2,
+      nSigma: Double = 3.0, maxLag: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val counts = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = counts.groupBy(col(typeCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(typeCol), col("__d0"),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("day"))
+    val daily = spine.join(counts, Seq(typeCol, "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("__t", (datediff(col("day"), col("__d0")) + 1)
+        .cast("long"))
+      .drop("__d0")
+    val mom = daily.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("__nd"),
+      sum(col("n_events")).as("__s1"),
+      sum(col("n_events").cast(DecimalType(38, 0)) * col("n_events"))
+        .as("__s2"))
+    val oml = lit(1.0 - lambda)
+    val rhs = daily.select(col(typeCol), col("__t").as("__i"),
+      col("n_events").as("__x"))
+    val wsum = daily.join(rhs,
+        daily(typeCol) === rhs(typeCol) &&
+          col("__i") <= col("__t") && col("__i") > col("__t") - maxLag)
+      .drop(rhs(typeCol))
+      .groupBy(col(typeCol), col("day"), col("__t"), col("n_events"))
+      .agg(dsum(lit(lambda) * col("__x").cast("double") *
+        pow(oml, (col("__t") - col("__i")).cast("double")), 12)
+        .as("__wsum"))
+    val nD = col("__nd").cast("double")
+    val mu = col("__s1").cast("double") / nD
+    val variance = greatest(
+      (col("__s2").cast("double") - nD * mu * mu) / (nD - lit(1.0)),
+      lit(0.0))
+    val ewma = col("__wsum") +
+      mu * pow(oml, least(col("__t"), lit(maxLag.toLong)).cast("double"))
+    val halfWidth = when(col("__nd") >= 2L && variance > 0.0,
+      lit(nSigma) * sqrt(variance) *
+        sqrt(lit(lambda / (2.0 - lambda)) *
+          (lit(1.0) - pow(oml, lit(2.0) * col("__t").cast("double")))))
+    wsum.join(broadcast(mom), Seq(typeCol))
+      .withColumn("ewma", ewma)
+      .withColumn("ucl", mu + halfWidth)
+      .withColumn("lcl", mu - halfWidth)
+      .select(col(typeCol), col("day"), col("n_events"), col("ewma"),
+        col("ucl"), col("lcl"),
+        coalesce(col("ewma") > col("ucl") || col("ewma") < col("lcl"),
+          lit(false)).as("alarm"))
+  }
+
   /** EXACT rolling `windowDays`-day distinct active users per day —
     * the DAU/WAU/MAU readout — computed DISTRIBUTED, with no
     * count-distinct window and no day×corpus re-scan. The trick:

@@ -193,6 +193,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ewmaChart: equals the textbook recursion, drift alarms, startup limits tighten") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    def at(day: Int, typ: String, n: Int) = (0 until n).map(i =>
+      (new java.sql.Timestamp(t0.getTime + day * 86400000L + i * 1000L), typ))
+    // drift: 20 days ~100, then 15 days at 112 (the cusum fixture)
+    val drift = (0 until 20).flatMap(d =>
+      at(d, "drift", if (d % 2 == 0) 98 else 102)) ++
+      (20 until 35).flatMap(d => at(d, "drift", 112))
+    // stable: alternating 98/102 forever — never leaves the band
+    val stable = (0 until 35).flatMap(d =>
+      at(d, "stable", if (d % 2 == 0) 98 else 102))
+    // flat: constant volume → sd = 0 → null limits, no alarm
+    val flat = (0 until 5).flatMap(d => at(d, "flat", 7))
+    val out = graft.ops.EventOps.ewmaChart(
+      (drift ++ stable ++ flat).toDF("ts", "event_type"),
+      lambda = 0.2, nSigma = 3.0, maxLag = 64)
+      .orderBy("event_type", "day").collect()
+    val byType = out.groupBy(_.getString(0))
+    // closed form == the literal recursion (maxLag 64 > 35 days)
+    for ((_, rows) <- byType if rows.length >= 2) {
+      val xs = rows.map(_.getLong(2).toDouble)
+      val mu = xs.sum / xs.length
+      var z = mu
+      rows.zip(xs).foreach { case (r, x) =>
+        z = 0.2 * x + 0.8 * z
+        assert(math.abs(r.getAs[Double]("ewma") - z) < 1e-9,
+          s"recursion diverged at ${r.getDate(1)}: ${r.getAs[Double]("ewma")} vs $z")
+      }
+    }
+    val dr = byType("drift")
+    assert(dr.filter(_.getDate(1).toString >= "2024-05-21")
+      .exists(_.getAs[Boolean]("alarm")), "sustained drift must alarm")
+    assert(byType("stable").forall(!_.getAs[Boolean]("alarm")),
+      "stable series must stay inside the band")
+    // startup: limits widen monotonically toward the asymptote
+    val hws = dr.map(r => r.getAs[Double]("ucl") - r.getAs[Double]("lcl"))
+    assert(hws.head < hws.last, "startup band must be tighter")
+    assert(hws.zip(hws.tail).forall { case (a, b) => a <= b + 1e-12 })
+    val fl = byType("flat")
+    assert(fl.forall(r => r.isNullAt(4) && r.isNullAt(5) &&
+      !r.getAs[Boolean]("alarm")), "sd=0 series: null limits, no alarm")
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.ewmaChart(flat.toDF("ts", "event_type"),
+        lambda = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.ewmaChart(flat.toDF("ts", "event_type"),
+        maxLag = 0)
+    }
+  }
+
   test("rollingActiveUsers: equals brute-force rolling distinct, silent days at zero") {
     import spark.implicits._
     // user 1: days 0,1,9; user 2: day 0 only; user 3: days 4..5 —
