@@ -6656,6 +6656,65 @@ object QueriesLlm {
              COALESCE(ewma > mu + hw OR ewma < mu - hw, FALSE) AS alarm
       FROM fin ORDER BY event_type, day"""))
 
+  /** One greedy-MMR oracle step: pick t's max-marginal candidate
+    * against the cumulative selected set `prev`, then extend it. */
+  private def duckMmrStep(t: Int, prev: String): String = s"""
+      m$t AS (SELECT pr.query_id, pr.va AS vec_id, MAX(pr.sim) AS ms
+              FROM pr JOIN $prev s ON s.query_id = pr.query_id
+                AND s.vec_id = pr.vb
+              GROUP BY 1, 2),
+      c$t AS (SELECT p.query_id, p.vec_id, p.rel,
+                0.7 * p.rel - (1.0 - 0.7) * m$t.ms AS mmr_score
+              FROM pool p JOIN m$t USING (query_id, vec_id)
+              WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                WHERE s.query_id = p.query_id AND s.vec_id = p.vec_id)),
+      s$t AS (SELECT query_id, vec_id, rel, CAST($t AS BIGINT) AS mmr_rank,
+                mmr_score
+              FROM (SELECT query_id, vec_id, rel, mmr_score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY mmr_score DESC, vec_id ASC) AS r FROM c$t)
+              WHERE r = 1),
+      sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$t)"""
+
+  /** Maximal-marginal-relevance diversity re-ranking of the brute
+    * top-8 pool per query (k = 4, λ = 0.7) — the de-duplicating
+    * re-ranker beside q251's RRF fusion; the oracle replays the
+    * greedy recursion as unrolled CTE steps; see
+    * [[Similarity.mmrRerank]]. */
+  private val q269 = Q("q269_mmr_rerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 8), emb,
+        k = 4, poolSize = 8, lambdaRel = 0.7)
+        .orderBy("query_id", "mmr_rank")
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id AS query_id, embedding AS q_emb
+                  FROM embeddings WHERE vec_id < 8),
+      sc AS (SELECT query_id, e.vec_id,
+               ${duckCos("q_emb", "e.embedding")} AS cos
+             FROM embeddings e JOIN qv ON e.vec_id <> query_id),
+      pool AS (SELECT query_id, vec_id, cos AS rel FROM (
+          SELECT query_id, vec_id, cos, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS r
+          FROM sc) WHERE r <= 8),
+      pe AS (SELECT p.query_id, p.vec_id, p.rel, e.embedding
+             FROM pool p JOIN embeddings e USING (vec_id)),
+      pr AS (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               ${duckCos("a.embedding", "b.embedding")} AS sim
+             FROM pe a JOIN pe b ON a.query_id = b.query_id
+               AND a.vec_id <> b.vec_id),
+      s1 AS (SELECT query_id, vec_id, rel, CAST(1 AS BIGINT) AS mmr_rank,
+               0.7 * rel AS mmr_score
+             FROM (SELECT query_id, vec_id, rel, row_number() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS r
+               FROM pool) WHERE r = 1),
+      ${duckMmrStep(2, "s1")},
+      ${duckMmrStep(3, "sel2")},
+      ${duckMmrStep(4, "sel3")}
+      SELECT query_id, vec_id, rel, mmr_rank, mmr_score
+      FROM sel4 ORDER BY query_id, mmr_rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6671,5 +6730,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268)
+    q262, q263, q264, q265, q266, q267, q268, q269)
 }

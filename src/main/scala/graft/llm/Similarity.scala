@@ -1785,6 +1785,85 @@ object Similarity {
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily re-order each query's top-`poolSize`
+    * retrieval pool so consecutive picks balance relevance against
+    * redundancy — pick t maximizes
+    * λ·rel(c) − (1−λ)·max_{s∈picked} cos(c, s) (the first pick is
+    * pure relevance; empty-set max contributes 0, so its score is
+    * λ·rel). The de-duplicating re-ranker behind "diverse top-k"
+    * retrieval UIs and RAG context packing — rrfFuse merges rankings,
+    * this keeps the merged page from showing five near-copies.
+    *
+    * The greedy recursion runs as k−1 UNROLLED dataframe steps (no
+    * driver loop over rows, no UDF): each step is an anti-join
+    * (pool minus picked), one (query, candidate)-keyed max over the
+    * precomputed pool-pair similarities, and a per-query top-1
+    * window. All ties break on vec_id, so the output is fully
+    * deterministic and oracle-replayable.
+    *
+    * Scale shape: two data-sized passes (the brute-force pool scan +
+    * one keyed embedding fetch), both materialized ONCE via
+    * localCheckpoint; everything after runs on request-sized frames —
+    * the pool (nq·poolSize rows), its pairwise-cosine table
+    * (nq·poolSize² rows), and the picked set, re-checkpointed per
+    * step so plan depth stays linear in k. Queries whose pool is
+    * smaller than k simply emit fewer picks. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      poolSize: Int = 16, lambdaRel: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    require(lambdaRel > 0.0 && lambdaRel <= 1.0,
+      s"lambdaRel must be in (0,1], got $lambdaRel")
+    val pool = bruteForceTopK(queries, corpus, poolSize)
+      .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
+      .localCheckpoint(true)
+    val emb = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__nrm"))
+    val poolEmb = pool.join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("__nrm"))
+    val a = poolEmb.select(col("query_id"), col("vec_id").as("__va"),
+      col("embedding").as("__ea"), col("__nrm").as("__na"))
+    val b = poolEmb.select(col("query_id"), col("vec_id").as("__vb"),
+      col("embedding").as("__eb"), col("__nrm").as("__nb"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("__va") =!= col("__vb"))
+      .select(col("query_id"), col("__va"), col("__vb"),
+        cosPre(col("__ea"), col("__eb"), col("__na"), col("__nb"))
+          .as("__sim"))
+      .localCheckpoint(true)
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    var selected = pool.withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        lit(1L).as("mmr_rank"),
+        (lit(lambdaRel) * col("rel")).as("mmr_score"))
+    for (t <- 2 to k) {
+      val picked = selected.select(col("query_id"), col("vec_id"))
+      val remaining = pool.join(picked, Seq("query_id", "vec_id"),
+        "left_anti")
+      val maxSim = pairs
+        .join(picked.withColumnRenamed("vec_id", "__vb"),
+          Seq("query_id", "__vb"))
+        .groupBy(col("query_id"), col("__va"))
+        .agg(max(col("__sim")).as("__ms"))
+        .withColumnRenamed("__va", "vec_id")
+      val scoredT = remaining.join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn("mmr_score", lit(lambdaRel) * col("rel") -
+          lit(1.0 - lambdaRel) * col("__ms"))
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_score").desc, col("vec_id").asc)
+      val pick = scoredT.withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("rel"),
+          lit(t.toLong).as("mmr_rank"), col("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** Prefix rank-biased overlap at depth k (Webber, Moffat & Zobel
     * 2010, "A similarity measure for indefinite rankings"):
     * RBO@k = (1−p) Σ_{d=1..k} p^{d−1}·|A₁..d ∩ B₁..d|/d — the

@@ -2643,6 +2643,46 @@ class LlmSpec extends AnyFunSuite {
     assert(want.values.exists(_ == 0L))
   }
 
+  test("mmrRerank: pure-relevance limit, redundancy penalty, monotone marginal scores") {
+    import spark.implicits._
+    // q = id0; id1 ≡ id2 exact duplicates (most relevant); id3 diverse
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.6f, 0.5f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    // λ = 1: MMR degenerates to the relevance ranking
+    val pure = graft.llm.Similarity.mmrRerank(q, vecs, k = 3,
+      poolSize = 3, lambdaRel = 1.0).orderBy("mmr_rank").collect()
+    val brute = graft.llm.Similarity.bruteForceTopK(q, vecs, 3)
+      .orderBy("rank").collect()
+    assert(pure.map(_.getLong(1)).toSeq == brute.map(r =>
+      r.getAs[Long]("vec_id")).toSeq, "λ=1 must equal pure relevance")
+    // λ = 0.2: after picking one duplicate, the OTHER duplicate is
+    // maximally penalized (sim = 1) — the diverse id3 must rank 2nd
+    val div = graft.llm.Similarity.mmrRerank(q, vecs, k = 3,
+      poolSize = 3, lambdaRel = 0.2).orderBy("mmr_rank").collect()
+    assert(div.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L),
+      s"diversity pick order wrong: ${div.map(_.getLong(1)).toSeq}")
+    // structural invariants on the real corpus: unique picks, dense
+    // ranks, non-increasing marginal scores per query
+    val real = graft.llm.Similarity.mmrRerank(
+      emb.filter(col("vec_id") < 3), emb, k = 4, poolSize = 8,
+      lambdaRel = 0.7).collect()
+    for ((_, rows) <- real.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getAs[Long]("mmr_rank"))
+      assert(sorted.map(_.getAs[Long]("mmr_rank")).toSeq == (1L to 4L))
+      assert(sorted.map(_.getLong(1)).distinct.length == 4, "no repeats")
+      val scores = sorted.map(_.getAs[Double]("mmr_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-12 },
+        s"marginal scores must be non-increasing: ${scores.toSeq}")
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.mmrRerank(q, vecs, k = 5, poolSize = 3)
+    }
+  }
+
   test("rrfFuse: consensus beats either head, single-list ids fuse with one term") {
     import spark.implicits._
     // list A ranks: x=1, y=2, z=3; list B: y=1, w=2, x=3.
