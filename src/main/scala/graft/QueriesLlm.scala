@@ -6715,6 +6715,63 @@ object QueriesLlm {
       SELECT query_id, vec_id, rel, mmr_rank, mmr_score
       FROM sel4 ORDER BY query_id, mmr_rank"""))
 
+  /** One unrolled PageRank oracle iteration: dangling mass, src-keyed
+    * contributions, and the damped update over the node spine. */
+  private def duckPrIter(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""
+      d$i AS (SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(30,12)))
+                AS DOUBLE), 0.0) AS dang
+              FROM $p WHERE node NOT IN (SELECT src FROM e)),
+      c$i AS (SELECT e.dst, CAST(SUM(CAST(r.rank * e.w / ow.ow
+                AS DECIMAL(30,12))) AS DOUBLE) AS s
+              FROM e JOIN $p r ON r.node = e.src
+                JOIN ow ON ow.src = e.src
+              GROUP BY 1),
+      r$i AS (SELECT nd.node,
+                (1.0 - 0.85) / CAST(nn.n AS DOUBLE)
+                + 0.85 * (COALESCE(c$i.s, 0.0)
+                  + d$i.dang / CAST(nn.n AS DOUBLE)) AS rank
+              FROM nodes nd CROSS JOIN nn CROSS JOIN d$i
+              LEFT JOIN c$i ON c$i.dst = nd.node)"""
+  }
+
+  /** Weighted PageRank (3 damped iterations) over the nation-level
+    * trade graph — customer nation → supplier nation, edge weight =
+    * lineitem count; see [[graft.operators.GraphOps.pageRank]]. */
+  private val q270 = Q("q270_pagerank",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      graft.operators.GraphOps.pageRank(edges, "src", "dst",
+        iters = 3, damping = 0.85)
+    },
+    Some(s"""
+      WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 GROUP BY 1, 2),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      ow AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(30,12))) AS DOUBLE)
+               AS ow
+             FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS rank
+             FROM nodes CROSS JOIN nn),
+      ${duckPrIter(1)},
+      ${duckPrIter(2)},
+      ${duckPrIter(3)}
+      SELECT node, rank FROM r3 ORDER BY rank DESC, node ASC"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6730,5 +6787,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270)
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge frames. Connected components (the dedup
+  * clusterer) lives with the dedup family in [[graft.llm.Dedup]];
+  * this hosts the rank/centrality side.
+  */
+object GraphOps {
+
+  /** Weighted PageRank (Brin & Page 1998) with a FIXED iteration
+    * count — the importance/centrality readout over any edge frame
+    * (source-citation graphs for corpus curation, user-interaction
+    * graphs, entity graphs from linkage):
+    * r_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} r_t(u)·w(u,v)/outw(u)
+    * + dangling_t/N), with dangling mass (rank parked on nodes
+    * without out-edges) redistributed uniformly — the standard
+    * stochastic-matrix completion, so Σ r = 1 holds exactly at every
+    * iteration. Fixed `iters` (not convergence-tested) keeps the
+    * result deterministic and oracle-replayable; parallel edges
+    * collapse by summed weight first.
+    *
+    * Determinism: every float fold (out-weights, contributions,
+    * dangling mass) decimal-rounds each term before the exact sum
+    * (the dsum discipline), so ranks are partition-invariant and
+    * hash cross-engine.
+    *
+    * Scale shape: the per-iteration work is ONE src-keyed equi-join
+    * of the edge frame against the rank frame and ONE dst-keyed
+    * fold — the standard distributed PageRank shape (edges never
+    * materialize per-pair state beyond themselves). Edge/out-weight
+    * frames are materialized once and the rank frame per iteration
+    * (localCheckpoint) so the plan stays linear in `iters` instead
+    * of re-deriving the edge aggregation exponentially. N rides as a
+    * broadcast 1-row frame — no driver collect anywhere. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(iters >= 1 && iters <= 50,
+      s"iters must be in [1,50], got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val wAgg = weightCol match {
+      case Some(c) => dsum(col(c).cast("double"), 12)
+      case None    => count(lit(1)).cast("double")
+    }
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(wAgg.as("w"))
+      .localCheckpoint(true)
+    val outw = e.groupBy(col("src")).agg(dsum(col("w"), 12).as("__ow"))
+    val ew = e.join(outw, Seq("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val nFrame = nodes.agg(count(lit(1)).cast("long").as("__n"))
+    var ranks = nodes.crossJoin(broadcast(nFrame))
+      .select(col("node"),
+        (lit(1.0) / col("__n").cast("double")).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = ranks
+        .join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(dsum(col("rank"), 12), lit(0.0)).as("__dang"))
+      val contrib = ew
+        .join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"),
+          (col("rank") * col("w") / col("__ow")).as("__c"))
+        .groupBy(col("dst")).agg(dsum(col("__c"), 12).as("__sum"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(nFrame))
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__n").cast("double") +
+            lit(damping) * (coalesce(col("__sum"), lit(0.0)) +
+              col("__dang") / col("__n").cast("double"))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy(col("rank").desc, col("node").asc)
+  }
+}

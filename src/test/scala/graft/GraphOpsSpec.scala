@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** PageRank over edge frames: conservation, dangling handling,
+  * weighted splits, and equality with the literal recursion. */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pageRank: hand two-node graph with a dangling sink, mass conserved") {
+    import spark.implicits._
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(e, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // N=2, r0=0.5 each; b is dangling (no out-edges): dang=0.5
+    // rA = 0.15/2 + 0.85*(0 + 0.5/2) = 0.2875
+    // rB = 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125
+    assert(math.abs(r1("a") - 0.2875) < 1e-9)
+    assert(math.abs(r1("b") - 0.7125) < 1e-9)
+    assert(math.abs(r1.values.sum - 1.0) < 1e-9, "mass conserved")
+  }
+
+  test("pageRank: symmetric cycle is uniform; mass conserved over iterations") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    for (it <- Seq(1, 3, 7)) {
+      val r = GraphOps.pageRank(cyc, "src", "dst", iters = it)
+        .collect().map(_.getDouble(1))
+      assert(math.abs(r.sum - 1.0) < 1e-9, s"iter $it: mass conserved")
+      assert(r.max - r.min < 1e-12, s"iter $it: cycle stays uniform")
+    }
+  }
+
+  test("pageRank: weights split contributions proportionally; parallel edges collapse") {
+    import spark.implicits._
+    // a sends 3/4 of its rank to b, 1/4 to c; b,c return to a
+    val e = Seq(("a", "b", 3.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val r = GraphOps.pageRank(e, "src", "dst", Some("w"), iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // r0 = 1/3 each: rb = 0.05 + 0.85*(1/3*0.75) = 0.2625
+    // rc = 0.05 + 0.85*(1/3*0.25) ≈ 0.120833; ra = 0.05 + 0.85*2/3
+    assert(math.abs(r("b") - (0.05 + 0.85 * 0.25)) < 1e-9)
+    assert(math.abs(r("c") - (0.05 + 0.85 / 12)) < 1e-9)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // unweighted parallel edges count: two a->b edges ≡ weight 2
+    val par2 = Seq(("a", "b"), ("a", "b"), ("a", "c"))
+      .toDF("src", "dst")
+    val rp = GraphOps.pageRank(par2, "src", "dst", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val w2 = Seq(("a", "b", 2.0), ("a", "c", 1.0)).toDF("src", "dst", "w")
+    val rw = GraphOps.pageRank(w2, "src", "dst", Some("w"), iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    for (k <- rp.keys) assert(math.abs(rp(k) - rw(k)) < 1e-12)
+  }
+
+  test("pageRank: equals the literal recursion on a small digraph") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c")).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driver-side replication
+    val adj = Map("a" -> Seq("b", "c"), "b" -> Seq("c"),
+      "c" -> Seq("a"), "d" -> Seq("c"))
+    val nodes = Seq("a", "b", "c", "d")
+    var rank = nodes.map(_ -> 0.25).toMap
+    for (_ <- 1 to 3) {
+      val dang = nodes.filterNot(adj.contains).map(rank).sum
+      val contrib = nodes.map { v =>
+        v -> nodes.filter(u => adj.getOrElse(u, Nil).contains(v))
+          .map(u => rank(u) / adj(u).size).sum
+      }.toMap
+      rank = nodes.map(v =>
+        v -> (0.15 / 4 + 0.85 * (contrib(v) + dang / 4))).toMap
+    }
+    for (v <- nodes)
+      assert(math.abs(got(v) - rank(v)) < 1e-9, s"node $v: ${got(v)} vs ${rank(v)}")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", damping = 1.0)
+    }
+  }
+}
