@@ -6772,6 +6772,54 @@ object QueriesLlm {
       ${duckPrIter(3)}
       SELECT node, rank FROM r3 ORDER BY rank DESC, node ASC"""))
 
+  /** Hard + random negative mining for contrastive pairs: anchors =
+    * vec_id < 6 with their exact nearest neighbor as the positive;
+    * 4 hard (top-cosine non-positive) + 3 md5-deterministic random
+    * negatives per anchor, channels disjoint; see
+    * [[Similarity.hardNegatives]]. */
+  private val q271 = Q("q271_hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pos = Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") < 6), emb, 1)
+        .select(col("query_id"), col("vec_id").as("pos_id"))
+      Similarity.hardNegatives(pos, emb, kHard = 4, kRandom = 3)
+        .orderBy("query_id", "kind", "neg_rank")
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id AS query_id, embedding AS q_emb
+                  FROM embeddings WHERE vec_id < 6),
+      sc0 AS (SELECT query_id, e.vec_id,
+                ${duckCos("q_emb", "e.embedding")} AS cos
+              FROM embeddings e JOIN qv ON e.vec_id <> query_id),
+      pos AS (SELECT query_id, vec_id AS pos_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS r
+          FROM sc0) WHERE r = 1),
+      sc AS (SELECT s.query_id, s.vec_id, s.cos
+             FROM sc0 s WHERE NOT EXISTS (SELECT 1 FROM pos p
+               WHERE p.query_id = s.query_id AND p.pos_id = s.vec_id)),
+      hard AS (SELECT query_id, vec_id AS neg_id, cos, 'hard' AS kind,
+                 CAST(r AS BIGINT) AS neg_rank
+               FROM (SELECT query_id, vec_id, cos, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS r
+                 FROM sc) WHERE r <= 4),
+      rnd AS (SELECT query_id, vec_id AS neg_id, cos, 'random' AS kind,
+                CAST(r AS BIGINT) AS neg_rank
+              FROM (SELECT s.query_id, s.vec_id, s.cos,
+                  row_number() OVER (PARTITION BY s.query_id ORDER BY
+                    md5(CAST(s.query_id AS VARCHAR) || ':' ||
+                        CAST(s.vec_id AS VARCHAR)) ASC,
+                    s.vec_id ASC) AS r
+                FROM sc s WHERE NOT EXISTS (SELECT 1 FROM hard h
+                  WHERE h.query_id = s.query_id AND h.neg_id = s.vec_id))
+              WHERE r <= 3)
+      SELECT query_id, neg_id, cos, kind, neg_rank FROM hard
+      UNION ALL
+      SELECT query_id, neg_id, cos, kind, neg_rank FROM rnd
+      ORDER BY query_id, kind, neg_rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6787,5 +6835,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271)
 }

@@ -1864,6 +1864,68 @@ object Similarity {
     selected
   }
 
+  /** Hard + random negative mining for contrastive training pairs
+    * (the DPR/SimCSE data recipe): for each anchor in `positives`
+    * (query_id, pos_id), emit two disjoint negative channels from the
+    * corpus — `hard` = the `kHard` highest-cosine non-positives (the
+    * near-misses that actually move a contrastive loss) and `random`
+    * = `kRandom` ids drawn by DETERMINISTIC md5 order (seedless,
+    * engine-portable, reproducible on any cluster size), excluding
+    * the anchor's positives, itself, and the already-chosen hard set.
+    * Both channels carry the true cosine so downstream curricula can
+    * bucket by difficulty.
+    *
+    * Scale shape: one corpus scoring pass per channel (broadcast
+    * anchors × corpus — the bruteForceTopK shape; swap in the IVF
+    * probe for planet-scale corpora — deliberately re-scanned rather
+    * than materializing the anchors×corpus scored frame), then a
+    * per-anchor window and anchor-keyed anti-joins — nothing
+    * corpus². Multiple positives per anchor are excluded as a
+    * set. */
+  def hardNegatives(positives: DataFrame, corpus: DataFrame,
+      kHard: Int = 5, kRandom: Int = 0): DataFrame = {
+    require(kHard >= 1, s"kHard must be positive, got $kHard")
+    require(kRandom >= 0, s"kRandom must be >= 0, got $kRandom")
+    val pos = positives.select(col("query_id"), col("pos_id"))
+      .localCheckpoint(true)
+    val anchors = pos.select(col("query_id")).distinct()
+      .join(corpus, col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("c_nrm"))
+      .join(broadcast(anchors), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("q_emb"), col("embedding"), col("q_nrm"),
+          col("c_nrm")).as("cos"))
+      .join(pos.withColumnRenamed("pos_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+    val wHard = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val hard = scored.withColumn("neg_rank",
+        row_number().over(wHard).cast("long"))
+      .filter(col("neg_rank") <= kHard)
+      .select(col("query_id"), col("vec_id").as("neg_id"), col("cos"),
+        lit("hard").as("kind"), col("neg_rank"))
+    if (kRandom == 0) hard.orderBy(col("query_id"), col("neg_rank"))
+    else {
+      val hardIds = hard.select(col("query_id"),
+        col("neg_id").as("vec_id")).localCheckpoint(true)
+      val wRand = Window.partitionBy(col("query_id"))
+        .orderBy(md5(concat(col("query_id").cast("string"), lit(":"),
+          col("vec_id").cast("string"))).asc, col("vec_id").asc)
+      val random = scored
+        .join(hardIds, Seq("query_id", "vec_id"), "left_anti")
+        .withColumn("neg_rank", row_number().over(wRand).cast("long"))
+        .filter(col("neg_rank") <= kRandom)
+        .select(col("query_id"), col("vec_id").as("neg_id"), col("cos"),
+          lit("random").as("kind"), col("neg_rank"))
+      hard.unionByName(random)
+        .orderBy(col("query_id"), col("kind"), col("neg_rank"))
+    }
+  }
+
   /** Prefix rank-biased overlap at depth k (Webber, Moffat & Zobel
     * 2010, "A similarity measure for indefinite rankings"):
     * RBO@k = (1−p) Σ_{d=1..k} p^{d−1}·|A₁..d ∩ B₁..d|/d — the

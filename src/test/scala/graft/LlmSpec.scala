@@ -2683,6 +2683,51 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: positives excluded as a set, hard = true top-k, channels disjoint & deterministic") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 4)
+    // two positives for anchor 0, one for the rest
+    val p1 = graft.llm.Similarity.bruteForceTopK(queries, emb, 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"))
+    val extra = Seq((0L, 40L)).toDF("query_id", "pos_id")
+    val pos = p1.unionByName(extra)
+    val out = graft.llm.Similarity.hardNegatives(pos, emb,
+      kHard = 5, kRandom = 4).collect()
+    val posSet = pos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no positive and no self in any channel
+    assert(out.forall(r => !posSet.contains((r.getLong(0), r.getLong(1)))),
+      "positives must be excluded from both channels")
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "no self")
+    // hard channel = brute top-5 after removing the positive set
+    val brute = graft.llm.Similarity.bruteForceTopK(queries, emb, 8)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("rank")))
+    for (q <- 0L until 4L) {
+      val want = brute.filter(_._1 == q).sortBy(_._3).map(_._2)
+        .filterNot(v => posSet.contains((q, v))).take(5).toSeq
+      val got = out.filter(r => r.getLong(0) == q &&
+        r.getString(3) == "hard").sortBy(_.getAs[Long]("neg_rank"))
+        .map(_.getLong(1)).toSeq
+      assert(got == want, s"anchor $q hard channel: $got vs $want")
+    }
+    // channels disjoint per anchor; random count honored
+    for ((q, rows) <- out.groupBy(_.getLong(0))) {
+      val (h, r) = rows.partition(_.getString(3) == "hard")
+      assert(h.map(_.getLong(1)).toSet.intersect(
+        r.map(_.getLong(1)).toSet).isEmpty, s"anchor $q channels overlap")
+      assert(h.length == 5 && r.length == 4)
+    }
+    // determinism: a second run yields the identical random draw
+    val again = graft.llm.Similarity.hardNegatives(pos, emb,
+      kHard = 5, kRandom = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .toSeq == again.map(r => (r.getLong(0), r.getLong(1),
+        r.getString(3))).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.hardNegatives(pos, emb, kHard = 0)
+    }
+  }
+
   test("rrfFuse: consensus beats either head, single-list ids fuse with one term") {
     import spark.implicits._
     // list A ranks: x=1, y=2, z=3; list B: y=1, w=2, x=3.
