@@ -6820,6 +6820,37 @@ object QueriesLlm {
       SELECT query_id, neg_id, cos, kind, neg_rank FROM rnd
       ORDER BY query_id, kind, neg_rank"""))
 
+  /** Jaro-Winkler similarity over all corpus-vocabulary pairs — the
+    * record-linkage comparator as a native codegen kernel, gated at
+    * FULL double precision against DuckDB's NATIVE
+    * jaro_winkler_similarity (byte-semantics parity, not a replayed
+    * formula); vocabulary-bounded pair frame; see
+    * [[graft.functions.JaroWinkler]]. */
+  private val q272 = Q("q272_jaro_winkler",
+    (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+      val pairs = vocab.select(col("tok").as("tok_a"))
+        .crossJoin(vocab.select(col("tok").as("tok_b")))
+        .filter(col("tok_a") < col("tok_b"))
+      pairs.select(col("tok_a"), col("tok_b"),
+        graft.functions.JaroWinkler.column(s, col("tok_a"),
+          col("tok_b")).as("jw"))
+        .filter(col("jw") > 0.5)
+        .orderBy("tok_a", "tok_b")
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT unnest(
+          regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      p AS (SELECT a.tok AS tok_a, b.tok AS tok_b
+            FROM v a JOIN v b ON a.tok < b.tok)
+      SELECT tok_a, tok_b,
+             jaro_winkler_similarity(tok_a, tok_b) AS jw
+      FROM p WHERE jaro_winkler_similarity(tok_a, tok_b) > 0.5
+      ORDER BY tok_a, tok_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6835,5 +6866,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272)
 }

@@ -112,4 +112,46 @@ class FunctionsSpec extends AnyFunSuite {
         Seq(WinnowFingerprintsHelper.hash60Reference(gram)), gram)
     }
   }
+
+  test("jaroWinkler: DuckDB-pinned hand values, byte semantics, edge cases") {
+    import graft.functions.JaroWinklerHelper
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinklerHelper.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    // values pinned from DuckDB 1.0 jaro_winkler_similarity
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("crate", "trace", 0.7333333333333334),       // prefix 0: no boost
+      ("prefix", "prefixxxxx", 0.92),               // prefix capped at 4
+      ("abcdxxxx", "abcdyyyy", 0.6666666666666666), // <= 0.7: no boost
+      ("ab", "abcdefgh", 0.8),
+      ("abc", "acb", 0.5555555555555555),
+      ("ab", "ba", 0.0),                            // window 0
+      ("héllo", "hello", 0.8400000000000001))       // BYTE semantics
+    for ((a, b, want) <- pinned)
+      assert(jw(a, b) == want, s"jw($a,$b) = ${jw(a, b)}, want $want")
+    // symmetry + bounds on a random corpus; empty contract
+    val r = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val a = Array.fill(r.nextInt(8))(('a' + r.nextInt(4)).toChar).mkString
+      val b = Array.fill(r.nextInt(8))(('a' + r.nextInt(4)).toChar).mkString
+      val s1 = jw(a, b)
+      assert(s1 == jw(b, a), s"asymmetric on ($a,$b)")
+      assert(s1 >= 0.0 && s1 <= 1.0)
+      if (a == b && a.nonEmpty) assert(s1 == 1.0)
+    }
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0, "empty scores 0")
+    // Column path (codegen) agrees with the helper
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("martha", "marhta"), ("ab", "ba"), ("x", "x"))
+      .toDF("a", "b")
+    val got = df.select(graft.functions.JaroWinkler.column(spark,
+      col("a"), col("b"))).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.9611111111111111, 0.0, 1.0))
+  }
 }
