@@ -6728,7 +6728,7 @@ object QueriesLlm {
               FROM e JOIN $p r ON r.node = e.src
                 JOIN ow ON ow.src = e.src
               GROUP BY 1),
-      r$i AS (SELECT nd.node,
+      r$i AS MATERIALIZED (SELECT nd.node,
                 (1.0 - 0.85) / CAST(nn.n AS DOUBLE)
                 + 0.85 * (COALESCE(c$i.s, 0.0)
                   + d$i.dang / CAST(nn.n AS DOUBLE)) AS rank
@@ -6753,19 +6753,19 @@ object QueriesLlm {
         iters = 3, damping = 0.85)
     },
     Some(s"""
-      WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      WITH e AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
                    CAST(COUNT(*) AS DOUBLE) AS w
                  FROM lineitem l
                  JOIN orders o ON l.l_orderkey = o.o_orderkey
                  JOIN customer c ON o.o_custkey = c.c_custkey
                  JOIN supplier s ON l.l_suppkey = s.s_suppkey
                  GROUP BY 1, 2),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
       ow AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(30,12))) AS DOUBLE)
                AS ow
              FROM e GROUP BY 1),
-      r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS rank
+      r0 AS MATERIALIZED (SELECT node, 1.0 / CAST(n AS DOUBLE) AS rank
              FROM nodes CROSS JOIN nn),
       ${duckPrIter(1)},
       ${duckPrIter(2)},
@@ -6851,6 +6851,74 @@ object QueriesLlm {
       FROM p WHERE jaro_winkler_similarity(tok_a, tok_b) > 0.5
       ORDER BY tok_a, tok_b"""))
 
+  /** One unrolled HITS oracle iteration: authority half-step from
+    * hubs, L1-normalize, hub half-step from the fresh authorities,
+    * L1-normalize; zero-sum sides keep the previous scores. */
+  private def duckHitsIter(i: Int): String = {
+    val p = s"s${i - 1}"
+    s"""
+      ar$i AS (SELECT e.dst, CAST(SUM(CAST(s.hub * e.w
+                 AS DECIMAL(30,12))) AS DOUBLE) AS a
+               FROM e JOIN $p s ON s.node = e.src GROUP BY 1),
+      ax$i AS (SELECT COALESCE(CAST(SUM(CAST(a AS DECIMAL(30,12)))
+                 AS DOUBLE), 0.0) AS asum FROM ar$i),
+      wa$i AS MATERIALIZED (SELECT nd.node,
+                 CASE WHEN asum > 0.0
+                   THEN COALESCE(ar$i.a, 0.0) / asum
+                   ELSE p.auth END AS auth
+               FROM nodes nd CROSS JOIN ax$i
+               LEFT JOIN ar$i ON ar$i.dst = nd.node
+               JOIN $p p ON p.node = nd.node),
+      hr$i AS (SELECT e.src, CAST(SUM(CAST(w2.auth * e.w
+                 AS DECIMAL(30,12))) AS DOUBLE) AS h
+               FROM e JOIN wa$i w2 ON w2.node = e.dst GROUP BY 1),
+      hx$i AS (SELECT COALESCE(CAST(SUM(CAST(h AS DECIMAL(30,12)))
+                 AS DOUBLE), 0.0) AS hsum FROM hr$i),
+      s$i AS MATERIALIZED (SELECT nd.node,
+                CASE WHEN hsum > 0.0
+                  THEN COALESCE(hr$i.h, 0.0) / hsum
+                  ELSE p.hub END AS hub,
+                w2.auth
+              FROM nodes nd CROSS JOIN hx$i
+              LEFT JOIN hr$i ON hr$i.src = nd.node
+              JOIN $p p ON p.node = nd.node
+              JOIN wa$i w2 ON w2.node = nd.node)"""
+  }
+
+  /** HITS hubs & authorities (3 L1-normalized iterations) over the
+    * nation-level trade graph — buyer nations score as hubs,
+    * supplier nations as authorities; see
+    * [[graft.operators.GraphOps.hits]]. */
+  private val q273 = Q("q273_hits",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      graft.operators.GraphOps.hits(edges, "src", "dst", iters = 3)
+    },
+    Some(s"""
+      WITH e AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 GROUP BY 1, 2),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      s0 AS MATERIALIZED (SELECT node, 1.0 / CAST(n AS DOUBLE) AS hub,
+               1.0 / CAST(n AS DOUBLE) AS auth
+             FROM nodes CROSS JOIN nn),
+      ${duckHitsIter(1)},
+      ${duckHitsIter(2)},
+      ${duckHitsIter(3)}
+      SELECT node, hub, auth FROM s3 ORDER BY auth DESC, node ASC"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6866,5 +6934,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273)
 }

@@ -83,4 +83,83 @@ object GraphOps {
     }
     ranks.orderBy(col("rank").desc, col("node").asc)
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) with a FIXED
+    * iteration count — the bipartite-centrality companion to
+    * [[pageRank]]: authority(v) = Σ_{u→v} hub(u)·w, hub(u) =
+    * Σ_{u→v} authority(v)·w, each side L1-normalized after its
+    * update (sum-to-1 — deterministic, unlike the L2 convention,
+    * and exactly replayable in SQL). The readout for directed
+    * reference graphs where "points at good things" and "is pointed
+    * at by good things" are DIFFERENT qualities — citation/link
+    * curation, where PageRank's single score conflates them.
+    *
+    * Same determinism and scale shape as [[pageRank]]: decimal-
+    * rounded term sums, one keyed join + fold per half-step on the
+    * collapsed edge frame, score frames localCheckpointed per
+    * iteration, N and the normalizers ride as broadcast 1-row
+    * frames. Nodes with no in-edges hold authority 0 (hubs likewise
+    * without out-edges); degenerate graphs where a whole side sums
+    * to 0 keep the previous scores rather than dividing by zero. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None, iters: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(iters >= 1 && iters <= 50,
+      s"iters must be in [1,50], got $iters")
+    val wAgg = weightCol match {
+      case Some(c) => dsum(col(c).cast("double"), 12)
+      case None    => count(lit(1)).cast("double")
+    }
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(wAgg.as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val nFrame = nodes.agg(count(lit(1)).cast("long").as("__n"))
+    var scores = nodes.crossJoin(broadcast(nFrame))
+      .select(col("node"),
+        (lit(1.0) / col("__n").cast("double")).as("hub"),
+        (lit(1.0) / col("__n").cast("double")).as("auth"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(scores, e("src") === scores("node"))
+        .select(col("dst"), (col("hub") * col("w")).as("__t"))
+        .groupBy(col("dst")).agg(dsum(col("__t"), 12).as("__a"))
+      val aSum = aRaw.agg(
+        coalesce(dsum(col("__a"), 12), lit(0.0)).as("__as"))
+      val withA = nodes
+        .join(aRaw, nodes("node") === aRaw("dst"), "left")
+        .join(scores.select(col("node").as("__pn"),
+          col("auth").as("__pa")), col("node") === col("__pn"))
+        .crossJoin(broadcast(aSum))
+        .select(col("node"),
+          when(col("__as") > 0.0,
+            coalesce(col("__a"), lit(0.0)) / col("__as"))
+            .otherwise(col("__pa")).as("auth"))
+        .localCheckpoint(true)
+      val hRaw = e.join(withA, e("dst") === withA("node"))
+        .select(col("src"), (col("auth") * col("w")).as("__t"))
+        .groupBy(col("src")).agg(dsum(col("__t"), 12).as("__h"))
+      val hSum = hRaw.agg(
+        coalesce(dsum(col("__h"), 12), lit(0.0)).as("__hs"))
+      scores = nodes
+        .join(hRaw, nodes("node") === hRaw("src"), "left")
+        .join(scores.select(col("node").as("__pn"),
+          col("hub").as("__ph")), col("node") === col("__pn"))
+        .join(withA, Seq("node"))
+        .crossJoin(broadcast(hSum))
+        .select(col("node"),
+          when(col("__hs") > 0.0,
+            coalesce(col("__h"), lit(0.0)) / col("__hs"))
+            .otherwise(col("__ph")).as("hub"),
+          col("auth"))
+        .localCheckpoint(true)
+    }
+    scores.select(col("node"), col("hub"), col("auth"))
+      .orderBy(col("auth").desc, col("node").asc)
+  }
 }

@@ -56,6 +56,54 @@ class GraphOpsSpec extends AnyFunSuite {
     for (k <- rp.keys) assert(math.abs(rp(k) - rw(k)) < 1e-12)
   }
 
+  test("hits: star graph separates hubs from authorities; L1 normalized") {
+    import spark.implicits._
+    val e = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r = GraphOps.hits(e, "src", "dst", iters = 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    // c is the sole authority; a, b are the (equal) hubs
+    assert(math.abs(r("c")._2 - 1.0) < 1e-9 && r("c")._1 == 0.0)
+    assert(math.abs(r("a")._1 - 0.5) < 1e-9 && r("a")._2 == 0.0)
+    assert(math.abs(r("b")._1 - 0.5) < 1e-9)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9, "hubs sum 1")
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9, "auths sum 1")
+  }
+
+  test("hits: equals the literal normalized recursion on a weighted digraph") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+      ("c", "a", 3.0), ("d", "c", 1.0)).toDF("src", "dst", "w")
+    val got = GraphOps.hits(edges, "src", "dst", Some("w"), iters = 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    val out = Map("a" -> Seq(("b", 2.0), ("c", 1.0)),
+      "b" -> Seq(("c", 1.0)), "c" -> Seq(("a", 3.0)),
+      "d" -> Seq(("c", 1.0)))
+    val nodes = Seq("a", "b", "c", "d")
+    var hub = nodes.map(_ -> 0.25).toMap
+    var auth = nodes.map(_ -> 0.25).toMap
+    for (_ <- 1 to 3) {
+      val aRaw = nodes.map(v => v -> out.toSeq.flatMap { case (u, es) =>
+        es.filter(_._1 == v).map(_._2 * hub(u)) }.sum).toMap
+      val aSum = aRaw.values.sum
+      auth = nodes.map(v => v ->
+        (if (aSum > 0) aRaw(v) / aSum else auth(v))).toMap
+      val hRaw = nodes.map(u => u -> out.getOrElse(u, Nil)
+        .map { case (v, w) => w * auth(v) }.sum).toMap
+      val hSum = hRaw.values.sum
+      hub = nodes.map(u => u ->
+        (if (hSum > 0) hRaw(u) / hSum else hub(u))).toMap
+    }
+    for (v <- nodes) {
+      assert(math.abs(got(v)._1 - hub(v)) < 1e-9, s"hub $v")
+      assert(math.abs(got(v)._2 - auth(v)) < 1e-9, s"auth $v")
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.hits(edges, "src", "dst", iters = 0)
+    }
+  }
+
   test("pageRank: equals the literal recursion on a small digraph") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
