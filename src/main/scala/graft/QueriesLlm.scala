@@ -6919,6 +6919,54 @@ object QueriesLlm {
       ${duckHitsIter(3)}
       SELECT node, hub, auth FROM s3 ORDER BY auth DESC, node ASC"""))
 
+  /** Incremental sorted-neighborhood dedup: the doc_id % 4 == 0 slice
+    * arrives as a batch against the stored sort-key table of the
+    * rest; pairs must equal the FULL q231 run restricted to
+    * batch-involving pairs (the union key order IS the full-run
+    * order) — completing the online path for all three blockers; see
+    * [[Dedup.incrementalSortedNeighborPairs]]. */
+  private val q274 = Q("q274_incr_sorted_neighbors",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalSortedNeighborPairs(
+        Dedup.sortKeyTable(docs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text"),
+        Dedup.sortKeyTable(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text"),
+        window = 4, threshold = 0.5).orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, text,
+               CAST(list_sum(list_transform(generate_series(0, 15), j ->
+                 CASE WHEN 2 * len(list_filter(toks, t ->
+                        strpos('89abcdef', substring(md5(t), j + 1, 1)) > 0))
+                      >= len(toks)
+                      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                 AS sh
+        FROM (SELECT doc_id, text,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)),
+      r AS (SELECT doc_id, row_number() OVER (ORDER BY sh, doc_id) AS gr
+            FROM s),
+      dst AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(length(text) - 4, 1)),
+                i -> ('0x' || substr(md5(substring(text, i, 5)), 1, 15))::BIGINT))
+                AS shs
+              FROM documents),
+      c AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+            FROM r a JOIN r b ON b.gr > a.gr AND b.gr <= a.gr + 3
+            WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0),
+      j AS (SELECT ia, ib,
+              CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+                / CAST(len(da.shs) + len(db.shs)
+                       - len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+                AS jaccard
+            FROM c JOIN dst da ON da.doc_id = ia
+                   JOIN dst db ON db.doc_id = ib)
+      SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, jaccard
+      FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6934,5 +6982,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
 }

@@ -1359,4 +1359,87 @@ object Dedup {
     if (materialize) materializeAndRelease(pairs, checkpointDir, Seq(g))
     else pairs
   }
+
+  /** Sort-key table for INCREMENTAL sorted-neighborhood dedup:
+    * (id, shs, sh) per doc — the persisted artifact mirroring
+    * [[signatureTable]] (minhash-LSH) and [[simhashTable]] (Manku
+    * blocks), completing the online path for the third blocker. */
+  def sortKeyTable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sp = docs.sparkSession
+    val par = sp.sparkContext.defaultParallelism
+    docs.repartition(par).select(col(idCol).as("id"),
+      hashedShingles(col(textCol)).as("shs"),
+      graft.functions.SimHash16.column(sp,
+        TextAnalysis.tokens(col(textCol))).as("sh"))
+  }
+
+  /** Incremental sorted-neighborhood pairs: a new batch against the
+    * stored [[sortKeyTable]], emitting exactly the FULL-run pairs
+    * that involve a batch doc. Sorted-neighborhood is a GLOBAL-order
+    * blocker — an insertion displaces ranks around it — so unlike the
+    * hash-local LSH/simhash blockers the key order must be rebuilt
+    * over stored ∪ batch. The incremental win is WHAT the sort
+    * carries and what gets verified: the rank pass runs on bare
+    * (id, 16-bit key) records — shingle sets never enter the
+    * shuffle — and Jaccard verification touches only candidates with
+    * a batch side (~2·|batch|·window of them) instead of the full
+    * corpus·window stream, with each side's shingles fetched by a
+    * keyed id join. Pair-for-pair equal to filtering the full run
+    * (LlmSpec pins it): the union key order IS the full-run order.
+    *
+    * Scale shape: one narrow banded two-level rank over n+m 10-byte
+    * records (the [[sortedNeighborPairs]] construction), a
+    * batch-involving candidate filter, two id-keyed shingle fetches,
+    * per-candidate Jaccard. The [[materializeAndRelease]] loan rule
+    * applies to the ranked frame. */
+  def incrementalSortedNeighborPairs(stored: DataFrame, batch: DataFrame,
+      window: Int = 4, threshold: Double = 0.5, bandBits: Int = 0,
+      materialize: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(bandBits >= 0 && bandBits <= 16, s"bad bandBits $bandBits")
+    val sp = stored.sparkSession
+    val par = sp.sparkContext.defaultParallelism
+    val bb = if (bandBits > 0) bandBits
+      else math.min(16, math.max(8,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1, par * 4L - 1))))
+    val keys = stored.select(col("id"), col("sh"), lit(false).as("new"))
+      .unionByName(batch.select(col("id"), col("sh"), lit(true).as("new")))
+      .withColumn("band", shiftright(col("sh"), 16 - bb))
+    val wnd = Window.partitionBy("band").orderBy(col("sh"), col("id"))
+    val ranked = keys.withColumn("rn", row_number().over(wnd))
+    val offs = ranked.groupBy("band").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(
+        Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("off"))
+    val g = ranked.join(broadcast(offs), Seq("band"))
+      .select(col("id"), col("new"), (col("off") + col("rn")).as("gr"))
+      .persist()
+    val probes = g.select(col("id").as("__ia"), col("new").as("__na"),
+        explode(sequence(lit(1), lit(window - 1))).as("d"), col("gr"))
+      .select(col("__ia"), col("__na"), (col("gr") + col("d")).as("gk"))
+    val cands = probes.join(
+        g.select(col("gr").as("gk"), col("id").as("__ib"),
+          col("new").as("__nb")), Seq("gk"))
+      .filter(col("__na") || col("__nb"))
+    val lib = stored.select(col("id"), col("shs"))
+      .unionByName(batch.select(col("id"), col("shs")))
+    val withShs = cands
+      .join(lib.select(col("id").as("__ia"), col("shs").as("__sa")),
+        Seq("__ia"))
+      .join(lib.select(col("id").as("__ib"), col("shs").as("__sb")),
+        Seq("__ib"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val jac = inter.cast("double") /
+      (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
+    val pairs = withShs
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+    if (materialize) materializeAndRelease(pairs, checkpointDir, Seq(g))
+    else pairs
+  }
 }

@@ -3095,6 +3095,25 @@ class LlmSpec extends AnyFunSuite {
     assert(incr.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
   }
 
+  test("incrementalSortedNeighborPairs: equals the full run restricted to batch-involving pairs") {
+    val cut = col("doc_id") % 3 === 0
+    val incr = Dedup.incrementalSortedNeighborPairs(
+        Dedup.sortKeyTable(docs.filter(!cut), "doc_id", "text"),
+        Dedup.sortKeyTable(docs.filter(cut), "doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val full = Dedup.sortedNeighborPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .filter { case ((a, b), _) => a % 3 == 0 || b % 3 == 0 }
+      .toMap
+    assert(incr == full,
+      s"incremental (${incr.size}) must equal restricted full (${full.size})")
+    assert(incr.nonEmpty, "fixture must trip neighbor pairs across the cut")
+    assert(incr.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 },
+      "existing x existing pairs never re-emitted")
+  }
+
   test("blockedClusterKeepers: one keeper per cluster, keep-longest, singletons keep themselves") {
     val out = Dedup.blockedClusterKeepers(docs, "doc_id", "text", "n_chars")
       .collect()
