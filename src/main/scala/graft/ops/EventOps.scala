@@ -195,36 +195,52 @@ object EventOps {
   def ewmaChart(events: DataFrame, tsCol: String = "ts",
       typeCol: String = "event_type", lambda: Double = 0.2,
       nSigma: Double = 3.0, maxLag: Int = 64): DataFrame = {
-    import graft.functions.GraftFunctions.dsum
-    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
-    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
-    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val counts = events
       .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n_events"))
     val spine = counts.groupBy(col(typeCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
-      .select(col(typeCol), col("__d0"),
+      .select(col(typeCol),
         explode(sequence(col("__d0"), col("__d1"),
           expr("interval 1 day"))).as("day"))
     val daily = spine.join(counts, Seq(typeCol, "day"), "left")
       .na.fill(0L, Seq("n_events"))
-      .withColumn("__t", (datediff(col("day"), col("__d0")) + 1)
-        .cast("long"))
-      .drop("__d0")
-    val mom = daily.groupBy(col(typeCol)).agg(
+    ewmaOnSeries(daily, typeCol, "day", "n_events", lambda, nSigma, maxLag)
+  }
+
+  /** The EWMA-chart body over an ALREADY-AGGREGATED series frame —
+    * shared by [[ewmaChart]] (daily event volume, dense day spine)
+    * and the streaming epoch variant
+    * ([[graft.streaming.StreamingPipeline.epochEwma]], committed
+    * ingest epochs). The [[cusumOnSeries]] contract: series
+    * independent per `keyCol`, ordered by `ordCol` (t = the 1-based
+    * dense position, a per-key rank), callers own spine semantics
+    * BEFORE calling; degenerate series (sd = 0 or < 2 points) emit
+    * null limits and never alarm.
+    * Output: (keyCol, ordCol, valCol, ewma, ucl, lcl, alarm). */
+  private[graft] def ewmaOnSeries(series: DataFrame, keyCol: String,
+      ordCol: String, valCol: String, lambda: Double,
+      nSigma: Double, maxLag: Int): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = series.withColumn("__t",
+      row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col(ordCol))).cast("long"))
+    val mom = daily.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__nd"),
-      sum(col("n_events")).as("__s1"),
-      sum(col("n_events").cast(DecimalType(38, 0)) * col("n_events"))
+      sum(col(valCol)).as("__s1"),
+      sum(col(valCol).cast(DecimalType(38, 0)) * col(valCol))
         .as("__s2"))
     val oml = lit(1.0 - lambda)
-    val rhs = daily.select(col(typeCol), col("__t").as("__i"),
-      col("n_events").as("__x"))
+    val rhs = daily.select(col(keyCol), col("__t").as("__i"),
+      col(valCol).as("__x"))
     val wsum = daily.join(rhs,
-        daily(typeCol) === rhs(typeCol) &&
+        daily(keyCol) === rhs(keyCol) &&
           col("__i") <= col("__t") && col("__i") > col("__t") - maxLag)
-      .drop(rhs(typeCol))
-      .groupBy(col(typeCol), col("day"), col("__t"), col("n_events"))
+      .drop(rhs(keyCol))
+      .groupBy(col(keyCol), col(ordCol), col("__t"), col(valCol))
       .agg(dsum(lit(lambda) * col("__x").cast("double") *
         pow(oml, (col("__t") - col("__i")).cast("double")), 12)
         .as("__wsum"))
@@ -239,11 +255,11 @@ object EventOps {
       lit(nSigma) * sqrt(variance) *
         sqrt(lit(lambda / (2.0 - lambda)) *
           (lit(1.0) - pow(oml, lit(2.0) * col("__t").cast("double")))))
-    wsum.join(broadcast(mom), Seq(typeCol))
+    wsum.join(broadcast(mom), Seq(keyCol))
       .withColumn("ewma", ewma)
       .withColumn("ucl", mu + halfWidth)
       .withColumn("lcl", mu - halfWidth)
-      .select(col(typeCol), col("day"), col("n_events"), col("ewma"),
+      .select(col(keyCol), col(ordCol), col(valCol), col("ewma"),
         col("ucl"), col("lcl"),
         coalesce(col("ewma") > col("ucl") || col("ewma") < col("lcl"),
           lit(false)).as("alarm"))

@@ -180,6 +180,22 @@ object StreamingPipeline {
       "__series", "epoch", "n_docs", k, h)
       .drop("__series")
 
+  /** EWMA control chart over committed ingest epochs — the smoothed
+    * per-epoch volume trajectory with startup-tight control limits,
+    * the continuous companion to [[epochCusum]] exactly as
+    * [[graft.ops.EventOps.ewmaChart]] companions cusumShift on daily
+    * volume. Same [[readCommitted]] epoch-additivity contract. */
+  def epochEwma(spark: SparkSession, corpusDir: String,
+      lambda: Double = 0.2, nSigma: Double = 3.0,
+      maxLag: Int = 64): DataFrame =
+    graft.ops.EventOps.ewmaOnSeries(
+      readCommitted(spark, corpusDir)
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("__series", lit("corpus")),
+      "__series", "epoch", "n_docs", lambda, nSigma, maxLag)
+      .drop("__series")
+
   /** Raw tx schema as landed by the source (FIXTURES.md A1). */
   val txSchema: StructType = StructType(Seq(
     StructField("txid", StringType),

@@ -640,6 +640,46 @@ class StreamingSpec extends AnyFunSuite {
       "quiet stretch must not trip the negative side")
   }
 
+  test("epochEwma: smoothed trajectory tracks the recursion, sustained shift leaves the band, torn epoch invisible") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-epoch-ewma").toString
+    val corpus = s"$base/corpus"
+    val sizes = Seq(2, 2, 2, 2, 2, 8, 8, 8)
+    sizes.zipWithIndex.foreach { case (n, e) =>
+      (0 until n).map(i => (e * 100L + i, s"epoch $e doc $i body words"))
+        .toDF("doc_id", "clean_text").write.parquet(s"$corpus/epoch=$e")
+    }
+    Seq((999L, "torn torn torn")).toDF("doc_id", "clean_text")
+      .write.parquet(s"$corpus/epoch=8")
+    Files.delete(java.nio.file.Paths.get(s"$corpus/epoch=8/_SUCCESS"))
+
+    val lam = 0.4
+    val out = StreamingPipeline.epochEwma(spark, corpus, lambda = lam,
+      nSigma = 1.5, maxLag = 64)
+      .collect().map(r => r.getAs[Int]("epoch") -> r).toMap
+    assert(out.keySet == sizes.indices.toSet, "torn epoch leaked")
+    // driver replay of the textbook recursion (maxLag > series length)
+    val xs = sizes.map(_.toDouble)
+    val mu = xs.sum / xs.size
+    var z = mu
+    sizes.indices.foreach { e =>
+      z = lam * xs(e) + (1 - lam) * z
+      assert(math.abs(out(e).getAs[Double]("ewma") - z) < 1e-9,
+        s"ewma epoch $e: ${out(e).getAs[Double]("ewma")} vs $z")
+    }
+    // quiet stretch inside the band; the sustained shift leaves it
+    assert((0 to 4).forall(e => !out(e).getAs[Boolean]("alarm")),
+      "quiet epochs must not alarm")
+    assert((5 to 7).exists(e => out(e).getAs[Boolean]("alarm")),
+      "sustained 4x shift must push the EWMA over the limit")
+    // alarm bit is consistent with the emitted limits
+    for ((e, r) <- out) {
+      val a = r.getAs[Double]("ewma") > r.getAs[Double]("ucl") ||
+        r.getAs[Double]("ewma") < r.getAs[Double]("lcl")
+      assert(r.getAs[Boolean]("alarm") == a, s"epoch $e alarm bit")
+    }
+  }
+
   test("epochNovelty: first epoch fully novel, recrawl scores zero, torn epoch invisible") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-epoch-novelty").toString
