@@ -6967,6 +6967,74 @@ object QueriesLlm {
       SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, jaccard
       FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** One unrolled personalized-PageRank oracle iteration: dangling
+    * mass restarts into the teleport column on the node spine. */
+  private def duckPprIter(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""
+      d$i AS (SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(30,12)))
+                AS DOUBLE), 0.0) AS dang
+              FROM $p WHERE node NOT IN (SELECT src FROM e)),
+      c$i AS (SELECT e.dst, CAST(SUM(CAST(r.rank * e.w / ow.ow
+                AS DECIMAL(30,12))) AS DOUBLE) AS s
+              FROM e JOIN $p r ON r.node = e.src
+                JOIN ow ON ow.src = e.src
+              GROUP BY 1),
+      r$i AS MATERIALIZED (SELECT nd.node, nd.t,
+                (1.0 - 0.85) * nd.t
+                + 0.85 * (COALESCE(c$i.s, 0.0) + d$i.dang * nd.t) AS rank
+              FROM nodest nd CROSS JOIN d$i
+              LEFT JOIN c$i ON c$i.dst = nd.node)"""
+  }
+
+  /** Personalized PageRank from the region-0 nations over the trade
+    * graph — random walk with restart into the seed set, the
+    * "related entities" proximity readout; see
+    * [[graft.operators.GraphOps.personalizedPageRank]]. */
+  private val q275 = Q("q275_ppr",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      val seeds = t(s, dir, "nation")
+        .filter(col("n_regionkey") === 0L)
+        .select(col("n_nationkey"))
+      graft.operators.GraphOps.personalizedPageRank(edges, "src", "dst",
+        seeds, "n_nationkey", iters = 3, damping = 0.85)
+    },
+    Some(s"""
+      WITH e AS MATERIALIZED (SELECT c.c_nationkey AS src,
+                   s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 GROUP BY 1, 2),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e
+                             UNION SELECT dst FROM e),
+      ow AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(30,12))) AS DOUBLE)
+               AS ow
+             FROM e GROUP BY 1),
+      sd AS (SELECT DISTINCT n_nationkey AS node FROM nation
+             WHERE n_regionkey = 0),
+      sg AS (SELECT node FROM sd JOIN nodes USING (node)),
+      ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM sg),
+      nodest AS MATERIALIZED (SELECT n.node,
+                 CASE WHEN s.node IS NOT NULL
+                   THEN 1.0 / CAST(ns.ns AS DOUBLE) ELSE 0.0 END AS t
+               FROM nodes n CROSS JOIN ns
+               LEFT JOIN sg s ON s.node = n.node),
+      r0 AS MATERIALIZED (SELECT node, t, t AS rank FROM nodest),
+      ${duckPprIter(1)},
+      ${duckPprIter(2)},
+      ${duckPprIter(3)}
+      SELECT node, rank FROM r3 ORDER BY rank DESC, node ASC"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -6982,5 +7050,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275)
 }

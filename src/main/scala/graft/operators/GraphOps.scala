@@ -84,6 +84,84 @@ object GraphOps {
     ranks.orderBy(col("rank").desc, col("node").asc)
   }
 
+  /** Personalized PageRank (the random walk with restart of Haveliwala
+    * 2002 / Jeh & Widom 2003): [[pageRank]] with the uniform teleport
+    * replaced by restarts into a SEED set — r converges to proximity
+    * from the seeds, the "related items" / "expand this entity set"
+    * readout a retrieval stack runs over citation or co-occurrence
+    * graphs (seeds = the query's entities, ranks = graph-context
+    * relevance). Update: r_{t+1}(v) = (1−d)·t(v) + d·(Σ_{u→v}
+    * r_t(u)·w/outw(u) + dangling_t·t(v)) with t uniform over
+    * seeds ∩ graph nodes — dangling mass restarts into the seeds
+    * (the standard RWR completion), so Σ r = 1 at every iteration
+    * and rank stays CONCENTRATED near the seeds instead of leaking
+    * to the uniform distribution.
+    *
+    * Same determinism and scale shape as [[pageRank]] (decimal-
+    * rounded folds, keyed join + fold per iteration, checkpointed
+    * graph-sized frames); the teleport column rides the node frame.
+    * Seeds outside the graph are ignored; at least one seed must be
+    * a graph node. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      weightCol: Option[String] = None, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(iters >= 1 && iters <= 50,
+      s"iters must be in [1,50], got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val wAgg = weightCol match {
+      case Some(c) => dsum(col(c).cast("double"), 12)
+      case None    => count(lit(1)).cast("double")
+    }
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(wAgg.as("w"))
+      .localCheckpoint(true)
+    val outw = e.groupBy(col("src")).agg(dsum(col("w"), 12).as("__ow"))
+    val ew = e.join(outw, Seq("src")).localCheckpoint(true)
+    val nodes0 = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes0, Seq("node"))
+      .select(col("node"), lit(true).as("__seed"))
+    val sFrame = seedSet.agg(count(lit(1)).cast("long").as("__ns"))
+    val nodes = nodes0.join(seedSet, Seq("node"), "left")
+      .crossJoin(broadcast(sFrame))
+      .select(col("node"),
+        when(coalesce(col("__seed"), lit(false)),
+          lit(1.0) / col("__ns").cast("double"))
+          .otherwise(lit(0.0)).as("__t"))
+      .localCheckpoint(true)
+    require(!nodes.where(col("__t") > 0.0).isEmpty,
+      "personalizedPageRank: no seed is a node of the graph")
+    var ranks = nodes.select(col("node"), col("__t"),
+      col("__t").as("rank")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = ranks
+        .join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(dsum(col("rank"), 12), lit(0.0)).as("__dang"))
+      val contrib = ew
+        .join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"),
+          (col("rank") * col("w") / col("__ow")).as("__c"))
+        .groupBy(col("dst")).agg(dsum(col("__c"), 12).as("__sum"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("__t"),
+          (lit(1.0 - damping) * col("__t") +
+            lit(damping) * (coalesce(col("__sum"), lit(0.0)) +
+              col("__dang") * col("__t"))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+      .orderBy(col("rank").desc, col("node").asc)
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) with a FIXED
     * iteration count — the bipartite-centrality companion to
     * [[pageRank]]: authority(v) = Σ_{u→v} hub(u)·w, hub(u) =

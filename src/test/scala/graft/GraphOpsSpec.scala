@@ -56,6 +56,49 @@ class GraphOpsSpec extends AnyFunSuite {
     for (k <- rp.keys) assert(math.abs(rp(k) - rw(k)) < 1e-12)
   }
 
+  test("personalizedPageRank: concentrates near seeds, equals the literal restart recursion") {
+    import spark.implicits._
+    // two loosely-coupled triangles; seed in the left one
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val got = GraphOps.personalizedPageRank(edges, "src", "dst",
+      seeds, "id", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserved")
+    assert(got("a") > got("x") && got("b") > got("y"),
+      s"rank must concentrate near the seed: $got")
+    // literal recursion replay (c splits out-weight between a and x)
+    val adj = Map("a" -> Seq("b"), "b" -> Seq("c"),
+      "c" -> Seq("a", "x"), "x" -> Seq("y"), "y" -> Seq("z"),
+      "z" -> Seq("x"))
+    val nodes = Seq("a", "b", "c", "x", "y", "z")
+    val tV = nodes.map(v => v -> (if (v == "a") 1.0 else 0.0)).toMap
+    var rank = tV
+    for (_ <- 1 to 3) {
+      val dang = nodes.filterNot(adj.contains).map(rank).sum
+      val contrib = nodes.map { v =>
+        v -> nodes.filter(u => adj.getOrElse(u, Nil).contains(v))
+          .map(u => rank(u) / adj(u).size).sum
+      }.toMap
+      rank = nodes.map(v =>
+        v -> (0.15 * tV(v) + 0.85 * (contrib(v) + dang * tV(v)))).toMap
+    }
+    for (v <- nodes)
+      assert(math.abs(got(v) - rank(v)) < 1e-9, s"node $v")
+    // seeds outside the graph are ignored (q stays a valid seed)
+    val got2 = GraphOps.personalizedPageRank(edges, "src", "dst",
+      Seq("a", "nope").toDF("id"), "id", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (v <- nodes) assert(math.abs(got2(v) - got(v)) < 1e-12)
+    // all seeds outside the graph fail loudly
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges, "src", "dst",
+        Seq("nope").toDF("id"), "id")
+    }
+  }
+
   test("hits: star graph separates hubs from authorities; L1 normalized") {
     import spark.implicits._
     val e = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
