@@ -7035,6 +7035,101 @@ object QueriesLlm {
       ${duckPprIter(3)}
       SELECT node, rank FROM r3 ORDER BY rank DESC, node ASC"""))
 
+  /** Two-proportion A/B test on user-day purchase conversion, variants
+    * assigned by the deterministic user-id hash split; Wilson CIs +
+    * pooled z; see [[graft.llm.Stats.abTest]]. */
+  private val q276 = Q("q276_ab_test",
+    (s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("converted"))
+        .select(when(Corpus.hashBucket(col("user_id")) < 50, lit("A"))
+          .otherwise(lit("B")).as("variant"), col("converted"))
+      graft.llm.Stats.abTest(units, "variant", "converted")
+    },
+    Some("""
+      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS conv
+            FROM events GROUP BY 1, 2),
+      units AS (SELECT CASE WHEN ('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                  < 50 THEN 'A' ELSE 'B' END AS grp, conv
+                FROM ud),
+      g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(conv) AS BIGINT) AS x
+            FROM units GROUP BY 1),
+      o AS (SELECT grp, n, x, row_number() OVER (ORDER BY grp) AS rn
+            FROM g),
+      f AS (SELECT CAST(MAX(CASE WHEN rn = 1 THEN n END) AS DOUBLE) AS n1,
+              CAST(MAX(CASE WHEN rn = 1 THEN x END) AS DOUBLE) AS x1,
+              CAST(MAX(CASE WHEN rn = 2 THEN n END) AS DOUBLE) AS n2,
+              CAST(MAX(CASE WHEN rn = 2 THEN x END) AS DOUBLE) AS x2
+            FROM o),
+      zz AS (SELECT CASE WHEN se > 0.0
+               THEN (x1 / n1 - x2 / n2) / se END AS z
+             FROM (SELECT n1, x1, n2, x2,
+                     sqrt(((x1 + x2) / (n1 + n2))
+                       * (1.0 - (x1 + x2) / (n1 + n2))
+                       * (1.0 / n1 + 1.0 / n2)) AS se
+                   FROM f)),
+      w AS (SELECT grp, n, x,
+              CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+              (1.96 * 1.96) / CAST(n AS DOUBLE) AS z2n
+            FROM g)
+      SELECT grp, n, x AS successes, rate,
+             (rate + z2n / 2.0) / (1.0 + z2n)
+               - (1.96 * sqrt(rate * (1.0 - rate) / CAST(n AS DOUBLE)
+                   + z2n / (4.0 * CAST(n AS DOUBLE)))) / (1.0 + z2n)
+               AS ci_lo,
+             (rate + z2n / 2.0) / (1.0 + z2n)
+               + (1.96 * sqrt(rate * (1.0 - rate) / CAST(n AS DOUBLE)
+                   + z2n / (4.0 * CAST(n AS DOUBLE)))) / (1.0 + z2n)
+               AS ci_hi,
+             z, COALESCE(abs(z) > 1.96, FALSE) AS significant
+      FROM w CROSS JOIN zz ORDER BY grp"""))
+
+  /** Kaplan-Meier survival over user lifetimes (7-day quiet window =
+    * censored); see [[graft.ops.EventOps.kaplanMeier]]. */
+  private val q277 = Q("q277_kaplan_meier",
+    (s, dir) => graft.ops.EventOps.kaplanMeier(t(s, dir, "events")),
+    Some("""
+      WITH pu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+              MAX(CAST(ts AS DATE)) AS l
+            FROM events GROUP BY 1),
+      mx AS (SELECT MAX(l) AS maxd FROM pu),
+      u AS (SELECT CAST(date_diff('day', f, l) + 1 AS BIGINT) AS t_days,
+              date_diff('day', l, maxd) >= 7 AS churn
+            FROM pu CROSS JOIN mx),
+      bt AS (SELECT t_days, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_churned,
+               CAST(SUM(CASE WHEN churn THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_censored
+             FROM u GROUP BY 1),
+      tot AS (SELECT CAST(SUM(m) AS BIGINT) AS nn FROM bt),
+      st AS (SELECT t_days, n_churned, n_censored,
+               CAST(nn - COALESCE(SUM(m) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+             FROM bt CROSS JOIN tot),
+      fc AS (SELECT *, 1.0 - CAST(n_churned AS DOUBLE)
+               / CAST(n_risk AS DOUBLE) AS factor
+             FROM st),
+      fin AS (SELECT t_days, n_risk, n_churned, n_censored,
+                MAX(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END) OVER w
+                  AS anyzero,
+                CAST(SUM(CAST(CASE WHEN factor > 0.0 THEN ln(factor)
+                  ELSE 0.0 END AS DECIMAL(30,12))) OVER w AS DOUBLE)
+                  AS sumln
+              FROM fc WINDOW w AS (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT t_days, n_risk, n_churned, n_censored,
+             CASE WHEN anyzero = 1 THEN 0.0 ELSE exp(sumln) END
+               AS survival
+      FROM fin ORDER BY t_days"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7050,5 +7145,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277)
 }

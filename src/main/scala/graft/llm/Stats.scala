@@ -165,6 +165,57 @@ object Stats {
         ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"), col("chi2"))
   }
 
+  /** Two-proportion A/B test readout — the experimentation gate a
+    * metrics layer ships beside its dashboards: per variant, trials /
+    * successes / rate with the Wilson 95% score interval (the CI that
+    * stays inside [0,1] and behaves at small n, unlike the Wald
+    * interval), plus the pooled two-proportion z statistic and the
+    * |z| > zCrit significance verdict repeated on both rows. Exactly
+    * two variants required; which is "first" is their sort order, and
+    * z is signed first − second. Degenerate pooled rates (0 or 1)
+    * emit null z and never claim significance.
+    *
+    * Scale shape: ONE map-side-combined 2-group count; everything
+    * after is scalar expressions on 1-2-row frames (struct min/max
+    * pivots the two rows without a driver collect). */
+  def abTest(units: DataFrame, groupCol: String, successCol: String,
+      zCrit: Double = 1.96): DataFrame = {
+    require(zCrit > 0, s"zCrit must be positive, got $zCrit")
+    val g = units
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(successCol).cast("int").cast("long")).cast("long").as("x"))
+      .localCheckpoint(true)
+    require(g.count() == 2L,
+      s"abTest needs exactly 2 variants in $groupCol")
+    val flat = g.select(struct(col("grp"), col("n"), col("x")).as("s"))
+      .agg(min(col("s")).as("s1"), max(col("s")).as("s2"))
+      .select(
+        col("s1.n").cast("double").as("__n1"),
+        col("s1.x").cast("double").as("__x1"),
+        col("s2.n").cast("double").as("__n2"),
+        col("s2.x").cast("double").as("__x2"))
+    val pp = (col("__x1") + col("__x2")) / (col("__n1") + col("__n2"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("__n1") + lit(1.0) / col("__n2")))
+    val zStat = when(se > 0.0,
+      (col("__x1") / col("__n1") - col("__x2") / col("__n2")) / se)
+    val zf = flat.select(zStat.as("z"))
+    val p = col("x").cast("double") / col("n").cast("double")
+    val z2n = lit(zCrit * zCrit) / col("n").cast("double")
+    val center = (p + z2n / 2.0) / (lit(1.0) + z2n)
+    val half = (lit(zCrit) * sqrt(p * (lit(1.0) - p) / col("n").cast("double")
+      + z2n / (lit(4.0) * col("n").cast("double")))) / (lit(1.0) + z2n)
+    g.crossJoin(broadcast(zf))
+      .select(col("grp"), col("n"), col("x").as("successes"),
+        p.as("rate"),
+        (center - half).as("ci_lo"), (center + half).as("ci_hi"),
+        col("z"),
+        coalesce(abs(col("z")) > zCrit, lit(false)).as("significant"))
+      .orderBy("grp")
+  }
+
   /** Benford's-law conformity test (Newcomb 1881, Benford 1938;
     * Nigrini's forensic-accounting screen): first-significant-digit
     * distribution of a positive numeric column vs the logarithmic

@@ -265,6 +265,81 @@ object EventOps {
           lit(false)).as("alarm"))
   }
 
+  /** Kaplan-Meier survival curve over user lifetimes (Kaplan & Meier
+    * 1958) — the churn readout [[graft.llm]] retention cohorts can't
+    * give: cohorts report raw active fractions per calendar cell,
+    * KM estimates the survival FUNCTION with censoring handled
+    * correctly. A user's lifetime is last − first activity day + 1;
+    * users still active inside the final `quietDays` window are
+    * CENSORED (their churn is unobserved — they count in the risk
+    * sets up to their observed lifetime but never as an event),
+    * everyone else churned at their last activity.
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over observed lifetimes, nᵢ =
+    * users with lifetime ≥ tᵢ. Emits one row per observed lifetime
+    * (censor-only times carry survival forward).
+    *
+    * Determinism: the product is exp of the exact DECIMAL(30,12) sum
+    * of ln factors (the dsum discipline); a zero factor (everyone at
+    * risk churns) pins survival to exactly 0 from that time on — no
+    * ln(0) enters the fold.
+    *
+    * Scale shape: ONE map-side-combined per-user (first, last) pass;
+    * the curve lives on the |distinct lifetimes|-row aggregate frame
+    * (bounded by the observation span in days) — its ordered windows
+    * run there, never on data-sized rows. */
+  def kaplanMeier(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", quietDays: Int = 7): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(quietDays >= 1, s"quietDays must be >= 1, got $quietDays")
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(tsCol))).as("__f"),
+        max(to_date(col(tsCol))).as("__l"))
+    val maxD = perUser.agg(max(col("__l")).as("__maxd"))
+    val u = perUser.crossJoin(broadcast(maxD))
+      .select((datediff(col("__l"), col("__f")) + 1).cast("long")
+        .as("t_days"),
+        (datediff(col("__maxd"), col("__l")) >= quietDays).as("__churn"))
+    val byT = u.groupBy(col("t_days")).agg(
+      count(lit(1)).cast("long").as("__m"),
+      sum(col("__churn").cast("long")).cast("long").as("n_churned"),
+      sum((!col("__churn")).cast("long")).cast("long").as("n_censored"))
+    // ordered windows run on the |distinct lifetimes|-row aggregate
+    // frame (bounded by the day span) — the sortedNeighborPairs offs
+    // argument, acceptable unpartitioned
+    val wPrev = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = byT
+      .crossJoin(broadcast(byT.agg(sum(col("__m")).cast("long").as("__N"))))
+      .withColumn("n_risk",
+        (col("__N") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+          .cast("long"))
+      .withColumn("__factor",
+        lit(1.0) - col("n_churned").cast("double") /
+          col("n_risk").cast("double"))
+    staged
+      .withColumn("__anyzero",
+        max((col("__factor") <= 0.0).cast("int")).over(wCur))
+      .withColumn("__sumln",
+        dsumOver(when(col("__factor") > 0.0, log(col("__factor")))
+          .otherwise(lit(0.0)), wCur))
+      .select(col("t_days"), col("n_risk"), col("n_churned"),
+        col("n_censored"),
+        when(col("__anyzero") === 1, lit(0.0))
+          .otherwise(exp(col("__sumln"))).as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** Windowed dsum: exact DECIMAL(30,12) running sum cast back to
+    * double — the dsum discipline for window frames. */
+  private def dsumOver(c: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.expressions.WindowSpec)
+      : org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(30, 12))).over(w).cast("double")
+
   /** EXACT rolling `windowDays`-day distinct active users per day —
     * the DAU/WAU/MAU readout — computed DISTRIBUTED, with no
     * count-distinct window and no day×corpus re-scan. The trick:

@@ -245,6 +245,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kaplanMeier: hand curve with censoring, exhausted risk set pins survival to zero") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def ev(u: Long, days: Seq[Int]) = days.map(d =>
+      (new java.sql.Timestamp(t0.getTime + d * 86400000L), u))
+    // maxDay = 20; lifetimes: 1c,3z,6c,6c,6c,10c,11z (c=churn, z=censored)
+    val events = (ev(1L, Seq(0, 5)) ++ ev(2L, Seq(0, 2, 5)) ++
+      ev(3L, Seq(2, 7)) ++ ev(4L, Seq(0, 9)) ++ ev(5L, Seq(10, 15, 20)) ++
+      ev(6L, Seq(16, 18)) ++ ev(7L, Seq(1))).toDF("ts", "user_id")
+    val out = graft.ops.EventOps.kaplanMeier(events, quietDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("survival")))).toMap
+    assert(out.keySet == Set(1L, 3L, 6L, 10L, 11L))
+    assert(out(1L) == ((7L, 1L, 0L, out(1L)._4)))
+    assert(math.abs(out(1L)._4 - 6.0 / 7) < 1e-9)
+    // censor-only time: risk set shrinks, survival carries forward
+    assert(out(3L)._1 == 6L && out(3L)._2 == 0L && out(3L)._3 == 1L)
+    assert(math.abs(out(3L)._4 - 6.0 / 7) < 1e-9)
+    assert(out(6L)._1 == 5L && out(6L)._2 == 3L)
+    assert(math.abs(out(6L)._4 - 12.0 / 35) < 1e-9)
+    assert(out(10L)._1 == 2L && math.abs(out(10L)._4 - 6.0 / 35) < 1e-9)
+    assert(out(11L)._1 == 1L && out(11L)._3 == 1L)
+    assert(math.abs(out(11L)._4 - 6.0 / 35) < 1e-9)
+    // every at-risk user churns at the last time → survival EXACTLY 0
+    // (u2 holds the observation-end day so u3's lifetime-3 churn
+    // exhausts the risk set at t=3)
+    val dead = (ev(1L, Seq(0)) ++ ev(2L, Seq(1)) ++ ev(3L, Seq(-3, -1)))
+      .toDF("ts", "user_id")
+    val dr = graft.ops.EventOps.kaplanMeier(dead, quietDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival"))
+      .toMap
+    assert(math.abs(dr(1L) - 2.0 / 3) < 1e-9)
+    assert(dr(3L) == 0.0, "exhausted risk set must pin survival to 0")
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.kaplanMeier(dead, quietDays = 0)
+    }
+  }
+
   test("rollingActiveUsers: equals brute-force rolling distinct, silent days at zero") {
     import spark.implicits._
     // user 1: days 0,1,9; user 2: day 0 only; user 3: days 4..5 —

@@ -77,6 +77,45 @@ class StatsSpec extends AnyFunSuite {
       .getAs[Double]("chi2") - (2.0 / 3.0 + 2.0)) < 1e-9)
   }
 
+  test("abTest: hand-computed z and Wilson CI, degenerate pooled rate, 2-variant contract") {
+    import spark.implicits._
+    // A: 40/100, B: 25/100 → pooled 0.325, z ≈ 2.265
+    val units = (Seq.fill(40)(("A", 1)) ++ Seq.fill(60)(("A", 0)) ++
+      Seq.fill(25)(("B", 1)) ++ Seq.fill(75)(("B", 0)))
+      .toDF("variant", "converted")
+    val rows = Stats.abTest(units, "variant", "converted").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val a = rows(0); val b = rows(1)
+    assert(a.getAs[Long]("n") == 100L && a.getAs[Long]("successes") == 40L)
+    assert(math.abs(a.getAs[Double]("rate") - 0.4) < 1e-12)
+    val pp = 65.0 / 200.0
+    val se = math.sqrt(pp * (1 - pp) * (1.0 / 100 + 1.0 / 100))
+    val zWant = (0.4 - 0.25) / se
+    assert(math.abs(a.getAs[Double]("z") - zWant) < 1e-12)
+    assert(a.getAs[Double]("z") == b.getAs[Double]("z"), "z repeated")
+    assert(a.getAs[Boolean]("significant") == (math.abs(zWant) > 1.96))
+    // Wilson CI: inside [0,1], contains the rate, hand value for A
+    for (r <- rows) {
+      assert(r.getAs[Double]("ci_lo") >= 0.0 &&
+        r.getAs[Double]("ci_hi") <= 1.0)
+      assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("rate") &&
+        r.getAs[Double]("rate") < r.getAs[Double]("ci_hi"))
+    }
+    val z2n = 1.96 * 1.96 / 100.0
+    val center = (0.4 + z2n / 2) / (1 + z2n)
+    val half = 1.96 * math.sqrt(0.4 * 0.6 / 100 + z2n / 400.0) / (1 + z2n)
+    assert(math.abs(a.getAs[Double]("ci_lo") - (center - half)) < 1e-12)
+    // degenerate: nobody converts anywhere → null z, not significant
+    val dead = (Seq.fill(5)(("A", 0)) ++ Seq.fill(5)(("B", 0)))
+      .toDF("variant", "converted")
+    val dr = Stats.abTest(dead, "variant", "converted").collect()
+    assert(dr.forall(r => r.isNullAt(6) && !r.getAs[Boolean]("significant")))
+    intercept[IllegalArgumentException] {
+      Stats.abTest(Seq(("A", 1), ("B", 0), ("C", 1))
+        .toDF("variant", "converted"), "variant", "converted")
+    }
+  }
+
   test("benfordTest: exact digit extraction, domain completion, conformity contrast") {
     import spark.implicits._
     // hand-planted digits: 30x 1.xx, 17x 2.xx, 10x 9.xx — others absent
