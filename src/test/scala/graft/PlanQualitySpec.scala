@@ -1162,6 +1162,96 @@ class PlanQualitySpec extends AnyFunSuite {
       "grouped sweep must map-side combine: " + plan.take(3000))
   }
 
+  test("q267 benford: one 9-group map-side count, scan reads only the value column, no window") {
+    val plan = physical("q267_benford")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("keys=[digit") && l.contains("partial_")),
+      "digit count must map-side combine: " + plan.take(3000))
+    val readSchema = plan.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q265/q266 privacy screens: combination-sized aggregates, no data-sized window or cartesian on rows") {
+    for (name <- Seq("q265_l_diversity", "q266_t_closeness")) {
+      val plan = physical(name)
+      // the only row-grain pass is the (quasi, sensitive) count
+      assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+        && l.contains("keys=[source") && l.contains("partial_")),
+        s"$name cell count must map-side combine: " + plan.take(3000))
+      val readSchema = plan.split("ReadSchema: ")(1).split("\n")(0)
+      assert(!readSchema.contains("text"),
+        s"$name must not read the text column: " + readSchema)
+    }
+  }
+
+  test("q268 ewma chart: daily counts map-side combined, lag join keyed on type, scan prunes to ts") {
+    val plan = physical("q268_ewma_chart")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("partial_count")),
+      "daily count must map-side combine: " + plan.take(3000))
+    val readSchema = plan.split("ReadSchema: ")(1).split("\n")(0)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      "scan must prune to the grouping columns: " + readSchema)
+  }
+
+  test("q272 jaro winkler: native kernel in the projection, vocab aggregate map-side combined") {
+    val plan = physical("q272_jaro_winkler")
+    assert(plan.contains("jaro_winkler("),
+      "native kernel must appear in the plan: " + plan.take(3000))
+    // the vocab distinct is a two-level hash aggregate (partial
+    // distincts print functions=[] — the level PAIR is the map-side
+    // combine)
+    assert(plan.linesIterator.count(l =>
+      l.contains("HashAggregate(keys=[tok")) >= 2,
+      "vocab distinct must be a two-level hash aggregate: " +
+        plan.take(3000))
+    // the pair sides must be the aggregated vocab, never raw docs:
+    // the only file scan reads just the text column
+    assert(plan.split("ReadSchema: ").drop(1).forall(s =>
+      s.startsWith("struct<text:string>")),
+      "scans must read only text: " + plan.take(3000))
+  }
+
+  test("q277 kaplan meier: per-user lifetime map-side combined, scan prunes to (ts, user_id)") {
+    val plan = physical("q277_kaplan_meier")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("partial_min") && l.contains("partial_max")),
+      "per-user (first,last) must map-side combine: " + plan.take(3000))
+    val readSchema = plan.split("ReadSchema: ")(1).split("\n")(0)
+    assert(!readSchema.contains("event_type") &&
+      !readSchema.contains("props"), readSchema)
+  }
+
+  test("q274 incremental sorted neighbors (lazy): candidate join keyed on the global-rank probe, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val pairs = graft.llm.Dedup.incrementalSortedNeighborPairs(
+        graft.llm.Dedup.sortKeyTable(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text"),
+        graft.llm.Dedup.sortKeyTable(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text"),
+        materialize = false)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+      val joinLine = plan.linesIterator.find(l =>
+        l.contains("Join") && l.contains("gk")).getOrElse("")
+      assert(joinLine.nonEmpty,
+        "candidate join must key on the rank probe gk: " + plan.take(4000))
+    } finally {
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
+  }
+
   test("q242 conformal + q244 sliced auc: windows group-keyed on distinct-value frames, joins broadcast") {
     for (name <- Seq("q242_conformal", "q244_auc_by_group")) {
       val plan = physical(name)
