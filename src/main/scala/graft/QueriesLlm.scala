@@ -7130,6 +7130,29 @@ object QueriesLlm {
                AS survival
       FROM fin ORDER BY t_days"""))
 
+  /** EXACT set-similarity self-join (prefix filtering + length
+    * bounds) at Jaccard ≥ 0.5 over 5-char shingle sets — the oracle
+    * is the BRUTE-FORCE cross product, so the hash match proves the
+    * prefix filter loses no true pair; see
+    * [[Dedup.setSimJoinPairs]]. */
+  private val q278 = Q("q278_set_sim_join",
+    (s, dir) => Dedup.setSimJoinPairs(t(s, dir, "documents"),
+      "doc_id", "text", threshold = 0.5).orderBy("id_a", "id_b"),
+    Some("""
+      WITH dst AS (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(length(text) - 4, 1)),
+              i -> ('0x' || substr(md5(substring(text, i, 5)), 1, 15))::BIGINT))
+              AS shs
+            FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                / CAST(len(a.shs) + len(b.shs)
+                       - len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                AS jaccard
+            FROM dst a JOIN dst b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM p
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7145,5 +7168,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
 }

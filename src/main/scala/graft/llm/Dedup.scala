@@ -1360,6 +1360,72 @@ object Dedup {
     else pairs
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin
+    * family — Chaudhuri/Ganti/Kaushik ICDE'06 prefix filter with
+    * Xiao et al. WWW'08 length bounds): every pair of documents whose
+    * 5-char shingle sets have Jaccard ≥ `threshold`, with NO false
+    * negatives — the exact companion the probabilistic blockers
+    * (minhash-LSH, simhash, sorted-neighborhood) are benchmarked
+    * against. The pruning theorem: order each set by GLOBAL shingle
+    * rarity (rarest first); two sets with Jaccard ≥ t must share at
+    * least one shingle among each side's first n − ⌈t·n⌉ + 1 — so the
+    * candidate join keys on PREFIX shingles only, and the rare-first
+    * order makes those keys the most selective ones. Length filter
+    * ⌈t·n_a⌉ ≤ n_b ≤ ⌊n_a/t⌋ prunes size-incompatible pairs before
+    * verification.
+    *
+    * Scale shape: one shingle explode (data-sized, keyed), one
+    * shingle-frequency count (shingle-cardinality), one per-doc
+    * rarity-rank window (doc-keyed), a prefix-shingle equi-join whose
+    * keys are by construction the RAREST shingles (the skew-killer —
+    * stop-shingles never enter prefixes of similar pairs at
+    * realistic thresholds), distinct candidate pairs, then one
+    * verification pass (two id-keyed set fetches + array_intersect).
+    * Nothing corpus². The oracle is the BRUTE-FORCE cross product, so
+    * the hash match PROVES completeness on the gate corpus. */
+  def setSimJoinPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, materialize: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sp = docs.sparkSession
+    val par = sp.sparkContext.defaultParallelism
+    val base = docs.repartition(par).select(col(idCol).as("id"),
+      hashedShingles(col(textCol)).as("shs")).persist()
+    val tok = base.select(col("id"), size(col("shs")).as("n"),
+      explode(col("shs")).as("tk"))
+    val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("__f"))
+    val wRare = Window.partitionBy(col("id"))
+      .orderBy(col("__f").asc, col("tk").asc)
+    val prefix = tok.join(freq, Seq("tk"))
+      .withColumn("__r", row_number().over(wRare))
+      .filter(col("__r") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("tk"), col("id"), col("n"))
+    val cands = prefix.select(col("tk"), col("id").as("__ia"),
+        col("n").as("__na"))
+      .join(prefix.select(col("tk"), col("id").as("__ib"),
+        col("n").as("__nb")), Seq("tk"))
+      .filter(col("__ia") < col("__ib") &&
+        col("__nb") >= ceil(lit(threshold) * col("__na")) &&
+        col("__nb") <= floor(col("__na").cast("double") / threshold))
+      .select(col("__ia"), col("__ib")).distinct()
+    val withSets = cands
+      .join(base.select(col("id").as("__ia"), col("shs").as("__sa")),
+        Seq("__ia"))
+      .join(base.select(col("id").as("__ib"), col("shs").as("__sb")),
+        Seq("__ib"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val jac = inter.cast("double") /
+      (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
+    val pairs = withSets.withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        col("jaccard"))
+    if (materialize) materializeAndRelease(pairs, checkpointDir, Seq(base))
+    else pairs
+  }
+
   /** Sort-key table for INCREMENTAL sorted-neighborhood dedup:
     * (id, shs, sh) per doc — the persisted artifact mirroring
     * [[signatureTable]] (minhash-LSH) and [[simhashTable]] (Manku

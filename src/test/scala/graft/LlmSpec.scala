@@ -3095,6 +3095,40 @@ class LlmSpec extends AnyFunSuite {
     assert(incr.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
   }
 
+  test("setSimJoinPairs: equals brute force on the corpus, exact at the threshold boundary") {
+    import org.apache.spark.sql.functions.{size => asize, array_intersect}
+    // brute-force reference over the same shingle sets
+    val sets = docs.select(col("doc_id"),
+      Dedup.hashedShingles(col("text")).as("shs"))
+    val a = sets.select(col("doc_id").as("ia"), col("shs").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("shs").as("sb"))
+    val inter = asize(array_intersect(col("sa"), col("sb")))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (inter.cast("double") /
+          (asize(col("sa")) + asize(col("sb")) - inter).cast("double"))
+          .as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val got = Dedup.setSimJoinPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == brute,
+      s"prefix filter must lose no pair: got ${got.size}, brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must contain similar pairs")
+    // threshold boundary: identical docs (J = 1) and an exactly-t pair
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "aaaaabbbbb"), (2L, "aaaaabbbbb"),       // J = 1
+      (3L, "cccccddddd"), (4L, "ccccceeeee"),       // J = 1/11 < t
+      (5L, "zzzzz"), (6L, "zzzzz"))
+      .toDF("doc_id", "text")
+    val pp = Dedup.setSimJoinPairs(planted, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == Set((1L, 2L), (5L, 6L)), pp.toString)
+  }
+
   test("incrementalSortedNeighborPairs: equals the full run restricted to batch-involving pairs") {
     val cut = col("doc_id") % 3 === 0
     val incr = Dedup.incrementalSortedNeighborPairs(

@@ -1252,6 +1252,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q278 set-sim join (lazy): candidate join keyed on prefix shingle, rarity window doc-keyed, no cartesian") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val pairs = graft.llm.Dedup.setSimJoinPairs(docs, "doc_id", "text",
+        threshold = 0.5, materialize = false)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+      val joinLine = plan.linesIterator.find(l =>
+        l.contains("Join") && l.contains("tk")).getOrElse("")
+      assert(joinLine.nonEmpty,
+        "candidate join must key on the prefix shingle: " + plan.take(4000))
+      val windows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty && windows.forall(_.contains("id")),
+        "rarity rank must be doc-partitioned:\n" + windows.mkString("\n"))
+    } finally {
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
+  }
+
   test("q242 conformal + q244 sliced auc: windows group-keyed on distinct-value frames, joins broadcast") {
     for (name <- Seq("q242_conformal", "q244_auc_by_group")) {
       val plan = physical(name)
