@@ -7153,6 +7153,85 @@ object QueriesLlm {
       SELECT id_a, id_b, jaccard FROM p
       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** CUPED adjustment of per-user spend (pre-period = first half of
+    * the event span, metric = second half), variants by user-id hash;
+    * pooled theta, realized variance reduction; see
+    * [[graft.llm.Stats.cuped]]. */
+  private val q279 = Q("q279_cuped",
+    (s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+            col("value")).otherwise(lit(0.0)).cast(DecimalType(30, 2)))
+            .cast("double").as("pre"),
+          sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+            col("value")).otherwise(lit(0.0)).cast(DecimalType(30, 2)))
+            .cast("double").as("metric"))
+        .select(when(Corpus.hashBucket(col("user_id")) < 50, lit("A"))
+          .otherwise(lit("B")).as("variant"),
+          col("pre"), col("metric"))
+      graft.llm.Stats.cuped(units, "variant", "pre", "metric")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+          CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+            THEN value ELSE 0.0 END AS DECIMAL(30,2))) AS DOUBLE) AS pre,
+          CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+            THEN value ELSE 0.0 END AS DECIMAL(30,2))) AS DOUBLE)
+            AS metric
+        FROM events GROUP BY 1),
+      units AS (SELECT CASE WHEN ('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                  < 50 THEN 'A' ELSE 'B' END AS grp, pre, metric
+                FROM u),
+      mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(pre AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(metric AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(pre * metric AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(pre * pre AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+        FROM units),
+      th AS (SELECT n, sx / CAST(n AS DOUBLE) AS xbar,
+          CASE WHEN n >= 2 AND (sxx - CAST(n AS DOUBLE)
+                * (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+                > 0.0
+            THEN (sxy - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+                   * (sy / CAST(n AS DOUBLE)))
+               / (sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+                   * (sx / CAST(n AS DOUBLE)))
+            END AS theta
+        FROM mom),
+      adj AS (SELECT grp, pre, metric,
+          CASE WHEN theta IS NOT NULL
+            THEN metric - theta * (pre - xbar) ELSE metric END AS a
+        FROM units CROSS JOIN th),
+      pv AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+          CAST(SUM(CAST(metric AS DECIMAL(30,6))) AS DOUBLE) AS py,
+          CAST(SUM(CAST(metric * metric AS DECIMAL(30,6))) AS DOUBLE)
+            AS pyy,
+          CAST(SUM(CAST(a AS DECIMAL(30,6))) AS DOUBLE) AS pa,
+          CAST(SUM(CAST(a * a AS DECIMAL(30,6))) AS DOUBLE) AS paa
+        FROM adj),
+      vr AS (SELECT CASE WHEN vy > 0.0 THEN 1.0 - va / vy END
+               AS var_reduction
+             FROM (SELECT
+                 CASE WHEN np >= 2 THEN pyy - CAST(np AS DOUBLE)
+                   * (py / CAST(np AS DOUBLE)) * (py / CAST(np AS DOUBLE))
+                   END AS vy,
+                 CASE WHEN np >= 2 THEN paa - CAST(np AS DOUBLE)
+                   * (pa / CAST(np AS DOUBLE)) * (pa / CAST(np AS DOUBLE))
+                   END AS va
+               FROM pv))
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(metric AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(metric) AS mean_metric,
+             CAST(SUM(CAST(a AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(a) AS mean_cuped,
+             MAX(theta) AS theta,
+             MAX(var_reduction) AS var_reduction
+      FROM adj CROSS JOIN th t2 CROSS JOIN vr
+      GROUP BY grp ORDER BY grp"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7168,5 +7247,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279)
 }

@@ -216,6 +216,73 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    * — the pre-experiment-data adjustment every mature A/B platform
+    * applies before [[abTest]]-style readouts: with a pre-period
+    * covariate x correlated with the experiment metric y, the
+    * adjusted metric ŷ = y − θ·(x − x̄), θ = cov(x,y)/var(x), has the
+    * same expectation per variant but variance shrunk by the squared
+    * correlation — smaller CIs from the same traffic. θ and x̄ are
+    * POOLED across variants (the standard choice — a per-variant θ
+    * reintroduces bias). Emits per variant the raw and adjusted
+    * means, plus the pooled θ and realized variance-reduction
+    * fraction 1 − var(ŷ)/var(y) repeated on each row. Degenerate
+    * var(x) = 0 yields θ null and the adjustment becomes identity.
+    *
+    * Scale shape: two map-side-combined passes over the unit frame
+    * (pooled moments, then adjusted moments with the 1-row θ frame
+    * broadcast) — no window, no join on units. All float folds
+    * decimal-round each term (the dsum discipline). */
+  def cuped(units: DataFrame, groupCol: String, preCol: String,
+      metricCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.{dsum, davg}
+    val x = col(preCol).cast("double")
+    val y = col(metricCol).cast("double")
+    val base = units.filter(col(groupCol).isNotNull &&
+      x.isNotNull && y.isNotNull)
+    val mom = base.agg(
+      count(lit(1)).cast("long").as("__n"),
+      dsum(x, 6).as("__sx"), dsum(y, 6).as("__sy"),
+      dsum(x * y, 6).as("__sxy"), dsum(x * x, 6).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val xbar = col("__sx") / nD
+    val varX = col("__sxx") - nD * xbar * xbar
+    val thetaF = mom.select(
+      col("__n"), xbar.as("__xbar"),
+      when(col("__n") >= 2L && varX > 0.0,
+        (col("__sxy") - nD * (col("__sx") / nD) * (col("__sy") / nD))
+          / varX).as("theta"))
+    val withAdj = base.crossJoin(broadcast(thetaF))
+      .withColumn("__adj",
+        when(col("theta").isNotNull,
+          y - col("theta") * (x - col("__xbar"))).otherwise(y))
+    val pooledVar = withAdj.agg(
+      count(lit(1)).cast("long").as("__np"),
+      dsum(y, 6).as("__py"), dsum(y * y, 6).as("__pyy"),
+      dsum(col("__adj"), 6).as("__pa"),
+      dsum(col("__adj") * col("__adj"), 6).as("__paa"))
+      .select(
+        when(col("__np") >= 2L,
+          (col("__pyy") - col("__np").cast("double")
+            * (col("__py") / col("__np").cast("double"))
+            * (col("__py") / col("__np").cast("double"))))
+          .as("__vy"),
+        when(col("__np") >= 2L,
+          (col("__paa") - col("__np").cast("double")
+            * (col("__pa") / col("__np").cast("double"))
+            * (col("__pa") / col("__np").cast("double"))))
+          .as("__va"))
+      .select(when(col("__vy") > 0.0,
+        lit(1.0) - col("__va") / col("__vy")).as("var_reduction"))
+    withAdj.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        davg(y, 6).as("mean_metric"),
+        davg(col("__adj"), 6).as("mean_cuped"),
+        first(col("theta")).as("theta"))
+      .crossJoin(broadcast(pooledVar))
+      .orderBy("grp")
+  }
+
   /** Benford's-law conformity test (Newcomb 1881, Benford 1938;
     * Nigrini's forensic-accounting screen): first-significant-digit
     * distribution of a positive numeric column vs the logarithmic

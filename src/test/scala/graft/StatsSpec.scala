@@ -77,6 +77,47 @@ class StatsSpec extends AnyFunSuite {
       .getAs[Double]("chi2") - (2.0 / 3.0 + 2.0)) < 1e-9)
   }
 
+  test("cuped: theta recovers the planted slope, variance shrinks, adjusted-mean identity holds") {
+    import spark.implicits._
+    // y = 2x + effect(variant) + bounded deterministic noise
+    val units = (1 to 200).map { i =>
+      val x = (i % 40).toDouble
+      val grp = if (i % 2 == 0) "A" else "B"
+      val eff = if (grp == "A") 5.0 else 0.0
+      val noise = ((i * 7) % 5).toDouble - 2.0
+      (grp, x, 2.0 * x + eff + noise)
+    }.toDF("variant", "pre", "metric")
+    val rows = Stats.cuped(units, "variant", "pre", "metric").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val a = rows(0); val b = rows(1)
+    val theta = a.getAs[Double]("theta")
+    assert(math.abs(theta - 2.0) < 0.05, s"theta $theta should be ~2")
+    assert(a.getAs[Double]("theta") == b.getAs[Double]("theta"))
+    // adjusted-mean identity: mean_adj = mean_y − θ(mean_x_g − x̄)
+    val all = units.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val xbar = all.map(_._2).sum / all.length
+    for (r <- rows) {
+      val g = all.filter(_._1 == r.getString(0))
+      val want = g.map(_._3).sum / g.length -
+        theta * (g.map(_._2).sum / g.length - xbar)
+      assert(math.abs(r.getAs[Double]("mean_cuped") - want) < 1e-6,
+        s"${r.getString(0)}: ${r.getAs[Double]("mean_cuped")} vs $want")
+    }
+    // the x-explained variance is nearly everything here
+    val vr = a.getAs[Double]("var_reduction")
+    assert(vr > 0.9 && vr <= 1.0, s"variance reduction $vr")
+    assert(a.getAs[Double]("mean_metric") > b.getAs[Double]("mean_metric"))
+    // degenerate covariate: constant x → null theta, adjustment = identity
+    val const = (1 to 10).map(i =>
+      (if (i % 2 == 0) "A" else "B", 3.0, i.toDouble))
+      .toDF("variant", "pre", "metric")
+    val cr = Stats.cuped(const, "variant", "pre", "metric").collect()
+    assert(cr.forall(_.isNullAt(4)), "constant x must yield null theta")
+    for (r <- cr)
+      assert(r.getAs[Double]("mean_cuped") == r.getAs[Double]("mean_metric"))
+  }
+
   test("abTest: hand-computed z and Wilson CI, degenerate pooled rate, 2-variant contract") {
     import spark.implicits._
     // A: 40/100, B: 25/100 → pooled 0.325, z ≈ 2.265
