@@ -7232,6 +7232,50 @@ object QueriesLlm {
       FROM adj CROSS JOIN th t2 CROSS JOIN vr
       GROUP BY grp ORDER BY grp"""))
 
+  /** RAKE keyword extraction: top-3 stopword-run phrases per doc by
+    * deg/freq word scores; see [[TextAnalysis.rakeKeywords]]. */
+  private val q280 = Q("q280_rake_keywords",
+    (s, dir) => TextAnalysis.rakeKeywords(t(s, dir, "documents"),
+      "doc_id", "text", enStop, topK = 3),
+    Some("""
+      WITH arr AS (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+      tk0 AS (SELECT doc_id, t,
+                unnest(generate_series(1, len(t))) AS pos
+              FROM arr),
+      tk AS (SELECT doc_id, pos, t[pos] AS w FROM tk0),
+      ns AS (SELECT doc_id, pos, w, row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS rn
+             FROM tk WHERE length(w) > 0
+               AND w NOT IN ('the', 'a', 'of', 'and', 'is')),
+      ph AS (SELECT doc_id, pos - rn AS run,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+             FROM ns GROUP BY doc_id, pos - rn),
+      ws AS (SELECT o.doc_id, o.w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(o.plen) AS BIGINT) AS deg
+             FROM (SELECT n.doc_id, n.w, p.plen
+                   FROM ns n JOIN ph p ON p.doc_id = n.doc_id
+                     AND p.run = n.pos - n.rn) o
+             GROUP BY 1, 2),
+      sc AS (SELECT o.doc_id, o.run,
+               CAST(SUM(CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                 AS DECIMAL(30,12))) AS DOUBLE) AS score
+             FROM (SELECT doc_id, pos - rn AS run, w FROM ns) o
+             JOIN ws ON ws.doc_id = o.doc_id AND ws.w = o.w
+             GROUP BY 1, 2),
+      ded AS (SELECT p.doc_id, p.phrase, MAX(sc.score) AS score
+              FROM sc JOIN ph p ON p.doc_id = sc.doc_id
+                AND p.run = sc.run
+              GROUP BY 1, 2),
+      fin AS (SELECT doc_id, phrase, score, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, phrase ASC)
+                AS BIGINT) AS rank
+              FROM ded)
+      SELECT doc_id, rank, phrase, score FROM fin
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7247,5 +7291,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280)
 }

@@ -909,6 +909,72 @@ object TextAnalysis {
       .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
   }
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic keyword extraction from individual documents"): the
+    * unsupervised per-document keyword operator — candidate phrases
+    * are the maximal stopword-free token runs; each word scores
+    * deg/freq within the document (deg = Σ lengths of the phrases
+    * its occurrences sit in — words keeping long company score
+    * high); a phrase scores the sum of its words' scores; emit the
+    * top-k distinct phrases per document. The cheap content-tagging
+    * pass corpus curators run where TF-IDF needs a corpus and an
+    * LLM tagger needs a GPU.
+    *
+    * Determinism: phrase order inside a run is reconstructed by
+    * position sort (never collect_list order); identical phrases in
+    * one doc dedupe to one candidate; score terms decimal-round
+    * before the exact sum; ranking ties break on the phrase text.
+    *
+    * Scale shape: everything is doc-keyed — one posexplode, one
+    * doc-partitioned rank window, (doc, run)/(doc, word) grouped
+    * aggregates, one doc-keyed top-k window. No corpus-global state
+    * at all. */
+  def rakeKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, stopwords: Seq[String],
+      topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(topK >= 1, s"topK must be positive, got $topK")
+    require(stopwords.nonEmpty, "need a stopword list")
+    val tok = docs
+      .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))))
+      .toDF("__id", "__pos", "__w")
+    val ns = tok
+      .filter(length(col("__w")) > 0 &&
+        !col("__w").isInCollection(stopwords))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+      .withColumn("__run", col("__pos") - col("__rn"))
+    val ph = ns.groupBy(col("__id"), col("__run"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__w"))))
+        .as("__ws"))
+      .select(col("__id"), col("__run"),
+        array_join(transform(col("__ws"), s => s.getField("__w")), " ")
+          .as("phrase"),
+        size(col("__ws")).cast("long").as("__plen"))
+    val occ = ns.select(col("__id"), col("__run"), col("__w"))
+      .join(ph.select(col("__id"), col("__run"), col("__plen")),
+        Seq("__id", "__run"))
+    val ws = occ.groupBy(col("__id"), col("__w"))
+      .agg(count(lit(1)).cast("long").as("__freq"),
+        sum(col("__plen")).cast("long").as("__deg"))
+    val sc = ns.select(col("__id"), col("__run"), col("__w"))
+      .join(ws, Seq("__id", "__w"))
+      .groupBy(col("__id"), col("__run"))
+      .agg(dsum(col("__deg").cast("double") / col("__freq").cast("double"),
+        12).as("score"))
+    val ded = sc.join(ph.select(col("__id"), col("__run"), col("phrase")),
+        Seq("__id", "__run"))
+      .groupBy(col("__id"), col("phrase"))
+      .agg(max(col("score")).as("score"))
+    ded.withColumn("rank", row_number().over(
+        Window.partitionBy(col("__id"))
+          .orderBy(col("score").desc, col("phrase").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("__id").as(idCol), col("rank"), col("phrase"),
+        col("score"))
+      .orderBy(idCol, "rank")
+  }
+
   /** Collapse consecutive duplicate tokens ("batch batch batch" →
     * "batch") — the cheap rewrite against token-run degeneration
     * (stuttered boilerplate, scraped marquee/ticker text, LM-loop

@@ -3095,6 +3095,35 @@ class LlmSpec extends AnyFunSuite {
     assert(incr.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
   }
 
+  test("rakeKeywords: hand deg/freq scores, dedup of repeated phrases, stopword-only docs vanish") {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "is")
+    val d = Seq(
+      (1L, "deep learning networks of deep learning and fast inference"),
+      (2L, "alpha beta of alpha beta"),
+      (3L, "the a of and is")).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis
+      .rakeKeywords(d, "doc_id", "text", stop, topK = 3).collect()
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    // freq: deep 2, learning 2, networks 1, fast 1, inference 1
+    // deg:  deep 5, learning 5, networks 3, fast 2, inference 2
+    // "deep learning networks" = 2.5+2.5+3 = 8; "deep learning" = 5;
+    // "fast inference" = 4
+    assert(d1.map(_.getString(2)).toSeq ==
+      Seq("deep learning networks", "deep learning", "fast inference"))
+    assert(math.abs(d1(0).getDouble(3) - 8.0) < 1e-9)
+    assert(math.abs(d1(1).getDouble(3) - 5.0) < 1e-9)
+    assert(math.abs(d1(2).getDouble(3) - 4.0) < 1e-9)
+    // repeated phrase dedupes to ONE candidate
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(2) == "alpha beta")
+    // all-stopword doc emits nothing
+    assert(!out.exists(_.getLong(0) == 3L))
+    intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.rakeKeywords(d, "doc_id", "text", Nil)
+    }
+  }
+
   test("setSimJoinPairs: equals brute force on the corpus, exact at the threshold boundary") {
     import org.apache.spark.sql.functions.{size => asize, array_intersect}
     // brute-force reference over the same shingle sets
