@@ -7276,6 +7276,42 @@ object QueriesLlm {
       SELECT doc_id, rank, phrase, score FROM fin
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Pairwise association rules over order baskets (parts bought
+    * together): support / directed confidences / lift for pairs
+    * co-occurring in >= 3 orders; see
+    * [[graft.operators.MarketBasket.pairRules]]. */
+  private val q281 = Q("q281_market_basket",
+    (s, dir) => graft.operators.MarketBasket.pairRules(
+      t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      minPairCount = 3L),
+    Some("""
+      WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+      keep AS (SELECT b FROM it GROUP BY b HAVING COUNT(*) <= 100),
+      itk AS (SELECT it.b, it.i FROM it JOIN keep USING (b)),
+      nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM itk),
+      ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ci
+             FROM itk GROUP BY 1),
+      pr AS (SELECT a.i AS item_a, c.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+             FROM itk a JOIN itk c ON a.b = c.b AND a.i < c.i
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT item_a, item_b, pair_count,
+             ca.ci AS count_a, cb.ci AS count_b,
+             CAST(pair_count AS DOUBLE) / CAST(nb AS DOUBLE) AS support,
+             CAST(pair_count AS DOUBLE) / CAST(ca.ci AS DOUBLE)
+               AS conf_a_to_b,
+             CAST(pair_count AS DOUBLE) / CAST(cb.ci AS DOUBLE)
+               AS conf_b_to_a,
+             (CAST(pair_count AS DOUBLE) / CAST(nb AS DOUBLE))
+               / ((CAST(ca.ci AS DOUBLE) / CAST(nb AS DOUBLE))
+                  * (CAST(cb.ci AS DOUBLE) / CAST(nb AS DOUBLE)))
+               AS lift
+      FROM pr JOIN ic ca ON ca.i = pr.item_a
+              JOIN ic cb ON cb.i = pr.item_b
+              CROSS JOIN nb
+      ORDER BY lift DESC, item_a ASC, item_b ASC"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7291,5 +7327,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281)
 }

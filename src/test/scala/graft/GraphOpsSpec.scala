@@ -56,6 +56,38 @@ class GraphOpsSpec extends AnyFunSuite {
     for (k <- rp.keys) assert(math.abs(rp(k) - rw(k)) < 1e-12)
   }
 
+  test("marketBasket pairRules: hand support/confidence/lift, dup rows collapse, mega-basket excluded") {
+    import spark.implicits._
+    // baskets: {x,y} ×3, {x,z}, {y}, plus a dup row and a mega-basket
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"),       // dup (1,y) collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"),
+      (5L, "y")) ++
+      (1 to 50).map(i => (99L, s"m$i"))      // mega-basket, excluded
+    val out = graft.operators.MarketBasket.pairRules(
+      rows.toDF("basket", "item"), "basket", "item",
+      minPairCount = 2L, maxBasketSize = 10)
+      .collect()
+    // only (x,y) reaches pair_count >= 2; mega-basket items never pair
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+    assert(r.getAs[Long]("pair_count") == 3L)
+    assert(r.getAs[Long]("count_a") == 4L && r.getAs[Long]("count_b") == 4L)
+    // nb = 5 kept baskets: support 3/5; conf 3/4 both ways;
+    // lift = (3/5)/((4/5)(4/5)) = 15/16
+    assert(math.abs(r.getAs[Double]("support") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("conf_a_to_b") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("conf_b_to_a") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lift") - 15.0 / 16) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.operators.MarketBasket.pairRules(
+        rows.toDF("basket", "item"), "basket", "item", minPairCount = 0L)
+    }
+  }
+
   test("personalizedPageRank: concentrates near seeds, equals the literal restart recursion") {
     import spark.implicits._
     // two loosely-coupled triangles; seed in the left one
