@@ -1390,8 +1390,11 @@ object Dedup {
       s"threshold must be in (0,1], got $threshold")
     val sp = docs.sparkSession
     val par = sp.sparkContext.defaultParallelism
+    // sorted sets: the verification kernel is a primitive merge pass
+    // (SortedIntersectCount) instead of array_intersect's boxed hash
+    // set — on millions of candidates the boxing dominated the join
     val base = docs.repartition(par).select(col(idCol).as("id"),
-      hashedShingles(col(textCol)).as("shs")).persist()
+      array_sort(hashedShingles(col(textCol))).as("shs")).persist()
     val tok = base.select(col("id"), size(col("shs")).as("n"),
       explode(col("shs")).as("tk"))
     val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("__f"))
@@ -1401,21 +1404,37 @@ object Dedup {
       .withColumn("__r", row_number().over(wRare))
       .filter(col("__r") <=
         col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
-      .select(col("tk"), col("id"), col("n"))
+      .select(col("tk"), col("id"), col("n"), col("__r"))
+    // POSITIONAL filtering (the PPJoin refinement): a match at rarity
+    // positions (ra, rb) bounds the overlap above by
+    // 1 + min(na − ra, nb − rb); Jaccard ≥ t needs overlap ≥
+    // ⌈t/(1+t)·(na+nb)⌉, and a truly-similar pair's FIRST common
+    // prefix token always satisfies the bound — so the row-level
+    // filter keeps completeness while dropping common-shingle
+    // deep-prefix matches MAP-SIDE, before the pair shuffle. On
+    // low-diversity corpora (where plain prefix filtering degenerates
+    // — a 40-word synthetic vocab leaves 2k distinct shingles across
+    // 5k docs) this is the difference between 8.2M candidate pairs
+    // and the few hundred real ones.
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("__na") + col("__nb")).cast("double"))
     val cands = prefix.select(col("tk"), col("id").as("__ia"),
-        col("n").as("__na"))
+        col("n").as("__na"), col("__r").as("__ra"))
       .join(prefix.select(col("tk"), col("id").as("__ib"),
-        col("n").as("__nb")), Seq("tk"))
+        col("n").as("__nb"), col("__r").as("__rb")), Seq("tk"))
       .filter(col("__ia") < col("__ib") &&
         col("__nb") >= ceil(lit(threshold) * col("__na")) &&
-        col("__nb") <= floor(col("__na").cast("double") / threshold))
+        col("__nb") <= floor(col("__na").cast("double") / threshold) &&
+        (lit(1) + least(col("__na") - col("__ra"),
+          col("__nb") - col("__rb"))).cast("double") >= alpha)
       .select(col("__ia"), col("__ib")).distinct()
     val withSets = cands
       .join(base.select(col("id").as("__ia"), col("shs").as("__sa")),
         Seq("__ia"))
       .join(base.select(col("id").as("__ib"), col("shs").as("__sb")),
         Seq("__ib"))
-    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val inter = graft.functions.SortedIntersectCount.column(sp,
+      col("__sa"), col("__sb"))
     val jac = inter.cast("double") /
       (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
     val pairs = withSets.withColumn("jaccard", jac)
