@@ -7312,6 +7312,94 @@ object QueriesLlm {
               CROSS JOIN nb
       ORDER BY lift DESC, item_a ASC, item_b ASC"""))
 
+  /** Sparsified undirected nation trade graph: edges with weight
+    * above 1.2× the mean collapse to simple (a < b) pairs —
+    * scale-free thresholding so both SFs yield a non-degenerate
+    * graph. Shared by the q282/q283 gates. */
+  private def sparseTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val w = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .filter(c("c_nationkey") =!= su("s_nationkey"))
+      .select(least(c("c_nationkey"), su("s_nationkey")).as("u"),
+        greatest(c("c_nationkey"), su("s_nationkey")).as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    val m = w.agg((sum(col("w")).cast("double") / count(lit(1)))
+      .as("__m"))
+    w.crossJoin(broadcast(m))
+      .filter(col("w").cast("double") > lit(1.2) * col("__m"))
+      .select(col("u"), col("v"))
+  }
+
+  private val duckSparseTradeEdges: String = """
+      e0 AS (SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+               greatest(c.c_nationkey, s.s_nationkey) AS v
+             FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             WHERE c.c_nationkey <> s.s_nationkey),
+      ew AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+             FROM e0 GROUP BY 1, 2),
+      m AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS m FROM ew),
+      e AS MATERIALIZED (SELECT u AS a, v AS b FROM ew CROSS JOIN m
+           WHERE CAST(w AS DOUBLE) > 1.2 * m)"""
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * sparsified trade graph; see
+    * [[graft.operators.GraphOps.triangleStats]]. */
+  private val q282 = Q("q282_triangles",
+    (s, dir) => graft.operators.GraphOps.triangleStats(
+      sparseTradeEdges(s, dir), "u", "v"),
+    Some(s"""
+      WITH $duckSparseTradeEdges,
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e) GROUP BY 1),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri) GROUP BY 1)
+      SELECT d.node, d.degree,
+             COALESCE(pn.n_triangles, 0) AS n_triangles,
+             CASE WHEN d.degree >= 2
+               THEN CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+                 / (CAST(d.degree AS DOUBLE)
+                    * (CAST(d.degree AS DOUBLE) - 1.0) / 2.0)
+               END AS clustering
+      FROM deg d LEFT JOIN pn USING (node) ORDER BY node"""))
+
+  /** Adamic-Adar link prediction over the sparsified trade graph —
+    * non-adjacent pairs scored by Σ 1/ln(deg) of common neighbors;
+    * see [[graft.operators.GraphOps.adamicAdar]]. */
+  private val q283 = Q("q283_adamic_adar",
+    (s, dir) => graft.operators.GraphOps.adamicAdar(
+      sparseTradeEdges(s, dir), "u", "v"),
+    Some(s"""
+      WITH $duckSparseTradeEdges,
+      adj AS (SELECT a AS node, b AS nbr FROM e
+              UNION ALL SELECT b, a FROM e),
+      dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+             FROM adj GROUP BY 1),
+      wg AS (SELECT x.node AS z, x.nbr AS u, y.nbr AS v
+             FROM adj x JOIN adj y ON y.node = x.node
+               AND x.nbr < y.nbr),
+      op AS (SELECT z, u, v FROM wg WHERE NOT EXISTS (
+              SELECT 1 FROM e WHERE e.a = wg.u AND e.b = wg.v))
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(1.0 / ln(CAST(dg AS DOUBLE))
+               AS DECIMAL(30,12))) AS DOUBLE) AS aa_score
+      FROM op JOIN dg ON dg.node = op.z
+      GROUP BY 1, 2 ORDER BY aa_score DESC, u, v"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7327,5 +7415,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283)
 }

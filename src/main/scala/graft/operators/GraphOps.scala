@@ -162,6 +162,85 @@ object GraphOps {
       .orderBy(col("rank").desc, col("node").asc)
   }
 
+  /** Canonical undirected simple edges: self-loops dropped, endpoints
+    * ordered (a < b), parallel/reverse duplicates collapsed. */
+  private def undirectedSimple(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+
+  /** Per-node triangle counts and local clustering coefficient over
+    * the undirected simple graph — the cohesion readout (community
+    * density, spam-farm detection: organic neighborhoods close
+    * triangles, synthetic link structures don't). Each triangle
+    * a < b < c is enumerated exactly once via the ordered wedge join
+    * ((a,b) ⋈ (b,c) then closing on (a,c)); clustering(v) =
+    * triangles(v) / C(deg v, 2), null below degree 2.
+    *
+    * Scale shape: the classic two-join triangle plan — wedge volume
+    * Σ deg², both joins node-keyed, per-node counts from a 3-way
+    * explode of the triangle frame. Nothing enumerates non-edges. */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("degree"))
+    val wedge = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    val tri = wedge.join(e.select(col("a").as("x"), col("b").as("z")),
+      Seq("x", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val dD = col("degree").cast("double")
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering",
+        when(col("degree") >= 2L,
+          col("n_triangles").cast("double") / (dD * (dD - 1.0) / 2.0)))
+      .orderBy(col("node"))
+  }
+
+  /** Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
+    * neighbors on the web"): for every NON-adjacent pair with at
+    * least one common neighbor, score Σ_z 1/ln(deg z) over the common
+    * neighbors — rare shared neighbors count more than hubs. The
+    * standard "which edge forms next" readout over co-occurrence /
+    * interaction graphs, ranked score-descending.
+    *
+    * Scale shape: one z-keyed wedge join (Σ deg² rows), an edge
+    * anti-join, a degree fetch on the middle node, one pair-keyed
+    * fold with decimal-rounded 1/ln terms. Common neighbors have
+    * degree ≥ 2 by construction, so ln never sees 1. */
+  def adamicAdar(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("__deg"))
+    val wedge = adj.select(col("node").as("z"), col("nbr").as("u"))
+      .join(adj.select(col("node").as("z"), col("nbr").as("v")),
+        Seq("z"))
+      .filter(col("u") < col("v"))
+    val open = wedge.join(
+      e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+      "left_anti")
+    open.join(deg.withColumnRenamed("node", "z"), Seq("z"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        dsum(lit(1.0) / log(col("__deg").cast("double")), 12)
+          .as("aa_score"))
+      .orderBy(col("aa_score").desc, col("u").asc, col("v").asc)
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) with a FIXED
     * iteration count — the bipartite-centrality companion to
     * [[pageRank]]: authority(v) = Σ_{u→v} hub(u)·w, hub(u) =

@@ -56,6 +56,35 @@ class GraphOpsSpec extends AnyFunSuite {
     for (k <- rp.keys) assert(math.abs(rp(k) - rw(k)) < 1e-12)
   }
 
+  test("triangleStats + adamicAdar: hand K4-minus-an-edge values, dup/reverse/self edges collapse") {
+    import spark.implicits._
+    // K4 on {1..4} minus edge (3,4); plus a reverse dup and a self-loop
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 1L), (3L, 3L)).toDF("s", "d")
+    val tri = GraphOps.triangleStats(e, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_
+          .asInstanceOf[Double])))).toMap
+    // triangles: (1,2,3) and (1,2,4)
+    assert(tri(1L) == ((3L, 2L, Some(2.0 / 3))))
+    assert(tri(2L) == ((3L, 2L, Some(2.0 / 3))))
+    assert(tri(3L) == ((2L, 1L, Some(1.0))))
+    assert(tri(4L) == ((2L, 1L, Some(1.0))))
+    val aa = GraphOps.adamicAdar(e, "s", "d").collect()
+    // only non-adjacent pair with common neighbors: (3,4) via {1,2}
+    assert(aa.length == 1)
+    val r = aa.head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(math.abs(r.getAs[Double]("aa_score") - 2.0 / math.log(3.0))
+      < 1e-9)
+    // a path graph has no triangles: everything 0 / null coefficients
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val pt = GraphOps.triangleStats(path, "s", "d").collect()
+    assert(pt.forall(_.getLong(2) == 0L))
+    assert(pt.filter(_.getLong(1) < 2).forall(_.isNullAt(3)))
+  }
+
   test("marketBasket pairRules: hand support/confidence/lift, dup rows collapse, mega-basket excluded") {
     import spark.implicits._
     // baskets: {x,y} ×3, {x,z}, {y}, plus a dup row and a mega-basket
