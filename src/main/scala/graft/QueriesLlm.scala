@@ -7400,6 +7400,116 @@ object QueriesLlm {
       FROM op JOIN dg ON dg.node = op.z
       GROUP BY 1, 2 ORDER BY aa_score DESC, u, v"""))
 
+  /** One unrolled label-propagation oracle round: neighbor-label
+    * votes, per-node (count desc, label asc) top-1, isolated labels
+    * carried. */
+  private def duckLpaRound(i: Int): String = {
+    val p = s"l${i - 1}"
+    s"""
+      v$i AS (SELECT a.node, lp.label AS nl, CAST(COUNT(*) AS BIGINT) AS c
+              FROM adj a JOIN $p lp ON lp.node = a.nbr
+              GROUP BY 1, 2),
+      p$i AS (SELECT node, nl FROM (SELECT node, nl, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, nl ASC) AS rn
+              FROM v$i) WHERE rn = 1),
+      l$i AS MATERIALIZED (SELECT l.node,
+                COALESCE(p$i.nl, l.label) AS label
+              FROM $p l LEFT JOIN p$i ON p$i.node = l.node)"""
+  }
+
+  /** Deterministic synchronous label-propagation communities over the
+    * co-purchase part graph (4 rounds, smallest-label ties); see
+    * [[graft.operators.GraphOps.labelPropagation]]. */
+  private val q284 = Q("q284_label_prop",
+    (s, dir) => {
+      val pairs = graft.operators.MarketBasket.pairRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 3L)
+        .select(col("item_a"), col("item_b"))
+      graft.operators.GraphOps.labelPropagation(pairs,
+        "item_a", "item_b", rounds = 4)
+    },
+    Some(s"""
+      WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+      keep AS (SELECT b FROM it GROUP BY b HAVING COUNT(*) <= 100),
+      itk AS (SELECT it.b, it.i FROM it JOIN keep USING (b)),
+      e AS MATERIALIZED (SELECT a.i AS a, c.i AS b
+           FROM itk a JOIN itk c ON a.b = c.b AND a.i < c.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
+                           UNION ALL SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT node FROM adj),
+      l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+      ${duckLpaRound(1)},
+      ${duckLpaRound(2)},
+      ${duckLpaRound(3)},
+      ${duckLpaRound(4)}
+      SELECT node, label FROM l4 ORDER BY node"""))
+
+  /** Difference-in-differences on per-user spend (pre/post split ×
+    * hash-assigned variant) — the 2×2 causal readout; see
+    * [[graft.llm.Stats.diffInDiff]]. */
+  private val q285 = Q("q285_diff_in_diff",
+    (s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+            lit("1_pre")).otherwise(lit("2_post")).as("period"))
+        .agg(sum(col("value").cast(DecimalType(30, 2))).cast("double")
+          .as("spend"))
+        .select(when(Corpus.hashBucket(col("user_id")) < 50, lit("A"))
+          .otherwise(lit("B")).as("variant"),
+          col("period"), col("spend"))
+      graft.llm.Stats.diffInDiff(units, "variant", "period", "spend")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+          CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+            THEN '1_pre' ELSE '2_post' END AS p,
+          CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS spend
+        FROM events GROUP BY 1, 2),
+      units AS (SELECT CASE WHEN ('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                  < 50 THEN 'A' ELSE 'B' END AS g, p, spend
+                FROM u),
+      cells AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(spend AS DECIMAL(30,6))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(spend * spend AS DECIMAL(30,6))) AS DOUBLE) AS ss
+        FROM units GROUP BY 1, 2),
+      cm AS (SELECT g, p, n, s / CAST(n AS DOUBLE) AS m,
+          CASE WHEN n >= 2 THEN greatest((ss - CAST(n AS DOUBLE)
+            * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+            / (CAST(n AS DOUBLE) - 1.0), 0.0) END AS v
+        FROM cells),
+      f AS (SELECT
+          MAX(CASE WHEN g = 'A' AND p = '1_pre' THEN m END) AS mean_a_pre,
+          MAX(CASE WHEN g = 'A' AND p = '2_post' THEN m END) AS mean_a_post,
+          MAX(CASE WHEN g = 'B' AND p = '1_pre' THEN m END) AS mean_b_pre,
+          MAX(CASE WHEN g = 'B' AND p = '2_post' THEN m END) AS mean_b_post,
+          MAX(CASE WHEN g = 'A' AND p = '1_pre'
+            THEN v / CAST(n AS DOUBLE) END)
+          + MAX(CASE WHEN g = 'A' AND p = '2_post'
+              THEN v / CAST(n AS DOUBLE) END)
+          + MAX(CASE WHEN g = 'B' AND p = '1_pre'
+              THEN v / CAST(n AS DOUBLE) END)
+          + MAX(CASE WHEN g = 'B' AND p = '2_post'
+              THEN v / CAST(n AS DOUBLE) END) AS sev
+        FROM cm),
+      r AS (SELECT mean_a_pre, mean_a_post, mean_b_pre, mean_b_post,
+              (mean_b_post - mean_b_pre) - (mean_a_post - mean_a_pre)
+                AS did,
+              sqrt(sev) AS se
+            FROM f)
+      SELECT 'A' AS group_a, 'B' AS group_b,
+             '1_pre' AS period_pre, '2_post' AS period_post,
+             mean_a_pre, mean_a_post, mean_b_pre, mean_b_post,
+             did, se,
+             CASE WHEN se > 0.0 THEN did / se END AS t_stat,
+             COALESCE(abs(CASE WHEN se > 0.0 THEN did / se END) > 1.96,
+               FALSE) AS significant
+      FROM r"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7415,5 +7525,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285)
 }

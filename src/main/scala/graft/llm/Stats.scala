@@ -216,6 +216,78 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Difference-in-differences (the Card-Krueger 2×2): with units
+    * observed in a pre and a post period across two groups, the
+    * treatment-effect estimate is
+    * DiD = (ȳ_b,post − ȳ_b,pre) − (ȳ_a,post − ȳ_a,pre) — the
+    * second difference cancels both the group-level baseline gap and
+    * the shared time trend, which is why it is the default causal
+    * readout when randomization wasn't available (rollouts by
+    * region, staggered launches). SE via the four cell variances
+    * (Welch-style, independent cells); groups and periods are
+    * ordered by their sort order (a = first group, pre = first
+    * period). Exactly 2 groups × 2 periods required.
+    *
+    * Scale shape: ONE map-side-combined 4-cell moment aggregate; the
+    * 4-cell pivot and all scalars run on that aggregate frame (one
+    * 1-row driver fetch for the label/arity contract, the [[abTest]]
+    * precedent). */
+  def diffInDiff(units: DataFrame, groupCol: String, periodCol: String,
+      metricCol: String, zCrit: Double = 1.96): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(zCrit > 0, s"zCrit must be positive, got $zCrit")
+    val y = col(metricCol).cast("double")
+    val cells = units
+      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull &&
+        y.isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(periodCol).as("__p"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        dsum(y, 6).as("__s"), dsum(y * y, 6).as("__ss"))
+      .localCheckpoint(true)
+    val lab = cells.agg(
+      countDistinct(col("__g")).as("ng"),
+      countDistinct(col("__p")).as("np"),
+      min(col("__g")).as("ga"), max(col("__g")).as("gb"),
+      min(col("__p")).as("pa"), max(col("__p")).as("pb"),
+      min(col("__n")).as("minn")).first()
+    require(lab.getAs[Long]("ng") == 2L && lab.getAs[Long]("np") == 2L,
+      s"diffInDiff needs exactly 2 groups x 2 periods, got " +
+        s"${lab.getAs[Long]("ng")} x ${lab.getAs[Long]("np")}")
+    val (ga, gb, pa, pb) = (lab.get(2), lab.get(3), lab.get(4), lab.get(5))
+    val nD = col("__n").cast("double")
+    val mean = col("__s") / nD
+    val cvar = when(col("__n") >= 2L,
+      greatest((col("__ss") - nD * mean * mean) / (nD - lit(1.0)),
+        lit(0.0)))
+    def cell(g: Any, p: Any, c: Column): Column =
+      max(when(col("__g") === lit(g) && col("__p") === lit(p), c))
+    val flat = cells
+      .select(col("__g"), col("__p"), col("__n"), mean.as("__m"),
+        cvar.as("__v"))
+      .agg(
+        cell(ga, pa, col("__m")).as("mean_a_pre"),
+        cell(ga, pb, col("__m")).as("mean_a_post"),
+        cell(gb, pa, col("__m")).as("mean_b_pre"),
+        cell(gb, pb, col("__m")).as("mean_b_post"),
+        (cell(ga, pa, col("__v") / col("__n").cast("double")) +
+          cell(ga, pb, col("__v") / col("__n").cast("double")) +
+          cell(gb, pa, col("__v") / col("__n").cast("double")) +
+          cell(gb, pb, col("__v") / col("__n").cast("double")))
+          .as("__sev"))
+    flat
+      .select(
+        lit(ga).as("group_a"), lit(gb).as("group_b"),
+        lit(pa).as("period_pre"), lit(pb).as("period_post"),
+        col("mean_a_pre"), col("mean_a_post"),
+        col("mean_b_pre"), col("mean_b_post"),
+        ((col("mean_b_post") - col("mean_b_pre")) -
+          (col("mean_a_post") - col("mean_a_pre"))).as("did"),
+        sqrt(col("__sev")).as("se"))
+      .withColumn("t_stat", when(col("se") > 0.0, col("did") / col("se")))
+      .withColumn("significant",
+        coalesce(abs(col("t_stat")) > zCrit, lit(false)))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
     * — the pre-experiment-data adjustment every mature A/B platform
     * applies before [[abTest]]-style readouts: with a pre-period

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge frames. Connected components (the dedup
@@ -239,6 +240,52 @@ object GraphOps {
         dsum(lit(1.0) / log(col("__deg").cast("double")), 12)
           .as("aa_score"))
       .orderBy(col("aa_score").desc, col("u").asc, col("v").asc)
+  }
+
+  /** Synchronous label propagation communities (Raghavan, Albert &
+    * Kumara 2007) made DETERMINISTIC: labels start as node ids; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label, isolated opinions
+    * kept (no neighbors → label unchanged); all nodes update
+    * simultaneously from the previous round (sync — the async
+    * variant is order-dependent and unreproducible). A FIXED round
+    * count keeps it oracle-replayable; communities are the label
+    * partition after the last round. The cheap community detector
+    * over co-occurrence graphs (co-purchase categories, co-citation
+    * clusters) where modularity solvers are overkill.
+    *
+    * Scale shape: per round ONE node-keyed adj⋈labels join, one
+    * (node, label) count, one per-node top-1 window — all keyed on
+    * nodes; label frames localCheckpoint per round (plan linear in
+    * rounds). */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1,50], got $rounds")
+    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("node")).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.select(col("node").as("nbr"),
+          col("label").as("__nl")), Seq("nbr"))
+        .groupBy(col("node"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("__nl").asc)
+      val pick = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("__nl").as("__new"))
+      labels = labels.join(pick, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy(col("node"))
   }
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) with a FIXED

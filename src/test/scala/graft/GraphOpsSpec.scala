@@ -85,6 +85,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pt.filter(_.getLong(1) < 2).forall(_.isNullAt(3)))
   }
 
+  test("labelPropagation: bridged triangles settle into two communities, runs deterministic") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("s", "d")
+    val out = GraphOps.labelPropagation(e, "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Set(1L, 2L, 3L).map(out)
+    val right = Set(10L, 11L, 12L).map(out)
+    assert(left.size == 1, s"left triangle must agree: $out")
+    assert(right.size == 1, s"right triangle must agree: $out")
+    assert(left != right, s"bridge must not merge the communities: $out")
+    val again = GraphOps.labelPropagation(e, "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again, "sync LPA must be deterministic")
+    intercept[IllegalArgumentException] {
+      GraphOps.labelPropagation(e, "s", "d", rounds = 0)
+    }
+  }
+
   test("marketBasket pairRules: hand support/confidence/lift, dup rows collapse, mega-basket excluded") {
     import spark.implicits._
     // baskets: {x,y} ×3, {x,z}, {y}, plus a dup row and a mega-basket

@@ -118,6 +118,49 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("mean_cuped") == r.getAs[Double]("mean_metric"))
   }
 
+  test("diffInDiff: hand 2x2 estimate and SE, trend cancellation, arity contract") {
+    import spark.implicits._
+    // A: 10 → 12 (trend +2); B: 20 → 25 (+5): did = 3, each cell var 2
+    val units = Seq(
+      ("A", "1_pre", 9.0), ("A", "1_pre", 11.0),
+      ("A", "2_post", 11.0), ("A", "2_post", 13.0),
+      ("B", "1_pre", 19.0), ("B", "1_pre", 21.0),
+      ("B", "2_post", 24.0), ("B", "2_post", 26.0))
+      .toDF("variant", "period", "y")
+    val r = Stats.diffInDiff(units, "variant", "period", "y")
+      .collect().head
+    assert(r.getAs[String]("group_a") == "A" &&
+      r.getAs[String]("period_pre") == "1_pre")
+    assert(math.abs(r.getAs[Double]("mean_a_pre") - 10.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_b_post") - 25.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("did") - 3.0) < 1e-9)
+    // se = sqrt(4 * (2/2)) = 2; t = 1.5 — not significant at 1.96
+    assert(math.abs(r.getAs[Double]("se") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("t_stat") - 1.5) < 1e-9)
+    assert(!r.getAs[Boolean]("significant"))
+    // pure shared trend cancels to did = 0
+    val trend = Seq(
+      ("A", "1_pre", 10.0), ("A", "1_pre", 12.0),
+      ("A", "2_post", 15.0), ("A", "2_post", 17.0),
+      ("B", "1_pre", 30.0), ("B", "1_pre", 32.0),
+      ("B", "2_post", 35.0), ("B", "2_post", 37.0))
+      .toDF("variant", "period", "y")
+    assert(math.abs(Stats.diffInDiff(trend, "variant", "period", "y")
+      .collect().head.getAs[Double]("did")) < 1e-9)
+    // constant cells: se = 0 → null t, never significant
+    val const = Seq(("A", "1_pre", 1.0), ("A", "2_post", 1.0),
+      ("B", "1_pre", 1.0), ("B", "2_post", 1.0), ("A", "1_pre", 1.0),
+      ("A", "2_post", 1.0), ("B", "1_pre", 1.0), ("B", "2_post", 1.0))
+      .toDF("variant", "period", "y")
+    val cr = Stats.diffInDiff(const, "variant", "period", "y")
+      .collect().head
+    assert(cr.isNullAt(10) && !cr.getAs[Boolean]("significant"))
+    intercept[IllegalArgumentException] {
+      Stats.diffInDiff(units.withColumn("variant", lit("A")),
+        "variant", "period", "y")
+    }
+  }
+
   test("abTest: hand-computed z and Wilson CI, degenerate pooled rate, 2-variant contract") {
     import spark.implicits._
     // A: 40/100, B: 25/100 → pooled 0.325, z ≈ 2.265
