@@ -7510,6 +7510,99 @@ object QueriesLlm {
                FALSE) AS significant
       FROM r"""))
 
+  /** One unrolled BFS relax round for the q286 oracle. */
+  private def duckBfsRound(i: Int): String = {
+    val p = s"d${i - 1}"
+    s"""
+      x$i AS (SELECT a.node, MIN(d.distance) + 1 AS via
+              FROM adj a JOIN $p d ON d.node = a.nbr
+              WHERE d.distance IS NOT NULL GROUP BY 1),
+      d$i AS MATERIALIZED (SELECT d.node,
+                least(d.distance, x$i.via) AS distance
+              FROM $p d LEFT JOIN x$i ON x$i.node = d.node)"""
+  }
+
+  /** Bounded-hop BFS distances from the Brand#4 parts over the
+    * co-purchase graph — blast-radius readout; see
+    * [[graft.operators.GraphOps.seedDistances]]. */
+  private val q286 = Q("q286_seed_distance",
+    (s, dir) => {
+      val pairs = graft.operators.MarketBasket.pairRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 3L)
+        .select(col("item_a"), col("item_b"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      graft.operators.GraphOps.seedDistances(pairs, "item_a", "item_b",
+        seeds, "p_partkey", maxHops = 3)
+    },
+    Some(s"""
+      WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+      keep AS (SELECT b FROM it GROUP BY b HAVING COUNT(*) <= 100),
+      itk AS (SELECT it.b, it.i FROM it JOIN keep USING (b)),
+      e AS MATERIALIZED (SELECT a.i AS a, c.i AS b
+           FROM itk a JOIN itk c ON a.b = c.b AND a.i < c.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
+                           UNION ALL SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT node FROM adj),
+      sg AS (SELECT DISTINCT p_partkey AS node FROM part
+             WHERE p_brand = 'Brand#4'),
+      d0 AS MATERIALIZED (SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN CAST(0 AS BIGINT) END
+               AS distance
+           FROM nodes n LEFT JOIN sg s ON s.node = n.node),
+      ${duckBfsRound(1)},
+      ${duckBfsRound(2)},
+      ${duckBfsRound(3)}
+      SELECT node, distance FROM d3
+      ORDER BY distance ASC NULLS LAST, node ASC"""))
+
+  /** Theil-Sen robust daily-volume trend per event type (median of
+    * pairwise slopes + median intercept); see
+    * [[graft.ops.EventOps.theilSenTrend]]. */
+  private val q287 = Q("q287_theil_sen",
+    (s, dir) => graft.ops.EventOps.theilSenTrend(t(s, dir, "events")),
+    Some("""
+      WITH counts AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, d0, CAST(unnest(generate_series(d0,
+                  d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      daily AS (SELECT s.event_type,
+                  CAST(date_diff('day', s.d0, s.day) + 1 AS BIGINT) AS t,
+                  COALESCE(c.n, 0) AS x
+                FROM spine s LEFT JOIN counts c USING (event_type, day)),
+      sl AS (SELECT a.event_type,
+               CAST(bb.x - a.x AS DOUBLE) / CAST(bb.t - a.t AS DOUBLE)
+                 AS s
+             FROM daily a JOIN daily bb ON bb.event_type = a.event_type
+               AND bb.t > a.t),
+      ms AS (SELECT event_type, SUM(s) / COUNT(*) AS slope_per_day
+             FROM (SELECT event_type, s, row_number() OVER (
+                     PARTITION BY event_type ORDER BY s) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+                   FROM sl)
+             WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY 1),
+      rs AS (SELECT d.event_type,
+               CAST(d.x AS DOUBLE) - ms.slope_per_day * CAST(d.t AS DOUBLE)
+                 AS res
+             FROM daily d JOIN ms USING (event_type)),
+      mi AS (SELECT event_type, SUM(res) / COUNT(*) AS intercept
+             FROM (SELECT event_type, res, row_number() OVER (
+                     PARTITION BY event_type ORDER BY res) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+                   FROM rs)
+             WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY 1),
+      nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1)
+      SELECT nd.event_type, n_days, slope_per_day, intercept
+      FROM nd JOIN ms USING (event_type) JOIN mi USING (event_type)
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7525,5 +7618,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287)
 }

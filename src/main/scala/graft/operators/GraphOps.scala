@@ -288,6 +288,50 @@ object GraphOps {
     labels.orderBy(col("node"))
   }
 
+  /** Bounded-hop BFS distance from a seed set (synchronous min-relax
+    * over the undirected graph): distance(v) = fewest edges from any
+    * seed, null beyond `maxHops` — the blast-radius readout
+    * (contamination spread through a co-occurrence graph, linkage
+    * neighborhoods around flagged entities). Deterministic and
+    * oracle-replayable: `maxHops` unrolled relax rounds, each
+    * dist_i(v) = min(dist_{i−1}(v), 1 + min over neighbors).
+    *
+    * Scale shape: per round ONE node-keyed adj⋈dist join + a
+    * node-keyed min — the LPA/pageRank iteration shape; dist frames
+    * localCheckpoint per round. Seeds outside the graph are ignored;
+    * at least one must be a node. */
+  def seedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops must be in [1,50], got $maxHops")
+    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("node")).distinct()
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"))
+      .select(col("node"), lit(0L).as("__sd"))
+    var dist = nodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"), col("__sd").as("distance"))
+      .localCheckpoint(true)
+    require(!dist.where(col("distance").isNotNull).isEmpty,
+      "seedDistances: no seed is a node of the graph")
+    for (_ <- 1 to maxHops) {
+      val relax = adj
+        .join(dist.select(col("node").as("nbr"),
+          col("distance").as("__nd")), Seq("nbr"))
+        .filter(col("__nd").isNotNull)
+        .groupBy(col("node"))
+        .agg((min(col("__nd")) + 1L).as("__via"))
+      dist = dist.join(relax, Seq("node"), "left")
+        .select(col("node"),
+          least(col("distance"), col("__via")).as("distance"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy(col("distance").asc_nulls_last, col("node").asc)
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) with a FIXED
     * iteration count — the bipartite-centrality companion to
     * [[pageRank]]: authority(v) = Σ_{u→v} hub(u)·w, hub(u) =

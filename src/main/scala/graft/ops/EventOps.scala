@@ -340,6 +340,72 @@ object EventOps {
       : org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(30, 12))).over(w).cast("double")
 
+  /** Theil-Sen robust trend per event type (Theil 1950, Sen 1968):
+    * slope = MEDIAN of all pairwise day-slopes over the dense daily
+    * series, intercept = median of (y − slope·t) — the trend readout
+    * that shrugs off the outlier days that wreck least squares (one
+    * crawler-burst day tilts an OLS fit; it is one slope sample
+    * here). Breakdown point ≈ 29%. The slow-drift companion to
+    * [[ewmaChart]]/[[cusumShift]]: those DETECT a shift, this
+    * QUANTIFIES the drift rate robustly.
+    *
+    * Median convention: ascending sort, average of the two middle
+    * values on even counts — replayed identically by the oracle.
+    *
+    * Scale shape: the data-sized pass is the (type, day) count; the
+    * pairwise-slope frame is |days|² per type ON THE AGGREGATE
+    * SERIES (the q268 lag-join argument — bounded by the observation
+    * span, never by rows), with type-partitioned windows only. */
+  def theilSenTrend(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val counts = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = counts.groupBy(col(typeCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(typeCol), col("__d0"),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("day"))
+    val daily = spine.join(counts, Seq(typeCol, "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .select(col(typeCol),
+        (datediff(col("day"), col("__d0")) + 1).cast("long").as("__t"),
+        col("n_events").cast("long").as("__x"))
+      .localCheckpoint(true)
+    def medianOf(vals: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(typeCol)).orderBy(col(vCol))
+      val ranked = vals
+        .withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col(typeCol))))
+      ranked
+        // Column `/` is DOUBLE division — cast back to long for the
+        // floor-division rank picks ((n+1)/2, (n+2)/2)
+        .filter(col("__r") === ((col("__n") + 1) / 2).cast("long") ||
+          col("__r") === ((col("__n") + 2) / 2).cast("long"))
+        .groupBy(col(typeCol))
+        .agg((sum(col(vCol)) / count(lit(1))).as(out))
+    }
+    val rhs = daily.select(col(typeCol), col("__t").as("__t2"),
+      col("__x").as("__x2"))
+    val slopes = daily.join(rhs, Seq(typeCol))
+      .filter(col("__t2") > col("__t"))
+      .select(col(typeCol),
+        ((col("__x2") - col("__x")).cast("double") /
+          (col("__t2") - col("__t")).cast("double")).as("__slope"))
+    val slope = medianOf(slopes, "__slope", "slope_per_day")
+    val resid = daily.join(slope, Seq(typeCol))
+      .select(col(typeCol), col("slope_per_day"),
+        (col("__x").cast("double") -
+          col("slope_per_day") * col("__t").cast("double")).as("__res"))
+    val intercept = medianOf(resid.select(col(typeCol), col("__res")),
+      "__res", "intercept")
+    val nDays = daily.groupBy(col(typeCol))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    nDays.join(slope, Seq(typeCol)).join(intercept, Seq(typeCol))
+      .orderBy(typeCol)
+  }
+
   /** EXACT rolling `windowDays`-day distinct active users per day —
     * the DAU/WAU/MAU readout — computed DISTRIBUTED, with no
     * count-distinct window and no day×corpus re-scan. The trick:

@@ -85,6 +85,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pt.filter(_.getLong(1) < 2).forall(_.isNullAt(3)))
   }
 
+  test("seedDistances: path-graph hops, multi-seed min, beyond-horizon null") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val one = GraphOps.seedDistances(path, "s", "d",
+      Seq(1L).toDF("id"), "id", maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(one == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 5L -> None), one.toString)
+    val two = GraphOps.seedDistances(path, "s", "d",
+      Seq(1L, 5L, 99L).toDF("id"), "id", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L),
+      two.toString)
+    intercept[IllegalArgumentException] {
+      GraphOps.seedDistances(path, "s", "d",
+        Seq(99L).toDF("id"), "id")
+    }
+  }
+
   test("labelPropagation: bridged triangles settle into two communities, runs deterministic") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),

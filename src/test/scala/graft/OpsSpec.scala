@@ -284,6 +284,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("theilSenTrend: exact planted slope/intercept, outlier-robust where OLS is not, even-count median") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-07-01 00:00:00")
+    def at(day: Int, typ: String, n: Int) = (0 until n).map(i =>
+      (new java.sql.Timestamp(t0.getTime + day * 86400000L + i * 1000L), typ))
+    // clean line x = 2t + 5 over 10 days (even count exercises the
+    // two-middle average)
+    val lin = (0 until 10).flatMap(d => at(d, "lin", 2 * (d + 1) + 5))
+    // same line with ONE massive outlier day — the median slope must
+    // not move (29 of 435 pair slopes touch the spike)
+    val out = (0 until 10).flatMap(d =>
+      at(d, "outlier", if (d == 4) 500 else 2 * (d + 1) + 5))
+    val r = graft.ops.EventOps.theilSenTrend(
+      (lin ++ out).toDF("ts", "event_type"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r("lin")._1 == 10L)
+    assert(math.abs(r("lin")._2 - 2.0) < 1e-12, s"slope ${r("lin")._2}")
+    assert(math.abs(r("lin")._3 - 5.0) < 1e-12, s"intercept ${r("lin")._3}")
+    assert(math.abs(r("outlier")._2 - 2.0) < 1e-12,
+      s"outlier day must not move the median slope: ${r("outlier")._2}")
+    assert(math.abs(r("outlier")._3 - 5.0) < 1e-12)
+  }
+
   test("rollingActiveUsers: equals brute-force rolling distinct, silent days at zero") {
     import spark.implicits._
     // user 1: days 0,1,9; user 2: day 0 only; user 3: days 4..5 —
