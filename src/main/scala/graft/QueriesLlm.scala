@@ -7603,6 +7603,68 @@ object QueriesLlm {
       FROM nd JOIN ms USING (event_type) JOIN mi USING (event_type)
       ORDER BY event_type"""))
 
+  /** Keyed table diff between two versions of orders (a third of keys
+    * added, a third removed, every 7th surviving price doubled);
+    * null-safe change detection on every shared column; see
+    * [[graft.ops.TableDiff.diff]]. */
+  private val q288 = Q("q288_table_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val before = o.filter(col("o_orderkey") % 3 =!= 0)
+      val after = o.filter(col("o_orderkey") % 3 =!= 1)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 7 === 0,
+          col("o_totalprice") * 2.0).otherwise(col("o_totalprice")))
+      graft.ops.TableDiff.diff(before, after, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH bfr AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      aft AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 3 <> 1),
+      j AS (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+              CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                   WHEN a.o_orderkey IS NULL THEN 'removed'
+                   WHEN (b.o_custkey IS DISTINCT FROM a.o_custkey)
+                     OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+                     OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+                     OR (b.o_orderdate IS DISTINCT FROM a.o_orderdate)
+                     OR (b.o_orderpriority IS DISTINCT FROM
+                         a.o_orderpriority)
+                   THEN 'changed' ELSE 'unchanged' END AS status
+            FROM bfr b FULL OUTER JOIN aft a
+              ON a.o_orderkey = b.o_orderkey)
+      SELECT o_orderkey, status FROM j
+      WHERE status <> 'unchanged' ORDER BY o_orderkey"""))
+
+  /** One column block of the q289 profiling oracle. */
+  private def duckProfileCol(table: String, c: String): String = s"""
+      SELECT '$c' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+             MIN(v) AS min_str, MAX(v) AS max_str,
+             (SELECT v FROM (SELECT CAST($c AS VARCHAR) AS v FROM $table)
+              WHERE v IS NOT NULL GROUP BY v
+              ORDER BY COUNT(*) DESC, v ASC LIMIT 1) AS top_value,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT CAST($c AS VARCHAR) AS v FROM $table)
+              WHERE v IS NOT NULL GROUP BY v
+              ORDER BY COUNT(*) DESC, v ASC LIMIT 1) AS top_count
+      FROM (SELECT CAST($c AS VARCHAR) AS v FROM $table)"""
+
+  /** Dynamic-schema column profiling of the customer table — counts,
+    * lexicographic bounds, top value per column; see
+    * [[graft.ops.Profiler.profile]]. */
+  private val q289 = Q("q289_profile",
+    (s, dir) => graft.ops.Profiler.profile(t(s, dir, "customer")),
+    Some(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+      .map(duckProfileCol("customer", _))
+      .mkString("", "\n      UNION ALL\n", "\n      ORDER BY col_name")))
+
   val all: Seq[Q] = Seq(q9, q10, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q29, q30, q31, q32, q44, q46, q51, q52,
     q56, q57, q58, q59, q60, q69, q70, q75, q76, q81, q86, q88, q90, q92,
@@ -7618,5 +7680,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289)
 }

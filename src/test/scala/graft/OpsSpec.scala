@@ -284,6 +284,60 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tableDiff: added/removed/changed/unchanged, null-safe changes, one-sided columns ignored") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, Some("c"), 30),
+      (4L, None: Option[String], 40)).toDF("k", "v", "w")
+    val after = Seq(
+      (1L, Some("a"), 10),                       // unchanged
+      (3L, Some("CHANGED"), 30),                 // value change
+      (4L, Some("now-set"), 40),                 // null -> value change
+      (5L, Some("new"), 50))                     // added
+      .toDF("k", "v", "w")
+      .withColumn("extra", lit("only-after"))    // one-sided: ignored
+    val out = graft.ops.TableDiff.diff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "removed", 3L -> "changed",
+      4L -> "changed", 5L -> "added"), out.toString)
+    val withU = graft.ops.TableDiff.diff(before, after, Seq("k"),
+      includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(withU(1L) == "unchanged" && withU.size == 5)
+    intercept[IllegalArgumentException] {
+      graft.ops.TableDiff.diff(before, after, Seq("missing"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TableDiff.diff(before, after, Nil)
+    }
+  }
+
+  test("profiler: counts, lexicographic bounds, smallest-tie top value, all-null column kept") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("b"), Some(2)), (Some("b"), Some(10)),
+      (Some("a"), Some(2)), (None: Option[String], None: Option[Int]))
+      .toDF("s", "n")
+      .withColumn("allnull", lit(null).cast("string"))
+    val out = graft.ops.Profiler.profile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert(s.getAs[Long]("n_rows") == 4L && s.getAs[Long]("n_nonnull") == 3L)
+    assert(s.getAs[Long]("n_distinct") == 2L)
+    assert(s.getAs[String]("min_str") == "a" &&
+      s.getAs[String]("max_str") == "b")
+    assert(s.getAs[String]("top_value") == "b" &&
+      s.getAs[Long]("top_count") == 2L)
+    // numeric renders lexicographically: "10" < "2"
+    val n = out("n")
+    assert(n.getAs[String]("min_str") == "10" &&
+      n.getAs[String]("max_str") == "2")
+    assert(n.getAs[String]("top_value") == "2", "tie breaks to smallest")
+    val an = out("allnull")
+    assert(an.getAs[Long]("n_nonnull") == 0L && an.isNullAt(6),
+      "all-null column keeps its row with null top")
+  }
+
   test("theilSenTrend: exact planted slope/intercept, outlier-robust where OLS is not, even-count median") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-07-01 00:00:00")
