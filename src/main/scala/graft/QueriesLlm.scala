@@ -7424,7 +7424,7 @@ object QueriesLlm {
     (s, dir) => {
       val pairs = graft.operators.MarketBasket.pairRules(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        minPairCount = 3L)
+        minPairCount = 2L)
         .select(col("item_a"), col("item_b"))
       graft.operators.GraphOps.labelPropagation(pairs,
         "item_a", "item_b", rounds = 4)
@@ -7436,7 +7436,7 @@ object QueriesLlm {
       itk AS (SELECT it.b, it.i FROM it JOIN keep USING (b)),
       e AS MATERIALIZED (SELECT a.i AS a, c.i AS b
            FROM itk a JOIN itk c ON a.b = c.b AND a.i < c.i
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
       adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
                            UNION ALL SELECT b, a FROM e),
       nodes AS (SELECT DISTINCT node FROM adj),
@@ -7529,7 +7529,7 @@ object QueriesLlm {
     (s, dir) => {
       val pairs = graft.operators.MarketBasket.pairRules(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        minPairCount = 3L)
+        minPairCount = 2L)
         .select(col("item_a"), col("item_b"))
       val seeds = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4")
@@ -7544,7 +7544,7 @@ object QueriesLlm {
       itk AS (SELECT it.b, it.i FROM it JOIN keep USING (b)),
       e AS MATERIALIZED (SELECT a.i AS a, c.i AS b
            FROM itk a JOIN itk c ON a.b = c.b AND a.i < c.i
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
       adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
                            UNION ALL SELECT b, a FROM e),
       nodes AS (SELECT DISTINCT node FROM adj),
@@ -7655,6 +7655,51 @@ object QueriesLlm {
               ORDER BY COUNT(*) DESC, v ASC LIMIT 1) AS top_count
       FROM (SELECT CAST($c AS VARCHAR) AS v FROM $table)"""
 
+  /** Mann-Kendall monotone-trend test on daily event volume — the
+    * significance companion to q287's Theil-Sen slope; see
+    * [[graft.ops.EventOps.mannKendall]]. */
+  private val q290 = Q("q290_mann_kendall",
+    (s, dir) => graft.ops.EventOps.mannKendall(t(s, dir, "events")),
+    Some("""
+      WITH counts AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM counts GROUP BY 1),
+      spine AS (SELECT event_type, d0, CAST(unnest(generate_series(d0,
+                  d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      daily AS (SELECT s.event_type,
+                  CAST(date_diff('day', s.d0, s.day) + 1 AS BIGINT) AS t,
+                  COALESCE(c.n, 0) AS x
+                FROM spine s LEFT JOIN counts c USING (event_type, day)),
+      sf AS (SELECT a.event_type,
+               CAST(SUM(CAST(sign(CAST(bb.x - a.x AS DOUBLE)) AS BIGINT))
+                 AS BIGINT) AS s_stat
+             FROM daily a JOIN daily bb ON bb.event_type = a.event_type
+               AND bb.t > a.t
+             GROUP BY 1),
+      tg AS (SELECT event_type,
+               CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie
+             FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS tc
+                   FROM daily GROUP BY 1, 2) GROUP BY 1),
+      nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1),
+      v AS (SELECT nd.event_type, n_days, s_stat,
+              (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+               * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+               - CAST(tie AS DOUBLE)) / 18.0 AS var_s
+            FROM nd JOIN sf USING (event_type)
+            JOIN tg USING (event_type)),
+      zz AS (SELECT *, CASE WHEN n_days >= 2 AND var_s > 0.0 THEN
+               CASE WHEN s_stat > 0
+                      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                    WHEN s_stat < 0
+                      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                    ELSE 0.0 END END AS z
+             FROM v)
+      SELECT event_type, n_days, s_stat, var_s, z,
+             COALESCE(abs(z) > 1.96, FALSE) AS trend
+      FROM zz ORDER BY event_type"""))
+
   /** Dynamic-schema column profiling of the customer table — counts,
     * lexicographic bounds, top value per column; see
     * [[graft.ops.Profiler.profile]]. */
@@ -7680,5 +7725,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290)
 }

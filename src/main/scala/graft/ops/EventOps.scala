@@ -406,6 +406,67 @@ object EventOps {
       .orderBy(typeCol)
   }
 
+  /** Mann-Kendall trend test per event type (Mann 1945, Kendall
+    * 1975): S = Σ_{i<j} sign(x_j − x_i) over the dense daily series,
+    * tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_ties t(t−1)(2t+5)]/18, continuity-corrected
+    * z = (S∓1)/√Var(S) — the SIGNIFICANCE companion to
+    * [[theilSenTrend]]: Theil-Sen says how fast the drift is, this
+    * says whether a monotone trend exists at all, distribution-free
+    * and outlier-immune (only signs enter). Degenerate series
+    * (all-tied or < 2 days) emit null z and never flag.
+    *
+    * Scale shape: the data-sized pass is the (type, day) count; S is
+    * one fold over the |days|²-per-type AGGREGATE pair frame (the
+    * theilSenTrend argument) in exact integers; tie counts come from
+    * a value-cardinality group. */
+  def mannKendall(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", zCrit: Double = 1.96): DataFrame = {
+    require(zCrit > 0, s"zCrit must be positive, got $zCrit")
+    val counts = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = counts.groupBy(col(typeCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(typeCol), col("__d0"),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("day"))
+    val daily = spine.join(counts, Seq(typeCol, "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .select(col(typeCol),
+        (datediff(col("day"), col("__d0")) + 1).cast("long").as("__t"),
+        col("n_events").cast("long").as("__x"))
+      .localCheckpoint(true)
+    val rhs = daily.select(col(typeCol), col("__t").as("__t2"),
+      col("__x").as("__x2"))
+    val sFrame = daily.join(rhs, Seq(typeCol))
+      .filter(col("__t2") > col("__t"))
+      .groupBy(col(typeCol))
+      .agg(sum(signum((col("__x2") - col("__x")).cast("double"))
+        .cast("long")).cast("long").as("s_stat"))
+    val ties = daily.groupBy(col(typeCol), col("__x"))
+      .agg(count(lit(1)).cast("long").as("__tc"))
+      .groupBy(col(typeCol))
+      .agg(sum(col("__tc") * (col("__tc") - 1L) *
+        (lit(2L) * col("__tc") + 5L)).cast("long").as("__tie"),
+        count(lit(1)).cast("long").as("__nvals"))
+    val nD = daily.groupBy(col(typeCol))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    val n = col("n_days").cast("double")
+    val varS = (n * (n - 1.0) * (lit(2.0) * n + 5.0) -
+      col("__tie").cast("double")) / 18.0
+    val sD = col("s_stat").cast("double")
+    val z = when(col("n_days") >= 2L && varS > 0.0,
+      when(col("s_stat") > 0L, (sD - 1.0) / sqrt(varS))
+        .when(col("s_stat") < 0L, (sD + 1.0) / sqrt(varS))
+        .otherwise(lit(0.0)))
+    nD.join(sFrame, Seq(typeCol)).join(ties, Seq(typeCol))
+      .select(col(typeCol), col("n_days"), col("s_stat"),
+        varS.as("var_s"), z.as("z"),
+        coalesce(abs(z) > zCrit, lit(false)).as("trend"))
+      .orderBy(typeCol)
+  }
+
   /** EXACT rolling `windowDays`-day distinct active users per day —
     * the DAU/WAU/MAU readout — computed DISTRIBUTED, with no
     * count-distinct window and no day×corpus re-scan. The trick:

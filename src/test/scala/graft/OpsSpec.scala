@@ -284,6 +284,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mannKendall: monotone series flags, constant/alternating do not, tie-corrected variance") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
+    def at(day: Int, typ: String, n: Int) = (0 until n).map(i =>
+      (new java.sql.Timestamp(t0.getTime + day * 86400000L + i * 1000L), typ))
+    val rising = (0 until 10).flatMap(d => at(d, "up", d + 1))
+    val flat = (0 until 10).flatMap(d => at(d, "flat", 5))
+    val alt = (0 until 10).flatMap(d => at(d, "alt", if (d % 2 == 0) 4 else 6))
+    val out = graft.ops.EventOps.mannKendall(
+      (rising ++ flat ++ alt).toDF("ts", "event_type"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // strictly rising: S = 45, Var = 10*9*25/18 = 125, z = 44/√125
+    val up = out("up")
+    assert(up.getAs[Long]("s_stat") == 45L)
+    assert(math.abs(up.getAs[Double]("var_s") - 125.0) < 1e-9)
+    assert(math.abs(up.getAs[Double]("z") - 44.0 / math.sqrt(125.0)) < 1e-9)
+    assert(up.getAs[Boolean]("trend"))
+    // constant: all tied → Var = 0 → null z, no trend
+    val fl = out("flat")
+    assert(fl.getAs[Long]("s_stat") == 0L &&
+      fl.getAs[Double]("var_s") == 0.0)
+    assert(fl.isNullAt(4) && !fl.getAs[Boolean]("trend"))
+    // alternating two values: S ≈ 0; tie correction = 2 groups of 5:
+    // Var = (2250 - 2*5*4*15)/18 = 1650/18
+    val al = out("alt")
+    assert(math.abs(al.getAs[Double]("var_s") - 1650.0 / 18) < 1e-9)
+    assert(!al.getAs[Boolean]("trend"), s"alternating z = ${al.get(4)}")
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.mannKendall(flat.toDF("ts", "event_type"),
+        zCrit = 0.0)
+    }
+  }
+
   test("tableDiff: added/removed/changed/unchanged, null-safe changes, one-sided columns ignored") {
     import spark.implicits._
     val before = Seq(
