@@ -1276,6 +1276,51 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q281 market basket: basket-keyed pair join, no cartesian (pre-checkpoint plan)") {
+    import org.apache.spark.sql.functions.col
+    // pairRules checkpoints its item frame, so the gate's executed
+    // plan starts from the checkpoint — pin the LAZY construction up
+    // to the pair aggregate instead
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val items = li.select(col("l_orderkey").as("__b"),
+      col("l_partkey").as("__i")).distinct()
+    val pairs = items.join(
+        items.select(col("__b"), col("__i").as("__i2")), Seq("__b"))
+      .filter(col("__i") < col("__i2"))
+      .groupBy(col("__i"), col("__i2")).count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val readSchema = plan.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_partkey") &&
+      !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q288 table diff: ONE key-keyed join, no hashing projection, full schema compared natively") {
+    val plan = physical("q288_table_diff")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("md5"), "diff must not hash rows: " +
+      plan.take(3000))
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"diff must be exactly one keyed join, got $joins:\n" +
+      plan.take(3000))
+  }
+
+  test("q287/q290 trend tests: pair frames type-keyed, windows type-partitioned, no cartesian") {
+    for (name <- Seq("q287_theil_sen", "q290_mann_kendall")) {
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"), s"$name\n${plan.take(3000)}")
+      val windows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.forall(_.contains("event_type")),
+        s"$name windows must be type-partitioned:\n" +
+          windows.mkString("\n"))
+    }
+  }
+
   test("q242 conformal + q244 sliced auc: windows group-keyed on distinct-value frames, joins broadcast") {
     for (name <- Seq("q242_conformal", "q244_auc_by_group")) {
       val plan = physical(name)
