@@ -7700,6 +7700,57 @@ object QueriesLlm {
              COALESCE(abs(z) > 1.96, FALSE) AS trend
       FROM zz ORDER BY event_type"""))
 
+  /** Degree assortativity of the co-purchase part graph — hub-mixing
+    * structure in one number; see
+    * [[graft.operators.GraphOps.degreeAssortativity]]. */
+  private val q291 = Q("q291_assortativity",
+    (s, dir) => {
+      val pairs = graft.operators.MarketBasket.pairRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 2L)
+        .select(col("item_a"), col("item_b"))
+      graft.operators.GraphOps.degreeAssortativity(pairs,
+        "item_a", "item_b")
+    },
+    Some("""
+      WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+      keep AS (SELECT b FROM it GROUP BY b HAVING COUNT(*) <= 100),
+      itk AS (SELECT it.b, it.i FROM it JOIN keep USING (b)),
+      e AS MATERIALIZED (SELECT a.i AS a, c.i AS b
+           FROM itk a JOIN itk c ON a.b = c.b AND a.i < c.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
+                           UNION ALL SELECT b, a FROM e),
+      dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+             FROM adj GROUP BY 1),
+      xy AS (SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+             FROM adj JOIN dg du ON du.node = adj.node
+                      JOIN dg dv ON dv.node = adj.nbr),
+      mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy
+              FROM xy)
+      SELECT m // 2 AS n_edges,
+             CASE WHEN m >= 2
+                    AND (sxx / CAST(m AS DOUBLE)
+                         - (sx / CAST(m AS DOUBLE))
+                           * (sx / CAST(m AS DOUBLE))) > 0.0
+                    AND (syy / CAST(m AS DOUBLE)
+                         - (sy / CAST(m AS DOUBLE))
+                           * (sy / CAST(m AS DOUBLE))) > 0.0
+               THEN (sxy / CAST(m AS DOUBLE)
+                     - (sx / CAST(m AS DOUBLE)) * (sy / CAST(m AS DOUBLE)))
+                  / (sqrt(sxx / CAST(m AS DOUBLE)
+                      - (sx / CAST(m AS DOUBLE)) * (sx / CAST(m AS DOUBLE)))
+                     * sqrt(syy / CAST(m AS DOUBLE)
+                      - (sy / CAST(m AS DOUBLE)) * (sy / CAST(m AS DOUBLE))))
+               END AS assortativity
+      FROM mom"""))
+
   /** Dynamic-schema column profiling of the customer table — counts,
     * lexicographic bounds, top value per column; see
     * [[graft.ops.Profiler.profile]]. */
@@ -7725,5 +7776,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291)
 }

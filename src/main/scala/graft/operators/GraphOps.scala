@@ -242,6 +242,48 @@ object GraphOps {
       .orderBy(col("aa_score").desc, col("u").asc, col("v").asc)
   }
 
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over every edge, both orientations — r > 0
+    * means hubs attach to hubs (social-style mixing), r < 0 hubs to
+    * leaves (star/infrastructure mixing). The one-number structure
+    * readout that says whether a co-occurrence graph is
+    * community-like or hub-and-spoke before anything heavier runs.
+    * Degenerate graphs (all degrees equal) emit null r.
+    *
+    * Scale shape: degree frame (node-keyed count), two degree
+    * fetches onto the edge frame, ONE moment fold with
+    * decimal-rounded terms — no iteration, nothing quadratic. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("__deg"))
+    val both = adj
+      .join(deg, Seq("node"))
+      .join(deg.select(col("node").as("nbr"), col("__deg").as("__dn")),
+        Seq("nbr"))
+      .select(col("__deg").cast("double").as("__x"),
+        col("__dn").cast("double").as("__y"))
+    val mom = both.agg(
+      count(lit(1)).cast("long").as("__m"),
+      dsum(col("__x"), 6).as("__sx"), dsum(col("__y"), 6).as("__sy"),
+      dsum(col("__x") * col("__y"), 6).as("__sxy"),
+      dsum(col("__x") * col("__x"), 6).as("__sxx"),
+      dsum(col("__y") * col("__y"), 6).as("__syy"))
+    val mD = col("__m").cast("double")
+    val cov = col("__sxy") / mD - (col("__sx") / mD) * (col("__sy") / mD)
+    val vx = col("__sxx") / mD - (col("__sx") / mD) * (col("__sx") / mD)
+    val vy = col("__syy") / mD - (col("__sy") / mD) * (col("__sy") / mD)
+    mom.select(
+      // Column `/` is double division — cast back for the edge count
+      (col("__m") / 2L).cast("long").as("n_edges"),
+      when(col("__m") >= 2L && vx > 0.0 && vy > 0.0,
+        cov / (sqrt(vx) * sqrt(vy))).as("assortativity"))
+  }
+
   /** Synchronous label propagation communities (Raghavan, Albert &
     * Kumara 2007) made DETERMINISTIC: labels start as node ids; each
     * round every node adopts the most frequent label among its

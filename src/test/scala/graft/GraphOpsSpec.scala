@@ -85,6 +85,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pt.filter(_.getLong(1) < 2).forall(_.isNullAt(3)))
   }
 
+  test("degreeAssortativity: star is maximally disassortative, regular graph null, hand path value") {
+    import spark.implicits._
+    // star: center deg 3, leaves deg 1 → perfectly disassortative
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val rs = GraphOps.degreeAssortativity(star, "s", "d").collect().head
+    assert(rs.getLong(0) == 3L)
+    assert(math.abs(rs.getDouble(1) - (-1.0)) < 1e-9,
+      s"star r = ${rs.getDouble(1)}")
+    // cycle: every degree 2 → zero variance → null
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val rc = GraphOps.degreeAssortativity(cyc, "s", "d").collect().head
+    assert(rc.getLong(0) == 3L && rc.isNullAt(1))
+    // path 1-2-3: degrees 1,2,1; directed pairs (1,2),(2,1),(2,1),(1,2)
+    // ... i.e. (x,y) ∈ {(1,2),(2,1)}×2 → r = -1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val rp = GraphOps.degreeAssortativity(path, "s", "d").collect().head
+    assert(math.abs(rp.getDouble(1) - (-1.0)) < 1e-9)
+  }
+
   test("seedDistances: path-graph hops, multi-seed min, beyond-horizon null") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
