@@ -1382,7 +1382,16 @@ object Dedup {
     * realistic thresholds), distinct candidate pairs, then one
     * verification pass (two id-keyed set fetches + array_intersect).
     * Nothing corpus². The oracle is the BRUTE-FORCE cross product, so
-    * the hash match PROVES completeness on the gate corpus. */
+    * the hash match PROVES completeness on the gate corpus.
+    *
+    * ==Cache-release contract (the [[lshPairs]] loan rule)==
+    * `materialize = true` (default) computes the pair artifact
+    * eagerly and releases the sorted-set cache before return.
+    * `materialize = false` hands back the LAZY plan WITH the cache
+    * still held — the caller owns the release (consume promptly in a
+    * one-shot session, or accept recompute-after-eviction); a
+    * long-lived session that opts out of materialization leaks the
+    * cached base until LRU eviction. */
   def setSimJoinPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, materialize: Boolean = true,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -1400,15 +1409,30 @@ object Dedup {
     val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("__f"))
     val wRare = Window.partitionBy(col("id"))
       .orderBy(col("__f").asc, col("tk").asc)
+    // EXACTNESS NOTE (all three pruning bounds): the textbook forms
+    // take ceil() of a float product (prefix length n − ⌈t·n⌉ + 1,
+    // length filter ⌈t·na⌉ ≤ nb ≤ ⌊na/t⌋, positional bound
+    // ⌈t/(1+t)·(na+nb)⌉). A half-ulp round-UP inside ceil jumps the
+    // bound by a WHOLE integer (t = 0.2: 0.2/1.2·12 evaluates to
+    // 2.0000000000000004, ceil = 3 vs exact 2) and silently prunes
+    // pairs sitting exactly at the threshold — a false negative the
+    // exact verify can never repair. So every bound is compared in
+    // cleared-denominator form against the integer side directly:
+    // a single correctly-rounded product can never cross a
+    // representable integer (if the true product ≤ k then the nearest
+    // double is ≤ k), so `t·n <= k` is exact where `k >= ceil(t·n)`
+    // is not. The positional bound multiplies on BOTH sides (two
+    // roundings), so it alone gets a 1e-9 relaxation — slack only
+    // ADMITS candidates, and verification is exact.
     val prefix = tok.join(freq, Seq("tk"))
       .withColumn("__r", row_number().over(wRare))
-      .filter(col("__r") <=
-        col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .filter(lit(threshold) * col("n").cast("double") <=
+        (col("n") - col("__r") + 1).cast("double"))
       .select(col("tk"), col("id"), col("n"), col("__r"))
     // POSITIONAL filtering (the PPJoin refinement): a match at rarity
     // positions (ra, rb) bounds the overlap above by
     // 1 + min(na − ra, nb − rb); Jaccard ≥ t needs overlap ≥
-    // ⌈t/(1+t)·(na+nb)⌉, and a truly-similar pair's FIRST common
+    // t/(1+t)·(na+nb), and a truly-similar pair's FIRST common
     // prefix token always satisfies the bound — so the row-level
     // filter keeps completeness while dropping common-shingle
     // deep-prefix matches MAP-SIDE, before the pair shuffle. On
@@ -1416,17 +1440,16 @@ object Dedup {
     // — a 40-word synthetic vocab leaves 2k distinct shingles across
     // 5k docs) this is the difference between 8.2M candidate pairs
     // and the few hundred real ones.
-    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("__na") + col("__nb")).cast("double"))
     val cands = prefix.select(col("tk"), col("id").as("__ia"),
         col("n").as("__na"), col("__r").as("__ra"))
       .join(prefix.select(col("tk"), col("id").as("__ib"),
         col("n").as("__nb"), col("__r").as("__rb")), Seq("tk"))
       .filter(col("__ia") < col("__ib") &&
-        col("__nb") >= ceil(lit(threshold) * col("__na")) &&
-        col("__nb") <= floor(col("__na").cast("double") / threshold) &&
+        col("__nb").cast("double") >= lit(threshold) * col("__na").cast("double") &&
+        lit(threshold) * col("__nb").cast("double") <= col("__na").cast("double") &&
         (lit(1) + least(col("__na") - col("__ra"),
-          col("__nb") - col("__rb"))).cast("double") >= alpha)
+          col("__nb") - col("__rb"))).cast("double") * lit(1.0 + threshold) >=
+          lit(threshold) * (col("__na") + col("__nb")).cast("double") - lit(1e-9))
       .select(col("__ia"), col("__ib")).distinct()
     val withSets = cands
       .join(base.select(col("id").as("__ia"), col("shs").as("__sa")),
@@ -1477,7 +1500,9 @@ object Dedup {
     * records (the [[sortedNeighborPairs]] construction), a
     * batch-involving candidate filter, two id-keyed shingle fetches,
     * per-candidate Jaccard. The [[materializeAndRelease]] loan rule
-    * applies to the ranked frame. */
+    * applies to the ranked frame; as with [[setSimJoinPairs]],
+    * `materialize = false` returns the lazy plan with that cache
+    * still held and the CALLER owns the release. */
   def incrementalSortedNeighborPairs(stored: DataFrame, batch: DataFrame,
       window: Int = 4, threshold: Double = 0.5, bandBits: Int = 0,
       materialize: Boolean = true,

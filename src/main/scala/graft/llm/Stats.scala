@@ -249,10 +249,18 @@ object Stats {
       countDistinct(col("__p")).as("np"),
       min(col("__g")).as("ga"), max(col("__g")).as("gb"),
       min(col("__p")).as("pa"), max(col("__p")).as("pb"),
-      min(col("__n")).as("minn")).first()
+      count(lit(1)).as("nc")).first()
     require(lab.getAs[Long]("ng") == 2L && lab.getAs[Long]("np") == 2L,
       s"diffInDiff needs exactly 2 groups x 2 periods, got " +
         s"${lab.getAs[Long]("ng")} x ${lab.getAs[Long]("np")}")
+    // 2 distinct groups × 2 distinct periods can still be only 3
+    // POPULATED cells (e.g. group b has no pre-period rows); the
+    // missing cell's mean would flow a silent null through did/se
+    // with significant=false instead of failing the 2×2 contract
+    // loudly — so the cell COUNT must be 4, not just the arities.
+    require(lab.getAs[Long]("nc") == 4L,
+      s"diffInDiff needs all 4 group x period cells populated, got " +
+        s"${lab.getAs[Long]("nc")}")
     val (ga, gb, pa, pb) = (lab.get(2), lab.get(3), lab.get(4), lab.get(5))
     val nD = col("__n").cast("double")
     val mean = col("__s") / nD

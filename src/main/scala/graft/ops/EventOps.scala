@@ -132,13 +132,18 @@ object EventOps {
     * — callers own spine semantics (densify or not) BEFORE calling. */
   private[graft] def cusumOnSeries(series: DataFrame, keyCol: String,
       ordCol: String, valCol: String, k: Double, h: Double): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
     require(k >= 0 && h > 0, s"need k >= 0 and h > 0, got k=$k h=$h")
     // per-key target moments, exact sums (the burstDetect decimal
     // discipline) — |keys| rows, broadcast back
+    // x² via the dsum discipline, not a scale-0 decimal cast: the
+    // caller-supplied series may be fractional (see ewmaOnSeries —
+    // same reasoning, same value-identical result for the current
+    // integer-count callers)
     val mom = series.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__nd"),
       sum(col(valCol)).as("__s1"),
-      sum(col(valCol).cast(DecimalType(38, 0)) * col(valCol))
+      dsum(col(valCol).cast("double") * col(valCol).cast("double"), 12)
         .as("__s2"))
     val nD = col("__nd").cast("double")
     val mean = col("__s1").cast("double") / nD
@@ -228,10 +233,18 @@ object EventOps {
     val daily = series.withColumn("__t",
       row_number().over(Window.partitionBy(col(keyCol))
         .orderBy(col(ordCol))).cast("long"))
+    // __s2 via the dsum discipline (each x² term decimal-rounded to
+    // 12 places, summed exactly): the previous DECIMAL(38,0) cast
+    // truncated FRACTIONAL series values, silently skewing the
+    // variance and control limits if this helper were ever reused
+    // beyond the current integer-count callers. For integer series
+    // the x² terms are exact in double (< 2^53), round-trip the
+    // 12-place rounding unchanged, and sum identically — so existing
+    // gates hash the same values.
     val mom = daily.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__nd"),
       sum(col(valCol)).as("__s1"),
-      sum(col(valCol).cast(DecimalType(38, 0)) * col(valCol))
+      dsum(col(valCol).cast("double") * col(valCol).cast("double"), 12)
         .as("__s2"))
     val oml = lit(1.0 - lambda)
     val rhs = daily.select(col(keyCol), col("__t").as("__i"),

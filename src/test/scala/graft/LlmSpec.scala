@@ -3158,6 +3158,49 @@ class LlmSpec extends AnyFunSuite {
     assert(pp == Set((1L, 2L), (5L, 6L)), pp.toString)
   }
 
+  test("setSimJoinPairs: no float-ceil false negative at an exactly-at-threshold pair (t = 0.2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{size => asize, array_intersect}
+    // The regression corpus for the ceil cliff: at t = 0.2 the
+    // positional bound t/(1+t)·(na+nb) = 0.2/1.2·12 evaluates to
+    // 2.0000000000000004 in double, so the old ceil() form demanded
+    // overlap ≥ 3 where the exact bound is 2. Docs 1 and 2 share
+    // EXACTLY their two globally-frequent shingles (J = 2/10 = 0.2,
+    // at the threshold), and the filler docs 3-5 make those shared
+    // shingles the most frequent — forcing them to the BACK of the
+    // rarity order, where the only common prefix token sits at rank
+    // (5, 5) of (6, 6): overlap upper bound 1 + min(1, 1) = 2, which
+    // the buggy filter pruned. Brute force is the completeness
+    // oracle.
+    val corpus = Seq(
+      (1L, "abcdefghij"),  // shingles: abcde bcdef cdefg defgh efghi fghij
+      (2L, "abcdefklmn"),  // shares exactly {abcde, bcdef} with doc 1
+      (3L, "abcdefpqrst"),
+      (4L, "abcdefuvwxy"),
+      (5L, "abcdefzyxwv"))
+      .toDF("doc_id", "text")
+    val sets = corpus.select(col("doc_id"),
+      Dedup.hashedShingles(col("text")).as("shs"))
+    val inter = asize(array_intersect(col("sa"), col("sb")))
+    val brute = sets.select(col("doc_id").as("ia"), col("shs").as("sa"))
+      .join(sets.select(col("doc_id").as("ib"), col("shs").as("sb")),
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (inter.cast("double") /
+          (asize(col("sa")) + asize(col("sb")) - inter).cast("double"))
+          .as("j"))
+      .filter(col("j") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val got = Dedup.setSimJoinPairs(corpus, "doc_id", "text", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(brute.contains((1L, 2L)) && brute((1L, 2L)) == 0.2,
+      s"fixture must place (1,2) exactly at the threshold: $brute")
+    assert(got == brute,
+      s"exact join must keep the at-threshold pair: got $got, brute $brute")
+  }
+
   test("incrementalSortedNeighborPairs: equals the full run restricted to batch-involving pairs") {
     val cut = col("doc_id") % 3 === 0
     val incr = Dedup.incrementalSortedNeighborPairs(

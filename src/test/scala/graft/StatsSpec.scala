@@ -159,6 +159,18 @@ class StatsSpec extends AnyFunSuite {
       Stats.diffInDiff(units.withColumn("variant", lit("A")),
         "variant", "period", "y")
     }
+    // 2 distinct groups x 2 distinct periods but only 3 POPULATED
+    // cells (B has no pre-period rows) must fail loudly, not emit
+    // null did/se with significant=false
+    val threeCells = Seq(
+      ("A", "1_pre", 9.0), ("A", "1_pre", 11.0),
+      ("A", "2_post", 11.0), ("A", "2_post", 13.0),
+      ("B", "2_post", 24.0), ("B", "2_post", 26.0))
+      .toDF("variant", "period", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Stats.diffInDiff(threeCells, "variant", "period", "y")
+    }
+    assert(ex.getMessage.contains("4"), ex.getMessage)
   }
 
   test("abTest: hand-computed z and Wilson CI, degenerate pooled rate, 2-variant contract") {
