@@ -784,16 +784,19 @@ object Dedup {
     * shared tokenizer, like every token-level op here).
     *
     * Keeper choice is per WINDOW, so overlapping duplicated spans
-    * resolve consistently: the occurrence list of each window hash is
-    * sorted and all but the head emit a drop interval [pos, pos+w);
-    * a document's kept tokens are those covered by NO drop interval
-    * (HOF exists over the per-doc sorted drop positions — no
-    * per-token explode).
+    * resolve consistently: each window hash's occurrences are ranked
+    * by (doc, pos) and all but rank 1 emit a drop interval
+    * [pos, pos+w); a document's kept tokens are those covered by NO
+    * drop interval (HOF exists over the per-doc sorted drop
+    * positions — no per-token explode).
     *
-    * Shape: identical to [[substringStats]] through the occurrence
-    * aggregate (one full-stream hash shuffle on the 60-bit window
-    * key); everything after the `gcnt > 1` filter — the non-keeper
-    * explode, the per-doc drop-list aggregate, the join back onto
+    * Shape: one full-stream shuffle on the 60-bit window key (the
+    * [[substringStats]] exchange) feeding a per-window-hash rank —
+    * WindowExec's sorted, SPILL-SAFE group buffer, deliberately not a
+    * collect_list occurrence aggregate, whose unspillable per-group
+    * arrays grow with a window's corpus-wide occurrence count (the
+    * round-15 contention finding); everything after the rank-1 filter
+    * — the per-doc drop-list aggregate, the join back onto
     * (id, tokens) — is proportional to DUPLICATE volume. The rebuild
     * is a narrow per-row map. Survives 100 TB for the same reasons
     * substringStats does. */
@@ -808,15 +811,23 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val ex = docs.repartition(par).select(col(idCol), explode(wins).as("win"))
       .select(col(idCol), col("win.pos").as("pos"), col("win.wh").as("wh"))
-    // sort_array pins the occurrence order to (id, pos); the head is
-    // the keeper, the tail emits drop intervals
-    val drops = ex.groupBy(col("wh"))
-      .agg(count(lit(1)).as("gcnt"),
-        sort_array(collect_list(struct(col(idCol), col("pos")))).as("occ"))
-      .filter(col("gcnt") > 1)
-      .select(explode(slice(col("occ"), lit(2),
-        greatest(size(col("occ")) - 1, lit(0)))).as("o"))
-      .select(col(s"o.$idCol").as(idCol), col("o.pos").as("pos"))
+    // BOUNDED-STATE keeper resolution: rank each occurrence within its
+    // window hash by (id, pos) — rank 1 is the keeper, every later
+    // rank emits a drop interval. One shuffle on the 60-bit window key
+    // (same exchange the previous hash-aggregate paid), but WindowExec
+    // sorts and streams each group through a spill-safe row buffer,
+    // where the previous sort_array(collect_list(struct(id, pos)))
+    // held a window's ENTIRE corpus-wide occurrence list in one
+    // unspillable aggregation buffer — the board's biggest aggregation
+    // working set and a 24x median blow-up under co-located memory
+    // pressure (round-15 bench finding). A hyper-duplicated window now
+    // costs disk spill instead of executor heap. Values are identical:
+    // rank order (id, pos) IS the previous sort_array order, and
+    // rank > 1 implies the old gcnt > 1 filter.
+    val occRank = row_number().over(
+      Window.partitionBy(col("wh")).orderBy(col(idCol), col("pos")))
+    val drops = ex.withColumn("__rn", occRank)
+      .filter(col("__rn") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("dps"))
     val dps = coalesce(col("dps"), array().cast("array<int>"))
