@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Per-round lineage truncation: reliable `checkpoint` when
+    * `checkpointDir` is set — the mode for a preemptible 100×
+    * cluster, where executor-local blocks die with their executor
+    * and a lost one kills a long iteration with no lineage left to
+    * recompute — executor-local `localCheckpoint` otherwise (right
+    * for local mode and short jobs). The
+    * [[graft.llm.Corpus.bigStarClusters]] / dedup-family discipline;
+    * every iterative operator here threads the option through. The
+    * dir change is SCOPED per pin (set → checkpoint eagerly →
+    * restore), so the session's global checkpoint setting is
+    * untouched. */
+  private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) => graft.llm.Lineage.withCheckpointDir(
+        df.sparkSession.sparkContext, dir)(df.checkpoint(eager = true))
+      case None => df.localCheckpoint(true)
+    }
+
   /** Weighted PageRank (Brin & Page 1998) with a FIXED iteration
     * count — the importance/centrality readout over any edge frame
     * (source-citation graphs for corpus curation, user-interaction
@@ -37,7 +55,8 @@ object GraphOps {
     * broadcast 1-row frame — no driver collect anywhere. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String] = None, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     import graft.functions.GraftFunctions.dsum
     require(iters >= 1 && iters <= 50,
       s"iters must be in [1,50], got $iters")
@@ -51,18 +70,18 @@ object GraphOps {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(wAgg.as("w"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     val outw = e.groupBy(col("src")).agg(dsum(col("w"), 12).as("__ow"))
-    val ew = e.join(outw, Seq("src")).localCheckpoint(true)
+    val ew = e.join(outw, Seq("src")).transform(pin(_, checkpointDir))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     val nFrame = nodes.agg(count(lit(1)).cast("long").as("__n"))
     var ranks = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"),
         (lit(1.0) / col("__n").cast("double")).as("rank"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     for (_ <- 1 to iters) {
       val dangling = ranks
         .join(outw, ranks("node") === outw("src"), "left_anti")
@@ -80,7 +99,7 @@ object GraphOps {
           (lit(1.0 - damping) / col("__n").cast("double") +
             lit(damping) * (coalesce(col("__sum"), lit(0.0)) +
               col("__dang") / col("__n").cast("double"))).as("rank"))
-        .localCheckpoint(true)
+        .transform(pin(_, checkpointDir))
     }
     ranks.orderBy(col("rank").desc, col("node").asc)
   }
@@ -106,7 +125,8 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       weightCol: Option[String] = None, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     import graft.functions.GraftFunctions.dsum
     require(iters >= 1 && iters <= 50,
       s"iters must be in [1,50], got $iters")
@@ -120,9 +140,9 @@ object GraphOps {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(wAgg.as("w"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     val outw = e.groupBy(col("src")).agg(dsum(col("w"), 12).as("__ow"))
-    val ew = e.join(outw, Seq("src")).localCheckpoint(true)
+    val ew = e.join(outw, Seq("src")).transform(pin(_, checkpointDir))
     val nodes0 = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -136,11 +156,11 @@ object GraphOps {
         when(coalesce(col("__seed"), lit(false)),
           lit(1.0) / col("__ns").cast("double"))
           .otherwise(lit(0.0)).as("__t"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     require(!nodes.where(col("__t") > 0.0).isEmpty,
       "personalizedPageRank: no seed is a node of the graph")
     var ranks = nodes.select(col("node"), col("__t"),
-      col("__t").as("rank")).localCheckpoint(true)
+      col("__t").as("rank")).transform(pin(_, checkpointDir))
     for (_ <- 1 to iters) {
       val dangling = ranks
         .join(outw, ranks("node") === outw("src"), "left_anti")
@@ -157,7 +177,7 @@ object GraphOps {
           (lit(1.0 - damping) * col("__t") +
             lit(damping) * (coalesce(col("__sum"), lit(0.0)) +
               col("__dang") * col("__t"))).as("rank"))
-        .localCheckpoint(true)
+        .transform(pin(_, checkpointDir))
     }
     ranks.select(col("node"), col("rank"))
       .orderBy(col("rank").desc, col("node").asc)
@@ -186,8 +206,8 @@ object GraphOps {
     * Σ deg², both joins node-keyed, per-node counts from a 3-way
     * explode of the triangle frame. Nothing enumerates non-edges. */
   def triangleStats(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+      dstCol: String, checkpointDir: Option[String] = None): DataFrame = {
+    val e = undirectedSimple(edges, srcCol, dstCol).transform(pin(_, checkpointDir))
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("degree"))
@@ -220,9 +240,9 @@ object GraphOps {
     * fold with decimal-rounded 1/ln terms. Common neighbors have
     * degree ≥ 2 by construction, so ln never sees 1. */
   def adamicAdar(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, checkpointDir: Option[String] = None): DataFrame = {
     import graft.functions.GraftFunctions.dsum
-    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val e = undirectedSimple(edges, srcCol, dstCol).transform(pin(_, checkpointDir))
     val adj = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
     val deg = adj.groupBy(col("node"))
@@ -254,9 +274,9 @@ object GraphOps {
     * fetches onto the edge frame, ONE moment fold with
     * decimal-rounded terms — no iteration, nothing quadratic. */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, checkpointDir: Option[String] = None): DataFrame = {
     import graft.functions.GraftFunctions.dsum
-    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val e = undirectedSimple(edges, srcCol, dstCol).transform(pin(_, checkpointDir))
     val adj = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
     val deg = adj.groupBy(col("node"))
@@ -301,16 +321,17 @@ object GraphOps {
     * nodes; label frames localCheckpoint per round (plan linear in
     * rounds). */
   def labelPropagation(edges: DataFrame, srcCol: String,
-      dstCol: String, rounds: Int = 4): DataFrame = {
+      dstCol: String, rounds: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1,50], got $rounds")
-    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val e = undirectedSimple(edges, srcCol, dstCol).transform(pin(_, checkpointDir))
     val adj = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint(true)
-    val nodes = adj.select(col("node")).distinct().localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
+    val nodes = adj.select(col("node")).distinct().transform(pin(_, checkpointDir))
     var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(labels.select(col("node").as("nbr"),
@@ -325,7 +346,7 @@ object GraphOps {
       labels = labels.join(pick, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .transform(pin(_, checkpointDir))
     }
     labels.orderBy(col("node"))
   }
@@ -343,20 +364,21 @@ object GraphOps {
     * localCheckpoint per round. Seeds outside the graph are ignored;
     * at least one must be a node. */
   def seedDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1,50], got $maxHops")
-    val e = undirectedSimple(edges, srcCol, dstCol).localCheckpoint(true)
+    val e = undirectedSimple(edges, srcCol, dstCol).transform(pin(_, checkpointDir))
     val adj = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     val nodes = adj.select(col("node")).distinct()
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
       .join(nodes, Seq("node"))
       .select(col("node"), lit(0L).as("__sd"))
     var dist = nodes.join(seedSet, Seq("node"), "left")
       .select(col("node"), col("__sd").as("distance"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     require(!dist.where(col("distance").isNotNull).isEmpty,
       "seedDistances: no seed is a node of the graph")
     for (_ <- 1 to maxHops) {
@@ -369,7 +391,7 @@ object GraphOps {
       dist = dist.join(relax, Seq("node"), "left")
         .select(col("node"),
           least(col("distance"), col("__via")).as("distance"))
-        .localCheckpoint(true)
+        .transform(pin(_, checkpointDir))
     }
     dist.orderBy(col("distance").asc_nulls_last, col("node").asc)
   }
@@ -392,7 +414,8 @@ object GraphOps {
     * without out-edges); degenerate graphs where a whole side sums
     * to 0 keep the previous scores rather than dividing by zero. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: Option[String] = None, iters: Int = 3): DataFrame = {
+      weightCol: Option[String] = None, iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     import graft.functions.GraftFunctions.dsum
     require(iters >= 1 && iters <= 50,
       s"iters must be in [1,50], got $iters")
@@ -404,17 +427,17 @@ object GraphOps {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(wAgg.as("w"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     val nFrame = nodes.agg(count(lit(1)).cast("long").as("__n"))
     var scores = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"),
         (lit(1.0) / col("__n").cast("double")).as("hub"),
         (lit(1.0) / col("__n").cast("double")).as("auth"))
-      .localCheckpoint(true)
+      .transform(pin(_, checkpointDir))
     for (_ <- 1 to iters) {
       val aRaw = e.join(scores, e("src") === scores("node"))
         .select(col("dst"), (col("hub") * col("w")).as("__t"))
@@ -430,7 +453,7 @@ object GraphOps {
           when(col("__as") > 0.0,
             coalesce(col("__a"), lit(0.0)) / col("__as"))
             .otherwise(col("__pa")).as("auth"))
-        .localCheckpoint(true)
+        .transform(pin(_, checkpointDir))
       val hRaw = e.join(withA, e("dst") === withA("node"))
         .select(col("src"), (col("auth") * col("w")).as("__t"))
         .groupBy(col("src")).agg(dsum(col("__t"), 12).as("__h"))
@@ -447,7 +470,7 @@ object GraphOps {
             coalesce(col("__h"), lit(0.0)) / col("__hs"))
             .otherwise(col("__ph")).as("hub"),
           col("auth"))
-        .localCheckpoint(true)
+        .transform(pin(_, checkpointDir))
     }
     scores.select(col("node"), col("hub"), col("auth"))
       .orderBy(col("auth").desc, col("node").asc)

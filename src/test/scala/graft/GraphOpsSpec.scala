@@ -295,4 +295,40 @@ class GraphOpsSpec extends AnyFunSuite {
       GraphOps.pageRank(edges, "src", "dst", damping = 1.0)
     }
   }
+
+  test("checkpointDir: reliable-checkpoint path equals the localCheckpoint path, scoped dir restored") {
+    import spark.implicits._
+    // a small graph that exercises dangling mass (pageRank), ties
+    // (labelPropagation), and multi-hop relaxation (seedDistances)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graphckpt").toString
+    val before = spark.sparkContext.getCheckpointDir
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    try {
+      assert(rows(GraphOps.pageRank(edges, "src", "dst", iters = 3,
+        checkpointDir = Some(dir))) ==
+        rows(GraphOps.pageRank(edges, "src", "dst", iters = 3)))
+      assert(rows(GraphOps.labelPropagation(edges, "src", "dst",
+        rounds = 3, checkpointDir = Some(dir))) ==
+        rows(GraphOps.labelPropagation(edges, "src", "dst", rounds = 3)))
+      assert(rows(GraphOps.seedDistances(edges, "src", "dst", seeds, "id",
+        maxHops = 3, checkpointDir = Some(dir))) ==
+        rows(GraphOps.seedDistances(edges, "src", "dst", seeds, "id",
+          maxHops = 3)))
+      assert(rows(GraphOps.hits(edges, "src", "dst", iters = 2,
+        checkpointDir = Some(dir))) ==
+        rows(GraphOps.hits(edges, "src", "dst", iters = 2)))
+      // the reliable path actually WROTE checkpoints
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "checkpoint dir must be used")
+      // and the session's global checkpoint setting is untouched
+      assert(spark.sparkContext.getCheckpointDir == before,
+        "scoped dir must be restored")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
