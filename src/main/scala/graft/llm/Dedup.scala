@@ -1405,9 +1405,13 @@ object Dedup {
     * cached base until LRU eviction. */
   def setSimJoinPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, materialize: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      hotTokenDf: Int = 16384, saltBuckets: Int = 8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(hotTokenDf >= 2, s"hotTokenDf must be >= 2, got $hotTokenDf")
+    require(saltBuckets >= 2 && saltBuckets <= 1024,
+      s"saltBuckets must be in [2,1024], got $saltBuckets")
     val sp = docs.sparkSession
     val par = sp.sparkContext.defaultParallelism
     // sorted sets: the verification kernel is a primitive merge pass
@@ -1435,11 +1439,36 @@ object Dedup {
     // is not. The positional bound multiplies on BOTH sides (two
     // roundings), so it alone gets a 1e-9 relaxation — slack only
     // ADMITS candidates, and verification is exact.
-    val prefix = tok.join(freq, Seq("tk"))
+    val prefAll = tok.join(freq, Seq("tk"))
       .withColumn("__r", row_number().over(wRare))
       .filter(lit(threshold) * col("n").cast("double") <=
         (col("n") - col("__r") + 1).cast("double"))
+      .select(col("tk"), col("id"), col("n"), col("__r"), col("__f"))
+    // HOT-KEY GUARD: rare-first prefixes keep stop-shingles out of
+    // candidate keys on a DIVERSE corpus, but a hyper-frequent
+    // shingle in a low-diversity 100 TB corpus can still enter
+    // prefixes of thousands of docs, and the plain equi-join would
+    // land all Σ occurrence² pairs of that token on ONE reduce key.
+    // Tokens with document frequency > `hotTokenDf` are split out and
+    // self-joined on a SALTED GRID instead: each occurrence gets a
+    // deterministic bucket b ∈ [0, s); side A replicates a row to
+    // cells (b, j ≥ b), side B to cells (i ≤ b, b), and the join keys
+    // on (tk, cell) — every unordered occurrence pair meets in
+    // exactly one cell (same-bucket pairs meet twice with swapped
+    // roles; the canonical distinct collapses them), so completeness
+    // is preserved while the per-reducer work drops from m² to
+    // (m/s)² at (s+1)× replication of hot rows only. The default
+    // threshold (16 K ≈ 10⁸ same-key pair evaluations) sits where one
+    // reducer genuinely chokes: below it the replication overhead
+    // measurably exceeds the skew saving (A/B at sf0.1's degenerate
+    // df≈5 K fixture: 10.2 s plain vs 13.2 s gridded), above it a
+    // single key is minutes of work no AQE split can touch because
+    // the skew is WITHIN one join key, not across partitions.
+    val prefix = prefAll.filter(col("__f") <= hotTokenDf)
       .select(col("tk"), col("id"), col("n"), col("__r"))
+    val hotPref = prefAll.filter(col("__f") > hotTokenDf)
+      .withColumn("__bkt",
+        pmod(xxhash64(col("id")), lit(saltBuckets.toLong)).cast("int"))
     // POSITIONAL filtering (the PPJoin refinement): a match at rarity
     // positions (ra, rb) bounds the overlap above by
     // 1 + min(na − ra, nb − rb); Jaccard ≥ t needs overlap ≥
@@ -1451,17 +1480,37 @@ object Dedup {
     // — a 40-word synthetic vocab leaves 2k distinct shingles across
     // 5k docs) this is the difference between 8.2M candidate pairs
     // and the few hundred real ones.
-    val cands = prefix.select(col("tk"), col("id").as("__ia"),
-        col("n").as("__na"), col("__r").as("__ra"))
-      .join(prefix.select(col("tk"), col("id").as("__ib"),
-        col("n").as("__nb"), col("__r").as("__rb")), Seq("tk"))
-      .filter(col("__ia") < col("__ib") &&
+    // (symmetric under a↔b swap, so the hot grid applies it verbatim
+    // before canonicalizing)
+    def pairFilters(requireOrder: Boolean): Column = {
+      val base =
         col("__nb").cast("double") >= lit(threshold) * col("__na").cast("double") &&
         lit(threshold) * col("__nb").cast("double") <= col("__na").cast("double") &&
         (lit(1) + least(col("__na") - col("__ra"),
           col("__nb") - col("__rb"))).cast("double") * lit(1.0 + threshold) >=
-          lit(threshold) * (col("__na") + col("__nb")).cast("double") - lit(1e-9))
-      .select(col("__ia"), col("__ib")).distinct()
+          lit(threshold) * (col("__na") + col("__nb")).cast("double") - lit(1e-9)
+      if (requireOrder) col("__ia") < col("__ib") && base
+      else col("__ia") =!= col("__ib") && base
+    }
+    val coldCands = prefix.select(col("tk"), col("id").as("__ia"),
+        col("n").as("__na"), col("__r").as("__ra"))
+      .join(prefix.select(col("tk"), col("id").as("__ib"),
+        col("n").as("__nb"), col("__r").as("__rb")), Seq("tk"))
+      .filter(pairFilters(requireOrder = true))
+      .select(col("__ia"), col("__ib"))
+    val hotA = hotPref.select(col("tk"), col("id").as("__ia"),
+        col("n").as("__na"), col("__r").as("__ra"),
+        col("__bkt").as("__ci"),
+        explode(sequence(col("__bkt"), lit(saltBuckets - 1))).as("__cj"))
+    val hotB = hotPref.select(col("tk"), col("id").as("__ib"),
+        col("n").as("__nb"), col("__r").as("__rb"),
+        explode(sequence(lit(0), col("__bkt"))).as("__ci"),
+        col("__bkt").as("__cj"))
+    val hotCands = hotA.join(hotB, Seq("tk", "__ci", "__cj"))
+      .filter(pairFilters(requireOrder = false))
+      .select(least(col("__ia"), col("__ib")).as("__ia"),
+        greatest(col("__ia"), col("__ib")).as("__ib"))
+    val cands = coldCands.unionByName(hotCands).distinct()
     val withSets = cands
       .join(base.select(col("id").as("__ia"), col("shs").as("__sa")),
         Seq("__ia"))

@@ -3201,6 +3201,50 @@ class LlmSpec extends AnyFunSuite {
       s"exact join must keep the at-threshold pair: got $got, brute $brute")
   }
 
+  test("setSimJoinPairs: hot-token salted grid preserves completeness on a hyper-frequent shingle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{size => asize, array_intersect}
+    // every doc contains the same 9-char core (5 shared shingles —
+    // hyper-frequent, df = corpus size, guaranteed to enter short
+    // prefixes), plus a per-doc tail; consecutive docs share tails so
+    // real near-dup pairs exist. With hotTokenDf = 2 every shared
+    // shingle is HOT and similar pairs can only meet through the
+    // salted grid — equality with brute force proves the grid loses
+    // nothing (same-bucket, cross-bucket, and at-threshold pairs).
+    val core = "commoncor"
+    val corpus = (0 until 40).map { i =>
+      val g = i / 2
+      val tail = s"${('a' + g % 7).toChar}${('a' + (g / 7) % 7).toChar}xyz${i % 2}"
+      (i.toLong, core + tail) // (2k, 2k+1) differ in the LAST char only: J = 10/12
+    }.toDF("doc_id", "text")
+    val sets = corpus.select(col("doc_id"),
+      Dedup.hashedShingles(col("text")).as("shs"))
+    val inter = asize(array_intersect(col("sa"), col("sb")))
+    val brute = sets.select(col("doc_id").as("ia"), col("shs").as("sa"))
+      .join(sets.select(col("doc_id").as("ib"), col("shs").as("sb")),
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (inter.cast("double") /
+          (asize(col("sa")) + asize(col("sb")) - inter).cast("double"))
+          .as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(brute.nonEmpty, "fixture must contain similar pairs")
+    val gridded = Dedup.setSimJoinPairs(corpus, "doc_id", "text", 0.5,
+      hotTokenDf = 2, saltBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(gridded == brute,
+      s"salted grid must lose no pair: got ${gridded.size}, brute ${brute.size}")
+    // and the guard-off path agrees (hot threshold above every df)
+    val unguarded = Dedup.setSimJoinPairs(corpus, "doc_id", "text", 0.5,
+      hotTokenDf = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(unguarded == brute)
+  }
+
   test("incrementalSortedNeighborPairs: equals the full run restricted to batch-involving pairs") {
     val cut = col("doc_id") % 3 === 0
     val incr = Dedup.incrementalSortedNeighborPairs(
