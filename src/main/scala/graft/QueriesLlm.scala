@@ -7751,6 +7751,152 @@ object QueriesLlm {
                END AS assortativity
       FROM mom"""))
 
+  /** Parameterized tri-blocker PAIR chain for the incremental oracle:
+    * the q256 replay (minhash-LSH + sorted-neighborhood + Manku
+    * simhash, unioned as `<px>allp`) instantiated over a FILTERED
+    * document subset with prefixed CTE names, so one query can replay
+    * the chain twice (prior corpus + combined corpus). Mirrors
+    * duckMinhashCtes/duckBandCte/duckTriBlockerCtes verbatim. */
+  private def duckTriBlockerPairChain(px: String, where: String): String = s"""
+      ${px}docs AS (SELECT doc_id, text FROM documents $where),
+      ${px}dstr AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(text) - 4, 1)),
+                 i -> substring(text, i, 5))) AS shs
+        FROM ${px}docs),
+      ${px}d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shs, x ->
+                 ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+        FROM ${px}dstr),
+      ${px}s AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 11), i ->
+                 list_min(list_transform(shs, x ->
+                   (('0x' || substr(md5(x), 1, 8))::BIGINT
+                    + i * ('0x' || substr(md5(x), 9, 8))::BIGINT)
+                   % 2147483647)))
+                 AS sig
+        FROM ${px}dstr),
+      ${px}b AS (
+        SELECT doc_id, gs.b AS band_idx,
+               md5(sig[3 * gs.b + 1]::VARCHAR || '|' || sig[3 * gs.b + 2]::VARCHAR
+                   || '|' || sig[3 * gs.b + 3]::VARCHAR) AS band_hash
+        FROM ${px}s, generate_series(0, 3) gs(b)),
+      ${px}p AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM ${px}b x JOIN ${px}b y USING (band_idx, band_hash)
+        WHERE x.doc_id < y.doc_id),
+      ${px}pre AS (
+        SELECT id_a, id_b
+        FROM ${px}p JOIN ${px}s sa ON sa.doc_id = id_a
+                    JOIN ${px}s sb ON sb.doc_id = id_b
+        WHERE len(list_filter(generate_series(1, 12),
+                  i -> sa.sig[i] = sb.sig[i])) >= 6),
+      ${px}ver AS (
+        SELECT id_a, id_b,
+               len(list_intersect(da.sh, db.sh)) * 1.0
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+                 AS jaccard
+        FROM ${px}pre JOIN ${px}d da ON da.doc_id = id_a
+                      JOIN ${px}d db ON db.doc_id = id_b),
+      ${px}lshp AS (SELECT id_a, id_b FROM ${px}ver WHERE jaccard >= 0.5),
+      ${px}sns AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(0, 15), j ->
+                 CASE WHEN 2 * len(list_filter(toks, t ->
+                        strpos('89abcdef', substring(md5(t), j + 1, 1)) > 0))
+                      >= len(toks)
+                      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                 AS f16
+        FROM (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM ${px}docs)),
+      ${px}snr AS (SELECT doc_id, row_number() OVER (ORDER BY f16, doc_id) AS gr
+              FROM ${px}sns),
+      ${px}snc AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM ${px}snr a JOIN ${px}snr b ON b.gr > a.gr AND b.gr <= a.gr + 3),
+      ${px}snj AS (SELECT ia, ib,
+                CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                  / CAST(len(da.sh) + len(db.sh)
+                         - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                  AS jaccard
+              FROM ${px}snc JOIN ${px}d da ON da.doc_id = ia
+                     JOIN ${px}d db ON db.doc_id = ib),
+      ${px}snp AS (SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b
+              FROM ${px}snj WHERE jaccard >= 0.5),
+      ${px}arr AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM ${px}docs),
+      ${px}tok AS (SELECT doc_id, unnest(t) AS token FROM ${px}arr),
+      ${px}nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM ${px}arr),
+      ${px}bits AS (SELECT doc_id, j,
+          ((strpos('0123456789abcdef',
+              substring(md5(token), (j // 4) + 1, 1)) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT)) % 2 AS bit
+        FROM ${px}tok CROSS JOIN generate_series(0, 59) g(j)),
+      ${px}votes AS (SELECT doc_id, j, CAST(SUM(bit) AS BIGINT) AS v
+                FROM ${px}bits GROUP BY 1, 2),
+      ${px}sh60 AS (SELECT v.doc_id,
+          CAST(SUM(CASE WHEN 2 * v.v >= nn.n
+            THEN CAST(pow(2, v.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        FROM ${px}votes v JOIN ${px}nn nn ON v.doc_id = nn.doc_id GROUP BY 1),
+      ${px}blocks AS (SELECT doc_id, sh, i AS blk,
+          (sh // CAST(pow(2, 15 * i) AS BIGINT)) % 32768 AS bval
+        FROM ${px}sh60 CROSS JOIN generate_series(0, 3) gb(i)),
+      ${px}cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.sh AS sa, y.sh AS sb
+               FROM ${px}blocks x JOIN ${px}blocks y
+                 ON x.blk = y.blk AND x.bval = y.bval
+                   AND x.doc_id < y.doc_id),
+      ${px}simp AS (SELECT id_a, id_b FROM ${px}cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+      ${px}allp AS (SELECT DISTINCT id_a, id_b FROM (
+               SELECT id_a, id_b FROM ${px}lshp
+               UNION ALL SELECT id_a, id_b FROM ${px}snp
+               UNION ALL SELECT id_a, id_b FROM ${px}simp))"""
+
+  /** The STEADY-STATE composed dedup call: the doc_id % 4 == 0 slice
+    * arrives as a batch against the persisted three-blocker artifacts
+    * (signature/sort-key/simhash tables) and the prior pair log of
+    * the % 4 != 0 backfill; clusters re-close over log ∪ delta with
+    * new×(existing∪new) candidate work only. The oracle replays the
+    * tri-blocker pair chain TWICE — over the prior corpus (the pair
+    * log) and over the combined corpus restricted to batch-involving
+    * pairs (the delta; per-blocker incremental contracts make that
+    * restriction exact) — then closes transitively with the q57
+    * recursive CTE. See [[Dedup.incrementalBlockedDedupClusters]]. */
+  private val q292 = Q("q292_incr_blocked_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.incrementalBlockedDedupClusters(
+        Dedup.signatureTable(existing, "doc_id", "text"),
+        Dedup.sortKeyTable(existing, "doc_id", "text"),
+        Dedup.simhashTable(existing, "doc_id", "text"),
+        Dedup.blockedDedupPairs(existing, "doc_id", "text"),
+        batch, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${duckTriBlockerPairChain("pr_", "WHERE doc_id % 4 <> 0")},
+      ${duckTriBlockerPairChain("fu_", "")},
+      delta AS (SELECT id_a, id_b FROM fu_allp
+                WHERE id_a % 4 = 0 OR id_b % 4 = 0),
+      u AS (SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b FROM pr_allp
+            UNION ALL SELECT id_a, id_b FROM delta)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM u
+                UNION ALL SELECT id_b, id_a FROM u),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+      SELECT id AS doc_id, MIN(r) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
   /** Dynamic-schema column profiling of the customer table — counts,
     * lexicographic bounds, top value per column; see
     * [[graft.ops.Profiler.profile]]. */
@@ -7776,5 +7922,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292)
 }

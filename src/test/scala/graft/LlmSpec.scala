@@ -3264,6 +3264,43 @@ class LlmSpec extends AnyFunSuite {
       "existing x existing pairs never re-emitted")
   }
 
+  test("incrementalBlockedDedupPairs: equals full-run three-blocker pairs restricted to batch-involving; clusters equal prior+delta closure") {
+    val cut = col("doc_id") % 4 === 0
+    val existing = docs.filter(!cut)
+    val batch = docs.filter(cut)
+    val sig = Dedup.signatureTable(existing, "doc_id", "text")
+    val sk = Dedup.sortKeyTable(existing, "doc_id", "text")
+    val fp = Dedup.simhashTable(existing, "doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch ≡ backfill on the union: the incremental composed pairs
+    // are EXACTLY the full-run three-blocker pairs on existing ∪
+    // batch that involve a batch doc (per-blocker contracts compose:
+    // LSH/simhash decompose pairwise, sorted-neighborhood ranks over
+    // the combined order)
+    val full = pairSet(Dedup.blockedDedupPairs(docs, "doc_id", "text"))
+    val incr = pairSet(Dedup.incrementalBlockedDedupPairs(
+      sig, sk, fp, batch, "doc_id", "text"))
+    val restricted = full.filter { case (a, b) => a % 4 == 0 || b % 4 == 0 }
+    assert(incr == restricted,
+      s"incremental (${incr.size}) must equal restricted full (${restricted.size})")
+    assert(incr.nonEmpty, "fixture must trip pairs across the cut")
+    assert(incr.forall { case (a, b) => a % 4 == 0 || b % 4 == 0 },
+      "existing x existing pairs never re-emitted")
+    // cluster deltas: closure over (prior pair log ∪ delta)
+    val prior = Dedup.blockedDedupPairs(existing, "doc_id", "text")
+    val got = Dedup.incrementalBlockedDedupClusters(
+      sig, sk, fp, prior, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spark2 = spark
+    import spark2.implicits._
+    val replayEdges = (pairSet(prior) ++ incr).toSeq.toDF("id_a", "id_b")
+    val replay = graft.llm.Corpus.dupClusters(replayEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == replay, "clusters must be the prior ∪ delta closure")
+  }
+
   test("blockedClusterKeepers: one keeper per cluster, keep-longest, singletons keep themselves") {
     val out = Dedup.blockedClusterKeepers(docs, "doc_id", "text", "n_chars")
       .collect()

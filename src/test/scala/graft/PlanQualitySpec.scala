@@ -1252,6 +1252,61 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q292 incremental blocked dedup: probe sides are batch-only — no existing x existing candidate stream") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val existing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    def leafCount(p: LogicalPlan): Int = p.collectLeaves().size
+    // LSH: the band join's PROBE (left) side derives from the batch
+    // sigs alone (1 scan); the build side is existing ∪ batch (2).
+    // The verified-pair frame is persisted inside the function, so
+    // the band join lives inside the InMemoryRelation's cached plan —
+    // drill through it (plan inspection runs no action, so the cache
+    // never materializes and there is nothing to release).
+    val lsh = graft.llm.Dedup.incrementalLshPairs(
+      graft.llm.Dedup.signatureTable(batch, "doc_id", "text"),
+      graft.llm.Dedup.signatureTable(existing, "doc_id", "text"),
+      materialize = false)
+    val imr = lsh.queryExecution.optimizedPlan.collectFirst {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(imr.isDefined, "scored-pair CSE cache must exist")
+    val cached = imr.get.cachedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan // collect() does not descend through the AQE root
+      case p => p
+    }
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    val bandJoin = cached.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.exists(_.toString.contains("band_hash")) => j
+    }
+    assert(bandJoin.isDefined,
+      "band join must exist: " + cached.toString.take(4000))
+    assert(scans(bandJoin.get.left) == 1 && scans(bandJoin.get.right) == 2,
+      s"LSH probe must be batch-only: ${scans(bandJoin.get.left)} x " +
+        s"${scans(bandJoin.get.right)} parquet scans")
+    // simhash: same contract on the 15-bit block join
+    val sim = graft.llm.Dedup.incrementalSimhashPairs(
+      graft.llm.Dedup.simhashTable(batch, "doc_id", "text"),
+      graft.llm.Dedup.simhashTable(existing, "doc_id", "text"))
+    val simJoin = sim.queryExecution.optimizedPlan.collectFirst {
+      case j: Join if j.condition.exists(_.toString.contains("bval")) => j
+    }
+    assert(simJoin.isDefined, "block join must exist")
+    assert(leafCount(simJoin.get.left) == 1 && leafCount(simJoin.get.right) == 2,
+      s"simhash probe must be batch-only: ${leafCount(simJoin.get.left)} x " +
+        s"${leafCount(simJoin.get.right)} leaves")
+    // sorted-neighborhood is a global-order blocker (both sides rank
+    // over the union by construction); its batch-involving candidate
+    // restriction is pinned by the q274 test above and LlmSpec's
+    // set-equality case.
+  }
+
   test("q278 set-sim join (lazy): candidate join keyed on prefix shingle, rarity window doc-keyed, no cartesian") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val before = spark.sparkContext.getPersistentRDDs.keySet
