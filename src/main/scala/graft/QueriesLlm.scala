@@ -936,6 +936,29 @@ object QueriesLlm {
       SELECT id AS doc_id, MIN(r) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** The same clustering through the DISTRIBUTED large-star/small-star
+    * path (Kiveris et al.): q57's pairs resolve through the byte-gated
+    * driver union-find at gate scale, so `localMaxBytes = 0` forces
+    * [[graft.llm.Corpus.bigStarClusters]] — making the code path a
+    * 100 TB pair stream actually takes itself an oracle-checked
+    * CORRECTNESS row (CorpusSpec pins fast-path agreement; this pins
+    * the distributed path against the independent DuckDB closure). */
+  private val q293 = Q("q293_bigstar_clusters",
+    (s, dir) => Dedup.withLshPairs(t(s, dir, "documents"), "doc_id", "text") {
+      pairs => graft.llm.Corpus.dupClusters(pairs, localMaxBytes = 0L)
+    }.select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id"),
+    Some(s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},$duckBandCte,
+      p2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+                UNION ALL SELECT id_b, id_a FROM p2),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+      SELECT id AS doc_id, MIN(r) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
   /** Canonical-keeper resolution over the q57 cluster chain: the
     * keep-longest rule (argmax n_chars, tie → lower id) decided per
     * near-dup cluster — the dedup pipeline's last mile, the frame a
@@ -7922,5 +7945,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293)
 }
