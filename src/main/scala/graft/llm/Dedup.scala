@@ -1306,20 +1306,43 @@ object Dedup {
       val newSk = prep.select(col("id"), col("shs"),
         col("sh16").as("sh"))
       val newFps = prep.select(col("id"), col("sh60").as("sh"))
-      val lsh = incrementalLshPairs(newSigs, sigTable, lshThreshold,
-          numBands = 4, minAgree = 6, materialize = true,
-          checkpointDir = checkpointDir)
-        .select(col("id_a"), col("id_b"))
-      val sn = incrementalSortedNeighborPairs(sortKeys, newSk,
-          snWindow, snThreshold, materialize = true,
-          checkpointDir = checkpointDir)
-        .select(col("id_a"), col("id_b"))
-      val sim = incrementalSimhashPairs(newFps, fpTable, maxHamming)
-        .select(col("id_a"), col("id_b"))
-      // sim is lazy over the batch prep — the final pin materializes
-      // it while the prep cache is still held
-      pin(lsh.unionByName(sn).unionByName(sim).distinct(), checkpointDir)
+      incrementalBlockedDedupPairsFromArtifacts(newSigs, newSk, newFps,
+        sigTable, sortKeys, fpTable, lshThreshold, snWindow,
+        snThreshold, maxHamming, checkpointDir)
     } finally prep.unpersist(blocking = false)
+  }
+
+  /** [[incrementalBlockedDedupPairs]] when the BATCH artifacts are
+    * already on hand (the streaming admission path computes one
+    * shared prep per epoch and reuses it for both the probe and the
+    * store appends — see
+    * [[graft.streaming.StreamingPipeline.startBlockedCorpusIngest]]).
+    * `newSigs`/`newSk`/`newFps` follow the [[signatureTable]] /
+    * [[sortKeyTable]] / [[simhashTable]] schemas; the result is
+    * eager-pinned (callers hold whatever caches back the artifact
+    * frames). */
+  def incrementalBlockedDedupPairsFromArtifacts(newSigs: DataFrame,
+      newSk: DataFrame, newFps: DataFrame, sigTable: DataFrame,
+      sortKeys: DataFrame, fpTable: DataFrame,
+      lshThreshold: Double = 0.5, snWindow: Int = 4,
+      snThreshold: Double = 0.5, maxHamming: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(snWindow >= 2, s"window must be >= 2, got $snWindow")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole with 4 blocks certifies maxHamming <= 3, got $maxHamming")
+    val lsh = incrementalLshPairs(newSigs, sigTable, lshThreshold,
+        numBands = 4, minAgree = 6, materialize = true,
+        checkpointDir = checkpointDir)
+      .select(col("id_a"), col("id_b"))
+    val sn = incrementalSortedNeighborPairs(sortKeys, newSk,
+        snWindow, snThreshold, materialize = true,
+        checkpointDir = checkpointDir)
+      .select(col("id_a"), col("id_b"))
+    val sim = incrementalSimhashPairs(newFps, fpTable, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    // sim is lazy over the batch artifacts — the final pin
+    // materializes it while the caller's caches are still held
+    pin(lsh.unionByName(sn).unionByName(sim).distinct(), checkpointDir)
   }
 
   /** Cluster deltas over the combined corpus after an ingest batch:

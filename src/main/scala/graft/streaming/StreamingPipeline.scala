@@ -439,6 +439,178 @@ object StreamingPipeline {
     } finally newSigs.unpersist(blocking = false)
   }
 
+  /** Epoch ids whose SIGNATURE partition committed — the commit
+    * record of the blocked ingest chain's multi-store epoch (the sig
+    * store is written last; see [[blockedCorpusIngestBatch]]). */
+  private def sigCommittedEpochIds(spark: SparkSession,
+      sigDir: String): Seq[String] =
+    committedEpochs(spark, sigDir).map(_.split("epoch=").last)
+
+  /** An artifact store of the blocked ingest chain, restricted to
+    * SIG-committed epochs: a crash between this store's write and the
+    * sig write leaves a torn (even `_SUCCESS`-marked) partition that
+    * must stay invisible until its replay commits the epoch. */
+  private def readSigCommitted(spark: SparkSession, dir: String,
+      sigDir: String): DataFrame = {
+    val ids = sigCommittedEpochIds(spark, sigDir)
+    require(ids.nonEmpty, s"no sig-committed epochs for $dir")
+    spark.read.option("basePath", dir)
+      .parquet(ids.map(e => s"$dir/epoch=$e"): _*).drop("epoch")
+  }
+
+  /** Committed sort-key-store rows of the BLOCKED ingest chain — THE
+    * supported view (consistency is keyed on the sig store's commit
+    * record, see [[blockedCorpusIngestBatch]]). */
+  def readSortKeys(spark: SparkSession, sortKeyDir: String,
+      sigDir: String): DataFrame =
+    readSigCommitted(spark, sortKeyDir, sigDir)
+
+  /** Committed simhash-fingerprint-store rows of the BLOCKED ingest
+    * chain (see [[readSortKeys]]). */
+  def readFingerprints(spark: SparkSession, fpDir: String,
+      sigDir: String): DataFrame =
+    readSigCommitted(spark, fpDir, sigDir)
+
+  /** THREE-BLOCKER streaming dedup admission: the [[startCorpusIngest]]
+    * chain with [[graft.llm.Dedup.incrementalBlockedDedupPairsFromArtifacts]]
+    * in place of the single LSH probe — every epoch probes the
+    * incoming batch against the PERSISTED signature, sort-key, and
+    * simhash stores (minhash-LSH band agreement ∪ sorted-neighborhood
+    * locality ∪ Manku hamming blocks), and all three stores grow by
+    * the epoch's survivors. This is the streaming steady state of the
+    * composed dedup family: q256/[[graft.llm.Dedup.blockedDedupClusters]]
+    * is the backfill, q292/incrementalBlockedDedupClusters the nightly
+    * batch, THIS the continuous admission path — one shared digest
+    * scan per epoch feeds all three probes and all three store
+    * appends.
+    *
+    * Scale shape per micro-batch: the digest prep is one narrow pass
+    * over the batch; each probe keeps its incremental contract
+    * (batch band-keys / batch blocks / bare-key re-rank with
+    * batch-involving verification only) — nothing corpus²; the
+    * stores grow by survivors so they mirror the corpus exactly. */
+  def startBlockedCorpusIngest(spark: SparkSession, landingDir: String,
+      corpusDir: String, sigDir: String, sortKeyDir: String,
+      fpDir: String, checkpoint: String, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, threshold: Double = 0.5,
+      snWindow: Int = 4, maxHamming: Int = 3,
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.schema(docSchema).parquet(landingDir)
+    raw.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else
+        Trigger.ProcessingTime("15 minutes"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        blockedCorpusIngestBatch(batch, corpusDir, sigDir, sortKeyDir,
+          fpDir, weights, defaultWeight, threshold, snWindow,
+          maxHamming, batchId)
+      }
+      .start()
+  }
+
+  /** Per-epoch body of [[startBlockedCorpusIngest]] (package-visible
+    * so the spec can drive a single batch without a stream).
+    *
+    * Idempotence with THREE artifact stores: every sink lands its
+    * epoch under `epoch=<batchId>` with OVERWRITE, and the signature
+    * store — written LAST — is the single commit record (the exact-id
+    * anti-join consults IT alone, and the sort-key/fingerprint stores
+    * are read restricted to SIG-committed epoch ids). A crash after
+    * the sort-key/fingerprint writes but before the sig write leaves
+    * torn partitions that are invisible to every probe and are
+    * overwritten in place by the replay — the [[corpusIngestBatch]]
+    * contract extended to a multi-store commit. */
+  private[streaming] def blockedCorpusIngestBatch(batch: DataFrame,
+      corpusDir: String, sigDir: String, sortKeyDir: String,
+      fpDir: String, weights: Map[String, Double],
+      defaultWeight: Double, threshold: Double, snWindow: Int,
+      maxHamming: Int, shardId: Long = 0L): Unit = {
+    import graft.llm.{Corpus, Dedup, TextAnalysis}
+    val spark = batch.sparkSession
+    val sampled = Corpus.mixtureSample(batch, "source", "doc_id",
+      weights, defaultWeight)
+    val cleaned0 = TextAnalysis.c4Clean(sampled, "doc_id", "text")
+      .join(sampled.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // the sig store is the commit record for ALL THREE stores: only
+    // epoch ids whose sig partition committed are read from the
+    // sort-key/fingerprint dirs, so the three views are always
+    // mutually consistent (same ids, same epochs)
+    val epochIds = sigCommittedEpochIds(spark, sigDir)
+    def store(dir: String, empty: => DataFrame): DataFrame =
+      if (epochIds.isEmpty) empty
+      else readSigCommitted(spark, dir, sigDir)
+    val existingSigs = store(sigDir,
+      Dedup.signatureTable(cleaned0.limit(0), "doc_id", "clean_text"))
+    val existingSk = store(sortKeyDir,
+      Dedup.sortKeyTable(cleaned0.limit(0), "doc_id", "clean_text"))
+    val existingFps = store(fpDir,
+      Dedup.simhashTable(cleaned0.limit(0), "doc_id", "clean_text"))
+    // exact-id idempotence: a retried batch's survivors are already
+    // in the store under their own ids
+    val cleaned = cleaned0.join(
+      existingSigs.select(col("id").as("doc_id")), Seq("doc_id"),
+      "left_anti")
+    // ONE digest pass per epoch computes all three fingerprint
+    // families (the q292 shared-prep shape on the streaming delta)
+    val par = spark.sparkContext.defaultParallelism
+    val toks = TextAnalysis.tokens(col("clean_text"))
+    val prep = cleaned.repartition(par).select(col("doc_id").as("id"),
+        graft.functions.MinHashShingles
+          .column(spark, col("clean_text"), 12).as("ms"),
+        graft.functions.SimHash16.column(spark, toks).as("sh16"),
+        graft.functions.SimHash60.column(spark, toks).as("sh60"))
+      .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("shs"),
+        col("sh16"), col("sh60"))
+      .persist()
+    try {
+      val newSigs = prep.select(col("id"), col("sig"),
+          col("shs").as("sh"))
+        .withColumn("bh", Dedup.bandHashesLong(col("sig"), 4, 3))
+      val newSk = prep.select(col("id"), col("shs"),
+        col("sh16").as("sh"))
+      val newFps = prep.select(col("id"), col("sh60").as("sh"))
+      // eager, cache-released pair probe (the q292 call)
+      val pairs = Dedup.incrementalBlockedDedupPairsFromArtifacts(
+        newSigs, newSk, newFps, existingSigs, existingSk, existingFps,
+        threshold, snWindow, threshold, maxHamming)
+      // keeper orientation: the STORE always wins (a stored doc can't
+      // be un-appended); within-batch pairs keep the min id — the
+      // corpusIngestBatch rule over the three-blocker pair union
+      val batchIds = prep.select(col("id"))
+      val dead = pairs
+        .join(batchIds, pairs("id_b") === batchIds("id"), "left_semi")
+        .select(col("id_b").as("doc_id"))
+        .unionAll(pairs
+          .join(batchIds, pairs("id_b") === batchIds("id"), "left_anti")
+          .select(col("id_a").as("doc_id")))
+        .distinct()
+      val survivors = cleaned.join(dead, Seq("doc_id"), "left_anti").cache()
+      try {
+        if (survivors.count() > 0) {
+          survivors.withColumn("insert_dt", current_timestamp())
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$corpusDir/epoch=$shardId")
+          failpoint("blocked-corpus:after-corpus-write")
+          val keep = survivors.select(col("doc_id").as("id"))
+          // artifact stores BEFORE the sig commit record; every read
+          // here comes off the prep/survivors caches, so the writes
+          // never re-digest the batch
+          newSk.join(keep, Seq("id"), "left_semi")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$sortKeyDir/epoch=$shardId")
+          newFps.join(keep, Seq("id"), "left_semi")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$fpDir/epoch=$shardId")
+          failpoint("blocked-corpus:after-artifact-writes")
+          newSigs.join(keep, Seq("id"), "left_semi")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$sigDir/epoch=$shardId")
+        }
+      } finally survivors.unpersist()
+    } finally prep.unpersist(blocking = false)
+  }
+
   /** Raw event schema as landed by the source (the `events` fixture
     * shape). */
   val eventSchema: StructType = StructType(Seq(

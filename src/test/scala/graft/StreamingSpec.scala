@@ -157,6 +157,107 @@ class StreamingSpec extends AnyFunSuite {
       "backfilled near-dup with a smaller id must lose to the store")
   }
 
+  test("blocked corpus ingest: three-blocker admission, sig-committed store consistency, torn artifact epoch invisible") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-blocked-stream").toString
+    val landing = s"$base/landing"; val corpus = s"$base/corpus"
+    val sigs = s"$base/sigs"; val sks = s"$base/sks"; val fps = s"$base/fps"
+    val weights = Map("keep" -> 1.0)
+    val text1 = "the quick brown fox jumps over fences.\nmorning rain fell on the quiet harbor town!\nseven sailors counted stars above deck?"
+    val text2 = "bakers knead dough before sunrise daily.\ncopper kettles whistle in the old kitchen!\nchildren chase autumn leaves down lanes?"
+    val text3 = "glaciers carve valleys over countless years.\nlibraries hold voices from distant ages!\ngardeners plant tulips beside stone walls?"
+    def run(cp: String): Unit = {
+      val q = StreamingPipeline.startBlockedCorpusIngest(spark, landing,
+        corpus, sigs, sks, fps, cp, weights)
+      assert(q.awaitTermination(120000), "AvailableNow drain timed out")
+    }
+    def storeIds(read: => org.apache.spark.sql.DataFrame): Set[Long] =
+      read.select("id").collect().map(_.getLong(0)).toSet
+
+    Seq((1L, text1, "keep"), (2L, text2, "keep"))
+      .toDF("doc_id", "text", "source").write.parquet(landing)
+    run(s"$base/cp")
+    assert(StreamingPipeline.readCorpus(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // all three artifact stores mirror the corpus, consistently
+    assert(storeIds(StreamingPipeline.readSignatures(spark, sigs)) == Set(1L, 2L))
+    assert(storeIds(StreamingPipeline.readSortKeys(spark, sks, sigs)) == Set(1L, 2L))
+    assert(storeIds(StreamingPipeline.readFingerprints(spark, fps, sigs)) == Set(1L, 2L))
+
+    // epoch 1: an exact near-dup of STORED doc 1 dies against the
+    // store (store-wins, doc 1 not in this batch); fresh content
+    // survives and lands in all three stores
+    Seq((10L, text1, "keep"), (11L, text3, "keep"))
+      .toDF("doc_id", "text", "source").write.mode("append").parquet(landing)
+    run(s"$base/cp")
+    assert(StreamingPipeline.readCorpus(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L))
+    for ((nm, ids) <- Seq(
+      "sig" -> storeIds(StreamingPipeline.readSignatures(spark, sigs)),
+      "sortkey" -> storeIds(StreamingPipeline.readSortKeys(spark, sks, sigs)),
+      "fp" -> storeIds(StreamingPipeline.readFingerprints(spark, fps, sigs))))
+      assert(ids == Set(1L, 2L, 11L), s"$nm store must mirror the corpus: $ids")
+
+    // the admission probe IS the q292 batch call: replaying the dead
+    // doc against the stores through the public batch API finds the
+    // same kill
+    val probe = graft.llm.TextAnalysis.c4Clean(
+      Seq((10L, text1)).toDF("doc_id", "text"), "doc_id", "text")
+    val pairs = graft.llm.Dedup.incrementalBlockedDedupPairs(
+      StreamingPipeline.readSignatures(spark, sigs),
+      StreamingPipeline.readSortKeys(spark, sks, sigs),
+      StreamingPipeline.readFingerprints(spark, fps, sigs),
+      probe, "doc_id", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)),
+      s"batch API must find the stored near-dup: $pairs")
+
+    // worst-case retry: a fresh checkpoint reprocesses every landing
+    // file; the exact-id anti-join against the sig store neutralizes
+    // all of it
+    run(s"$base/cp-retry")
+    val out = StreamingPipeline.readCorpus(spark, corpus)
+    assert(out.count() == 3 &&
+      out.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "re-executed batches must be a no-op")
+
+    // TORN ARTIFACT EPOCH: crash after the sort-key/fp writes but
+    // before the sig commit record — the torn partitions (even with
+    // _SUCCESS) must stay invisible to the sig-keyed readers, and the
+    // replay must overwrite them in place
+    @volatile var fired = false
+    StreamingPipeline.failpoint = { pt =>
+      if (pt == "blocked-corpus:after-artifact-writes" && !fired) {
+        fired = true
+        throw new RuntimeException("simulated crash before sig commit")
+      }
+    }
+    try {
+      Seq((20L, "mountain trails wind through silent pines.\nrivers braid silver paths across the plain!\nowls watch dusk settle over the ridge?", "keep"))
+        .toDF("doc_id", "text", "source").write.mode("append").parquet(landing)
+      val qKill = StreamingPipeline.startBlockedCorpusIngest(spark, landing,
+        corpus, sigs, sks, fps, s"$base/cp", weights)
+      intercept[Exception] { qKill.awaitTermination(120000) }
+      assert(fired, "failpoint must have fired")
+      // torn epoch: sortkey/fp partitions exist but sig does not —
+      // the sig-keyed views must NOT show doc 20
+      assert(!storeIds(StreamingPipeline.readSortKeys(spark, sks, sigs))
+        .contains(20L), "torn sort-key epoch must be invisible")
+      assert(!storeIds(StreamingPipeline.readFingerprints(spark, fps, sigs))
+        .contains(20L), "torn fp epoch must be invisible")
+      StreamingPipeline.failpoint = _ => ()
+      run(s"$base/cp")
+      assert(StreamingPipeline.readCorpus(spark, corpus).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L, 20L))
+      for ((nm, ids) <- Seq(
+        "sig" -> storeIds(StreamingPipeline.readSignatures(spark, sigs)),
+        "sortkey" -> storeIds(StreamingPipeline.readSortKeys(spark, sks, sigs)),
+        "fp" -> storeIds(StreamingPipeline.readFingerprints(spark, fps, sigs))))
+        assert(ids == Set(1L, 2L, 11L, 20L),
+          s"$nm store must be consistent after replay: $ids")
+    } finally StreamingPipeline.failpoint = _ => ()
+  }
+
   test("mid-batch kill in the corpus+pack chain: restart from checkpoint is exactly-once") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-crash-stream").toString
