@@ -6133,31 +6133,13 @@ object QueriesLlm {
              (kbase.doc_id = kkp.keeper) AS kept
       FROM kbase JOIN kkp USING (cluster_id) ORDER BY kbase.doc_id"""))
 
-  /** End-to-end hybrid retrieval over the FULL serving stack: BM25
-    * postings top-10 + dense ANN top-10 probed from the PERSISTED IVF
-    * index (seed centroids — the deterministic build the oracle can
-    * replay), fused by RRF; see [[Similarity.hybridSearchIndexed]].
-    * q251 gates the fusion on pre-cut lists; this gates the whole
-    * request path, index build included. */
-  private val q257 = Q("q257_hybrid_indexed",
-    (s, dir) => {
-      import s.implicits._
-      val queries = Seq(
-        (1L, "dup key scan"), (2L, "hash join merge"),
-        (3L, "stream window sort the")).toDF("query_id", "query_text")
-      val emb = t(s, dir, "embeddings")
-      val idx = indexDir("hyb", dir)(p =>
-        Similarity.buildIvfIndex(emb, p,
-          centroids = Some(emb.filter(col("vec_id") < 16)
-            .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))))
-      Similarity.hybridSearchIndexed(s, idx, t(s, dir, "documents"),
-        "doc_id", "text", queries,
-        emb.filter(col("vec_id").isin(1L, 2L, 3L)),
-        k = 10, nprobe = 2)
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
-      WITH q(query_id, query_text) AS (VALUES
+  /** Shared hybrid-retrieval oracle CTEs (the q257 request-path
+    * replay): BM25 lexical top-10 + seed-centroid IVF dense top-10
+    * over the 3 fixed text queries, RRF-fused into `f`
+    * (query_id, id, rrf_score, rank_a, rank_b). Reused by the q294
+    * end-to-end retrieval-eval chain. */
+  private val duckHybridCtes = s"""
+      q(query_id, query_text) AS (VALUES
         (CAST(1 AS BIGINT), 'dup key scan'),
         (CAST(2 AS BIGINT), 'hash join merge'),
         (CAST(3 AS BIGINT), 'stream window sort the')),
@@ -6231,11 +6213,37 @@ object QueriesLlm {
               l.rank AS rank_a, d.rank AS rank_b
             FROM ids
             LEFT JOIN lex l ON l.query_id = ids.query_id AND l.id = ids.id
-            LEFT JOIN den d ON d.query_id = ids.query_id AND d.id = ids.id)
+            LEFT JOIN den d ON d.query_id = ids.query_id AND d.id = ids.id)"""
+
+  /** End-to-end hybrid retrieval over the FULL serving stack: BM25
+    * postings top-10 + dense ANN top-10 probed from the PERSISTED IVF
+    * index (seed centroids — the deterministic build the oracle can
+    * replay), fused by RRF; see [[Similarity.hybridSearchIndexed]].
+    * q251 gates the fusion on pre-cut lists; this gates the whole
+    * request path, index build included. */
+  private val q257 = Q("q257_hybrid_indexed",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "dup key scan"), (2L, "hash join merge"),
+        (3L, "stream window sort the")).toDF("query_id", "query_text")
+      val emb = t(s, dir, "embeddings")
+      val idx = indexDir("hyb", dir)(p =>
+        Similarity.buildIvfIndex(emb, p,
+          centroids = Some(emb.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))))
+      Similarity.hybridSearchIndexed(s, idx, t(s, dir, "documents"),
+        "doc_id", "text", queries,
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+        k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $duckHybridCtes
       SELECT query_id, rank, id, rrf_score, rank_a, rank_b FROM (
         SELECT f.*, CAST(row_number() OVER (PARTITION BY query_id
           ORDER BY rrf_score DESC, id ASC) AS BIGINT) AS rank FROM f)
       WHERE rank <= 10 ORDER BY query_id, rank"""))
+
 
   /** Per-source precision/recall/F1 sweep of the q248 scorer — the
     * slice fairness table beside q244's per-fold AUC; see
@@ -7774,6 +7782,87 @@ object QueriesLlm {
                END AS assortativity
       FROM mom"""))
 
+  /** The FULL retrieval serving chain, one call, one gate:
+    * persisted-IVF + BM25 hybrid RRF pool (the q257 request path) →
+    * MMR diversity rerank over the FUSED pool (q269's greedy
+    * recursion, fed by the real retriever instead of a brute pool) →
+    * hits/MRR/nDCG against the exact dense top-10 truth (q260's
+    * scorer). Numbers measured of the pipeline users actually hit,
+    * not of each stage in isolation; see
+    * [[Similarity.retrievalEvalIndexed]]. */
+  private val q294 = Q("q294_retrieval_eval",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "dup key scan"), (2L, "hash join merge"),
+        (3L, "stream window sort the")).toDF("query_id", "query_text")
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      val idx = indexDir("rev", dir)(p =>
+        Similarity.buildIvfIndex(emb, p,
+          centroids = Some(emb.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))))
+      val truth = Similarity.bruteForceTopK(qv, emb, 10)
+        .select(col("query_id"), col("vec_id"))
+      Similarity.retrievalEvalIndexed(s, idx, t(s, dir, "documents"),
+        "doc_id", "text", queries, qv, emb, truth,
+        k = 5, poolSize = 10, nprobe = 2, lambdaRel = 0.7)
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $duckHybridCtes,
+      pool AS (SELECT query_id, id AS vec_id, rrf_score AS rel FROM (
+          SELECT f.*, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, id ASC) AS rank FROM f)
+        WHERE rank <= 10),
+      pe AS (SELECT p.query_id, p.vec_id, p.rel, e.embedding
+             FROM pool p JOIN embeddings e USING (vec_id)),
+      pr AS (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               ${duckCos("a.embedding", "b.embedding")} AS sim
+             FROM pe a JOIN pe b ON a.query_id = b.query_id
+               AND a.vec_id <> b.vec_id),
+      s1 AS (SELECT query_id, vec_id, rel, CAST(1 AS BIGINT) AS mmr_rank,
+               0.7 * rel AS mmr_score
+             FROM (SELECT query_id, vec_id, rel, row_number() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS r
+               FROM pool) WHERE r = 1),
+      ${duckMmrStep(2, "s1")},
+      ${duckMmrStep(3, "sel2")},
+      ${duckMmrStep(4, "sel3")},
+      ${duckMmrStep(5, "sel4")},
+      tq AS (SELECT vec_id AS query_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      tcs AS (SELECT query_id, vec_id,
+                ${duckCos("q_emb", "embedding")} AS cos
+              FROM embeddings JOIN tq ON vec_id <> query_id),
+      bt AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM tcs) WHERE rank <= 10),
+      mq AS (SELECT sel5.query_id, sel5.mmr_rank AS rank,
+               CASE WHEN bt.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+             FROM sel5 LEFT JOIN bt ON bt.query_id = sel5.query_id
+               AND bt.vec_id = sel5.vec_id),
+      pq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+               CAST(SUM(rel) AS BIGINT) AS hits,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS fr,
+               CAST(SUM(CAST(CASE WHEN rel = 1 THEN
+                   1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+                 ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE) AS dcg
+             FROM mq GROUP BY 1),
+      nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nrel
+             FROM bt GROUP BY 1),
+      idl AS (SELECT query_id,
+                CAST(SUM(CAST(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))
+                  AS DECIMAL(30,12))) AS DOUBLE) AS idcg
+              FROM nr CROSS JOIN generate_series(1, 5) g(i)
+              WHERE i <= least(nrel, 5) GROUP BY 1)
+      SELECT pq.query_id, n_ranked, hits,
+             COALESCE(1.0 / CAST(fr AS DOUBLE), 0.0) AS mrr,
+             dcg, idcg,
+             CASE WHEN idcg > 0.0 THEN dcg / idcg END AS ndcg
+      FROM pq JOIN idl USING (query_id) ORDER BY pq.query_id"""))
+
   /** Parameterized tri-blocker PAIR chain for the incremental oracle:
     * the q256 replay (minhash-LSH + sorted-neighborhood + Manku
     * simhash, unioned as `<px>allp`) instantiated over a FILTERED
@@ -7945,5 +8034,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294)
 }

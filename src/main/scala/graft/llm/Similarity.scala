@@ -1811,12 +1811,26 @@ object Similarity {
     * smaller than k simply emit fewer picks. */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
       poolSize: Int = 16, lambdaRel: Double = 0.7): DataFrame = {
-    require(k >= 1, s"k must be positive, got $k")
     require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    mmrRerankPool(
+      bruteForceTopK(queries, corpus, poolSize)
+        .select(col("query_id"), col("vec_id"), col("cos").as("rel")),
+      corpus, k, lambdaRel)
+  }
+
+  /** [[mmrRerank]] over a CALLER-SUPPLIED retrieval pool
+    * (query_id, vec_id, rel) — the form the serving chain actually
+    * needs: the pool can come from any retriever (brute cosine, IVF,
+    * hybrid RRF), and `rel` is whatever that retriever's score is.
+    * `corpus` supplies the embeddings for the pairwise-redundancy
+    * term. Same unrolled greedy recursion, same determinism and
+    * request-sized scale shape. */
+  def mmrRerankPool(pool0: DataFrame, corpus: DataFrame, k: Int,
+      lambdaRel: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
     require(lambdaRel > 0.0 && lambdaRel <= 1.0,
       s"lambdaRel must be in (0,1], got $lambdaRel")
-    val pool = bruteForceTopK(queries, corpus, poolSize)
-      .select(col("query_id"), col("vec_id"), col("cos").as("rel"))
+    val pool = pool0.select(col("query_id"), col("vec_id"), col("rel"))
       .localCheckpoint(true)
     val emb = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("__nrm"))
@@ -1862,6 +1876,37 @@ object Similarity {
       selected = selected.unionByName(pick).localCheckpoint(true)
     }
     selected
+  }
+
+  /** END-TO-END retrieval evaluation over the full serving stack —
+    * the one-call readout a retrieval owner runs after every index
+    * rebuild: persisted-IVF dense probe + BM25 lexical top-k fused by
+    * RRF ([[hybridSearchIndexed]], the request path), the fused pool
+    * diversity-reranked by MMR ([[mmrRerankPool]], the presentation
+    * path), and the reranked page scored against a ground-truth
+    * relevant set with hits/MRR/nDCG ([[rankingQuality]], the
+    * acceptance gate). Chains q257 → q269 → q260 as one call so the
+    * measured numbers are of the PIPELINE users actually hit, not of
+    * each stage in isolation.
+    *
+    * Scale shape: each stage keeps its own contract (probed lists +
+    * posting-list top-k; request-sized MMR pool; ≤k-row-per-query
+    * eval joins) — the chain adds no new data-sized work. */
+  def retrievalEvalIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, queryVecs: DataFrame,
+      corpusEmb: DataFrame, truth: DataFrame, k: Int,
+      poolSize: Int = 10, nprobe: Int = 2, lambdaRel: Double = 0.7,
+      k0: Int = 60): DataFrame = {
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    val fused = hybridSearchIndexed(spark, indexPath, docs, idCol,
+      textCol, queries, queryVecs, k = poolSize, nprobe = nprobe,
+      k0 = k0)
+    val pool = fused.select(col("query_id"), col("id").as("vec_id"),
+      col("rrf_score").as("rel"))
+    val reranked = mmrRerankPool(pool, corpusEmb, k, lambdaRel)
+    rankingQuality(
+      reranked.withColumnRenamed("mmr_rank", "rank"), truth, k)
   }
 
   /** Hard + random negative mining for contrastive training pairs
