@@ -501,6 +501,92 @@ object EventOps {
     * a user-keyed lead window, a ≤ windowDays-row explode, a day-keyed
     * count; the spine frames are |days|- and 1-row. Every shuffle is
     * keyed; nothing is day×users. */
+  /** First-order Markov transition matrix over per-user event
+    * sequences: consecutive (prev_type → next_type) pairs within each
+    * user's (ts, event_id)-ordered stream, with exact counts and the
+    * conditional probability P(next | prev) — the user-journey model
+    * behind "what usually follows a search?" readouts, next to the
+    * funnel/attribution family.
+    *
+    * Determinism: ordering ties break on the event id; p is ONE IEEE
+    * division of exact longs.
+    *
+    * Scale shape: one user-keyed lag window over the event stream
+    * (the sessionize shape — the only data-sized work), then a
+    * (from, to)-keyed count; the matrix is ≤ \|types\|² rows. */
+  def markovTransitions(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n_transitions"))
+    val outTot = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).cast("long").as("__tot"))
+    pairs.join(outTot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("__tot").cast("double"))
+          .as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Stationary occupancy of the [[markovTransitions]] chain by FIXED
+    * power iterations: π_{t+1}(j) = Σ_i π_t(i)·P(i,j) + dang_t/N,
+    * starting uniform over the observed types, with mass parked on
+    * DANGLING types (types seen only as transition targets — no
+    * outgoing pairs) redistributed uniformly each step (the PageRank
+    * stochastic completion, so Σ π = 1 exactly at every iteration).
+    * The "where do user journeys spend their time" one-number-per-type
+    * readout; a fixed `iters` keeps it deterministic and
+    * oracle-replayable.
+    *
+    * Determinism and scale shape: the [[graft.operators.GraphOps]]
+    * iteration discipline — decimal-rounded float folds, one keyed
+    * join + fold per step over the ≤ \|types\|²-row matrix (tiny
+    * after the single data-sized lag window inside
+    * [[markovTransitions]]), N as a broadcast 1-row frame. */
+  def markovStationary(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id", iters: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.dsum
+    require(iters >= 1 && iters <= 50,
+      s"iters must be in [1,50], got $iters")
+    val p = markovTransitions(events, tsCol, userCol, typeCol, idCol)
+      .select(col("from_type"), col("to_type"), col("p"))
+      .localCheckpoint(true)
+    val types = p.select(col("from_type").as("event_type"))
+      .unionByName(p.select(col("to_type").as("event_type")))
+      .distinct()
+      .localCheckpoint(true)
+    val nFrame = types.agg(count(lit(1)).cast("long").as("__n"))
+    var pi = types.crossJoin(broadcast(nFrame))
+      .select(col("event_type"),
+        (lit(1.0) / col("__n").cast("double")).as("pi"))
+      .localCheckpoint(true)
+    val sources = p.select(col("from_type")).distinct()
+    for (_ <- 1 to iters) {
+      val dang = pi.join(sources,
+          pi("event_type") === sources("from_type"), "left_anti")
+        .agg(coalesce(dsum(col("pi"), 12), lit(0.0)).as("__dang"))
+      val flow = p.join(pi, p("from_type") === pi("event_type"))
+        .select(col("to_type"), (col("pi") * col("p")).as("__c"))
+        .groupBy(col("to_type")).agg(dsum(col("__c"), 12).as("__sum"))
+      pi = types
+        .join(flow, types("event_type") === flow("to_type"), "left")
+        .crossJoin(broadcast(nFrame))
+        .crossJoin(broadcast(dang))
+        .select(col("event_type"),
+          (coalesce(col("__sum"), lit(0.0)) +
+            col("__dang") / col("__n").cast("double")).as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.orderBy(col("pi").desc, col("event_type").asc)
+  }
+
   def rollingActiveUsers(events: DataFrame, tsCol: String = "ts",
       userCol: String = "user_id", windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"windowDays must be positive, got $windowDays")

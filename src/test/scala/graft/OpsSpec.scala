@@ -284,6 +284,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov: hand transition matrix and stationary occupancy with dangling redistribution") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
+    def ev(id: Long, user: Long, sec: Int, typ: String) =
+      (id, new java.sql.Timestamp(t0.getTime + sec * 1000L), user, typ, 1.0)
+    // user 1: A->B->A->B; user 2: A->C. From A: {B:2, C:1}; from B: {A:1}; C dangling.
+    val events = Seq(
+      ev(1L, 1L, 0, "A"), ev(2L, 1L, 1, "B"), ev(3L, 1L, 2, "A"),
+      ev(4L, 1L, 3, "B"), ev(5L, 2L, 0, "A"), ev(6L, 2L, 1, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tr = graft.ops.EventOps.markovTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(tr.keySet == Set(("A", "B"), ("A", "C"), ("B", "A")), tr.toString)
+    assert(tr(("A", "B"))._1 == 2L && math.abs(tr(("A", "B"))._2 - 2.0 / 3) < 1e-12)
+    assert(tr(("A", "C"))._1 == 1L && math.abs(tr(("A", "C"))._2 - 1.0 / 3) < 1e-12)
+    assert(tr(("B", "A"))._1 == 1L && tr(("B", "A"))._2 == 1.0)
+    // one power iteration from uniform: dang = pi(C) = 1/3;
+    // flow: A <- pi(B)*1 = 1/3, B <- pi(A)*2/3 = 2/9, C <- pi(A)*1/3 = 1/9;
+    // +dang/3 = +1/9 each -> A 4/9, B 1/3, C 2/9 (sums to 1)
+    val pi1 = graft.ops.EventOps.markovStationary(events, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pi1("A") - 4.0 / 9) < 1e-9, pi1.toString)
+    assert(math.abs(pi1("B") - 1.0 / 3) < 1e-9)
+    assert(math.abs(pi1("C") - 2.0 / 9) < 1e-9)
+    assert(math.abs(pi1.values.sum - 1.0) < 1e-9, "mass conserved")
+    // more iterations keep conservation and stay deterministic
+    val pi3 = graft.ops.EventOps.markovStationary(events, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pi3.values.sum - 1.0) < 1e-9)
+    val pi3b = graft.ops.EventOps.markovStationary(events, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi3 == pi3b, "deterministic")
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.markovStationary(events, iters = 0)
+    }
+  }
+
   test("mannKendall: monotone series flags, constant/alternating do not, tie-corrected variance") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")

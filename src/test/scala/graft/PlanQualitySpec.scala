@@ -1252,6 +1252,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q295 markov transitions: lag window user-partitioned, scan pruned to the 4 needed columns") {
+    val plan = physical("q295_markov_transitions")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      "lag must be user-partitioned, never a global window:\n" +
+        windows.mkString("\n"))
+    val readSchema = plan.split("ReadSchema: ")(1).split("\n")(0)
+    assert(!readSchema.contains("value") && !readSchema.contains("props"),
+      readSchema)
+  }
+
   test("q292 incremental blocked dedup: probe sides are batch-only — no existing x existing candidate stream") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
