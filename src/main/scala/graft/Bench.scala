@@ -148,7 +148,11 @@ object Bench {
     // load shape, so its min-sum is the number to compare across
     // rounds. Skipped when SPARK_GRAFT_ONLY narrows the run (dev
     // iteration) or FIXED_RUNS=0.
-    val nFixedRuns = sys.env.getOrElse("SPARK_GRAFT_FIXED_RUNS", "2").toInt
+    // 3 passes: the anchor is the round-over-round signal and a
+    // min-of-2 still inherited ambient load windows (87 vs 102 s on
+    // two same-day runs of identical code); one more pass buys the
+    // min another chance at a quiet window for ~90 s of bench time
+    val nFixedRuns = sys.env.getOrElse("SPARK_GRAFT_FIXED_RUNS", "3").toInt
     val fixedNames =
       if (only.isDefined || nFixedRuns <= 0) Seq.empty
       else names.filter { case (n, _) => FixedSubset.contains(n) }

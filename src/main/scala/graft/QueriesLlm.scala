@@ -7929,6 +7929,101 @@ object QueriesLlm {
       SELECT event_type, pi FROM pi3
       ORDER BY pi DESC, event_type ASC"""))
 
+  /** MAD modified z-score outliers per event type (Iglewicz & Hoaglin
+    * 3.5 rule) — the robust gate beside mean/sd monitoring; see
+    * [[graft.ops.EventOps.madOutliers]]. */
+  private val q297 = Q("q297_mad_outliers",
+    (s, dir) => graft.ops.EventOps.madOutliers(t(s, dir, "events")),
+    Some("""
+      WITH base AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      r1 AS (SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+             FROM base),
+      med AS (SELECT event_type, SUM(v) / COUNT(*) AS med FROM r1
+              WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY 1),
+      wm AS (SELECT b.event_id, b.event_type, b.v, m.med,
+               abs(b.v - m.med) AS ad
+             FROM base b JOIN med m USING (event_type)),
+      r2 AS (SELECT event_type, ad,
+               row_number() OVER (PARTITION BY event_type ORDER BY ad) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+             FROM wm),
+      mad AS (SELECT event_type, SUM(ad) / COUNT(*) AS mad FROM r2
+              WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY 1)
+      SELECT wm.event_id, wm.event_type, wm.v AS value, wm.med, mad.mad,
+             CASE WHEN mad.mad > 0.0
+               THEN 0.6745 * (wm.v - wm.med) / mad.mad END AS mz,
+             COALESCE(abs(CASE WHEN mad.mad > 0.0
+               THEN 0.6745 * (wm.v - wm.med) / mad.mad END) > 3.5, FALSE)
+               AS outlier
+      FROM wm JOIN mad USING (event_type) ORDER BY event_id"""))
+
+  /** Sparse TF-IDF cosine top-10 over the inverted index — the VSM
+    * retrieval beside BM25 (q257) and dense ANN; see
+    * [[TextAnalysis.tfidfCosineTopK]]. */
+  private val q298 = Q("q298_tfidf_cosine",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "dup key scan"), (2L, "hash join merge"),
+        (3L, "stream window sort the")).toDF("query_id", "query_text")
+      TextAnalysis.tfidfCosineTopK(t(s, dir, "documents"), queries,
+        "doc_id", "text", k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q(query_id, query_text) AS (VALUES
+        (CAST(1 AS BIGINT), 'dup key scan'),
+        (CAST(2 AS BIGINT), 'hash join merge'),
+        (CAST(3 AS BIGINT), 'stream window sort the')),
+      toks AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS term
+               FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+      dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      post AS (SELECT doc_id, term,
+                 CAST(tf AS DOUBLE)
+                   * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+               FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+      norms AS (SELECT doc_id,
+                  sqrt(CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE))
+                    AS dn
+                FROM post GROUP BY 1),
+      qtf AS (SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS qtf
+              FROM (SELECT query_id,
+                      unnest(regexp_split_to_array(trim(lower(query_text)),
+                        '\\s+')) AS term
+                    FROM q)
+              GROUP BY 1, 2),
+      qw AS (SELECT query_id, term,
+               CAST(qtf AS DOUBLE)
+                 * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS qwt
+             FROM qtf JOIN dfq USING (term) CROSS JOIN nn),
+      qn AS (SELECT query_id,
+               sqrt(CAST(SUM(CAST(qwt * qwt AS DECIMAL(30,12))) AS DOUBLE))
+                 AS qn
+             FROM qw GROUP BY 1),
+      dots AS (SELECT query_id, doc_id,
+                 CAST(SUM(CAST(w * qwt AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms
+               FROM post JOIN qw USING (term) GROUP BY 1, 2),
+      scored AS (SELECT d.query_id, d.doc_id, d.n_terms,
+                   d.dot / (norms.dn * qn.qn) AS cos
+                 FROM dots d JOIN norms USING (doc_id)
+                   JOIN qn USING (query_id))
+      SELECT query_id, rank, doc_id, cos, n_terms FROM (
+        SELECT query_id, doc_id, cos, n_terms,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   /** Parameterized tri-blocker PAIR chain for the incremental oracle:
     * the q256 replay (minhash-LSH + sorted-neighborhood + Manku
     * simhash, unioned as `<px>allp`) instantiated over a FILTERED
@@ -8113,5 +8208,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298)
 }

@@ -113,6 +113,72 @@ object TextAnalysis {
     * set. Per-doc scores use the exact-decimal sum pattern
     * ([[graft.functions.GraftFunctions.dsum]]) so parallel partial
     * aggregation is bit-deterministic. */
+  /** Sparse TF-IDF cosine top-k retrieval — the inverted-index
+    * companion to BM25 ([[bm25TopK]]) and to the dense ANN family:
+    * the VSM ranking (Salton's vector space model) with weights
+    * w(d,t) = tf(d,t)·ln(N/df(t)) and true cosine normalization, so
+    * long documents don't win on length. Query vectors weight their
+    * terms with the CORPUS idf; out-of-vocabulary query terms carry
+    * zero weight (they contribute to neither the dot nor the query
+    * norm) — the standard convention.
+    *
+    * Determinism: the dot and both squared norms fold through
+    * DECIMAL(30,12) (the dsum discipline); cosine is one IEEE
+    * division of the three folded scalars, so the ranking
+    * hash-matches the DuckDB replay.
+    *
+    * Scale shape: ONE corpus-token aggregate builds the (doc, term,
+    * tf) postings (keyed on high-cardinality (doc, term) — the
+    * inverted index build); df and document norms are keyed
+    * re-aggregates of it; the DOT prunes postings to the query term
+    * set map-side (broadcast semi-join) before its (query, doc) fold,
+    * so per-request work is posting-lists-of-query-terms, never
+    * corpus × queries. Postings are deliberately NOT cached: at
+    * corpus scale the index doesn't fit executor storage and the
+    * honest plan re-aggregates (a production deployment persists the
+    * posting table once and serves it — the signatureTable split). */
+  def tfidfCosineTopK(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.dsum
+    require(k >= 1, s"k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val nFrame = docs.agg(count(lit(1)).cast("long").as("__n"))
+    val idf = log(col("__n").cast("double") / col("df").cast("double"))
+    val post = tf.join(dfTab, Seq("term")).crossJoin(broadcast(nFrame))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * idf).as("w"))
+    val norms = post.groupBy("doc_id")
+      .agg(sqrt(dsum(col("w") * col("w"), 12)).as("__dn"))
+    val qw = queries
+      .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).cast("long").as("qtf"))
+      .join(dfTab, Seq("term")).crossJoin(broadcast(nFrame))
+      .select(col("query_id"), col("term"),
+        (col("qtf").cast("double") * idf).as("qwt"))
+    val qnorm = qw.groupBy("query_id")
+      .agg(sqrt(dsum(col("qwt") * col("qwt"), 12)).as("__qn"))
+    val dots = post.join(broadcast(qw), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(dsum(col("w") * col("qwt"), 12).as("__dot"),
+        count(lit(1)).cast("long").as("n_terms"))
+    val scored = dots.join(norms, Seq("doc_id"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        (col("__dot") / (col("__dn") * col("__qn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("cos"),
+        col("n_terms"))
+  }
+
   def bm25TopK(docs: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 10, k1: Double = 1.2,

@@ -501,6 +501,59 @@ object EventOps {
     * a user-keyed lead window, a ≤ windowDays-row explode, a day-keyed
     * count; the spine frames are |days|- and 1-row. Every shuffle is
     * keyed; nothing is day×users. */
+  /** Robust per-group outlier detection via the MAD modified z-score
+    * (Iglewicz & Hoaglin 1993, "How to detect and handle outliers"):
+    * per group, med = median(value), mad = median(|v − med|),
+    * mz = 0.6745·(v − med)/mad, flagged at |mz| > `cut` (their 3.5
+    * recommendation). The reason it exists next to the z-gates
+    * ([[burstDetect]]): extreme values inflate a mean/sd gate's own
+    * threshold and mask themselves; medians don't move. mad = 0
+    * (at least half the group sits exactly at the median) emits null
+    * mz and never flags — a degenerate group is a data-shape finding,
+    * not an outlier list.
+    *
+    * Determinism: medians via the [[theilSenTrend]] rank discipline
+    * (row_number picks (n+1)/2 and (n+2)/2, averaged — equal boundary
+    * values make tie order irrelevant); mz is IEEE arithmetic on the
+    * three per-group scalars, identical in the oracle replay.
+    *
+    * Scale shape: two group-keyed rank windows (sorted, spill-safe)
+    * and two keyed joins back onto the rows — no driver state,
+    * nothing corpus². */
+  def madOutliers(events: DataFrame, typeCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id",
+      cut: Double = 3.5): DataFrame = {
+    require(cut > 0, s"cut must be positive, got $cut")
+    def medOf(vals: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(typeCol)).orderBy(col(vCol))
+      vals.withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col(typeCol))))
+        // Column `/` is DOUBLE division — cast back for the
+        // floor-division rank picks
+        .filter(col("__r") === ((col("__n") + 1) / 2).cast("long") ||
+          col("__r") === ((col("__n") + 2) / 2).cast("long"))
+        .groupBy(col(typeCol))
+        .agg((sum(col(vCol)) / count(lit(1))).as(out))
+    }
+    val base = events
+      .filter(col(typeCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(typeCol),
+        col(valueCol).cast("double").as("__v"))
+    val med = medOf(base.select(col(typeCol), col("__v")), "__v", "med")
+    val withMed = base.join(med, Seq(typeCol))
+      .withColumn("__ad", abs(col("__v") - col("med")))
+    val mad = medOf(withMed.select(col(typeCol), col("__ad")),
+      "__ad", "mad")
+    val mz = when(col("mad") > 0.0,
+      lit(0.6745) * (col("__v") - col("med")) / col("mad"))
+    withMed.join(mad, Seq(typeCol))
+      .select(col(idCol), col(typeCol), col("__v").as(valueCol),
+        col("med"), col("mad"), mz.as("mz"),
+        coalesce(abs(mz) > cut, lit(false)).as("outlier"))
+      .orderBy(idCol)
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: consecutive (prev_type → next_type) pairs within each
     * user's (ts, event_id)-ordered stream, with exact counts and the

@@ -3264,6 +3264,31 @@ class LlmSpec extends AnyFunSuite {
       "existing x existing pairs never re-emitted")
   }
 
+  test("tfidfCosineTopK: exact self-retrieval, idf downweights stopwords, OOV query empty") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana banana"),
+      (3L, "the the the common words"),
+      (4L, "cherry orchard harvest")).toDF("doc_id", "text")
+    val qs = Seq(
+      (1L, "apple banana cherry"), // doc 1 verbatim -> cos exactly 1 at rank 1
+      (2L, "zzz qqq")              // fully out-of-vocabulary -> no rows
+    ).toDF("query_id", "query_text")
+    val out = graft.llm.TextAnalysis
+      .tfidfCosineTopK(corpus, qs, "doc_id", "text", k = 4).collect()
+    val q1 = out.filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val top1 = out.filter(r => r.getLong(0) == 1L && r.getLong(1) == 1L).head
+    assert(top1.getLong(2) == 1L, s"verbatim doc must rank first: $top1")
+    assert(math.abs(top1.getDouble(3) - 1.0) < 1e-9, "self-cosine = 1")
+    assert(q1.values.forall(c => c > 0.0 && c <= 1.0 + 1e-12))
+    // doc 2 shares apple+banana, doc 4 shares only cherry; banana is
+    // rarer than nothing special here but overlap count dominates
+    assert(q1.contains(2L) && q1.contains(4L) && q1(2L) > q1(4L))
+    assert(!out.exists(_.getLong(0) == 2L), "OOV-only query retrieves nothing")
+  }
+
   test("incrementalBlockedDedupPairs: equals full-run three-blocker pairs restricted to batch-involving; clusters equal prior+delta closure") {
     val cut = col("doc_id") % 4 === 0
     val existing = docs.filter(!cut)

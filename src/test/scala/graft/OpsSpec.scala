@@ -284,6 +284,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers: hand medians, modified z, degenerate group never flags") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
+    // odd group "a": med 3, ad sorted [0,1,1,2,97] -> mad 1;
+    // mz(100) = 0.6745*97 flags, mz(1) = -1.349 does not.
+    // even group "b": [1,2,3,4] -> med 2.5, ad [1.5,.5,.5,1.5] -> mad 1.0.
+    // constant group "c": mad 0 -> null mz, never flags.
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong + 1, t0, 1L, "a", v) } ++
+      Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong + 10, t0, 1L, "b", v) } ++
+      (0 until 3).map(i => (i.toLong + 20, t0, 1L, "c", 5.0))
+    val out = graft.ops.EventOps.madOutliers(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val big = out(5L)
+    assert(big.getAs[Double]("med") == 3.0 && big.getAs[Double]("mad") == 1.0)
+    assert(math.abs(big.getAs[Double]("mz") - 0.6745 * 97.0) < 1e-9)
+    assert(big.getAs[Boolean]("outlier"))
+    assert(!out(1L).getAs[Boolean]("outlier") &&
+      math.abs(out(1L).getAs[Double]("mz") + 0.6745 * 2.0) < 1e-9)
+    assert(out(10L).getAs[Double]("med") == 2.5 &&
+      out(10L).getAs[Double]("mad") == 1.0)
+    assert(out(20L).getAs[Double]("mad") == 0.0 &&
+      out(20L).isNullAt(out(20L).fieldIndex("mz")) &&
+      !out(20L).getAs[Boolean]("outlier"))
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.madOutliers(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        cut = 0.0)
+    }
+  }
+
   test("markov: hand transition matrix and stationary occupancy with dangling redistribution") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
