@@ -59,6 +59,71 @@ object Bench {
     "q92_corpus_pipeline", "q93_tpch_q11_shape", "q94_tpch_q16_shape",
     "q95_tpch_q18_shape", "q96_tpch_q22_shape", "q97_video_decode",
     "q98_filtered_metrics", "q99_tpch_q15_shape", "q9_window_events")
+
+  /** The SECOND pinned anchor (round 17): the 167 queries the r16
+    * board carries beyond [[FixedSubset]] — the post-r13 operator
+    * families (graph, composed dedup, retrieval eval, stats/DQ, text)
+    * frozen before they age the way the r13 set did. Round 17 is this
+    * set's baseline; compare its min-sum only against rounds >= 17.
+    * Same rules as FixedSubset: membership is FROZEN — queries added
+    * after r16 (q299+) intentionally stay outside both anchors. */
+  val FixedSubsetV2: Set[String] = Set(
+    "q132_bloom_seen", "q133_dsir_select", "q134_semdedup",
+    "q135_blocklist", "q136_pq_topk", "q137_html_text",
+    "q138_token_windows", "q139_seq_pack", "q140_nfc_normalize",
+    "q141_weighted_sample", "q142_int8_quantize", "q143_ivfpq_topk",
+    "q144_bpe_encode", "q145_ivf_trained", "q146_bm25",
+    "q147_ivfpq_trained", "q148_jl_project", "q149_ppl_tiers",
+    "q150_jl_topk", "q151_temp_mixture", "q152_incr_metrics",
+    "q153_zorder", "q154_kmv_overlap", "q155_data_checks",
+    "q156_scd2_snapshot", "q157_incremental_merge", "q158_fuzzy_join",
+    "q159_interpolate", "q160_retention_cohorts", "q161_funnel_levels",
+    "q162_event_transitions", "q163_ivfpq_indexed",
+    "q164_ivf_indexed_filtered", "q165_ivf_index_append", "q166_bpe_train",
+    "q167_unigram_entropy", "q168_token_collapse", "q169_kcenter_coreset",
+    "q170_cluster_keepers", "q171_pmi_pairs", "q172_pca_power",
+    "q173_pca_project", "q174_ngram_novelty", "q175_containment",
+    "q176_mad_outliers", "q177_pca_remove", "q178_sparse_cosine",
+    "q179_source_tvd", "q180_budget_select", "q181_vocab_coverage",
+    "q182_centroid_cosine", "q183_bpe_fertility", "q184_filter_funnel",
+    "q185_js_divergence", "q186_zipf_slope", "q187_heaps_curve",
+    "q188_rank_normalize", "q189_mrl_recall", "q190_winnow_fingerprint",
+    "q191_psi_drift", "q192_dim_standardize", "q193_dedup_curve",
+    "q194_funnel_by_source", "q195_dup_flow", "q196_freq_spectrum",
+    "q197_calibration", "q198_neyman", "q199_ece", "q200_filter_kappa",
+    "q201_readability", "q202_mattr", "q203_quantile_normalize",
+    "q204_burst_detect", "q205_source_dispersion", "q206_effective_tokens",
+    "q207_auc", "q208_chi_square", "q209_spearman", "q210_bootstrap_ci",
+    "q211_ks_test", "q212_token_gini", "q213_winnow_pairs",
+    "q214_source_mi", "q215_leakage_split", "q216_softdedup_weights",
+    "q217_backoff_lm", "q218_kendall_tau", "q219_winsor_mean",
+    "q220_effective_dim", "q221_source_overlap", "q222_oov_rate",
+    "q223_dedup_savings", "q224_cramers_v", "q225_hapax_ratio",
+    "q226_lognormal_fit", "q227_cluster_sizes", "q228_source_hhi",
+    "q229_distinct_n", "q230_lsh_scurve", "q231_sorted_neighbors",
+    "q232_uncertainty_coeff", "q233_curriculum", "q234_mink_prob",
+    "q235_k_anonymity", "q236_lang_confusion", "q237_char_entropy",
+    "q238_log_odds", "q239_heavy_hitters", "q240_rolling_active",
+    "q241_int8_quant", "q242_conformal", "q243_script_mix",
+    "q244_auc_by_group", "q245_vocab_richness", "q246_winnow_heads",
+    "q247_cusum_shift", "q248_pr_curve", "q249_isotonic",
+    "q250_stratified_kfold", "q251_rrf_hybrid", "q252_simhash_pairs",
+    "q253_cv_auc", "q254_bq_recall", "q255_padding_waste",
+    "q256_blocked_dedup", "q257_hybrid_indexed", "q258_pr_by_group",
+    "q259_blocked_keepers", "q260_ranking_quality", "q261_int8_topk",
+    "q262_bbit_minhash", "q263_rbo", "q264_incr_simhash",
+    "q265_l_diversity", "q266_t_closeness", "q267_benford",
+    "q268_ewma_chart", "q269_mmr_rerank", "q270_pagerank",
+    "q271_hard_negatives", "q272_jaro_winkler", "q273_hits",
+    "q274_incr_sorted_neighbors", "q275_ppr", "q276_ab_test",
+    "q277_kaplan_meier", "q278_set_sim_join", "q279_cuped",
+    "q280_rake_keywords", "q281_market_basket", "q282_triangles",
+    "q283_adamic_adar", "q284_label_prop", "q285_diff_in_diff",
+    "q286_seed_distance", "q287_theil_sen", "q288_table_diff",
+    "q289_profile", "q290_mann_kendall", "q291_assortativity",
+    "q292_incr_blocked_dedup", "q293_bigstar_clusters",
+    "q294_retrieval_eval", "q295_markov_transitions",
+    "q296_markov_stationary", "q297_mad_outliers", "q298_tfidf_cosine")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -153,21 +218,42 @@ object Bench {
     // two same-day runs of identical code); one more pass buys the
     // min another chance at a quiet window for ~90 s of bench time
     val nFixedRuns = sys.env.getOrElse("SPARK_GRAFT_FIXED_RUNS", "3").toInt
-    val fixedNames =
-      if (only.isDefined || nFixedRuns <= 0) Seq.empty
-      else names.filter { case (n, _) => FixedSubset.contains(n) }
-    val fixedSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
-      fixedNames.map(_._1 -> Vector.empty[Double]): _*)
-    if (fixedNames.nonEmpty) System.gc()
-    for (pass <- 1 to (if (fixedNames.nonEmpty) nFixedRuns else 0);
-         (name, fn) <- fixedNames) {
-      val t0 = System.nanoTime()
-      try {
-        exec(fn(spark, sfDir))
-        fixedSamples(name) = fixedSamples(name) :+ (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => () }
-      if (pass < nFixedRuns && name == fixedNames.last._1) System.gc()
+    // V2 gets one pass fewer by default: it is 167 queries to
+    // FixedSubset's 130, and its job is longitudinal protection for
+    // the newer half of the board, not the headline anchor
+    val nFixed2Runs = sys.env.getOrElse("SPARK_GRAFT_FIXED2_RUNS", "2").toInt
+    // Per-query pass times in PASS ORDER, NaN marking a failed pass:
+    // a fixed-pass failure must surface as an error, not silently
+    // shrink the anchor membership (an incomplete anchor compared
+    // against a complete baseline looks like a speedup) — r16 ADVICE.
+    def runAnchor(anchor: Set[String], nPasses: Int)
+        : (Seq[(String, Vector[Double])],
+           scala.collection.mutable.LinkedHashMap[String, String]) = {
+      val anchorNames =
+        if (only.isDefined || nPasses <= 0) Seq.empty
+        else names.filter { case (n, _) => anchor.contains(n) }
+      val aSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+        anchorNames.map(_._1 -> Vector.empty[Double]): _*)
+      val aErrs = scala.collection.mutable.LinkedHashMap[String, String]()
+      if (anchorNames.nonEmpty) System.gc()
+      for (pass <- 1 to (if (anchorNames.nonEmpty) nPasses else 0);
+           (name, fn) <- anchorNames) {
+        val t0 = System.nanoTime()
+        try {
+          exec(fn(spark, sfDir))
+          aSamples(name) = aSamples(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            aErrs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+            aSamples(name) = aSamples(name) :+ Double.NaN
+        }
+        if (pass < nPasses && name == anchorNames.last._1) System.gc()
+      }
+      (anchorNames.map { case (n, _) => n -> aSamples(n) }, aErrs)
     }
+    val (fixedRaw, fixedErrs) = runAnchor(FixedSubset, nFixedRuns)
+    val (fixed2Raw, fixed2Errs) = runAnchor(FixedSubsetV2, nFixed2Runs)
 
     val results = names.map { case (k, _) => k -> samples(k).sorted }
     def med(ts: Seq[Double]): Double = ts(ts.length / 2)
@@ -193,18 +279,44 @@ object Bench {
     val total = timed.map(r => r._2.head).sum
     val errsJson = errs.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val fixedTimed = fixedNames.map(_._1).map(k => k -> fixedSamples(k).sorted)
-      .filter(_._2.nonEmpty)
-    val fixedSum = fixedTimed.map(_._2.head).sum
-    val fixedJson =
-      if (fixedTimed.isEmpty) "null"
-      else {
-        val fq = fixedTimed.map { case (k, ts) => "\"" + k + "\":" + f3(ts.head) }
-          .mkString("{", ",", "}")
-        s"""{"value":${f3(fixedSum)},"estimator":"min","n_queries":${fixedTimed.length},"passes":$nFixedRuns,"queries":$fq}"""
-      }
+    // Anchor JSON with the PER-PASS record (r16 verdict): DESIGN.md's
+    // same-code A/B spread (87.2 vs 102.2 s three hours apart) means a
+    // single min-sum cannot separate "regressed 1.15x" from "noisy
+    // run" — pass_sums carries the error band, queries_passes the
+    // per-query per-pass times for post-hoc diagnosis, and `value` is
+    // NULLED when any anchor member has no successful pass so an
+    // incomplete anchor can never be compared against a complete
+    // baseline as if it were one.
+    def anchorJson(raw: Seq[(String, Vector[Double])],
+        aErrs: scala.collection.mutable.LinkedHashMap[String, String],
+        expected: Int, nPasses: Int): (String, Double) = {
+      if (raw.isEmpty) return ("null", Double.NaN)
+      val ok = raw.map { case (k, ts) => k -> ts.filterNot(_.isNaN).sorted }
+        .filter(_._2.nonEmpty)
+      val sum = ok.map(_._2.head).sum
+      val complete = ok.length == expected
+      val fq = ok.map { case (k, ts) => "\"" + k + "\":" + f3(ts.head) }
+        .mkString("{", ",", "}")
+      val passSums = (0 until nPasses).map { p =>
+        val ts = raw.flatMap { case (_, v) =>
+          if (p < v.length && !v(p).isNaN) Some(v(p)) else None }
+        s"""{"sum":${f3(ts.sum)},"n":${ts.length}}"""
+      }.mkString("[", ",", "]")
+      val qp = raw.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(t => if (t.isNaN) "null" else f3(t))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val ej = aErrs.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+        .mkString("{", ",", "}")
+      (s"""{"value":${if (complete) f3(sum) else "null"},"sum_present":${f3(sum)},"estimator":"min","n_queries":${ok.length},"n_expected":$expected,"complete":$complete,"passes":$nPasses,"pass_sums":$passSums,"errors":$ej,"queries":$fq,"queries_passes":$qp}""",
+        sum)
+    }
+    val (fixedJson, fixedSum) =
+      anchorJson(fixedRaw, fixedErrs, FixedSubset.size, nFixedRuns)
+    val (fixed2Json, fixed2Sum) =
+      anchorJson(fixed2Raw, fixed2Errs, FixedSubsetV2.size, nFixed2Runs)
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"estimator":"min","value_median":${f3(totalMedian)},"unit":"sec","passes":$nRuns,"queries":$qs,"errors":$errsJson,"fixed_subset":$fixedJson,"runs":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"estimator":"min","value_median":${f3(totalMedian)},"unit":"sec","passes":$nRuns,"queries":$qs,"errors":$errsJson,"fixed_subset":$fixedJson,"fixed_subset_v2":$fixed2Json,"runs":$detail,"sf":"$sfDir"}"""
 
     // The harness that records this run keeps only a bounded tail of
     // stdout (observed: 2000 chars), and the full per-query line above
@@ -222,7 +334,8 @@ object Bench {
       .map { case (k, ts) => "\"" + k + "\":" + f3(ts.head) }
       .mkString("{", ",", "}")
     val fixedCompact =
-      if (fixedTimed.isEmpty) "" else s""","fixed_subset":${f3(fixedSum)}"""
+      (if (fixedSum.isNaN) "" else s""","fixed_subset":${f3(fixedSum)}""") +
+      (if (fixed2Sum.isNaN) "" else s""","fixed_subset_v2":${f3(fixed2Sum)}""")
     println(
       s"""{"metric":"total","value":${f3(total)},"estimator":"min","value_median":${f3(totalMedian)},"unit":"sec","n_queries":${timed.length},"n_errors":${errs.size},"passes":$nRuns$fixedCompact,"slowest":$slowest,"detail_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()

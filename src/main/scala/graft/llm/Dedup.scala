@@ -180,6 +180,11 @@ object Dedup {
     * their executor), executor-local otherwise (right for local
     * mode). The [[materializeAndRelease]] rule, reused by every
     * materialize-inside-the-loan consumer. */
+  /** Per-call sequence for observed-metric names: CollectMetrics
+    * names must be unique within one query, and a composed plan may
+    * embed [[setSimJoinPairs]] more than once. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) => Lineage.withCheckpointDir(
@@ -1125,8 +1130,12 @@ object Dedup {
     * appends [[incrementalBlockedDedupPairs]]' new-involving delta to
     * it before re-closing components. Same one-scan shared
     * fingerprint prep, same bounded candidate contracts, same
-    * [[materializeAndRelease]] loan (default eager; the lazy form
-    * holds the shared-prep caches and the caller owns the release). */
+    * [[materializeAndRelease]] loan in the default eager form. The
+    * lazy form (`materialize = false`) hands back the plan with the
+    * INTERNAL shared-prep caches still pinned and NO handle to
+    * release them — it leaks both cached frames until LRU eviction or
+    * session end (the [[setSimJoinPairs]] warning, verbatim), so
+    * reserve it for one-shot sessions that consume the plan at once. */
   def blockedDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       lshThreshold: Double = 0.5, snWindow: Int = 4,
       snThreshold: Double = 0.5, maxHamming: Int = 3,
@@ -1599,11 +1608,29 @@ object Dedup {
     // is not. The positional bound multiplies on BOTH sides (two
     // roundings), so it alone gets a 1e-9 relaxation — slack only
     // ADMITS candidates, and verification is exact.
+    // OBSERVABILITY (r16 verdict): the grid guard's arming decision
+    // (df > hotTokenDf) and the positional filter's selectivity are
+    // invisible at run time without metrics — a 100 TB operator needs
+    // its skew exposure auditable from the run, not re-derived from
+    // A/Bs. CollectMetrics nodes are accumulator adds on rows already
+    // flowing (no extra shuffle, no action); names carry a per-call
+    // sequence so composed plans never collide on the unique-name
+    // rule. approx_count_distinct because observed metrics ban
+    // DISTINCT aggregates — exact at the cardinalities that matter
+    // (a handful of hyper-frequent tokens).
+    val obsTag = s"set_sim_join_${obsSeq.incrementAndGet()}"
     val prefAll = tok.join(freq, Seq("tk"))
       .withColumn("__r", row_number().over(wRare))
       .filter(lit(threshold) * col("n").cast("double") <=
         (col("n") - col("__r") + 1).cast("double"))
       .select(col("tk"), col("id"), col("n"), col("__r"), col("__f"))
+      .observe(s"${obsTag}_prefix",
+        count(lit(1)).as("prefix_rows"),
+        sum(when(col("__f") > hotTokenDf, 1L).otherwise(0L))
+          .as("hot_prefix_rows"),
+        approx_count_distinct(when(col("__f") > hotTokenDf, col("tk")))
+          .as("hot_tokens"),
+        max(col("__f")).as("max_token_df"))
     // HOT-KEY GUARD: rare-first prefixes keep stop-shingles out of
     // candidate keys on a DIVERSE corpus, but a hyper-frequent
     // shingle in a low-diversity 100 TB corpus can still enter
@@ -1652,10 +1679,14 @@ object Dedup {
       if (requireOrder) col("__ia") < col("__ib") && base
       else col("__ia") =!= col("__ib") && base
     }
+    // the pre/post pair of metrics around the positional filter IS
+    // the selectivity readout (pre counts ordered equi-join matches,
+    // post the survivors entering the distinct)
     val coldCands = prefix.select(col("tk"), col("id").as("__ia"),
         col("n").as("__na"), col("__r").as("__ra"))
       .join(prefix.select(col("tk"), col("id").as("__ib"),
         col("n").as("__nb"), col("__r").as("__rb")), Seq("tk"))
+      .observe(s"${obsTag}_cold", count(lit(1)).as("cand_rows_pre"))
       .filter(pairFilters(requireOrder = true))
       .select(col("__ia"), col("__ib"))
     val hotA = hotPref.select(col("tk"), col("id").as("__ia"),
@@ -1667,10 +1698,13 @@ object Dedup {
         explode(sequence(lit(0), col("__bkt"))).as("__ci"),
         col("__bkt").as("__cj"))
     val hotCands = hotA.join(hotB, Seq("tk", "__ci", "__cj"))
+      .observe(s"${obsTag}_hot", count(lit(1)).as("hot_cand_rows_pre"))
       .filter(pairFilters(requireOrder = false))
       .select(least(col("__ia"), col("__ib")).as("__ia"),
         greatest(col("__ia"), col("__ib")).as("__ib"))
-    val cands = coldCands.unionByName(hotCands).distinct()
+    val cands = coldCands.unionByName(hotCands)
+      .observe(s"${obsTag}_cands", count(lit(1)).as("cand_rows_post"))
+      .distinct()
     val withSets = cands
       .join(base.select(col("id").as("__ia"), col("shs").as("__sa")),
         Seq("__ia"))

@@ -167,10 +167,19 @@ object TextAnalysis {
       .groupBy("query_id", "doc_id")
       .agg(dsum(col("w") * col("qwt"), 12).as("__dot"),
         count(lit(1)).cast("long").as("n_terms"))
+    // Degenerate-norm guard: a doc (or query) whose every term is
+    // corpus-universal has idf-0 weights only, so its norm is 0 and
+    // the raw cosine is 0/0 = NaN — which Spark's descending sort
+    // ranks ABOVE every real score, handing top-k slots to the least
+    // informative docs (and DuckDB's NaN semantics diverge). Null the
+    // cosine when either norm is 0 and drop it before ranking (the
+    // madOutliers mad=0 convention).
     val scored = dots.join(norms, Seq("doc_id"))
       .join(broadcast(qnorm), Seq("query_id"))
       .select(col("query_id"), col("doc_id"), col("n_terms"),
-        (col("__dot") / (col("__dn") * col("__qn"))).as("cos"))
+        when(col("__dn") > 0.0 && col("__qn") > 0.0,
+          col("__dot") / (col("__dn") * col("__qn"))).as("cos"))
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

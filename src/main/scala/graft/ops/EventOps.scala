@@ -139,7 +139,11 @@ object EventOps {
     // x² via the dsum discipline, not a scale-0 decimal cast: the
     // caller-supplied series may be fractional (see ewmaOnSeries —
     // same reasoning, same value-identical result for the current
-    // integer-count callers)
+    // integer-count callers). Exactness bound: the double product v*v
+    // is exact only while |v| < 2^26.5 (~9.4e7); integer series beyond
+    // that lose the last ulps the old DECIMAL(38,0) path kept — at
+    // those magnitudes the z-scores are ratios of ~1e15 quantities and
+    // the ulp is immaterial, but the bound is the contract
     val mom = series.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__nd"),
       sum(col(valCol)).as("__s1"),

@@ -3245,6 +3245,70 @@ class LlmSpec extends AnyFunSuite {
     assert(unguarded == brute)
   }
 
+  test("setSimJoinPairs: observed metrics surface the grid arming decision and filter selectivity") {
+    import spark.implicits._
+    // the salted-grid fixture again: a hyper-frequent 9-char core so
+    // hotTokenDf = 2 arms the grid — the observed metrics must show
+    // hot tokens and the positional filter's pre/post counts
+    val corpus = (0 until 40).map { i =>
+      val g = i / 2
+      val tail = s"${('a' + g % 7).toChar}${('a' + (g / 7) % 7).toChar}xyz${i % 2}"
+      (i.toLong, "commoncor" + tail)
+    }.toDF("doc_id", "text")
+    val seen = new java.util.concurrent.ConcurrentHashMap[String,
+      Map[String, Any]]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          seen.put(name, row.getValuesMap[Any](row.schema.fieldNames))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // materialize = true runs the eager checkpoint through
+      // withAction, so the listener sees the pair query's metrics
+      Dedup.setSimJoinPairs(corpus, "doc_id", "text", 0.5,
+        hotTokenDf = 2, saltBuckets = 3)
+      // listener delivery is async — wait for the prefix observation
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def byTag(suffix: String): Seq[Map[String, Any]] = {
+        val it = seen.entrySet().iterator()
+        val out = scala.collection.mutable.Buffer[Map[String, Any]]()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.endsWith(suffix)) out += e.getValue
+        }
+        out.toSeq
+      }
+      while (System.nanoTime() < deadline && (byTag("_prefix").isEmpty ||
+             byTag("_cands").isEmpty)) Thread.sleep(50)
+      def lng(m: Map[String, Any], k: String): Long =
+        m(k).asInstanceOf[Number].longValue()
+      val pfx = byTag("_prefix")
+      assert(pfx.nonEmpty, s"prefix metrics missing: ${seen.keySet()}")
+      // the metrics read what actually JOINS (prefix rows after the
+      // rare-first cut — the df-40 core shingles rank last and never
+      // enter prefixes; the hot tokens here are the df 3-7 tail
+      // shingles): the arming readout must show hot tokens above the
+      // threshold and a max-df strictly over hotTokenDf = 2
+      assert(pfx.exists(m => lng(m, "hot_tokens") >= 1 &&
+        lng(m, "max_token_df") > 2 && lng(m, "hot_prefix_rows") >= 2),
+        s"grid arming metrics wrong: $pfx")
+      val cold = byTag("_cold"); val cands = byTag("_cands")
+      assert(cold.nonEmpty && cands.nonEmpty, s"missing: ${seen.keySet()}")
+      val pre = cold.map(lng(_, "cand_rows_pre")).max +
+        byTag("_hot").map(lng(_, "hot_cand_rows_pre")).max
+      val post = cands.map(lng(_, "cand_rows_post")).max
+      assert(post <= pre && post >= 1,
+        s"positional filter selectivity must be visible: pre=$pre post=$post")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incrementalSortedNeighborPairs: equals the full run restricted to batch-involving pairs") {
     val cut = col("doc_id") % 3 === 0
     val incr = Dedup.incrementalSortedNeighborPairs(
