@@ -8158,12 +8158,20 @@ object QueriesLlm {
           .write.mode("overwrite").parquet(s"$p/fp")
         Dedup.blockedDedupPairs(existing, "doc_id", "text")
           .write.mode("overwrite").parquet(s"$p/pairs")
+        // the prior run's CLUSTER assignments, persisted beside the
+        // pair log — the state the delta-aware close passes through
+        graft.llm.Corpus.dupClusters(s.read.parquet(s"$p/pairs"))
+          .write.mode("overwrite").parquet(s"$p/clusters")
       }
       val batch = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
-      Dedup.incrementalBlockedDedupClusters(
+      // r17: the DELTA-AWARE close — only components reachable from a
+      // delta edge are re-closed; untouched assignments pass through
+      // (byte-identical to the full re-close the oracle replays, see
+      // deltaCloseSplit's exactness argument)
+      Dedup.incrementalBlockedDedupClustersFromState(
         s.read.parquet(s"$idx/sig"), s.read.parquet(s"$idx/sk"),
         s.read.parquet(s"$idx/fp"), s.read.parquet(s"$idx/pairs"),
-        batch, "doc_id", "text")
+        s.read.parquet(s"$idx/clusters"), batch, "doc_id", "text")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     },

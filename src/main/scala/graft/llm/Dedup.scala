@@ -1389,6 +1389,81 @@ object Dedup {
       checkpointDir = checkpointDir)
   }
 
+  /** Split the standing pair log around a delta for the DELTA-AWARE
+    * re-close: (edges of prior clusters touched by a delta endpoint,
+    * prior (id, cluster_id) assignments of UNTOUCHED clusters).
+    *
+    * Exactness argument: prior edges connect only within prior
+    * components, so a prior component can join a merged final
+    * component only through a delta edge incident on one of its
+    * vertices — i.e. only TOUCHED components can change membership or
+    * label, and every untouched component's vertex set AND min-id
+    * label are byte-identical to the full re-close. Re-closing
+    * (touched edges ∪ delta) therefore reproduces exactly the
+    * full-close components that differ, and the untouched assignments
+    * pass through unexamined.
+    *
+    * Scale shape: `touched` is ≤ one row per delta endpoint
+    * (delta-sized, broadcast both times it joins); the pair log is
+    * scanned once, map-side semi-joined against the broadcast touched
+    * set — the untouched partition of the log (the overwhelming bulk
+    * in steady state) never enters a shuffle, never reaches the CC
+    * iteration. Pair → cluster mapping joins on `id_a` alone: every
+    * logged pair's endpoints share a component by construction, and
+    * every logged id is non-singleton so it HAS an assignment row. */
+  private[graft] def deltaCloseSplit(existingPairs: DataFrame,
+      existingClusters: DataFrame, delta: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val endpoints = delta.select(col("id_a").as("id"))
+      .unionByName(delta.select(col("id_b").as("id"))).distinct()
+    val touched = existingClusters
+      .join(broadcast(endpoints), Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val touchedEdges = existingPairs
+      .join(existingClusters.select(col("id").as("id_a"),
+        col("cluster_id")), Seq("id_a"))
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    val passThrough = existingClusters
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+    (touchedEdges, passThrough)
+  }
+
+  /** [[incrementalBlockedDedupClusters]] with the DELTA-AWARE close —
+    * the steady-state nightly call when the prior run's CLUSTER
+    * assignments are persisted beside the pair log. The full-log
+    * re-close was the one super-linear-in-history cost left in the
+    * nightly path (the log of a high-duplication corpus is large, and
+    * a batch touches few components): here only components reachable
+    * from a delta edge are re-closed, and every untouched (id →
+    * cluster_id) row passes through without entering the CC iteration
+    * (see [[deltaCloseSplit]] for the exactness argument — the output
+    * is byte-identical to the full re-close, which is what the q292
+    * oracle replays).
+    *
+    * `existingClusters` must be the [[blockedDedupClusters]]-contract
+    * output over exactly `existingPairs` (the artifact the previous
+    * run persisted); feeding a stale or foreign assignment breaks the
+    * exactness argument. */
+  def incrementalBlockedDedupClustersFromState(sigTable: DataFrame,
+      sortKeys: DataFrame, fpTable: DataFrame, existingPairs: DataFrame,
+      existingClusters: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, lshThreshold: Double = 0.5, snWindow: Int = 4,
+      snThreshold: Double = 0.5, maxHamming: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val delta = incrementalBlockedDedupPairs(sigTable, sortKeys, fpTable,
+      newDocs, idCol, textCol, lshThreshold, snWindow, snThreshold,
+      maxHamming, checkpointDir)
+    val (touchedEdges, passThrough) =
+      deltaCloseSplit(existingPairs, existingClusters, delta)
+    val reclosed = graft.llm.Corpus.dupClusters(
+      touchedEdges.unionByName(delta.select(col("id_a"), col("id_b")))
+        .distinct(),
+      checkpointDir = checkpointDir)
+    passThrough.unionByName(reclosed)
+  }
+
   /** Keeper resolution over [[blockedDedupClusters]] — the composed
     * pipeline's last mile: three-blocker pair union → connected
     * components → ONE survivor per cluster by keep-"best" (argmax

@@ -3390,6 +3390,49 @@ class LlmSpec extends AnyFunSuite {
     assert(got == replay, "clusters must be the prior ∪ delta closure")
   }
 
+  test("incrementalBlockedDedupClustersFromState: delta-aware close equals the full re-close across a multi-epoch sequence") {
+    // steady-state chain: backfill state → nightly epoch 1 → its
+    // output BECOMES the cluster artifact for nightly epoch 2; after
+    // each epoch the delta-aware close must be value-identical to the
+    // full-log re-close the q292 oracle replays
+    def cmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = docs.filter(col("doc_id") % 4 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 8 === 0)
+    val b2 = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0)
+    assert(b1.count() > 0 && b2.count() > 0)
+    val sig0 = Dedup.signatureTable(e0, "doc_id", "text")
+    val sk0 = Dedup.sortKeyTable(e0, "doc_id", "text")
+    val fp0 = Dedup.simhashTable(e0, "doc_id", "text")
+    val pairs0 = Dedup.blockedDedupPairs(e0, "doc_id", "text")
+    val clusters0 = graft.llm.Corpus.dupClusters(pairs0)
+    // epoch 1
+    val got1 = Dedup.incrementalBlockedDedupClustersFromState(
+      sig0, sk0, fp0, pairs0, clusters0, b1, "doc_id", "text")
+    val full1 = cmap(Dedup.incrementalBlockedDedupClusters(
+      sig0, sk0, fp0, pairs0, b1, "doc_id", "text"))
+    assert(cmap(got1) == full1,
+      "epoch-1 delta-aware close must equal the full re-close")
+    // epoch 2: log grows by epoch-1's delta, artifacts by the batch,
+    // and got1 is the cluster state — the production artifact chain
+    val delta1 = Dedup.incrementalBlockedDedupPairs(
+      sig0, sk0, fp0, b1, "doc_id", "text")
+    val pairs1 = pairs0.select(col("id_a"), col("id_b"))
+      .unionByName(delta1.select(col("id_a"), col("id_b"))).distinct()
+    val e1 = docs.filter(col("doc_id") % 4 =!= 0 || col("doc_id") % 8 === 0)
+    val sig1 = Dedup.signatureTable(e1, "doc_id", "text")
+    val sk1 = Dedup.sortKeyTable(e1, "doc_id", "text")
+    val fp1 = Dedup.simhashTable(e1, "doc_id", "text")
+    val got2 = cmap(Dedup.incrementalBlockedDedupClustersFromState(
+      sig1, sk1, fp1, pairs1, got1, b2, "doc_id", "text"))
+    val full2 = cmap(Dedup.incrementalBlockedDedupClusters(
+      sig1, sk1, fp1, pairs1, b2, "doc_id", "text"))
+    assert(got2 == full2,
+      "epoch-2 delta-aware close over epoch-1's OUTPUT state must equal the full re-close")
+    assert(got2.nonEmpty && got2 != cmap(clusters0),
+      "fixture must actually change clusters across the epochs")
+  }
+
   test("blockedClusterKeepers: one keeper per cluster, keep-longest, singletons keep themselves") {
     val out = Dedup.blockedClusterKeepers(docs, "doc_id", "text", "n_chars")
       .collect()

@@ -1320,6 +1320,46 @@ class PlanQualitySpec extends AnyFunSuite {
     // set-equality case.
   }
 
+  test("q292 delta-aware re-close: untouched pair-log partition never enters the CC iteration") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-deltaclose").toString
+    // two disjoint duplicate families in the prior log; the delta
+    // touches only family A (through doc 3)
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+      .write.parquet(s"$base/pairs")
+    val pairs = spark.read.parquet(s"$base/pairs")
+    graft.llm.Corpus.dupClusters(pairs)
+      .write.parquet(s"$base/clusters")
+    val clusters = spark.read.parquet(s"$base/clusters")
+    val delta = Seq((3L, 100L)).toDF("id_a", "id_b")
+    val (touchedEdges, passThrough) =
+      graft.llm.Dedup.deltaCloseSplit(pairs, clusters, delta)
+    // the CC input carries family A's edges ONLY — family B's
+    // untouched log partition is excluded before the iteration
+    val te = touchedEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(te == Set((1L, 2L), (2L, 3L)), s"touched edges: $te")
+    // untouched assignments pass through by value...
+    val pt = passThrough.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pt == Set((10L, 10L), (11L, 10L), (12L, 10L)),
+      s"pass-through: $pt")
+    // ...and by PLAN: the pass-through branch reads the cluster
+    // artifact alone — the pair log is not even scanned there
+    val ptPlan = passThrough.queryExecution.executedPlan.toString
+    assert(!ptPlan.contains("/pairs") && ptPlan.contains("/clusters"),
+      "pass-through must not scan the pair log:\n" + ptPlan.take(4000))
+    // the touched-set probe joins BROADCAST, so the single log scan
+    // is filtered map-side — no shuffle of the untouched bulk
+    val tePlan = touchedEdges.queryExecution.executedPlan.toString
+    assert(tePlan.contains("BroadcastHashJoin") ||
+      tePlan.contains("BroadcastExchange"), tePlan.take(4000))
+    assert(!tePlan.contains("CartesianProduct"), tePlan.take(4000))
+  }
+
   test("q278 set-sim join (lazy): candidate join keyed on prefix shingle, rarity window doc-keyed, no cartesian") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val before = spark.sparkContext.getPersistentRDDs.keySet
