@@ -8029,8 +8029,21 @@ object QueriesLlm {
     * simhash, unioned as `<px>allp`) instantiated over a FILTERED
     * document subset with prefixed CTE names, so one query can replay
     * the chain twice (prior corpus + combined corpus). Mirrors
-    * duckMinhashCtes/duckBandCte/duckTriBlockerCtes verbatim. */
-  private def duckTriBlockerPairChain(px: String, where: String): String = s"""
+    * duckMinhashCtes/duckBandCte/duckTriBlockerCtes verbatim.
+    * `materialized = true` pins every chain CTE AS MATERIALIZED —
+    * REQUIRED when chains nest through survivor CTEs (q299): DuckDB's
+    * default inlines single-reference CTEs, and a three-deep nest of
+    * inlined 20-CTE chains re-evaluates the inner chains
+    * multiplicatively (>4 min vs 2 s at sf0.001, measured). */
+  private def duckTriBlockerPairChain(px: String, where: String,
+      materialized: Boolean = false): String = {
+    val raw = duckTriBlockerPairChainRaw(px, where)
+    if (materialized)
+      raw.replaceAll(s"\\b($px\\w+) AS \\(", "$1 AS MATERIALIZED (")
+    else raw
+  }
+
+  private def duckTriBlockerPairChainRaw(px: String, where: String): String = s"""
       ${px}docs AS (SELECT doc_id, text FROM documents $where),
       ${px}dstr AS (
         SELECT doc_id,
@@ -8191,6 +8204,86 @@ object QueriesLlm {
       SELECT id AS doc_id, MIN(r) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** The STREAM-FED nightly re-close (closes the r16 "streaming
+    * admission discards its verified pairs" rider): the prior corpus
+    * arrives through TWO [[graft.streaming.StreamingPipeline
+    * .blockedAdmitBatch]] epochs — each persisting its signature/
+    * sort-key/fingerprint stores AND the new verified-pair log under
+    * the sig-commit rule — and the nightly batch then re-closes
+    * clusters from the STREAMED pair log plus its own delta, never
+    * re-probing what the stream already verified. One artifact
+    * contract across backfill (q256), nightly batch (q292), and
+    * streaming admission.
+    *
+    * The oracle replays the admission sequence independently: the
+    * tri-blocker chain over epoch 1's docs, the store-wins/min-id
+    * keeper rule to derive epoch-1 survivors, the chain again over
+    * (survivors ∪ epoch 2) restricted to epoch-2-involving pairs,
+    * survivors again, the chain a third time over (survivors ∪
+    * nightly batch) restricted to batch-involving — then closes the
+    * three pair sets transitively (the exact per-epoch contracts the
+    * incremental probes are LlmSpec-pinned to). */
+  private val q299 = Q("q299_streamed_pair_log",
+    (s, dir) => {
+      val idx = indexDir("spl", dir) { p =>
+        val docs0 = t(s, dir, "documents")
+        def epoch(batch: DataFrame, id: Long): Unit =
+          graft.streaming.StreamingPipeline.blockedAdmitBatch(
+            batch.select(col("doc_id"), col("text").as("clean_text"),
+              lit("fix").as("source")),
+            s"$p/corpus", s"$p/sig", s"$p/sk", s"$p/fp", s"$p/pairs",
+            threshold = 0.5, snWindow = 4, maxHamming = 3, shardId = id)
+        epoch(docs0.filter(col("doc_id") % 4 === 1), 1L)
+        epoch(docs0.filter(col("doc_id") % 4 === 2 ||
+          col("doc_id") % 4 === 3), 2L)
+      }
+      val sp = graft.streaming.StreamingPipeline
+      val batch = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      Dedup.incrementalBlockedDedupClusters(
+        sp.readSignatures(s, s"$idx/sig"),
+        sp.readSortKeys(s, s"$idx/sk", s"$idx/sig"),
+        sp.readFingerprints(s, s"$idx/fp", s"$idx/sig"),
+        sp.readPairs(s, s"$idx/pairs", s"$idx/sig"),
+        batch, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${duckTriBlockerPairChain("e1_", "WHERE doc_id % 4 = 1",
+        materialized = true)},
+      d1 AS MATERIALIZED (SELECT DISTINCT id_b AS d FROM e1_allp),
+      sv1 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 4 = 1
+              AND doc_id NOT IN (SELECT d FROM d1)),
+      ${duckTriBlockerPairChain("e2_",
+        "WHERE doc_id IN (SELECT doc_id FROM sv1) OR doc_id % 4 = 2 OR doc_id % 4 = 3",
+        materialized = true)},
+      e2d AS MATERIALIZED (SELECT id_a, id_b FROM e2_allp
+              WHERE id_a % 4 = 2 OR id_a % 4 = 3
+                 OR id_b % 4 = 2 OR id_b % 4 = 3),
+      d2 AS MATERIALIZED (SELECT DISTINCT CASE WHEN id_b % 4 = 2 OR id_b % 4 = 3
+               THEN id_b ELSE id_a END AS d FROM e2d),
+      sv2 AS MATERIALIZED (SELECT doc_id FROM sv1
+              UNION
+              SELECT doc_id FROM documents
+              WHERE (doc_id % 4 = 2 OR doc_id % 4 = 3)
+              AND doc_id NOT IN (SELECT d FROM d2)),
+      ${duckTriBlockerPairChain("e3_",
+        "WHERE doc_id IN (SELECT doc_id FROM sv2) OR doc_id % 4 = 0",
+        materialized = true)},
+      d3 AS MATERIALIZED (SELECT id_a, id_b FROM e3_allp
+             WHERE id_a % 4 = 0 OR id_b % 4 = 0),
+      u AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b FROM e1_allp
+            UNION ALL SELECT id_a, id_b FROM e2d
+            UNION ALL SELECT id_a, id_b FROM d3)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM u
+                UNION ALL SELECT id_b, id_a FROM u),
+      reach(id, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+      SELECT id AS doc_id, MIN(r) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
   /** Dynamic-schema column profiling of the customer table — counts,
     * lexicographic bounds, top value per column; see
     * [[graft.ops.Profiler.profile]]. */
@@ -8216,5 +8309,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299)
 }

@@ -471,6 +471,21 @@ object StreamingPipeline {
       sigDir: String): DataFrame =
     readSigCommitted(spark, fpDir, sigDir)
 
+  /** Committed VERIFIED-PAIR-LOG rows of the BLOCKED ingest chain —
+    * the fourth artifact (r16 verdict): every epoch persists the
+    * (id_a, id_b) near-dup pairs its three-blocker probe verified,
+    * under the same sig-commit rule as the sort-key/fingerprint
+    * stores. This is the same pair-log contract the nightly
+    * [[graft.llm.Dedup.incrementalBlockedDedupClusters]] call
+    * consumes as `existingPairs` — so a nightly re-close over a
+    * stream-fed corpus reads the pairs the stream already verified
+    * instead of re-probing, and streaming admission decisions are
+    * auditable against backfill clusters post-hoc (a rejected doc's
+    * pair evidence survives its rejection). */
+  def readPairs(spark: SparkSession, pairsDir: String,
+      sigDir: String): DataFrame =
+    readSigCommitted(spark, pairsDir, sigDir)
+
   /** THREE-BLOCKER streaming dedup admission: the [[startCorpusIngest]]
     * chain with [[graft.llm.Dedup.incrementalBlockedDedupPairsFromArtifacts]]
     * in place of the single LSH probe — every epoch probes the
@@ -481,8 +496,10 @@ object StreamingPipeline {
     * composed dedup family: q256/[[graft.llm.Dedup.blockedDedupClusters]]
     * is the backfill, q292/incrementalBlockedDedupClusters the nightly
     * batch, THIS the continuous admission path — one shared digest
-    * scan per epoch feeds all three probes and all three store
-    * appends.
+    * scan per epoch feeds all three probes and all four store
+    * appends (signature/sort-key/fingerprint stores plus the
+    * verified-pair log the nightly re-close consumes, see
+    * [[readPairs]]).
     *
     * Scale shape per micro-batch: the digest prep is one narrow pass
     * over the batch; each probe keeps its incremental contract
@@ -491,7 +508,8 @@ object StreamingPipeline {
     * stores grow by survivors so they mirror the corpus exactly. */
   def startBlockedCorpusIngest(spark: SparkSession, landingDir: String,
       corpusDir: String, sigDir: String, sortKeyDir: String,
-      fpDir: String, checkpoint: String, weights: Map[String, Double],
+      fpDir: String, pairsDir: String, checkpoint: String,
+      weights: Map[String, Double],
       defaultWeight: Double = 1.0, threshold: Double = 0.5,
       snWindow: Int = 4, maxHamming: Int = 3,
       availableNow: Boolean = true): StreamingQuery = {
@@ -503,7 +521,7 @@ object StreamingPipeline {
         Trigger.ProcessingTime("15 minutes"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         blockedCorpusIngestBatch(batch, corpusDir, sigDir, sortKeyDir,
-          fpDir, weights, defaultWeight, threshold, snWindow,
+          fpDir, pairsDir, weights, defaultWeight, threshold, snWindow,
           maxHamming, batchId)
       }
       .start()
@@ -512,29 +530,45 @@ object StreamingPipeline {
   /** Per-epoch body of [[startBlockedCorpusIngest]] (package-visible
     * so the spec can drive a single batch without a stream).
     *
-    * Idempotence with THREE artifact stores: every sink lands its
+    * Idempotence with FOUR artifact stores: every sink lands its
     * epoch under `epoch=<batchId>` with OVERWRITE, and the signature
     * store — written LAST — is the single commit record (the exact-id
-    * anti-join consults IT alone, and the sort-key/fingerprint stores
-    * are read restricted to SIG-committed epoch ids). A crash after
-    * the sort-key/fingerprint writes but before the sig write leaves
-    * torn partitions that are invisible to every probe and are
-    * overwritten in place by the replay — the [[corpusIngestBatch]]
-    * contract extended to a multi-store commit. */
+    * anti-join consults IT alone, and the pair-log/sort-key/
+    * fingerprint stores are read restricted to SIG-committed epoch
+    * ids). A crash after the pair/sort-key/fingerprint writes but
+    * before the sig write leaves torn partitions that are invisible
+    * to every probe and are overwritten in place by the replay — the
+    * [[corpusIngestBatch]] contract extended to a multi-store
+    * commit. */
   private[streaming] def blockedCorpusIngestBatch(batch: DataFrame,
       corpusDir: String, sigDir: String, sortKeyDir: String,
-      fpDir: String, weights: Map[String, Double],
+      fpDir: String, pairsDir: String, weights: Map[String, Double],
       defaultWeight: Double, threshold: Double, snWindow: Int,
       maxHamming: Int, shardId: Long = 0L): Unit = {
-    import graft.llm.{Corpus, Dedup, TextAnalysis}
-    val spark = batch.sparkSession
+    import graft.llm.{Corpus, TextAnalysis}
     val sampled = Corpus.mixtureSample(batch, "source", "doc_id",
       weights, defaultWeight)
     val cleaned0 = TextAnalysis.c4Clean(sampled, "doc_id", "text")
       .join(sampled.select(col("doc_id"), col("source")), Seq("doc_id"))
-    // the sig store is the commit record for ALL THREE stores: only
+    blockedAdmitBatch(cleaned0, corpusDir, sigDir, sortKeyDir, fpDir,
+      pairsDir, threshold, snWindow, maxHamming, shardId)
+  }
+
+  /** The admission + multi-store-commit core of
+    * [[blockedCorpusIngestBatch]], operating on ALREADY-CLEANED docs
+    * (`doc_id`, `clean_text`, `source`) — split out so the q299 gate
+    * can drive the real store/commit/pair-log machinery on fixture
+    * text directly (the sampling/cleaning front has its own gates,
+    * q118/q121). */
+  private[graft] def blockedAdmitBatch(cleaned0: DataFrame,
+      corpusDir: String, sigDir: String, sortKeyDir: String,
+      fpDir: String, pairsDir: String, threshold: Double,
+      snWindow: Int, maxHamming: Int, shardId: Long): Unit = {
+    import graft.llm.{Dedup, TextAnalysis}
+    val spark = cleaned0.sparkSession
+    // the sig store is the commit record for ALL FOUR stores: only
     // epoch ids whose sig partition committed are read from the
-    // sort-key/fingerprint dirs, so the three views are always
+    // sort-key/fingerprint/pair dirs, so the four views are always
     // mutually consistent (same ids, same epochs)
     val epochIds = sigCommittedEpochIds(spark, sigDir)
     def store(dir: String, empty: => DataFrame): DataFrame =
@@ -587,11 +621,29 @@ object StreamingPipeline {
         .distinct()
       val survivors = cleaned.join(dead, Seq("doc_id"), "left_anti").cache()
       try {
+        // The survivor gate is LOAD-BEARING for fresh-checkpoint
+        // replays: a restarted stream reprocessing old landing files
+        // re-sees previously-REJECTED docs (they are not in the sig
+        // store, so the anti-join keeps them), recomputes zero
+        // survivors, and must not overwrite committed epoch
+        // partitions under its misaligned batch ids. The cost is a
+        // documented limit: an epoch whose batch is ALL-dead commits
+        // nothing, including its pair evidence — acceptable because
+        // such an epoch contributes no corpus rows, and at streaming
+        // batch sizes an all-rejected epoch is degenerate.
         if (survivors.count() > 0) {
           survivors.withColumn("insert_dt", current_timestamp())
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$corpusDir/epoch=$shardId")
           failpoint("blocked-corpus:after-corpus-write")
+          // the epoch's verified pairs — the FOURTH sig-committed
+          // artifact (NOT survivor-filtered: a rejected doc's pair is
+          // exactly the evidence that justified rejecting it, and the
+          // nightly re-close wants it)
+          pairs.select(col("id_a"), col("id_b"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$pairsDir/epoch=$shardId")
+          failpoint("blocked-corpus:after-pairs-write")
           val keep = survivors.select(col("doc_id").as("id"))
           // artifact stores BEFORE the sig commit record; every read
           // here comes off the prep/survivors caches, so the writes

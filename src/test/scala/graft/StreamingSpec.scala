@@ -162,15 +162,19 @@ class StreamingSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft-blocked-stream").toString
     val landing = s"$base/landing"; val corpus = s"$base/corpus"
     val sigs = s"$base/sigs"; val sks = s"$base/sks"; val fps = s"$base/fps"
+    val prs = s"$base/pairs"
     val weights = Map("keep" -> 1.0)
     val text1 = "the quick brown fox jumps over fences.\nmorning rain fell on the quiet harbor town!\nseven sailors counted stars above deck?"
     val text2 = "bakers knead dough before sunrise daily.\ncopper kettles whistle in the old kitchen!\nchildren chase autumn leaves down lanes?"
     val text3 = "glaciers carve valleys over countless years.\nlibraries hold voices from distant ages!\ngardeners plant tulips beside stone walls?"
     def run(cp: String): Unit = {
       val q = StreamingPipeline.startBlockedCorpusIngest(spark, landing,
-        corpus, sigs, sks, fps, cp, weights)
+        corpus, sigs, sks, fps, prs, cp, weights)
       assert(q.awaitTermination(120000), "AvailableNow drain timed out")
     }
+    def pairSet(): Set[(Long, Long)] =
+      StreamingPipeline.readPairs(spark, prs, sigs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
     def storeIds(read: => org.apache.spark.sql.DataFrame): Set[Long] =
       read.select("id").collect().map(_.getLong(0)).toSet
 
@@ -183,6 +187,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(storeIds(StreamingPipeline.readSignatures(spark, sigs)) == Set(1L, 2L))
     assert(storeIds(StreamingPipeline.readSortKeys(spark, sks, sigs)) == Set(1L, 2L))
     assert(storeIds(StreamingPipeline.readFingerprints(spark, fps, sigs)) == Set(1L, 2L))
+
+    // the landing batch had no near-dups: the pair log's first epoch
+    // committed EMPTY (the sig commit still records it)
+    assert(pairSet().isEmpty, "no-dup epoch must commit an empty pair log")
 
     // epoch 1: an exact near-dup of STORED doc 1 dies against the
     // store (store-wins, doc 1 not in this batch); fresh content
@@ -197,6 +205,11 @@ class StreamingSpec extends AnyFunSuite {
       "sortkey" -> storeIds(StreamingPipeline.readSortKeys(spark, sks, sigs)),
       "fp" -> storeIds(StreamingPipeline.readFingerprints(spark, fps, sigs))))
       assert(ids == Set(1L, 2L, 11L), s"$nm store must mirror the corpus: $ids")
+    // the pair log keeps the REJECTED doc's evidence: (1, 10) is the
+    // verified pair that killed doc 10, persisted although 10 never
+    // entered the corpus — the nightly re-close consumes exactly this
+    assert(pairSet().contains((1L, 10L)),
+      s"rejection evidence must be in the pair log: ${pairSet()}")
 
     // the admission probe IS the q292 batch call: replaying the dead
     // doc against the stores through the public batch API finds the
@@ -236,7 +249,7 @@ class StreamingSpec extends AnyFunSuite {
       Seq((20L, "mountain trails wind through silent pines.\nrivers braid silver paths across the plain!\nowls watch dusk settle over the ridge?", "keep"))
         .toDF("doc_id", "text", "source").write.mode("append").parquet(landing)
       val qKill = StreamingPipeline.startBlockedCorpusIngest(spark, landing,
-        corpus, sigs, sks, fps, s"$base/cp", weights)
+        corpus, sigs, sks, fps, prs, s"$base/cp", weights)
       intercept[Exception] { qKill.awaitTermination(120000) }
       assert(fired, "failpoint must have fired")
       // torn epoch: sortkey/fp partitions exist but sig does not —
@@ -255,6 +268,38 @@ class StreamingSpec extends AnyFunSuite {
         "fp" -> storeIds(StreamingPipeline.readFingerprints(spark, fps, sigs))))
         assert(ids == Set(1L, 2L, 11L, 20L),
           s"$nm store must be consistent after replay: $ids")
+
+      // TORN PAIR EPOCH: a batch whose pair log is NONEMPTY (doc 30
+      // is a dup of stored doc 11; doc 31 is fresh so the epoch has a
+      // survivor and commits), killed after the pair write but before
+      // the sig commit — the torn pair partition must stay invisible
+      // to the sig-keyed reader until the replay commits
+      val pairsBefore = pairSet()
+      fired = false
+      StreamingPipeline.failpoint = { pt =>
+        if (pt == "blocked-corpus:after-pairs-write" && !fired) {
+          fired = true
+          throw new RuntimeException("simulated crash after pair write")
+        }
+      }
+      Seq((30L, text3, "keep"),
+        (31L, "candles flicker inside the paper lantern.\nfrost patterns spread across the window glass!\npigeons gather near the station clock?", "keep"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("append").parquet(landing)
+      val qKill2 = StreamingPipeline.startBlockedCorpusIngest(spark,
+        landing, corpus, sigs, sks, fps, prs, s"$base/cp", weights)
+      intercept[Exception] { qKill2.awaitTermination(120000) }
+      assert(fired, "pair failpoint must have fired")
+      assert(pairSet() == pairsBefore,
+        "torn pair epoch must be invisible to the sig-keyed reader")
+      StreamingPipeline.failpoint = _ => ()
+      run(s"$base/cp")
+      assert(pairSet().contains((11L, 30L)),
+        s"replayed epoch must commit the pair evidence: ${pairSet()}")
+      assert(StreamingPipeline.readCorpus(spark, corpus).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq ==
+          Seq(1L, 2L, 11L, 20L, 31L),
+        "the duplicate doc 30 must stay rejected after the replay")
     } finally StreamingPipeline.failpoint = _ => ()
   }
 
