@@ -8284,6 +8284,39 @@ object QueriesLlm {
       SELECT id AS doc_id, MIN(r) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** SEMANTIC eval-contamination screen (closes the r16 verdict's
+    * composition ask): training vectors whose embedding cosine to any
+    * eval vector (the q115 % 40 eval-set contract) clears the
+    * threshold — the paraphrased leakage q115's 4-gram screen cannot
+    * see. Oracle replays the SRP bucketing (deterministic md5 planes,
+    * the q56 replay) with the asymmetric train×eval join. See
+    * [[Similarity.evalContamination]]. */
+  private val q300 = Q("q300_eval_contamination",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.evalContamination(
+        emb.filter(col("vec_id") % 40 =!= 0),
+        emb.filter(col("vec_id") % 40 === 0),
+        "vec_id", "embedding", threshold = 0.1)
+        .orderBy("train_id", "eval_id")
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               ${duckSrp("embedding")} AS bucket,
+               sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                 AS nrm
+        FROM embeddings)
+      SELECT train_id, eval_id, cos FROM (
+        SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+               list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.bucket = b.bucket
+          AND a.vec_id % 40 <> 0 AND b.vec_id % 40 = 0)
+      WHERE cos >= 0.1 ORDER BY train_id, eval_id"""))
+
   /** Dynamic-schema column profiling of the customer table — counts,
     * lexicographic bounds, top value per column; see
     * [[graft.ops.Profiler.profile]]. */
@@ -8309,5 +8342,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300)
 }

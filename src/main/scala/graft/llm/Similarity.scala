@@ -1100,6 +1100,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Semantic eval-set contamination screen — the embedding twin of
+    * the n-gram [[graft.llm.TextAnalysis.contaminatedDocs]] family:
+    * training vectors whose cosine to ANY eval vector clears
+    * `threshold` are the paraphrased leakage an exact/n-gram
+    * decontamination pass cannot see (reworded eval questions share
+    * no 4-grams but sit next to the original in embedding space).
+    * Emits every (train_id, eval_id, cos) above the threshold so the
+    * caller can drop, down-weight, or audit.
+    *
+    * Scale shape: ASYMMETRIC [[nearDupPairs]] — the train side is
+    * SRP-bucketed in one narrow pass (the only data-sized work); the
+    * eval side is eval-benchmark-sized by contract (thousands, not
+    * billions), so its bucketed form BROADCASTS and the probe is a
+    * map-side hash join on the bucket key: no shuffle of the train
+    * corpus at all, candidates follow the SRP collision curve. */
+  def evalContamination(train: DataFrame, evalSet: DataFrame,
+      idCol: String, embCol: String, threshold: Double,
+      bits: Int = 8): DataFrame = {
+    val tr = bucketIndex(train, idCol, embCol, bits)
+    val ev = bucketIndex(evalSet, idCol, embCol, bits)
+    tr.select(col("bucket"), col("id").as("train_id"),
+        col("emb").as("emb_t"), col("nrm").as("nrm_t"))
+      .join(broadcast(ev.select(col("bucket"), col("id").as("eval_id"),
+        col("emb").as("emb_e"), col("nrm").as("nrm_e"))), Seq("bucket"))
+      .select(col("train_id"), col("eval_id"),
+        cosPre(col("emb_t"), col("emb_e"), col("nrm_t"), col("nrm_e"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** SRP bucket-index table for INCREMENTAL embedding dedup:
     * (id, emb, nrm, bucket) per vector — the artifact a production
     * pipeline persists (parquet, partitioned by `bucket` so a batch

@@ -1360,6 +1360,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!tePlan.contains("CartesianProduct"), tePlan.take(4000))
   }
 
+  test("q300 eval contamination: eval side broadcast on the bucket key, train side never shuffle-joined") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val out = graft.llm.Similarity.evalContamination(
+      emb.filter(col("vec_id") % 40 =!= 0),
+      emb.filter(col("vec_id") % 40 === 0),
+      "vec_id", "embedding", threshold = 0.1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval side must broadcast: " + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      "train side must not shuffle-join: " + plan.take(3000))
+  }
+
   test("q278 set-sim join (lazy): candidate join keyed on prefix shingle, rarity window doc-keyed, no cartesian") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val before = spark.sparkContext.getPersistentRDDs.keySet
