@@ -1281,9 +1281,49 @@ object QueriesSql {
              ${dsumSql("rev", 2)} AS total_rev
       FROM seg_rev GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** The `session_window` SEMANTICS, hash-gated in batch mode (closes
+    * the r16 verdict's "spec-tested but no CORRECTNESS row" rider on
+    * [[graft.streaming.StreamingPipeline.sessionWindowAgg]]): the
+    * exact operator the streaming path runs (watermark is analyzer-
+    * eliminated in batch), oracled by the gaps-and-islands form.
+    * Spark's merge rule is OVERLAP of [ts, ts+gap) windows, so a new
+    * session starts at gap >= 30 min — one microsecond-exact `>=`
+    * where q38's hand-rolled rule is `>` — and session_end is
+    * last-event ts + gap. The gate emits boundaries and counts
+    * (epoch seconds; the float value sum is q38's dsum territory). */
+  private val q301 = Q("q301_session_window",
+    (s, dir) => graft.streaming.StreamingPipeline.sessionWindowAgg(
+        t(s, dir, "events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start_s"),
+        unix_timestamp(col("session_end")).as("session_end_s"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_s"),
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('microsecond', lag(ts) OVER w, ts)
+                         >= 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800 AS session_end_s,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start_s"""))
+
   val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40, q41, q42, q43,
     q45, q47, q48, q49, q50, q53, q54, q55, q61, q62, q63, q64, q65, q66,
     q67, q68, q72, q73, q74, q77, q78, q79, q82, q83, q84, q85, q87, q91,
     q93, q94, q95, q96, q99, q100,
-    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q117, q123)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q112, q117, q123,
+    q301)
 }
