@@ -1419,14 +1419,22 @@ object Dedup {
     val touched = existingClusters
       .join(broadcast(endpoints), Seq("id"), "left_semi")
       .select(col("cluster_id")).distinct()
+    // observed metrics (the setSimJoinPairs discipline): the whole
+    // point of the delta-aware close is how much of the log it did
+    // NOT re-close — surface both sides so a production run can audit
+    // the touched/pass-through ratio instead of assuming it
+    val obsTag = s"delta_close_${obsSeq.incrementAndGet()}"
     val touchedEdges = existingPairs
       .join(existingClusters.select(col("id").as("id_a"),
         col("cluster_id")), Seq("id_a"))
       .join(broadcast(touched), Seq("cluster_id"), "left_semi")
       .select(col("id_a"), col("id_b"))
+      .observe(s"${obsTag}_touched", count(lit(1)).as("touched_edges"))
     val passThrough = existingClusters
       .join(broadcast(touched), Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"))
+      .observe(s"${obsTag}_pass",
+        count(lit(1)).as("passthrough_assignments"))
     (touchedEdges, passThrough)
   }
 

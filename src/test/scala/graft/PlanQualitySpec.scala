@@ -1337,16 +1337,51 @@ class PlanQualitySpec extends AnyFunSuite {
     val delta = Seq((3L, 100L)).toDF("id_a", "id_b")
     val (touchedEdges, passThrough) =
       graft.llm.Dedup.deltaCloseSplit(pairs, clusters, delta)
-    // the CC input carries family A's edges ONLY — family B's
-    // untouched log partition is excluded before the iteration
-    val te = touchedEdges.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(te == Set((1L, 2L), (2L, 3L)), s"touched edges: $te")
-    // untouched assignments pass through by value...
-    val pt = passThrough.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pt == Set((10L, 10L), (11L, 10L), (12L, 10L)),
-      s"pass-through: $pt")
+    // capture the split's observed metrics (the run-time audit of how
+    // much of the log the close did NOT touch)
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          seen.put(name, row.getLong(0))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // the CC input carries family A's edges ONLY — family B's
+      // untouched log partition is excluded before the iteration
+      val te = touchedEdges.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(te == Set((1L, 2L), (2L, 3L)), s"touched edges: $te")
+      // untouched assignments pass through by value...
+      val pt = passThrough.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pt == Set((10L, 10L), (11L, 10L), (12L, 10L)),
+        s"pass-through: $pt")
+      // ...and the observed metrics report the same counts (listener
+      // delivery is async)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def metric(suffix: String): Option[Long] = {
+        val it = seen.entrySet().iterator()
+        var found: Option[Long] = None
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.endsWith(suffix)) found = Some(e.getValue)
+        }
+        found
+      }
+      while (System.nanoTime() < deadline &&
+             (metric("_touched").isEmpty || metric("_pass").isEmpty))
+        Thread.sleep(50)
+      assert(metric("_touched").contains(2L) &&
+        metric("_pass").contains(3L),
+        s"delta-close metrics must report the split: ${seen}")
+    } finally spark.listenerManager.unregister(listener)
     // ...and by PLAN: the pass-through branch reads the cluster
     // artifact alone — the pair log is not even scanned there
     val ptPlan = passThrough.queryExecution.executedPlan.toString
