@@ -1479,6 +1479,45 @@ class LlmSpec extends AnyFunSuite {
       s"replay diverged: extra=${replayed -- full}, missing=${full -- replayed}")
   }
 
+  test("evalContamination: verbatim leak flagged at cos 1, scaled copy flagged, orthogonal clean; equals restricted nearDupPairs on the fixture") {
+    import spark.implicits._
+    // constructed vectors: train 1 IS eval 100 (verbatim leak, cos 1);
+    // train 2 = 2× eval 100 (paraphrase stand-in — same direction, so
+    // same SRP bucket and cos 1); train 3 ⟂ eval 100 on the axis pair
+    def v(a: Double, b: Double): Array[Float] = {
+      val arr = Array.fill(64)(0.0f); arr(0) = a.toFloat; arr(1) = b.toFloat
+      arr
+    }
+    val train = Seq((1L, v(1, 1)), (2L, v(2, 2)), (3L, v(1, -1)))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, v(1, 1))).toDF("vec_id", "embedding")
+    val got = Similarity.evalContamination(train, evalSet, "vec_id",
+        "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 100L), (2L, 100L)),
+      s"verbatim + same-direction copies must flag, orthogonal must not: ${got.toSeq}")
+    assert(got.forall(t => math.abs(t._3 - 1.0) < 1e-6), got.toSeq.toString)
+    // and on the real fixture the asymmetric screen is EXACTLY the
+    // symmetric near-dup pair set restricted to train×eval (same
+    // buckets, same cosine, same threshold)
+    val evalPred = col("vec_id") % 40 === 0
+    val screen = Similarity.evalContamination(emb.filter(!evalPred),
+        emb.filter(evalPred), "vec_id", "embedding", threshold = 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val restricted = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {
+        case (a, b, c) if a % 40 == 0 && b % 40 != 0 => (b, a, c)
+        case (a, b, c) if b % 40 == 0 && a % 40 != 0 => (a, b, c)
+      }.toSet
+    assert(screen == restricted,
+      s"only-screen=${screen -- restricted}, only-pairs=${restricted -- screen}")
+    assert(screen.nonEmpty, "fixture must have cross-split near-dups")
+  }
+
   test("kmeans: 10-iteration plan stays truncated; checkpointDir is scoped and value-identical") {
     val sc = spark.sparkContext
     val prev = sc.getCheckpointDir
