@@ -486,6 +486,50 @@ object StreamingPipeline {
       sigDir: String): DataFrame =
     readSigCommitted(spark, pairsDir, sigDir)
 
+  /** COMPACT the blocked-ingest artifact chain: rewrite every
+    * SIG-COMMITTED epoch of the corpus and the four stores into ONE
+    * `epoch=c0` partition each under FRESH destination roots. A
+    * 15-minute streaming cadence writes ~35k epoch partitions per
+    * store per year — at 100 TB the file-count pressure on the
+    * nightly readers (and the name-node/listing cost) is the
+    * operational limit, and this is the standard answer: periodic
+    * consolidation into one generation.
+    *
+    * Crash-safe by CONSTRUCTION, not by protocol: nothing in the
+    * source chain is touched (no in-place deletes to tear), the
+    * destination is a new generation whose own sig partition is
+    * written LAST — a compaction that dies mid-way leaves dst without
+    * a commit record, every dst reader refuses it, and the retry
+    * simply overwrites. Cutover is the caller's pointer swap (the
+    * SnapshotTable manifest pattern): quiesce the stream, compact,
+    * resume against dst with a fresh checkpoint — the `c0` epoch id
+    * can never collide with a numeric stream batchId, and a fresh
+    * checkpoint re-reading old landing files is neutralized by the
+    * exact-id anti-join against the compacted sig store (the standard
+    * worst-case-retry contract, spec-pinned). */
+  def compactBlockedStores(spark: SparkSession,
+      srcCorpus: String, srcSig: String, srcSk: String, srcFp: String,
+      srcPairs: String, dstCorpus: String, dstSig: String,
+      dstSk: String, dstFp: String, dstPairs: String): Unit = {
+    val ids = sigCommittedEpochIds(spark, srcSig)
+    require(ids.nonEmpty, s"nothing to compact: no committed epochs in $srcSig")
+    def committedView(dir: String): DataFrame =
+      spark.read.option("basePath", dir)
+        .parquet(ids.map(e => s"$dir/epoch=$e"): _*).drop("epoch")
+    def write(df: DataFrame, dst: String): Unit =
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dst/epoch=c0")
+    // the corpus compacts through the SAME sig-committed restriction
+    // as the stores (a torn trailing epoch must not be frozen into
+    // the new generation — its replay belongs to the old chain)
+    write(committedView(srcCorpus), dstCorpus)
+    write(committedView(srcPairs), dstPairs)
+    write(committedView(srcSk), dstSk)
+    write(committedView(srcFp), dstFp)
+    failpoint("compact:before-sig")
+    write(committedView(srcSig), dstSig)
+  }
+
   /** THREE-BLOCKER streaming dedup admission: the [[startCorpusIngest]]
     * chain with [[graft.llm.Dedup.incrementalBlockedDedupPairsFromArtifacts]]
     * in place of the single LSH probe — every epoch probes the

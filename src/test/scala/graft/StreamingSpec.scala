@@ -303,6 +303,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingPipeline.failpoint = _ => ()
   }
 
+  test("compactBlockedStores: one generation per store, views identical, probe-equivalent, torn compaction invisible") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact").toString
+    val (sc, ss, sk, sf, sp) = (s"$base/src/corpus", s"$base/src/sig",
+      s"$base/src/sk", s"$base/src/fp", s"$base/src/pairs")
+    val (dc, ds, dk, df2, dp) = (s"$base/dst/corpus", s"$base/dst/sig",
+      s"$base/dst/sk", s"$base/dst/fp", s"$base/dst/pairs")
+    val t1 = "the quick brown fox jumps over fences near the harbor town tonight"
+    val t2 = "bakers knead dough before sunrise while copper kettles whistle daily"
+    val t3 = "glaciers carve valleys over countless years beside old stone walls"
+    def admit(docs: Seq[(Long, String)], id: Long): Unit =
+      StreamingPipeline.blockedAdmitBatch(
+        docs.toDF("doc_id", "clean_text").withColumn("source", lit("k")),
+        sc, ss, sk, sf, sp, 0.5, 4, 3, id)
+    admit(Seq((1L, t1), (2L, t2)), 0L)
+    admit(Seq((10L, t1), (11L, t3)), 1L) // 10 dies against stored 1
+    def compact(): Unit = StreamingPipeline.compactBlockedStores(spark,
+      sc, ss, sk, sf, sp, dc, ds, dk, df2, dp)
+    // TORN compaction: die before the dst sig commit — every dst
+    // reader must refuse the half-written generation
+    StreamingPipeline.failpoint = { pt =>
+      if (pt == "compact:before-sig")
+        throw new RuntimeException("simulated compaction crash")
+    }
+    try intercept[Exception] { compact() }
+    finally StreamingPipeline.failpoint = _ => ()
+    intercept[Exception] { StreamingPipeline.readSignatures(spark, ds) }
+    intercept[Exception] { StreamingPipeline.readPairs(spark, dp, ds) }
+    // retry overwrites in place and commits
+    compact()
+    def ids(read: => org.apache.spark.sql.DataFrame): Set[Long] =
+      read.select("id").collect().map(_.getLong(0)).toSet
+    def prSet(dir: String, sig: String): Set[(Long, Long)] =
+      StreamingPipeline.readPairs(spark, dir, sig).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(StreamingPipeline.readSignatures(spark, ds)) ==
+      ids(StreamingPipeline.readSignatures(spark, ss)))
+    assert(ids(StreamingPipeline.readSortKeys(spark, dk, ds)) ==
+      ids(StreamingPipeline.readSortKeys(spark, sk, ss)))
+    assert(ids(StreamingPipeline.readFingerprints(spark, df2, ds)) ==
+      ids(StreamingPipeline.readFingerprints(spark, sf, ss)))
+    assert(prSet(dp, ds) == prSet(sp, ss) &&
+      prSet(dp, ds).contains((1L, 10L)),
+      "rejection evidence must survive compaction")
+    assert(StreamingPipeline.readCorpus(spark, dc).select("doc_id")
+      .collect().map(_.getLong(0)).toSet ==
+      StreamingPipeline.readCorpus(spark, sc).select("doc_id")
+        .collect().map(_.getLong(0)).toSet)
+    // exactly one committed generation per dst store
+    for (d <- Seq(dc, ds, dk, df2, dp))
+      assert(StreamingPipeline.committedEpochs(spark, d).size == 1, d)
+    // probe equivalence: a new batch finds the same pairs against the
+    // compacted generation as against the epoch-partitioned source
+    val probe = Seq((20L, t3)).toDF("doc_id", "clean_text")
+    def probePairs(sig: String, sortk: String, fp: String): Set[(Long, Long)] =
+      graft.llm.Dedup.incrementalBlockedDedupPairs(
+        StreamingPipeline.readSignatures(spark, sig),
+        StreamingPipeline.readSortKeys(spark, sortk, sig),
+        StreamingPipeline.readFingerprints(spark, fp, sig),
+        probe, "doc_id", "clean_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDst = probePairs(ds, dk, df2)
+    assert(viaDst == probePairs(ss, sk, sf) && viaDst.contains((11L, 20L)),
+      s"compacted probe must agree: $viaDst")
+    // fresh-checkpoint resume against dst: batchId 0 replaying every
+    // old landing doc is neutralized by the exact-id anti-join (the
+    // numeric epoch id cannot collide with c0)
+    StreamingPipeline.blockedAdmitBatch(
+      Seq((1L, t1), (2L, t2), (10L, t1), (11L, t3))
+        .toDF("doc_id", "clean_text").withColumn("source", lit("k")),
+      dc, ds, dk, df2, dp, 0.5, 4, 3, 0L)
+    assert(StreamingPipeline.readCorpus(spark, dc).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L),
+      "replayed docs must be neutralized against the compacted store")
+  }
+
   test("mid-batch kill in the corpus+pack chain: restart from checkpoint is exactly-once") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-crash-stream").toString
