@@ -124,7 +124,44 @@ object Bench {
     "q292_incr_blocked_dedup", "q293_bigstar_clusters",
     "q294_retrieval_eval", "q295_markov_transitions",
     "q296_markov_stationary", "q297_mad_outliers", "q298_tfidf_cosine")
+  /** Demote known-benign per-operator log floods that would otherwise
+    * fill the harness's bounded stdout tail (observed: ~2000 chars) and
+    * evict the JSON record line. The WindowExec "No Partition Defined"
+    * warning fires once per bounded-cardinality global window (banded
+    * ranks over `__bk` bucket frames — bounded by construction) and
+    * repeated thousands of times in the r17 kill-log; the function-
+    * registry "replaced" notice fires on every re-registration of the
+    * winnowing UDF family. Harness-level only — library code is
+    * untouched and a user's own logging config still sees everything. */
+  def quietKnownLogFloods(): Unit =
+    try {
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.config.Configurator
+      Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+      Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+        Level.ERROR)
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
+    // Elapsed-clock governor (r17 postmortem): the timed surface grew
+    // past the driver's wall budget and GNU timeout killed the JVM
+    // before the ONLY result line printed — rc 124, parsed null, the
+    // whole round's bench evidence zeroed. Two defenses, both here:
+    // (a) the record is emitted INCREMENTALLY (after the board, then
+    // after every anchor pass) so a kill degrades the record instead
+    // of zeroing it; (b) work is SHED, least-important first (V2
+    // anchor → primary anchor → board passes beyond the first), when
+    // the clock approaches SPARK_GRAFT_TIME_BUDGET seconds measured
+    // from this entry point. Default 2100 s: the full default shape
+    // (warm-up + 3 board passes + 3 anchor + 1 V2 pass ≈ 30 min)
+    // finishes inside it untouched on a quiet machine; the governor
+    // only bites when the machine is slower than planned.
+    val tMain = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tMain) / 1e9
+    val timeBudget =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2100").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -137,6 +174,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietKnownLogFloods()
 
     // Warm-up (untimed): run every query once at the smallest SF. This
     // compiles each query's whole-stage codegen and JITs the hot loops
@@ -178,7 +216,14 @@ object Bench {
     // time: its failed sample is excluded, and a query with no
     // successful sample at all is excluded from the total and surfaced
     // in "errors" — a regression must never IMPROVE the benchmark.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
+    // 3 passes (r18, was 5): the r17 five-pass board + anchors overran
+    // the driver's wall budget and zeroed the record. The board's job
+    // is per-query coverage numbers; the cross-round latency signal is
+    // the fixed anchors (which keep min-of-3), so the board takes the
+    // envelope cut: 3 passes still give the per-query min two chances
+    // to dodge a load window, and the whole timed surface lands ~20%
+    // below the r16 shape that fit the budget.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // SPARK_GRAFT_ONLY=q115_contamination,q26_embed_topk : time a
     // subset (dev iteration); the driver never sets it, so the
     // per-round numbers always cover the full suite
@@ -189,71 +234,97 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(_._1 -> Vector.empty[Double]): _*)
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (pass <- 1 to nRuns; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try {
-        exec(fn(spark, sfDir))
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+    val shed = scala.collection.mutable.ArrayBuffer[String]()
+    var lastPassDur = 0.0
+    var passesDone = 0
+    var boardOpen = true
+    while (passesDone < nRuns && boardOpen) {
+      // Governor: always run pass 1 (a record must exist); shed later
+      // passes when the projected finish would eat the anchors' share
+      // of the budget. 0.80 leaves ~20% of the budget for the anchors,
+      // matching the default shape's anchor/board time split.
+      if (passesDone >= 1 && elapsedSec + lastPassDur > 0.80 * timeBudget) {
+        shed += s"board_passes_${passesDone + 1}_to_$nRuns"
+        boardOpen = false
+      } else {
+        val tp = System.nanoTime()
+        for ((name, fn) <- names) {
+          val t0 = System.nanoTime()
+          try {
+            exec(fn(spark, sfDir))
+            samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          }
+        }
+        lastPassDur = (System.nanoTime() - tp) / 1e9
+        passesDone += 1
+        // settle the heap between passes: carrying another pass's
+        // garbage into a timed sample is self-inflicted contention
+        if (passesDone < nRuns) System.gc()
       }
-      // settle the heap between passes: carrying another pass's garbage
-      // into a timed sample is self-inflicted contention
-      if (pass < nRuns && name == names.last._1) System.gc()
     }
 
-    // FIXED-SUBSET longitudinal anchor: after the full board, re-run
-    // the pinned 130-query `485ff45` set for SPARK_GRAFT_FIXED_RUNS
-    // (default 2) additional round-robin passes with a settled heap.
-    // The full board grows every round, and its size alone moves the
+    // FIXED-SUBSET longitudinal anchors: after the full board, re-run
+    // the pinned 130-query `485ff45` set (and then the 167-query V2
+    // set) as additional round-robin passes with a settled heap. The
+    // full board grows every round, and its size alone moves the
     // common-query min-sum (r14 → r15: 0.83× → 1.2× with zero code
-    // change on those queries); this subset has FIXED membership and
-    // load shape, so its min-sum is the number to compare across
-    // rounds. Skipped when SPARK_GRAFT_ONLY narrows the run (dev
-    // iteration) or FIXED_RUNS=0.
-    // 3 passes: the anchor is the round-over-round signal and a
-    // min-of-2 still inherited ambient load windows (87 vs 102 s on
-    // two same-day runs of identical code); one more pass buys the
-    // min another chance at a quiet window for ~90 s of bench time
+    // change on those queries); these subsets have FIXED membership
+    // and load shape, so their min-sums are the numbers to compare
+    // across rounds. Skipped when SPARK_GRAFT_ONLY narrows the run
+    // (dev iteration) or *_RUNS=0.
+    // Primary anchor keeps 3 passes: it is the round-over-round
+    // signal, and a min-of-2 still inherited ambient load windows
+    // (87 vs 102 s on two same-day runs of identical code).
     val nFixedRuns = sys.env.getOrElse("SPARK_GRAFT_FIXED_RUNS", "3").toInt
-    // V2 gets one pass fewer by default: it is 167 queries to
-    // FixedSubset's 130, and its job is longitudinal protection for
-    // the newer half of the board, not the headline anchor
-    val nFixed2Runs = sys.env.getOrElse("SPARK_GRAFT_FIXED2_RUNS", "2").toInt
+    // V2 drops to ONE pass (r18, was 2): its two r17 passes agreed
+    // within 1.7%, its job is longitudinal protection for the newer
+    // half of the board rather than the headline anchor, and its
+    // second pass was 3.5 min of the envelope overrun that zeroed
+    // round 17. Its committed baseline is re-stated for min-of-1 in
+    // README (the r17 two-pass record carries both pass sums).
+    val nFixed2Runs = sys.env.getOrElse("SPARK_GRAFT_FIXED2_RUNS", "1").toInt
     // Per-query pass times in PASS ORDER, NaN marking a failed pass:
     // a fixed-pass failure must surface as an error, not silently
     // shrink the anchor membership (an incomplete anchor compared
     // against a complete baseline looks like a speedup) — r16 ADVICE.
-    def runAnchor(anchor: Set[String], nPasses: Int)
-        : (Seq[(String, Vector[Double])],
-           scala.collection.mutable.LinkedHashMap[String, String]) = {
-      val anchorNames =
+    class Anchor(anchor: Set[String], nPasses: Int) {
+      val anchorNames: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
         if (only.isDefined || nPasses <= 0) Seq.empty
         else names.filter { case (n, _) => anchor.contains(n) }
+      val expected: Int = anchor.size
       val aSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
         anchorNames.map(_._1 -> Vector.empty[Double]): _*)
       val aErrs = scala.collection.mutable.LinkedHashMap[String, String]()
-      if (anchorNames.nonEmpty) System.gc()
-      for (pass <- 1 to (if (anchorNames.nonEmpty) nPasses else 0);
-           (name, fn) <- anchorNames) {
-        val t0 = System.nanoTime()
-        try {
-          exec(fn(spark, sfDir))
-          aSamples(name) = aSamples(name) :+ (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            aErrs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
-            aSamples(name) = aSamples(name) :+ Double.NaN
+      var passes = 0
+      /** One round-robin pass over the membership; returns its wall
+        * seconds (feeds the governor's next-pass estimate). */
+      def runPass(): Double = {
+        System.gc()
+        val tp = System.nanoTime()
+        for ((name, fn) <- anchorNames) {
+          val t0 = System.nanoTime()
+          try {
+            exec(fn(spark, sfDir))
+            aSamples(name) = aSamples(name) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              aErrs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+              aSamples(name) = aSamples(name) :+ Double.NaN
+          }
         }
-        if (pass < nPasses && name == anchorNames.last._1) System.gc()
+        passes += 1
+        (System.nanoTime() - tp) / 1e9
       }
-      (anchorNames.map { case (n, _) => n -> aSamples(n) }, aErrs)
+      def raw: Seq[(String, Vector[Double])] =
+        anchorNames.map { case (n, _) => n -> aSamples(n) }
     }
-    val (fixedRaw, fixedErrs) = runAnchor(FixedSubset, nFixedRuns)
-    val (fixed2Raw, fixed2Errs) = runAnchor(FixedSubsetV2, nFixed2Runs)
+    val fixedA = new Anchor(FixedSubset, nFixedRuns)
+    val fixed2A = new Anchor(FixedSubsetV2, nFixed2Runs)
 
     val results = names.map { case (k, _) => k -> samples(k).sorted }
     def med(ts: Seq[Double]): Double = ts(ts.length / 2)
@@ -287,17 +358,16 @@ object Bench {
     // NULLED when any anchor member has no successful pass so an
     // incomplete anchor can never be compared against a complete
     // baseline as if it were one.
-    def anchorJson(raw: Seq[(String, Vector[Double])],
-        aErrs: scala.collection.mutable.LinkedHashMap[String, String],
-        expected: Int, nPasses: Int): (String, Double) = {
-      if (raw.isEmpty) return ("null", Double.NaN)
+    def anchorJson(a: Anchor): (String, Double, Boolean) = {
+      val raw = a.raw
+      if (raw.isEmpty || a.passes == 0) return ("null", Double.NaN, false)
       val ok = raw.map { case (k, ts) => k -> ts.filterNot(_.isNaN).sorted }
         .filter(_._2.nonEmpty)
       val sum = ok.map(_._2.head).sum
-      val complete = ok.length == expected
+      val complete = ok.length == a.expected
       val fq = ok.map { case (k, ts) => "\"" + k + "\":" + f3(ts.head) }
         .mkString("{", ",", "}")
-      val passSums = (0 until nPasses).map { p =>
+      val passSums = (0 until a.passes).map { p =>
         val ts = raw.flatMap { case (_, v) =>
           if (p < v.length && !v(p).isNaN) Some(v(p)) else None }
         s"""{"sum":${f3(ts.sum)},"n":${ts.length}}"""
@@ -306,38 +376,85 @@ object Bench {
         "\"" + k + "\":" + v.map(t => if (t.isNaN) "null" else f3(t))
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val ej = aErrs.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      val ej = a.aErrs.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
         .mkString("{", ",", "}")
-      (s"""{"value":${if (complete) f3(sum) else "null"},"sum_present":${f3(sum)},"estimator":"min","n_queries":${ok.length},"n_expected":$expected,"complete":$complete,"passes":$nPasses,"pass_sums":$passSums,"errors":$ej,"queries":$fq,"queries_passes":$qp}""",
-        sum)
+      (s"""{"value":${if (complete) f3(sum) else "null"},"sum_present":${f3(sum)},"estimator":"min","n_queries":${ok.length},"n_expected":${a.expected},"complete":$complete,"passes":${a.passes},"pass_sums":$passSums,"errors":$ej,"queries":$fq,"queries_passes":$qp}""",
+        sum, complete)
     }
-    val (fixedJson, fixedSum) =
-      anchorJson(fixedRaw, fixedErrs, FixedSubset.size, nFixedRuns)
-    val (fixed2Json, fixed2Sum) =
-      anchorJson(fixed2Raw, fixed2Errs, FixedSubsetV2.size, nFixed2Runs)
-    val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"estimator":"min","value_median":${f3(totalMedian)},"unit":"sec","passes":$nRuns,"queries":$qs,"errors":$errsJson,"fixed_subset":$fixedJson,"fixed_subset_v2":$fixed2Json,"runs":$detail,"sf":"$sfDir"}"""
-
-    // The harness that records this run keeps only a bounded tail of
-    // stdout (observed: 2000 chars), and the full per-query line above
-    // is ~9 KB — far too long to survive the tail or to json-parse from
-    // it. So: (a) persist the full line to a file next to the build so
-    // it can be committed and read later, and (b) print a COMPACT
-    // summary as the LAST line, sized to fit entirely inside a 2 KB
-    // tail even with the build tool's epilogue after it.
-    try {
-      val w = new java.io.PrintWriter(new java.io.File("BENCH_FULL.json"), "UTF-8")
-      try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () }
-    println(fullLine)
     val slowest = timed.sortBy(r => -r._2.head).take(12)
       .map { case (k, ts) => "\"" + k + "\":" + f3(ts.head) }
       .mkString("{", ",", "}")
-    val fixedCompact =
-      (if (fixedSum.isNaN) "" else s""","fixed_subset":${f3(fixedSum)}""") +
-      (if (fixed2Sum.isNaN) "" else s""","fixed_subset_v2":${f3(fixed2Sum)}""")
-    println(
-      s"""{"metric":"total","value":${f3(total)},"estimator":"min","value_median":${f3(totalMedian)},"unit":"sec","n_queries":${timed.length},"n_errors":${errs.size},"passes":$nRuns$fixedCompact,"slowest":$slowest,"detail_file":"BENCH_FULL.json","sf":"$sfDir"}""")
+
+    // INCREMENTAL emission (r17 postmortem): the record is (re)written
+    // after the board and again after EVERY anchor pass, so a later
+    // kill loses at most the in-flight pass, never the record. Two
+    // layers per emission: (a) the full per-query line (~9 KB) goes to
+    // BENCH_FULL.json (committed with the round) and stdout once after
+    // the board and once at the end; (b) a COMPACT summary line, sized
+    // to fit entirely inside the harness's ~2 KB stdout tail, is
+    // printed on every emission — the driver parses the LAST complete
+    // line, so each re-print refreshes the surviving record.
+    // Compact anchor keys (r17 ADVICE): `fixed_subset`/`fixed_subset_v2`
+    // appear ONLY when the anchor is complete (every member has a
+    // successful pass); an incomplete anchor is reported under the
+    // distinct `_incomplete` key so its present-queries sum can never
+    // be read as a speedup against a complete baseline.
+    def emitRecord(printFullLine: Boolean): Unit = {
+      val (fixedJson, fixedSum, fixedComplete) = anchorJson(fixedA)
+      val (fixed2Json, fixed2Sum, fixed2Complete) = anchorJson(fixed2A)
+      val shedJson = shed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val fullLine =
+        s"""{"metric":"total","value":${f3(total)},"estimator":"min","value_median":${f3(totalMedian)},"unit":"sec","passes":$passesDone,"passes_requested":$nRuns,"shed":$shedJson,"elapsed_sec":${f3(elapsedSec)},"time_budget_sec":${f3(timeBudget)},"queries":$qs,"errors":$errsJson,"fixed_subset":$fixedJson,"fixed_subset_v2":$fixed2Json,"runs":$detail,"sf":"$sfDir"}"""
+      try {
+        val w = new java.io.PrintWriter(new java.io.File("BENCH_FULL.json"), "UTF-8")
+        try w.println(fullLine) finally w.close()
+      } catch { case _: Throwable => () }
+      if (printFullLine) println(fullLine)
+      def compactAnchor(key: String, sum: Double, complete: Boolean): String =
+        if (sum.isNaN) ""
+        else if (complete) s""","$key":${f3(sum)}"""
+        else s""","${key}_incomplete":${f3(sum)}"""
+      val fixedCompact =
+        compactAnchor("fixed_subset", fixedSum, fixedComplete) +
+        compactAnchor("fixed_subset_v2", fixed2Sum, fixed2Complete)
+      println(
+        s"""{"metric":"total","value":${f3(total)},"estimator":"min","value_median":${f3(totalMedian)},"unit":"sec","n_queries":${timed.length},"n_errors":${errs.size},"passes":$passesDone$fixedCompact,"shed":$shedJson,"elapsed_sec":${f3(elapsedSec)},"slowest":$slowest,"detail_file":"BENCH_FULL.json","sf":"$sfDir"}""")
+      System.out.flush()
+    }
+
+    // First record: the board alone. From here on a kill can only
+    // degrade the round's bench evidence, not zero it.
+    emitRecord(printFullLine = true)
+
+    // Anchor passes under the governor. Shed order when the clock runs
+    // hot: V2 sheds first (it runs last and its threshold is the full
+    // budget), then primary-anchor passes (0.92 ceiling keeps V2's
+    // slot open on the default shape), then board passes 2..N (0.80,
+    // above). Estimates: the last full-board pass scaled by anchor
+    // membership until the anchor has a measured pass of its own.
+    val boardCost = lastPassDur / math.max(1, names.length)
+    var fixedEst = boardCost * fixedA.anchorNames.length
+    var fixedShed = false
+    for (p <- 1 to (if (fixedA.anchorNames.isEmpty) 0 else nFixedRuns)) {
+      if (!fixedShed && elapsedSec + fixedEst > 0.92 * timeBudget) {
+        shed += s"fixed_passes_${p}_to_$nFixedRuns"
+        fixedShed = true
+      }
+      if (!fixedShed) { fixedEst = fixedA.runPass(); emitRecord(false) }
+    }
+    var fixed2Est = boardCost * fixed2A.anchorNames.length
+    var fixed2Shed = false
+    for (p <- 1 to (if (fixed2A.anchorNames.isEmpty) 0 else nFixed2Runs)) {
+      if (!fixed2Shed && elapsedSec + fixed2Est > timeBudget) {
+        shed += s"fixed2_passes_${p}_to_$nFixed2Runs"
+        fixed2Shed = true
+      }
+      if (!fixed2Shed) { fixed2Est = fixed2A.runPass(); emitRecord(false) }
+    }
+
+    // Final record with the complete anchor story (full line again so
+    // the committed BENCH_FULL.json and the log tail agree).
+    emitRecord(printFullLine = true)
     spark.stop()
   }
 }
