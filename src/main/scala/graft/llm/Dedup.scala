@@ -161,6 +161,23 @@ object Dedup {
     finally caches.foreach(_.unpersist(blocking = false))
   }
 
+  /** Per-call sequence for observed-metric names: CollectMetrics
+    * names must be unique within one query, and a composed plan may
+    * embed [[setSimJoinPairs]] more than once. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Pin a loan result: reliable checkpoint when a dir is given (the
+    * right call on a real cluster — localCheckpoint blocks die with
+    * their executor), executor-local otherwise (right for local
+    * mode). The [[materializeAndRelease]] rule, reused by every
+    * materialize-inside-the-loan consumer. */
+  private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) => Lineage.withCheckpointDir(
+        df.sparkSession.sparkContext, dir)(df.checkpoint(eager = true))
+      case None => df.localCheckpoint(true)
+    }
+
   /** Canonical-keeper resolution — the dedup pipeline's LAST MILE:
     * near-dup pairs → connected-component clusters → ONE survivor per
     * cluster by the keep-"best" rule (argmax `scoreCol`, tie → lower
@@ -175,23 +192,6 @@ object Dedup {
     * aggregates CLUSTERED docs only — volume ∝ duplicate count, never
     * the corpus — and singletons rejoin as their own keeper through
     * the left join's coalesce, shuffling only (id, score) pairs. */
-  /** Pin a loan result: reliable checkpoint when a dir is given (the
-    * right call on a real cluster — localCheckpoint blocks die with
-    * their executor), executor-local otherwise (right for local
-    * mode). The [[materializeAndRelease]] rule, reused by every
-    * materialize-inside-the-loan consumer. */
-  /** Per-call sequence for observed-metric names: CollectMetrics
-    * names must be unique within one query, and a composed plan may
-    * embed [[setSimJoinPairs]] more than once. */
-  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
-      case Some(dir) => Lineage.withCheckpointDir(
-        df.sparkSession.sparkContext, dir)(df.checkpoint(eager = true))
-      case None => df.localCheckpoint(true)
-    }
-
   def clusterKeepers(docs: DataFrame, idCol: String, textCol: String,
       scoreCol: String, checkpointDir: Option[String] = None): DataFrame =
     withLshPairs(docs, idCol, textCol) { pairs =>
@@ -1701,19 +1701,19 @@ object Dedup {
     // rule. approx_count_distinct because observed metrics ban
     // DISTINCT aggregates — exact at the cardinalities that matter
     // (a handful of hyper-frequent tokens).
+    // Each observation attaches to a branch consumed EXACTLY ONCE
+    // (the cold join's left side, the hot grid's pre-explode A side),
+    // never to the shared prefix frame: a branch feeding both sides
+    // of a self-join re-executes its subtree once per consumer (the
+    // CollectMetrics node makes the sides non-identical, so exchange
+    // reuse cannot collapse them), and an observation there would
+    // double-count every row — the r17 ADVICE finding.
     val obsTag = s"set_sim_join_${obsSeq.incrementAndGet()}"
     val prefAll = tok.join(freq, Seq("tk"))
       .withColumn("__r", row_number().over(wRare))
       .filter(lit(threshold) * col("n").cast("double") <=
         (col("n") - col("__r") + 1).cast("double"))
       .select(col("tk"), col("id"), col("n"), col("__r"), col("__f"))
-      .observe(s"${obsTag}_prefix",
-        count(lit(1)).as("prefix_rows"),
-        sum(when(col("__f") > hotTokenDf, 1L).otherwise(0L))
-          .as("hot_prefix_rows"),
-        approx_count_distinct(when(col("__f") > hotTokenDf, col("tk")))
-          .as("hot_tokens"),
-        max(col("__f")).as("max_token_df"))
     // HOT-KEY GUARD: rare-first prefixes keep stop-shingles out of
     // candidate keys on a DIVERSE corpus, but a hyper-frequent
     // shingle in a low-diversity 100 TB corpus can still enter
@@ -1767,12 +1767,19 @@ object Dedup {
     // post the survivors entering the distinct)
     val coldCands = prefix.select(col("tk"), col("id").as("__ia"),
         col("n").as("__na"), col("__r").as("__ra"))
+      .observe(s"${obsTag}_cold_prefix",
+        count(lit(1)).as("prefix_rows"))
       .join(prefix.select(col("tk"), col("id").as("__ib"),
         col("n").as("__nb"), col("__r").as("__rb")), Seq("tk"))
       .observe(s"${obsTag}_cold", count(lit(1)).as("cand_rows_pre"))
       .filter(pairFilters(requireOrder = true))
       .select(col("__ia"), col("__ib"))
-    val hotA = hotPref.select(col("tk"), col("id").as("__ia"),
+    val hotA = hotPref
+      .observe(s"${obsTag}_hot_prefix",
+        count(lit(1)).as("hot_prefix_rows"),
+        approx_count_distinct(col("tk")).as("hot_tokens"),
+        max(col("__f")).as("max_token_df"))
+      .select(col("tk"), col("id").as("__ia"),
         col("n").as("__na"), col("__r").as("__ra"),
         col("__bkt").as("__ci"),
         explode(sequence(col("__bkt"), lit(saltBuckets - 1))).as("__cj"))

@@ -486,6 +486,19 @@ object StreamingPipeline {
       sigDir: String): DataFrame =
     readSigCommitted(spark, pairsDir, sigDir)
 
+  /** Committed corpus rows of the BLOCKED ingest chain — the
+    * sig-keyed counterpart of [[readCorpus]]. The plain reader keys
+    * on each corpus partition's own `_SUCCESS`, the right contract
+    * for the single-store chain but NOT for generation cutover: a
+    * [[compactBlockedStores]] run that dies after the dst-corpus
+    * write leaves a readable corpus generation with no sig commit,
+    * and only a reader keyed on the SIG store's commit record refuses
+    * it (r17 ADVICE). Blocked-chain consumers read the corpus through
+    * this. */
+  def readBlockedCorpus(spark: SparkSession, corpusDir: String,
+      sigDir: String): DataFrame =
+    readSigCommitted(spark, corpusDir, sigDir)
+
   /** COMPACT the blocked-ingest artifact chain: rewrite every
     * SIG-COMMITTED epoch of the corpus and the four stores into ONE
     * `epoch=c0` partition each under FRESH destination roots. A
@@ -498,9 +511,15 @@ object StreamingPipeline {
     * Crash-safe by CONSTRUCTION, not by protocol: nothing in the
     * source chain is touched (no in-place deletes to tear), the
     * destination is a new generation whose own sig partition is
-    * written LAST — a compaction that dies mid-way leaves dst without
-    * a commit record, every dst reader refuses it, and the retry
-    * simply overwrites. Cutover is the caller's pointer swap (the
+    * written LAST — a compaction that dies mid-way leaves dst's sig
+    * store without a commit record, every SIG-KEYED dst reader
+    * ([[readSortKeys]]/[[readFingerprints]]/[[readPairs]]/
+    * [[readBlockedCorpus]]) refuses it, and the retry simply
+    * overwrites. Note the scope: the plain [[readCorpus]] keys on the
+    * corpus partition's OWN `_SUCCESS` and would see a torn
+    * generation's corpus — blocked-chain consumers read the corpus
+    * through the sig-keyed [[readBlockedCorpus]] (r17 ADVICE).
+    * Cutover is the caller's pointer swap (the
     * SnapshotTable manifest pattern): quiesce the stream, compact,
     * resume against dst with a fresh checkpoint — the `c0` epoch id
     * can never collide with a numeric stream batchId, and a fresh

@@ -3324,17 +3324,25 @@ class LlmSpec extends AnyFunSuite {
         }
         out.toSeq
       }
-      while (System.nanoTime() < deadline && (byTag("_prefix").isEmpty ||
-             byTag("_cands").isEmpty)) Thread.sleep(50)
+      while (System.nanoTime() < deadline && (byTag("_hot_prefix").isEmpty ||
+             byTag("_cold_prefix").isEmpty || byTag("_cands").isEmpty))
+        Thread.sleep(50)
       def lng(m: Map[String, Any], k: String): Long =
         m(k).asInstanceOf[Number].longValue()
-      val pfx = byTag("_prefix")
-      assert(pfx.nonEmpty, s"prefix metrics missing: ${seen.keySet()}")
+      // per-branch observations (r17 ADVICE): cold prefix rows and the
+      // hot arming readout each sit on an exactly-once branch, so the
+      // counts are exact — not inflated by self-join re-execution
+      val pfxCold = byTag("_cold_prefix")
+      assert(pfxCold.nonEmpty, s"cold prefix metrics missing: ${seen.keySet()}")
+      assert(pfxCold.exists(m => lng(m, "prefix_rows") >= 1),
+        s"cold prefix count missing: $pfxCold")
       // the metrics read what actually JOINS (prefix rows after the
       // rare-first cut — the df-40 core shingles rank last and never
       // enter prefixes; the hot tokens here are the df 3-7 tail
       // shingles): the arming readout must show hot tokens above the
       // threshold and a max-df strictly over hotTokenDf = 2
+      val pfx = byTag("_hot_prefix")
+      assert(pfx.nonEmpty, s"hot prefix metrics missing: ${seen.keySet()}")
       assert(pfx.exists(m => lng(m, "hot_tokens") >= 1 &&
         lng(m, "max_token_df") > 2 && lng(m, "hot_prefix_rows") >= 2),
         s"grid arming metrics wrong: $pfx")

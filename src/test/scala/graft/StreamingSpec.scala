@@ -331,6 +331,11 @@ class StreamingSpec extends AnyFunSuite {
     finally StreamingPipeline.failpoint = _ => ()
     intercept[Exception] { StreamingPipeline.readSignatures(spark, ds) }
     intercept[Exception] { StreamingPipeline.readPairs(spark, dp, ds) }
+    // the corpus generation IS readable by the plain per-partition
+    // reader at this point (its own _SUCCESS landed before the crash)
+    // — only the sig-keyed corpus reader refuses the torn generation,
+    // which is why blocked-chain consumers must use it (r17 ADVICE)
+    intercept[Exception] { StreamingPipeline.readBlockedCorpus(spark, dc, ds) }
     // retry overwrites in place and commits
     compact()
     def ids(read: => org.apache.spark.sql.DataFrame): Set[Long] =
@@ -347,9 +352,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(prSet(dp, ds) == prSet(sp, ss) &&
       prSet(dp, ds).contains((1L, 10L)),
       "rejection evidence must survive compaction")
-    assert(StreamingPipeline.readCorpus(spark, dc).select("doc_id")
+    assert(StreamingPipeline.readBlockedCorpus(spark, dc, ds).select("doc_id")
       .collect().map(_.getLong(0)).toSet ==
-      StreamingPipeline.readCorpus(spark, sc).select("doc_id")
+      StreamingPipeline.readBlockedCorpus(spark, sc, ss).select("doc_id")
         .collect().map(_.getLong(0)).toSet)
     // exactly one committed generation per dst store
     for (d <- Seq(dc, ds, dk, df2, dp))
@@ -374,7 +379,7 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, t1), (2L, t2), (10L, t1), (11L, t3))
         .toDF("doc_id", "clean_text").withColumn("source", lit("k")),
       dc, ds, dk, df2, dp, 0.5, 4, 3, 0L)
-    assert(StreamingPipeline.readCorpus(spark, dc).select("doc_id")
+    assert(StreamingPipeline.readBlockedCorpus(spark, dc, ds).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 11L),
       "replayed docs must be neutralized against the compacted store")
   }
