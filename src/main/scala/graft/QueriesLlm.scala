@@ -8209,11 +8209,16 @@ object QueriesLlm {
     * arrives through TWO [[graft.streaming.StreamingPipeline
     * .blockedAdmitBatch]] epochs — each persisting its signature/
     * sort-key/fingerprint stores AND the new verified-pair log under
-    * the sig-commit rule — and the nightly batch then re-closes
-    * clusters from the STREAMED pair log plus its own delta, never
-    * re-probing what the stream already verified. One artifact
-    * contract across backfill (q256), nightly batch (q292), and
-    * streaming admission.
+    * the sig-commit rule — a policy-driven generation compaction
+    * ([[graft.streaming.StreamingPipeline.shouldCompact]] →
+    * `compactBlockedStores`, r18) then rewrites the chain into one
+    * `c0` generation, and the nightly batch re-closes clusters from
+    * the COMPACTED pair log plus its own delta, never re-probing what
+    * the stream already verified. One artifact contract across
+    * backfill (q256), nightly batch (q292), streaming admission, and
+    * the compacted generation — the oracle replays the uncompacted
+    * admission sequence, so the hash match IS the proof that
+    * compaction is value-invisible.
     *
     * The oracle replays the admission sequence independently: the
     * tri-blocker chain over epoch 1's docs, the store-wins/min-id
@@ -8236,14 +8241,30 @@ object QueriesLlm {
         epoch(docs0.filter(col("doc_id") % 4 === 1), 1L)
         epoch(docs0.filter(col("doc_id") % 4 === 2 ||
           col("doc_id") % 4 === 3), 2L)
+        // MID-CHAIN GENERATION COMPACTION (r17 verdict item 6),
+        // policy-driven: two committed epochs trip shouldCompact at
+        // maxEpochs = 2, and the nightly re-close below consumes the
+        // COMPACTED generation — so this gate's hash also pins that
+        // compactBlockedStores is value-invisible to the artifact
+        // contract (same clusters from one `c0` generation as from
+        // the epoch-partitioned chain the oracle replays).
+        val spc = graft.streaming.StreamingPipeline
+        val pressure = spc.blockedStorePressure(s, s"$p/sig",
+          Seq(s"$p/corpus", s"$p/sig", s"$p/sk", s"$p/fp", s"$p/pairs"))
+        if (spc.shouldCompact(pressure, maxEpochs = 2))
+          spc.compactBlockedStores(s,
+            s"$p/corpus", s"$p/sig", s"$p/sk", s"$p/fp", s"$p/pairs",
+            s"$p/c/corpus", s"$p/c/sig", s"$p/c/sk", s"$p/c/fp",
+            s"$p/c/pairs")
       }
       val sp = graft.streaming.StreamingPipeline
+      val c = s"$idx/c"
       val batch = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
       Dedup.incrementalBlockedDedupClusters(
-        sp.readSignatures(s, s"$idx/sig"),
-        sp.readSortKeys(s, s"$idx/sk", s"$idx/sig"),
-        sp.readFingerprints(s, s"$idx/fp", s"$idx/sig"),
-        sp.readPairs(s, s"$idx/pairs", s"$idx/sig"),
+        sp.readSignatures(s, s"$c/sig"),
+        sp.readSortKeys(s, s"$c/sk", s"$c/sig"),
+        sp.readFingerprints(s, s"$c/fp", s"$c/sig"),
+        sp.readPairs(s, s"$c/pairs", s"$c/sig"),
         batch, "doc_id", "text")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")

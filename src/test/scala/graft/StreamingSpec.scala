@@ -359,6 +359,24 @@ class StreamingSpec extends AnyFunSuite {
     // exactly one committed generation per dst store
     for (d <- Seq(dc, ds, dk, df2, dp))
       assert(StreamingPipeline.committedEpochs(spark, d).size == 1, d)
+    // trigger policy (r17 verdict): the pressure readout counts the
+    // chain's committed epochs/files/bytes, and shouldCompact trips on
+    // either ceiling — but never on a single committed generation
+    // (re-compacting one generation is a byte-for-byte no-op)
+    val srcP = StreamingPipeline.blockedStorePressure(spark, ss,
+      Seq(sc, ss, sk, sf, sp))
+    assert(srcP.committedEpochs == 2 && srcP.dataFiles > 0 && srcP.bytes > 0,
+      s"src pressure: $srcP")
+    assert(StreamingPipeline.shouldCompact(srcP, maxEpochs = 2))
+    assert(StreamingPipeline.shouldCompact(srcP, maxEpochs = 99,
+      maxFiles = srcP.dataFiles))
+    assert(!StreamingPipeline.shouldCompact(srcP, maxEpochs = 99,
+      maxFiles = srcP.dataFiles + 1))
+    val dstP = StreamingPipeline.blockedStorePressure(spark, ds,
+      Seq(dc, ds, dk, df2, dp))
+    assert(dstP.committedEpochs == 1, s"dst pressure: $dstP")
+    assert(!StreamingPipeline.shouldCompact(dstP, maxEpochs = 1, maxFiles = 1),
+      "a single committed generation must never re-compact")
     // probe equivalence: a new batch finds the same pairs against the
     // compacted generation as against the epoch-partitioned source
     val probe = Seq((20L, t3)).toDF("doc_id", "clean_text")
