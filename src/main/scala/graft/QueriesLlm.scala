@@ -8338,6 +8338,43 @@ object QueriesLlm {
           AND a.vec_id % 40 <> 0 AND b.vec_id % 40 = 0)
       WHERE cos >= 0.1 ORDER BY train_id, eval_id"""))
 
+  /** MULTIMODAL near-dup screen (r17 verdict item 8): the SemDeDup
+    * composition over the DECODED image corpus — real-codec PNG
+    * decode gates which media ids enter the vector screen (pixel area
+    * ≥ 100 drops the sub-thumbnail rasters), the survivors join their
+    * embedding vectors by the id both fixtures share, and the SRP
+    * near-dup pairs run over exactly those vectors. Oracle: q81's
+    * pixel-formula dimensions derive the kept-id set arithmetically,
+    * then the q56 deterministic-SRP replay restricted to it — the
+    * same replay contract as q300. See
+    * [[Multimodal.imageNearDupScreen]]. */
+  private val q302 = Q("q302_image_neardup",
+    (s, dir) => Multimodal.imageNearDupScreen(
+      t(s, dir, "documents"), t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.3, bits = 8,
+      minPixels = 100L)
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH kept AS (
+        SELECT doc_id AS vec_id FROM documents
+        WHERE CAST(8 + doc_id % 9 AS BIGINT) *
+              CAST(8 + doc_id % 7 AS BIGINT) >= 100),
+      n AS (
+        SELECT vec_id, embedding,
+               ${duckSrp("embedding")} AS bucket,
+               sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                 AS nrm
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM kept))
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.3 ORDER BY id_a, id_b"""))
+
   /** Dynamic-schema column profiling of the customer table — counts,
     * lexicographic bounds, top value per column; see
     * [[graft.ops.Profiler.profile]]. */
@@ -8363,5 +8400,5 @@ object QueriesLlm {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238,
     q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249,
     q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q302)
 }

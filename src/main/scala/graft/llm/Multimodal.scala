@@ -443,6 +443,35 @@ object Multimodal {
     }
   }
 
+  /** MULTIMODAL near-dup screen — the SemDeDup composition over a
+    * DECODED media corpus: decode every image payload with the real
+    * codec kernel, keep images whose pixel area clears `minPixels`
+    * (sub-thumbnail rasters pair spuriously on any embedding — a
+    * 64-px icon matches half the corpus at cosine 0.9), join the
+    * survivors to their embedding vectors by shared id, and run the
+    * SRP-bucketed cosine near-dup screen over exactly those vectors.
+    * This is the image-side twin of the text SemDeDup family
+    * (q56/q134): the decode leg contributes the media-validity gate a
+    * multimodal pipeline needs before any vector math.
+    *
+    * Scale shape: the decode pass is narrow per-row work inside the
+    * scan stage (the same batch-decode contract a mapInPandas
+    * deployment uses) and emits ONLY (id, pixel-area) — payload bytes
+    * never reach a shuffle; the media→embedding join keys on the id
+    * both tables share; the pair screen is
+    * [[Similarity.nearDupPairs]] — Σ bucket² candidates via the
+    * deterministic SRP planes, never corpus². */
+  def imageNearDupScreen(docs: DataFrame, embeddings: DataFrame,
+      idCol: String, embCol: String, threshold: Double,
+      bits: Int = 8, minPixels: Long = 100L): DataFrame = {
+    val kept = decodeImageFeatures(pngImageTable(docs)).toDF()
+      .filter(col("width").cast("long") * col("height").cast("long")
+        >= minPixels)
+      .select(col("media_id").as(idCol))
+    Similarity.nearDupPairs(
+      embeddings.join(kept, Seq(idCol)), idCol, embCol, threshold, bits)
+  }
+
   /** Frame sampling: every `stride`-th byte-offset marks a fake frame
     * boundary (a real impl samples keyframes); pure Column ops. */
   def frameOffsets(payload: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =

@@ -1518,6 +1518,31 @@ class LlmSpec extends AnyFunSuite {
     assert(screen.nonEmpty, "fixture must have cross-split near-dups")
   }
 
+  test("imageNearDupScreen: the decode gate restricts the SRP screen to large-enough rasters, and is load-bearing") {
+    import graft.llm.Multimodal
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val screen = toSet(Multimodal.imageNearDupScreen(docs, emb,
+      "vec_id", "embedding", threshold = 0.3, minPixels = 100L))
+    // equals the plain near-dup screen restricted to the ids whose
+    // DECODED raster clears the floor — the decode leg contributes
+    // membership, the vector leg contributes the pairs (the pngImage
+    // fixture's dims are 8+id%9 × 8+id%7, so the kept set is exactly
+    // this arithmetic predicate — same derivation the oracle uses)
+    val kept = (lit(8) + col("vec_id") % 9) * (lit(8) + col("vec_id") % 7) >= 100
+    val restricted = toSet(Similarity.nearDupPairs(emb.filter(kept),
+      "vec_id", "embedding", threshold = 0.3))
+    assert(screen == restricted,
+      s"only-screen=${screen -- restricted}, only-restricted=${restricted -- screen}")
+    assert(screen.nonEmpty, "fixture must have near-dups among kept images")
+    // the gate is load-bearing: admitting every raster adds pairs
+    val ungated = toSet(Multimodal.imageNearDupScreen(docs, emb,
+      "vec_id", "embedding", threshold = 0.3, minPixels = 0L))
+    assert(screen.subsetOf(ungated) && screen != ungated,
+      s"minPixels must change the pair set: ${ungated.size} vs ${screen.size}")
+  }
+
   test("kmeans: 10-iteration plan stays truncated; checkpointDir is scoped and value-identical") {
     val sc = spark.sparkContext
     val prev = sc.getCheckpointDir
