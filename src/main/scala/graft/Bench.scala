@@ -161,7 +161,7 @@ object Bench {
     val tMain = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tMain) / 1e9
     val timeBudget =
-      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2100").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2040").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -442,7 +442,18 @@ object Bench {
       }
       if (!fixedShed) { fixedEst = fixedA.runPass(); emitRecord(false) }
     }
-    var fixed2Est = boardCost * fixed2A.anchorNames.length
+    // V2's estimate uses the WORSE of board-derived and most-recent
+    // anchor-derived per-query cost: under a quota-throttle ramp (the
+    // observed escalating-tail pattern — later passes of a sustained
+    // run read 1.3-1.4x the earlier ones) the board-derived estimate
+    // lags reality by a full phase, and an underestimate here is the
+    // difference between shedding V2 and blowing the wall budget.
+    val fixedCost =
+      if (fixedA.passes > 0 && fixedA.anchorNames.nonEmpty)
+        fixedEst / fixedA.anchorNames.length
+      else boardCost
+    var fixed2Est =
+      math.max(boardCost, fixedCost) * fixed2A.anchorNames.length
     var fixed2Shed = false
     for (p <- 1 to (if (fixed2A.anchorNames.isEmpty) 0 else nFixed2Runs)) {
       if (!fixed2Shed && elapsedSec + fixed2Est > timeBudget) {
