@@ -1649,12 +1649,13 @@ object Dedup {
     *
     * ==Cache-release contract (the [[lshPairs]] loan rule)==
     * `materialize = true` (default) computes the pair artifact
-    * eagerly and releases the sorted-set cache before return.
-    * `materialize = false` hands back the LAZY plan WITH the cache
+    * eagerly and releases BOTH internal caches (the sorted-set base
+    * and the rarity-ranked prefix frame) before return.
+    * `materialize = false` hands back the LAZY plan WITH the caches
     * still held — the caller owns the release (consume promptly in a
     * one-shot session, or accept recompute-after-eviction); a
     * long-lived session that opts out of materialization leaks the
-    * cached base until LRU eviction. */
+    * cached base and prefix frames until LRU eviction. */
   def setSimJoinPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, materialize: Boolean = true,
       checkpointDir: Option[String] = None,
@@ -1709,11 +1710,22 @@ object Dedup {
     // reuse cannot collapse them), and an observation there would
     // double-count every row — the r17 ADVICE finding.
     val obsTag = s"set_sim_join_${obsSeq.incrementAndGet()}"
+    // prefAll is PERSISTED (r18): it feeds FOUR consumers — both sides
+    // of the cold candidate self-join and both sides of the hot salted
+    // grid — and the CollectMetrics observations make those subtrees
+    // non-identical, so exchange reuse can never collapse them; without
+    // the cache each consumer re-runs the token⋈frequency join AND the
+    // per-doc rarity-rank window over the full token stream (measured
+    // 4× ≈ 9 s of a 12 s call at sf0.1). Prefix rows are ~half the
+    // token stream — the same data-sized class as the `base` cache this
+    // loan already holds, and strictly cheaper than recomputing a
+    // corpus-wide shuffle+sort four times at any scale.
     val prefAll = tok.join(freq, Seq("tk"))
       .withColumn("__r", row_number().over(wRare))
       .filter(lit(threshold) * col("n").cast("double") <=
         (col("n") - col("__r") + 1).cast("double"))
       .select(col("tk"), col("id"), col("n"), col("__r"), col("__f"))
+      .persist()
     // HOT-KEY GUARD: rare-first prefixes keep stop-shingles out of
     // candidate keys on a DIVERSE corpus, but a hyper-frequent
     // shingle in a low-diversity 100 TB corpus can still enter
@@ -1808,7 +1820,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
         col("jaccard"))
-    if (materialize) materializeAndRelease(pairs, checkpointDir, Seq(base))
+    if (materialize) materializeAndRelease(pairs, checkpointDir, Seq(base, prefAll))
     else pairs
   }
 
