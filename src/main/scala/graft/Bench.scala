@@ -169,6 +169,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE partition sizing: MEASURED AND REJECTED (r19) —
+      // parallelismFirst=false + advisory 256m (the guide §9 baseline)
+      // coalesced the byte-tiny-but-compute-dense post-join stages
+      // (jaccard/window verifies over array columns) to ONE partition
+      // and serialized them: 37-query A/B total 1.35× worse, q278 4×.
+      // Spark's parallelism-first default is the right call for this
+      // engine's compute profile; left env-overridable for re-tests.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -426,17 +437,23 @@ object Bench {
     // degrade the round's bench evidence, not zero it.
     emitRecord(printFullLine = true)
 
-    // Anchor passes under the governor. Shed order when the clock runs
-    // hot: V2 sheds first (it runs last and its threshold is the full
-    // budget), then primary-anchor passes (0.92 ceiling keeps V2's
-    // slot open on the default shape), then board passes 2..N (0.80,
-    // above). Estimates: the last full-board pass scaled by anchor
-    // membership until the anchor has a measured pass of its own.
+    // Anchor passes under the governor. Shed order when the clock
+    // runs hot (r19, the r18 verdict's item 2 — the r18 run shed the
+    // PRIMARY anchor while keeping V2, losing the one longitudinal
+    // comparator): the 130-query frozen anchor is the round-over-round
+    // signal and sheds LAST — it may spend up to 0.97 of the budget
+    // (the sliver after it covers the final emit). V2 (min-of-1,
+    // redundant with the board's per-query record) runs after and
+    // gets only what is left under the same ceiling, so under
+    // throttle V2 sheds first and the anchor survives. Board passes
+    // 2..N shed earliest (0.80, above). Estimates: the last
+    // full-board pass scaled by anchor membership until the anchor
+    // has a measured pass of its own.
     val boardCost = lastPassDur / math.max(1, names.length)
     var fixedEst = boardCost * fixedA.anchorNames.length
     var fixedShed = false
     for (p <- 1 to (if (fixedA.anchorNames.isEmpty) 0 else nFixedRuns)) {
-      if (!fixedShed && elapsedSec + fixedEst > 0.92 * timeBudget) {
+      if (!fixedShed && elapsedSec + fixedEst > 0.97 * timeBudget) {
         shed += s"fixed_passes_${p}_to_$nFixedRuns"
         fixedShed = true
       }
@@ -456,7 +473,7 @@ object Bench {
       math.max(boardCost, fixedCost) * fixed2A.anchorNames.length
     var fixed2Shed = false
     for (p <- 1 to (if (fixed2A.anchorNames.isEmpty) 0 else nFixed2Runs)) {
-      if (!fixed2Shed && elapsedSec + fixed2Est > timeBudget) {
+      if (!fixed2Shed && elapsedSec + fixed2Est > 0.97 * timeBudget) {
         shed += s"fixed2_passes_${p}_to_$nFixed2Runs"
         fixed2Shed = true
       }

@@ -7453,10 +7453,9 @@ object QueriesLlm {
     * [[graft.operators.GraphOps.labelPropagation]]. */
   private val q284 = Q("q284_label_prop",
     (s, dir) => {
-      val pairs = graft.operators.MarketBasket.pairRules(
+      val pairs = graft.operators.MarketBasket.pairEdges(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairCount = 2L)
-        .select(col("item_a"), col("item_b"))
       graft.operators.GraphOps.labelPropagation(pairs,
         "item_a", "item_b", rounds = 4)
     },
@@ -7558,10 +7557,9 @@ object QueriesLlm {
     * [[graft.operators.GraphOps.seedDistances]]. */
   private val q286 = Q("q286_seed_distance",
     (s, dir) => {
-      val pairs = graft.operators.MarketBasket.pairRules(
+      val pairs = graft.operators.MarketBasket.pairEdges(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairCount = 2L)
-        .select(col("item_a"), col("item_b"))
       val seeds = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4")
         .select(col("p_partkey"))
@@ -7736,10 +7734,9 @@ object QueriesLlm {
     * [[graft.operators.GraphOps.degreeAssortativity]]. */
   private val q291 = Q("q291_assortativity",
     (s, dir) => {
-      val pairs = graft.operators.MarketBasket.pairRules(
+      val pairs = graft.operators.MarketBasket.pairEdges(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairCount = 2L)
-        .select(col("item_a"), col("item_b"))
       graft.operators.GraphOps.degreeAssortativity(pairs,
         "item_a", "item_b")
     },

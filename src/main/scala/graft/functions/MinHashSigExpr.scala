@@ -16,26 +16,21 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinHashSigHelper {
   val P = 2147483647L // 2^31 - 1, matches Dedup.MinhashP
 
-  // one digest per thread, not per document (the WinnowFingerprints
-  // discipline): reset() runs per shingle, so cross-row reuse is safe
-  private[functions] val Md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def sig(input: UTF8String, k: Int, shingleLen: Int): ArrayData = {
     val nChars = input.numChars()
     val nShingles = math.max(nChars - shingleLen + 1, 1)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val md = MinHashSigHelper.Md5.get()
+    // code-point byte windows over ONE buffer (r19): digests the same
+    // bytes substringSQL(i+1, len).getBytes produced, without the
+    // per-shingle UTF8String + byte-array allocations
+    val bytes = input.getBytes
+    val offs = Md5Hashing.charOffsets(bytes, nChars)
     var i = 0
     while (i < nShingles) {
-      // substringSQL is code-point based — identical to Spark SQL's
-      // substring(text, i+1, len) used by the HOF form
-      val sh = input.substringSQL(i + 1, shingleLen)
-      md.reset()
-      val d = md.digest(sh.getBytes)
+      val start = offs(i)
+      val end = offs(math.min(i + shingleLen, nChars))
+      val d = Md5Hashing.digest(bytes, start, end - start)
       // first/second 4 digest bytes as unsigned big-endian ints ==
       // parseInt(hex(digest)[0:8]/[8:16], 16) == conv(substr(md5,..),16,10)
       val a = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
@@ -105,12 +100,14 @@ object MinHashShinglesHelper {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val seen = new java.util.HashSet[Long](nShingles * 2)
-    val md = MinHashSigHelper.Md5.get()
+    // same one-buffer byte-window walk as [[MinHashSigHelper.sig]]
+    val bytes = input.getBytes
+    val offs = Md5Hashing.charOffsets(bytes, nChars)
     var i = 0
     while (i < nShingles) {
-      val sh = input.substringSQL(i + 1, shingleLen)
-      md.reset()
-      val d = md.digest(sh.getBytes)
+      val start = offs(i)
+      val end = offs(math.min(i + shingleLen, nChars))
+      val d = Md5Hashing.digest(bytes, start, end - start)
       val a = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       val b = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |

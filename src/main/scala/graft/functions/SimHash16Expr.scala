@@ -17,15 +17,14 @@ object SimHash16Helper {
   def hash(toks: ArrayData): Long = {
     val n = toks.numElements()
     val counts = new Array[Int](16)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
       // a null token casts NO votes but stays in the denominator —
       // the HOF form's md5(null)→null predicate drops it from the
       // filter while size(toks) still counts it
       if (!toks.isNullAt(i)) {
-        md.reset()
-        val d = md.digest(toks.getUTF8String(i).getBytes)
+        val b = toks.getUTF8String(i).getBytes
+        val d = Md5Hashing.digest(b, 0, b.length)
         // hex char j of the digest: even j = high nibble of byte j/2,
         // odd j = low nibble; char ∈ "89abcdef" ⇔ nibble value ≥ 8
         var j = 0

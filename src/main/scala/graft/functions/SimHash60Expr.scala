@@ -23,12 +23,11 @@ object SimHash60Helper {
   def hash(toks: ArrayData): Long = {
     val n = toks.numElements()
     val counts = new Array[Int](60)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
-        md.reset()
-        val d = md.digest(toks.getUTF8String(i).getBytes)
+        val b = toks.getUTF8String(i).getBytes
+        val d = Md5Hashing.digest(b, 0, b.length)
         var j = 0
         while (j < 60) {
           val c = j >> 2 // hex char index

@@ -139,9 +139,13 @@ object BloomFilter {
     def windows(df: DataFrame): DataFrame = {
       val toks = TextAnalysis.tokens(col(textCol))
       val starts = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
-      df.select(col(idCol), explode(
-        transform(starts, i =>
-          Dedup.shingleHash(concat_ws(" ", slice(toks, i, lit(w)))))).as("wh"))
+      // parallelism floor (the lshPairs rule, r19): one md5 per token
+      // window is the compute-dense stage of this operator and must
+      // not serialize onto one core behind an unsplittable input file
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol), explode(
+          transform(starts, i =>
+            Dedup.shingleHash(concat_ws(" ", slice(toks, i, lit(w)))))).as("wh"))
     }
     val exWins = windows(existing).select(col("wh")).distinct().persist()
     val bcast = broadcastWords(build(exWins, col("wh"), k, m), m)

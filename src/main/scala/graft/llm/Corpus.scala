@@ -542,7 +542,12 @@ object Corpus {
       while (!done && rounds < maxRounds) {
         val next = truncate(canon(smallStar(canon(largeStar(edges)))))
         rounds += 1
-        done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        // exact set equality in ONE action (r19; was two exceptAll
+        // actions per round): both frames are canonical DISTINCT edge
+        // sets, so the symmetric difference is empty iff they are
+        // equal — same exactness, half the per-round job barriers
+        done = next.exceptAll(edges)
+          .unionAll(edges.exceptAll(next)).isEmpty
         edges = next
       }
       // converged edges are stars (u → component min): label members

@@ -26,8 +26,18 @@ object Dedup {
       i => text.substr(i, lit(k))))
 
   /** 60-bit md5-derived hash of one shingle (15 hex chars → always a
-    * positive signed long; DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT). */
+    * positive signed long; DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
+    * Native since r19 (guide §4): the digest-byte read replaces the
+    * md5-hex → substring → conv radix parse, bit-identical
+    * ([[graft.functions.Md5Hashing.h60]]; LlmSpec pins it against
+    * [[shingleHashSql]]). */
   def shingleHash(x: Column): Column =
+    graft.functions.Md5Prefix60.column(
+      org.apache.spark.sql.SparkSession.active, x)
+
+  /** The pre-r19 built-in-chain form of [[shingleHash]] — kept as the
+    * spec's independent reference implementation. */
+  private[graft] def shingleHashSql(x: Column): Column =
     conv(substring(md5(x), 1, 15), 16, 10).cast("long")
 
   /** Distinct HASHED shingle set: the set-similarity workhorse at
@@ -35,11 +45,20 @@ object Dedup {
     * materialize, shuffle and intersect (no per-element string hashing
     * in the verify join), and 60-bit collisions are negligible
     * (~n²/2^61 per doc). Jaccard over hashed sets is the standard
-    * formulation in the MinHash literature. */
+    * formulation in the MinHash literature. Native single-pass since
+    * r19: one digest per shingle over one byte buffer, first-
+    * occurrence-ordered distinct — value-identical INCLUDING element
+    * order to [[hashedShinglesHof]] (LlmSpec pins it). */
   def hashedShingles(text: Column, k: Int = 5): Column =
+    graft.functions.HashedShingles.column(
+      org.apache.spark.sql.SparkSession.active, text, k)
+
+  /** The pre-r19 HOF form of [[hashedShingles]] — kept as the spec's
+    * independent reference implementation. */
+  private[graft] def hashedShinglesHof(text: Column, k: Int = 5): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => shingleHash(text.substr(i, lit(k)))))
+      i => shingleHashSql(text.substr(i, lit(k)))))
 
   /** MinHash hash family: ONE md5 per shingle yields two 32-bit ints
     * (a, b); hash_i = (a + i·b) mod p — the classic affine family. This
@@ -1166,13 +1185,14 @@ object Dedup {
     // the shared prep (LlmSpec pins exact pair-set equality with the
     // three public functions, so the replicas cannot drift).
     val toks = graft.llm.TextAnalysis.tokens(col(textCol))
+    // ONE digest per token for BOTH simhash widths (SimHash1660, r19):
+    // the split SimHash16 + SimHash60 pair digested every token twice
     val prep = docs.repartition(par).select(col(idCol).as("id"),
         graft.functions.MinHashShingles
           .column(sp, col(textCol), 12).as("ms"),
-        graft.functions.SimHash16.column(sp, toks).as("sh16"),
-        graft.functions.SimHash60.column(sp, toks).as("sh60"))
+        graft.functions.SimHash1660.column(sp, toks).as("sh"))
       .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("shs"),
-        col("sh16"), col("sh60"))
+        col("sh.sh16").as("sh16"), col("sh.sh60").as("sh60"))
       .persist()
 
     // --- LSH blocker (the lshCandidatesWithCaches construction) ---
@@ -1301,10 +1321,9 @@ object Dedup {
     val prep = newDocs.repartition(par).select(col(idCol).as("id"),
         graft.functions.MinHashShingles
           .column(sp, col(textCol), 12).as("ms"),
-        graft.functions.SimHash16.column(sp, toks).as("sh16"),
-        graft.functions.SimHash60.column(sp, toks).as("sh60"))
+        graft.functions.SimHash1660.column(sp, toks).as("sh"))
       .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("shs"),
-        col("sh16"), col("sh60"))
+        col("sh.sh16").as("sh16"), col("sh.sh60").as("sh60"))
       .persist()
     try {
       // column names/order mirror the three artifact tables exactly —
@@ -1339,16 +1358,33 @@ object Dedup {
     require(snWindow >= 2, s"window must be >= 2, got $snWindow")
     require(maxHamming >= 0 && maxHamming <= 3,
       s"pigeonhole with 4 blocks certifies maxHamming <= 3, got $maxHamming")
-    val lsh = incrementalLshPairs(newSigs, sigTable, lshThreshold,
-        numBands = 4, minAgree = 6, materialize = true,
-        checkpointDir = checkpointDir)
-      .select(col("id_a"), col("id_b"))
-    val sn = incrementalSortedNeighborPairs(sortKeys, newSk,
-        snWindow, snThreshold, materialize = true,
-        checkpointDir = checkpointDir)
-      .select(col("id_a"), col("id_b"))
+    // The LSH and sorted-neighborhood probes each materialize their
+    // (small) pair artifact EAGERLY and are fully independent — run
+    // them as concurrent jobs (guide §2.6 "overlap independent jobs")
+    // instead of back-to-back: the scheduler back-fills one probe's
+    // straggler tail with the other's tasks, and the wall clock is
+    // max(probe) instead of sum(probe). Shared upstream caches (the
+    // caller's batch prep) are materialized under Spark's block-level
+    // locking, so concurrent first-use computes each block once.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lshF = Future {
+      incrementalLshPairs(newSigs, sigTable, lshThreshold,
+          numBands = 4, minAgree = 6, materialize = true,
+          checkpointDir = checkpointDir)
+        .select(col("id_a"), col("id_b"))
+    }
+    val snF = Future {
+      incrementalSortedNeighborPairs(sortKeys, newSk,
+          snWindow, snThreshold, materialize = true,
+          checkpointDir = checkpointDir)
+        .select(col("id_a"), col("id_b"))
+    }
     val sim = incrementalSimhashPairs(newFps, fpTable, maxHamming)
       .select(col("id_a"), col("id_b"))
+    val lsh = Await.result(lshF, Duration.Inf)
+    val sn = Await.result(snF, Duration.Inf)
     // sim is lazy over the batch artifacts — the final pin
     // materializes it while the caller's caches are still held
     pin(lsh.unionByName(sn).unionByName(sim).distinct(), checkpointDir)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge frames. Connected components (the dedup
@@ -78,30 +77,43 @@ object GraphOps {
       .distinct()
       .transform(pin(_, checkpointDir))
     val nFrame = nodes.agg(count(lit(1)).cast("long").as("__n"))
-    var ranks = nodes.crossJoin(broadcast(nFrame))
+    // The rank frame CARRIES the per-node dangling flag (r19): the
+    // set of nodes without out-edges is fixed, so the per-iteration
+    // left_anti join against the out-weight frame (one extra
+    // node-keyed shuffle per iteration) collapses to one flag column
+    // computed once — the dangling mass becomes a filtered fold over
+    // the already-pinned rank frame, and the update joins contrib
+    // against ranks itself instead of a separate node frame. Same
+    // node set, same dsum folds, byte-identical ranks.
+    var ranks = nodes
+      .join(outw.select(col("src").as("node"), lit(true).as("__has_out")),
+        Seq("node"), "left")
+      .crossJoin(broadcast(nFrame))
       .select(col("node"),
-        (lit(1.0) / col("__n").cast("double")).as("rank"))
+        (lit(1.0) / col("__n").cast("double")).as("rank"),
+        col("__has_out").isNull.as("__dang"))
       .transform(pin(_, checkpointDir))
     for (_ <- 1 to iters) {
-      val dangling = ranks
-        .join(outw, ranks("node") === outw("src"), "left_anti")
-        .agg(coalesce(dsum(col("rank"), 12), lit(0.0)).as("__dang"))
+      val dangling = ranks.filter(col("__dang"))
+        .agg(coalesce(dsum(col("rank"), 12), lit(0.0)).as("__dm"))
       val contrib = ew
         .join(ranks, ew("src") === ranks("node"))
         .select(col("dst"),
           (col("rank") * col("w") / col("__ow")).as("__c"))
         .groupBy(col("dst")).agg(dsum(col("__c"), 12).as("__sum"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks = ranks
+        .join(contrib, ranks("node") === contrib("dst"), "left")
         .crossJoin(broadcast(nFrame))
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit(1.0 - damping) / col("__n").cast("double") +
             lit(damping) * (coalesce(col("__sum"), lit(0.0)) +
-              col("__dang") / col("__n").cast("double"))).as("rank"))
+              col("__dm") / col("__n").cast("double"))).as("rank"),
+          col("__dang"))
         .transform(pin(_, checkpointDir))
     }
-    ranks.orderBy(col("rank").desc, col("node").asc)
+    ranks.select(col("node"), col("rank"))
+      .orderBy(col("rank").desc, col("node").asc)
   }
 
   /** Personalized PageRank (the random walk with restart of Haveliwala
@@ -150,33 +162,41 @@ object GraphOps {
       .join(nodes0, Seq("node"))
       .select(col("node"), lit(true).as("__seed"))
     val sFrame = seedSet.agg(count(lit(1)).cast("long").as("__ns"))
+    // The rank frame carries the teleport weight AND the dangling
+    // flag (r19, the [[pageRank]] restructure): the per-iteration
+    // left_anti join against the out-weight frame collapses to a
+    // flag computed once, and the update joins contrib against the
+    // rank frame itself. Same node set, same dsum folds,
+    // byte-identical ranks.
     val nodes = nodes0.join(seedSet, Seq("node"), "left")
+      .join(outw.select(col("src").as("node"), lit(true).as("__has_out")),
+        Seq("node"), "left")
       .crossJoin(broadcast(sFrame))
       .select(col("node"),
         when(coalesce(col("__seed"), lit(false)),
           lit(1.0) / col("__ns").cast("double"))
-          .otherwise(lit(0.0)).as("__t"))
+          .otherwise(lit(0.0)).as("__t"),
+        col("__has_out").isNull.as("__dang"))
       .transform(pin(_, checkpointDir))
     require(!nodes.where(col("__t") > 0.0).isEmpty,
       "personalizedPageRank: no seed is a node of the graph")
-    var ranks = nodes.select(col("node"), col("__t"),
+    var ranks = nodes.select(col("node"), col("__t"), col("__dang"),
       col("__t").as("rank")).transform(pin(_, checkpointDir))
     for (_ <- 1 to iters) {
-      val dangling = ranks
-        .join(outw, ranks("node") === outw("src"), "left_anti")
-        .agg(coalesce(dsum(col("rank"), 12), lit(0.0)).as("__dang"))
+      val dangling = ranks.filter(col("__dang"))
+        .agg(coalesce(dsum(col("rank"), 12), lit(0.0)).as("__dm"))
       val contrib = ew
         .join(ranks, ew("src") === ranks("node"))
         .select(col("dst"),
           (col("rank") * col("w") / col("__ow")).as("__c"))
         .groupBy(col("dst")).agg(dsum(col("__c"), 12).as("__sum"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks = ranks
+        .join(contrib, ranks("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"), col("__t"),
+        .select(col("node"), col("__t"), col("__dang"),
           (lit(1.0 - damping) * col("__t") +
             lit(damping) * (coalesce(col("__sum"), lit(0.0)) +
-              col("__dang") * col("__t"))).as("rank"))
+              col("__dm") * col("__t"))).as("rank"))
         .transform(pin(_, checkpointDir))
     }
     ranks.select(col("node"), col("rank"))
@@ -338,11 +358,14 @@ object GraphOps {
           col("label").as("__nl")), Seq("nbr"))
         .groupBy(col("node"), col("__nl"))
         .agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("__c").desc, col("__nl").asc)
-      val pick = votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("__nl").as("__new"))
+      // top-1 as an AGGREGATE, not a row_number window (r19): min_by
+      // over (-count, label) picks the most frequent label with the
+      // smallest-label tie-break — identical to the windowed top-1,
+      // minus the per-round Sort+Window stage (counts are >= 1, so
+      // the negation cannot overflow)
+      val pick = votes.groupBy(col("node"))
+        .agg(min_by(col("__nl"),
+          struct((-col("__c")).as("__negc"), col("__nl"))).as("__new"))
       labels = labels.join(pick, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))
@@ -438,37 +461,38 @@ object GraphOps {
         (lit(1.0) / col("__n").cast("double")).as("hub"),
         (lit(1.0) / col("__n").cast("double")).as("auth"))
       .transform(pin(_, checkpointDir))
+    // Per half-step the score frame is its own node carrier (r19):
+    // the previous auth/hub fallbacks already ride the frame, so the
+    // separate node-frame join and the self-join on the previous
+    // scores (two extra node-keyed shuffles per half-step) collapse
+    // into ONE left join of the fold result onto the score frame.
+    // Same node set, same folds, byte-identical scores.
     for (_ <- 1 to iters) {
       val aRaw = e.join(scores, e("src") === scores("node"))
         .select(col("dst"), (col("hub") * col("w")).as("__t"))
         .groupBy(col("dst")).agg(dsum(col("__t"), 12).as("__a"))
       val aSum = aRaw.agg(
         coalesce(dsum(col("__a"), 12), lit(0.0)).as("__as"))
-      val withA = nodes
-        .join(aRaw, nodes("node") === aRaw("dst"), "left")
-        .join(scores.select(col("node").as("__pn"),
-          col("auth").as("__pa")), col("node") === col("__pn"))
+      val withA = scores
+        .join(aRaw, scores("node") === aRaw("dst"), "left")
         .crossJoin(broadcast(aSum))
-        .select(col("node"),
+        .select(col("node"), col("hub"),
           when(col("__as") > 0.0,
             coalesce(col("__a"), lit(0.0)) / col("__as"))
-            .otherwise(col("__pa")).as("auth"))
+            .otherwise(col("auth")).as("auth"))
         .transform(pin(_, checkpointDir))
       val hRaw = e.join(withA, e("dst") === withA("node"))
         .select(col("src"), (col("auth") * col("w")).as("__t"))
         .groupBy(col("src")).agg(dsum(col("__t"), 12).as("__h"))
       val hSum = hRaw.agg(
         coalesce(dsum(col("__h"), 12), lit(0.0)).as("__hs"))
-      scores = nodes
-        .join(hRaw, nodes("node") === hRaw("src"), "left")
-        .join(scores.select(col("node").as("__pn"),
-          col("hub").as("__ph")), col("node") === col("__pn"))
-        .join(withA, Seq("node"))
+      scores = withA
+        .join(hRaw, withA("node") === hRaw("src"), "left")
         .crossJoin(broadcast(hSum))
         .select(col("node"),
           when(col("__hs") > 0.0,
             coalesce(col("__h"), lit(0.0)) / col("__hs"))
-            .otherwise(col("__ph")).as("hub"),
+            .otherwise(col("hub")).as("hub"),
           col("auth"))
         .transform(pin(_, checkpointDir))
     }

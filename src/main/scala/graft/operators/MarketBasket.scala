@@ -36,26 +36,12 @@ object MarketBasket {
       minPairCount: Long = 2L, maxBasketSize: Int = 100): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2")
-    val items0 = txns
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-    val sizes = items0.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") <= maxBasketSize)
-      .select(col("__b"))
-    val items = items0.join(sizes, Seq("__b")).localCheckpoint(true)
+    val items = basketItems(txns, basketCol, itemCol, maxBasketSize)
     val nB = items.select(col("__b")).distinct()
       .agg(count(lit(1)).cast("long").as("__nb"))
     val itemCnt = items.groupBy(col("__i"))
       .agg(count(lit(1)).cast("long").as("__ci"))
-    val pairs = items.select(col("__b"), col("__i").as("item_a"))
-      .join(items.select(col("__b"), col("__i").as("item_b")),
-        Seq("__b"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).cast("long").as("pair_count"))
-      .filter(col("pair_count") >= minPairCount)
+    val pairs = pairCounts(items, minPairCount)
     val nbD = col("__nb").cast("double")
     val pab = col("pair_count").cast("double") / nbD
     val pa = col("__ca").cast("double") / nbD
@@ -75,5 +61,52 @@ object MarketBasket {
           .as("conf_b_to_a"),
         (pab / (pa * pb)).as("lift"))
       .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
+  }
+
+  /** Deduped, size-capped (basket, item) rows — the shared front of
+    * [[pairRules]] and [[pairEdges]]. Pinned eagerly: the pair
+    * self-join consumes it twice (and pairRules' stats three more
+    * times). */
+  private def basketItems(txns: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame = {
+    val items0 = txns
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sizes = items0.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select(col("__b"))
+    items0.join(sizes, Seq("__b")).localCheckpoint(true)
+  }
+
+  /** (item_a < item_b, pair_count) with the `minPairCount` support
+    * floor — the co-occurrence counts both public entry points share. */
+  private def pairCounts(items: DataFrame, minPairCount: Long): DataFrame =
+    items.select(col("__b"), col("__i").as("item_a"))
+      .join(items.select(col("__b"), col("__i").as("item_b")),
+        Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).cast("long").as("pair_count"))
+      .filter(col("pair_count") >= minPairCount)
+
+  /** EDGE-ONLY co-occurrence pairs: exactly
+    * `pairRules(...).select("item_a", "item_b")` — same dedup, same
+    * basket cap, same support floor — without the per-item counts,
+    * the basket-total broadcast, the lift arithmetic, or the global
+    * lift sort none of which an edge consumer (the graph operators)
+    * reads. An inner join on the item counts cannot be pruned by the
+    * optimizer (it cannot prove the fk-style cardinality
+    * preservation), so the graph queries paid two aggregates, two
+    * joins and a sort for columns they dropped — this entry point is
+    * the q278 lesson applied at the API level: don't compute what the
+    * consumer throws away (guide §1.2 step 1). */
+  def pairEdges(txns: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L, maxBasketSize: Int = 100): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2")
+    val items = basketItems(txns, basketCol, itemCol, maxBasketSize)
+    pairCounts(items, minPairCount).select(col("item_a"), col("item_b"))
   }
 }

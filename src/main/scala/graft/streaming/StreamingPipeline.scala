@@ -698,10 +698,9 @@ object StreamingPipeline {
     val prep = cleaned.repartition(par).select(col("doc_id").as("id"),
         graft.functions.MinHashShingles
           .column(spark, col("clean_text"), 12).as("ms"),
-        graft.functions.SimHash16.column(spark, toks).as("sh16"),
-        graft.functions.SimHash60.column(spark, toks).as("sh60"))
+        graft.functions.SimHash1660.column(spark, toks).as("sh"))
       .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("shs"),
-        col("sh16"), col("sh60"))
+        col("sh.sh16").as("sh16"), col("sh.sh60").as("sh60"))
       .persist()
     try {
       val newSigs = prep.select(col("id"), col("sig"),

@@ -118,6 +118,59 @@ class LlmSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("native md5prefix60 + hashed_shingles are value-identical (incl. order) to the SQL-chain HOF forms") {
+    import spark.implicits._
+    val edge = Seq((100001L, ""), (100002L, "ab"), (100003L, "héllo wörld ✓ unicode"),
+      (100004L, "aaaaaaaaaa")).toDF("doc_id", "text")
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), edge)) {
+      val both = df.select(
+        Dedup.shingleHashSql(col("text")).as("sqlh"),
+        Dedup.shingleHash(col("text")).as("nath"),
+        concat_ws(",", Dedup.hashedShinglesHof(col("text"))).as("hof"),
+        concat_ws(",", Dedup.hashedShingles(col("text"))).as("nat"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1), r.toString)
+        assert(r.getString(2) == r.getString(3), r.toString)
+      }
+    }
+    // null-text parity: scalar hash → null; the shingle SET is the
+    // one-element [null] array on BOTH paths (the HOF's
+    // greatest(null,1)=1 window over a null slice)
+    val n = docs.limit(1).select(
+      Dedup.shingleHashSql(lit(null).cast("string")).as("a"),
+      Dedup.shingleHash(lit(null).cast("string")).as("b"),
+      size(Dedup.hashedShinglesHof(lit(null).cast("string"))).as("c"),
+      size(Dedup.hashedShingles(lit(null).cast("string"))).as("d"),
+      Dedup.hashedShinglesHof(lit(null).cast("string")).getItem(0).as("e"),
+      Dedup.hashedShingles(lit(null).cast("string")).getItem(0).as("f"))
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+    assert(n.getInt(2) == 1 && n.getInt(3) == 1)
+    assert(n.isNullAt(4) && n.isNullAt(5))
+  }
+
+  test("native simhash1660 combined pass is value-identical to the split simhash16/simhash60 expressions") {
+    import spark.implicits._
+    val edge = Seq((100001L, ""), (100002L, "one"),
+      (100003L, "héllo wörld ✓ unicode mixed ascii")).toDF("doc_id", "text")
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), edge)) {
+      val toks = TextAnalysis.tokens(col("text"))
+      val both = df.select(
+        graft.functions.SimHash16.column(spark, toks).as("s16"),
+        graft.functions.SimHash60.column(spark, toks).as("s60"),
+        graft.functions.SimHash1660.column(spark, toks).as("c"))
+        .select(col("s16"), col("s60"), col("c.sh16"), col("c.sh60"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getLong(0) == r.getLong(2), r.toString)
+        assert(r.getLong(1) == r.getLong(3), r.toString)
+      }
+    }
+  }
+
   test("quality classifier: in-engine GD separates planted classes, training is bit-deterministic") {
     import spark.implicits._
     import graft.llm.QualityClassifier
