@@ -111,11 +111,25 @@ object Dedup {
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + lit(r + 1))): _*)),
         1, 15), 16, 10).cast("long"))
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays.
-    * |A∪B| is derived as |A|+|B|−|A∩B| so only ONE set operation runs
-    * per pair (half the per-candidate cost of intersect+distinct-union). */
+  /** Exact Jaccard similarity of two (distinct-element) arrays of any
+    * element type. |A∪B| is derived as |A|+|B|−|A∩B| so only ONE set
+    * operation runs per pair (half the per-candidate cost of
+    * intersect+distinct-union). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** [[jaccard]] for Array[Long] shingle sets — every verify path's
+    * case. The intersection count is the native merge kernel since r19
+    * (guide §1.2 step 2): `size(array_intersect(...))` built a boxed
+    * hash set AND materialized the intersection array per candidate
+    * pair — 4.6 s of q262's 5.3 s wall on 120 k pairs; the kernel is
+    * value-identical including duplicate, null-element and null-array
+    * semantics (FunctionsSpec pins it). */
+  def jaccardLong(a: Column, b: Column): Column = {
+    val inter = graft.functions.IntersectCountLong.column(
+      org.apache.spark.sql.SparkSession.active, a, b)
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
@@ -328,7 +342,8 @@ object Dedup {
       numHashes, numBands, minAgree)
     val sa = size(col("sh_a"))
     val sb = size(col("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.functions.IntersectCountLong.column(
+      org.apache.spark.sql.SparkSession.active, col("sh_a"), col("sh_b"))
     // persist(): the CSE barrier (the lshPairsWithCaches discipline) —
     // without it the containment expression evaluates once for the
     // threshold predicate and once for the output column
@@ -435,12 +450,19 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against the cached
-    * (id, sh) table. */
+    * (id, sh) table. The candidate frame takes a PARALLELISM FLOOR
+    * first (r19): its bytes are tiny (16 B/pair), so byte-based AQE
+    * coalescing was packing the whole compute-dense verify (two set
+    * fetches + the intersect kernel per pair) onto 1-2 partitions —
+    * the repartition binds the verify to cores at a cost of one
+    * id-pair-sized shuffle, the same floor rule the digest stages
+    * use. */
   private def scored(prefiltered: DataFrame, base: DataFrame): DataFrame =
     prefiltered
+      .repartition(prefiltered.sparkSession.sparkContext.defaultParallelism)
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardLong(col("sh_a"), col("sh_b")).as("jaccard"))
 
   /** Opt-in eager materialization for long-lived sessions: compute the
     * (small) verified-pair artifact in one action, then release every
@@ -528,6 +550,10 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      // parallelism floor before the verify (the `scored` rule, r19):
+      // 16 B/pair candidates coalesce to 1-2 partitions under
+      // byte-based AQE and serialize the agree+jaccard kernels
+      .repartition(sp.sparkContext.defaultParallelism)
     val withSides = pairs
       .join(base.select(col("id").as("id_a"), col("sig").as("__sa"),
         col("sh").as("__ha")), Seq("id_a"))
@@ -541,7 +567,7 @@ object Dedup {
       .withColumn("n_agree", agree)
       .select(col("id_a"), col("id_b"), col("n_agree"),
         ((pHat - lit(c)) / (lit(1.0) - lit(c))).as("j_bbit_est"),
-        jaccard(col("__ha"), col("__hb")).as("jaccard"))
+        jaccardLong(col("__ha"), col("__hb")).as("jaccard"))
     if (materialize) materializeAndRelease(result, checkpointDir, Seq(base))
     else result
   }
@@ -1214,12 +1240,14 @@ object Dedup {
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => x === y), p => p)) >= 6)
       .select("id_a", "id_b")
+      // parallelism floor before the verify (the `scored` rule, r19)
+      .repartition(par)
     val lsh = lshCand
       .join(prep.select(col("id").as("id_a"), col("shs").as("sh_a")),
         Seq("id_a"))
       .join(prep.select(col("id").as("id_b"), col("shs").as("sh_b")),
         Seq("id_b"))
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= lshThreshold)
+      .filter(jaccardLong(col("sh_a"), col("sh_b")) >= lshThreshold)
       .select(col("id_a"), col("id_b"))
 
     // --- sorted-neighborhood blocker (the sortedNeighborPairs
@@ -1241,7 +1269,8 @@ object Dedup {
     val probes = g.select(col("id").as("__ia"), col("shs").as("__sa"),
         explode(sequence(lit(1), lit(snWindow - 1))).as("d"), col("gr"))
       .select(col("__ia"), col("__sa"), (col("gr") + col("d")).as("gk"))
-    val snInter = size(array_intersect(col("__sa"), col("__sb")))
+    val snInter = graft.functions.IntersectCountLong.column(
+      org.apache.spark.sql.SparkSession.active, col("__sa"), col("__sb"))
     val snJac = snInter.cast("double") /
       (size(col("__sa")) + size(col("__sb")) - snInter).cast("double")
     val sn = probes.join(
@@ -1640,7 +1669,8 @@ object Dedup {
     val cands = probes.join(
       g.select(col("gr").as("gk"), col("id").as("__ib"),
         col("shs").as("__sb")), Seq("gk"))
-    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val inter = graft.functions.IntersectCountLong.column(
+      org.apache.spark.sql.SparkSession.active, col("__sa"), col("__sb"))
     val jac = inter.cast("double") /
       (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
     val pairs = cands
@@ -1933,7 +1963,8 @@ object Dedup {
         Seq("__ia"))
       .join(lib.select(col("id").as("__ib"), col("shs").as("__sb")),
         Seq("__ib"))
-    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val inter = graft.functions.IntersectCountLong.column(
+      org.apache.spark.sql.SparkSession.active, col("__sa"), col("__sb"))
     val jac = inter.cast("double") /
       (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
     val pairs = withShs

@@ -374,20 +374,20 @@ object TextAnalysis {
     // every downstream aggregate and must not serialize onto one core
     // behind an unsplittable input file
     //
-    // Cache lifecycle (the seenWindowStats contract): the tokenized
-    // frame feeds THREE consumers (vocab count, unigram counts, the
-    // bigram stream used twice) — without a persist the regex
-    // tokenization re-runs per consumer. The eager vocab count below
-    // warms the cache; the returned lazy plan pins it. Spill-safe at
-    // scale (MEMORY_AND_DISK default) and strictly less work than
-    // re-tokenizing the corpus three times.
+    // Cache lifecycle: the tokenized frame feeds THREE consumers
+    // (vocab count, unigram counts, the bigram stream used twice) —
+    // without truncation the regex tokenization re-runs per consumer.
+    // localCheckpoint (r19; was persist) keeps the pin EAGER and
+    // GC-collectable with the returned frame — the persist form
+    // registered a CacheManager entry per call that outlived the
+    // query (a slow leak across a 301-query bench pass).
     val base = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), toks.as("toks"))
-      .persist()
+      .localCheckpoint(true)
     val uni = base.select(explode(col("toks")).as("a"))
       .groupBy("a").agg(count(lit(1)).as("ca"))
-      .persist()
-    val vocab = uni.count() // V: driver scalar; warms base + uni caches
+      .localCheckpoint(true)
+    val vocab = uni.count() // V: driver scalar over the pinned frame
     val docBigrams = base.select(col(idCol), explode(
         zip_with(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
           slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
@@ -1013,12 +1013,20 @@ object TextAnalysis {
     val tok = docs
       .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))))
       .toDF("__id", "__pos", "__w")
+    // Pinned (r19): the tokenized+ranked stream feeds THREE consumers
+    // (the phrase build, the occurrence join, the score join) and the
+    // phrase frame TWO — without truncation each consumer re-runs the
+    // explode+window subtree (ReuseExchange cannot collapse them: the
+    // operators above the shared exchange differ per consumer). The
+    // q278 multi-consumer lesson applied here; localCheckpoint keeps
+    // the loan eager and GC-collectable with the returned frame.
     val ns = tok
       .filter(length(col("__w")) > 0 &&
         !col("__w").isInCollection(stopwords))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__pos"))))
       .withColumn("__run", col("__pos") - col("__rn"))
+      .localCheckpoint(true)
     val ph = ns.groupBy(col("__id"), col("__run"))
       .agg(array_sort(collect_list(struct(col("__pos"), col("__w"))))
         .as("__ws"))
@@ -1026,6 +1034,7 @@ object TextAnalysis {
         array_join(transform(col("__ws"), s => s.getField("__w")), " ")
           .as("phrase"),
         size(col("__ws")).cast("long").as("__plen"))
+      .localCheckpoint(true)
     val occ = ns.select(col("__id"), col("__run"), col("__w"))
       .join(ph.select(col("__id"), col("__run"), col("__plen")),
         Seq("__id", "__run"))

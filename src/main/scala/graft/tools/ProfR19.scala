@@ -159,6 +159,32 @@ object ProfR19 {
     if (what == "q262") {
       import graft.llm.Dedup
       val docs = t("documents")
+      val sp = spark
+      val base = docs.repartition(32).select(col("doc_id").as("id"),
+          graft.functions.MinHashShingles
+            .column(sp, col("text"), 12).as("ms"))
+        .select(col("id"), col("ms.sig").as("sig"), col("ms.sh").as("sh"))
+        .withColumn("bh", Dedup.bandHashesLong(col("sig"), 4, 3))
+        .persist()
+      time("q262.base") { base.count() }
+      val bands = base.select(col("id"),
+        posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      time("q262.cands") { println("  n_cand=" + pairs.count()) }
+      val withSides = pairs
+        .join(base.select(col("id").as("id_a"), col("sig").as("__sa"),
+          col("sh").as("__ha")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("sig").as("__sb"),
+          col("sh").as("__hb")), Seq("id_b"))
+      time("q262.verify(jaccard+agree)") {
+        exec(withSides.select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("__ha"), col("__hb")).as("j"))) }
+      base.unpersist(blocking = false)
       val lazyPlan = Dedup.bbitJaccardEst(docs, "doc_id", "text",
         materialize = false)
       time("q262.lazy-whole") { exec(lazyPlan) }

@@ -154,4 +154,47 @@ class FunctionsSpec extends AnyFunSuite {
       col("a"), col("b"))).collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(0.9611111111111111, 0.0, 1.0))
   }
+
+  test("intersect_count_long == size(array_intersect) incl. duplicates, null elements, null arrays") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd2 = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      def arr(n: Int) = (0 until n).map(_ => rnd2.nextInt(40).toLong)
+      (i.toLong, arr(rnd2.nextInt(30)), arr(rnd2.nextInt(30)))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        // exercise both raw (duplicate-bearing) and distinct inputs
+        col("a"), col("b"),
+        array_distinct(col("a")).as("ad"), array_distinct(col("b")).as("bd"))
+    val out = df.select(
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"),
+      graft.functions.IntersectCountLong.column(spark, col("a"), col("b")).as("nat"),
+      size(array_intersect(col("ad"), col("bd"))).cast("long").as("refd"),
+      graft.functions.IntersectCountLong.column(spark, col("ad"), col("bd")).as("natd"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+      assert(r.getLong(2) == r.getLong(3), r.toString)
+    }
+    // null elements: present on both sides -> counted once; one side -> not
+    val e = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](null, 3L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L)))
+      .toDF("a", "b")
+      .select(
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"),
+        graft.functions.IntersectCountLong.column(spark, col("a"), col("b")).as("nat"))
+      .collect()
+    e.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null array -> null, matching size(array_intersect)=null semantics
+    val n = Seq(Tuple1(Seq(1L))).toDF("a")
+      .select(
+        size(array_intersect(col("a"), lit(null).cast("array<long>"))).as("ref"),
+        graft.functions.IntersectCountLong.column(spark, col("a"),
+          lit(null).cast("array<long>")).as("nat"))
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
 }
